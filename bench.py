@@ -1,0 +1,50 @@
+"""Benchmark harness: run every queries() entry at $SPARK_GRAFT_SF_DIR
+(default sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line.
+
+Each query is fully materialized through the noop sink (whole plan executes,
+nothing collected to the driver). A warmup pass on the smallest table absorbs
+JVM/codegen startup so per-query numbers reflect the plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import __spark_entry__ as entry_mod
+from tibame_project_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark("tibame-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: trivial job to absorb session/codegen startup
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

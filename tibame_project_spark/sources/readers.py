@@ -1,0 +1,64 @@
+"""Readers (S1-S3, S7, F16).
+
+The reference's read path is download-blob → pandas (``airflow/utils/gcp.py:
+95-129``) plus BigQuery external tables over globs (``gcp.py:132-201``).
+Spark natively reads globs in place — an "external table" is just a reader
+with a declared schema; no data movement until a query runs. Filters and
+column pruning reach the parquet footer (PushedFilters / ReadSchema), which
+the pandas path could never do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """S1. ``path`` may be a glob (``…/{date}/*.parquet``, the reference's
+    external-table pattern ``d_gmaps_reviews_src_to_ods.py:15-16``)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    *,
+    header: bool = True,
+    skip_rows: int = 0,
+) -> DataFrame:
+    """S2. CSV requires a declared schema in the engine path (the reference
+    mandates one for CSV external tables, ``gcp.py:173-177``); inference is
+    allowed only when schema=None (raw ingestion). ``skip_rows`` models the
+    reference's leading-header-rows skip (``gcp.py:173-174``) — implemented
+    content-free via an index filter on a monotonically increasing file
+    offset is impossible in Spark, so callers pass a content predicate for
+    junk rows instead; skip_rows is honored only for skip_rows==header."""
+    r = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    return r.csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """S3. JSON-lines with the full declared StructType (the deep gmaps
+    places schema) — inference on 3-level nested arrays-of-structs is exactly
+    where pandas/BQ autodetect went wrong; we declare."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def with_filename_column(df: DataFrame, col_name: str, pattern: str, group: int = 1) -> DataFrame:
+    """F16: derive a column from the source filename — place_id from blob
+    name (``d_gmaps_places_src_to_ods.py:117-119``), place+ref-date from
+    scrape filename (``fb_scraper/normalization.py:8-13``)."""
+    return df.withColumn(col_name, F.regexp_extract(F.input_file_name(), pattern, group))

@@ -1,0 +1,75 @@
+"""Writers (S4-S6, S8-S11, S15, M4).
+
+Maps the reference's write modes onto Spark save modes:
+
+* WRITE_TRUNCATE full replace (``gcp.py:268-270``)      → mode("overwrite")
+* skip-if-exists idempotent create (``gcp.py:41-43``,
+  ``gcp.py:162-165``)                                   → mode("ignore")
+* day-partitioned tables (``gcp.py:183-189, 283-289``)  → partitionBy +
+  dynamic partition overwrite (only arriving partitions are replaced —
+  the incremental daily reload)
+* row-by-row MySQL INSERT (``MySQL/weatherINFO.ipynb``) → df.write.jdbc
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: str | list[str] | None = None,
+) -> None:
+    """S4/S8/M4. With the session's partitionOverwriteMode=dynamic, an
+    overwrite into a partitioned table replaces only the partitions present
+    in ``df`` — the reference's idempotent ``{date}/`` reload semantics."""
+    w = df.write.mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        w = w.partitionBy(*cols)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite", header: bool = True) -> None:
+    """S5."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """S6 — Spark's json sink is records+lines, the reference's
+    ``to_json(orient="records", lines=True)`` (``gcp.py:51-54``)."""
+    df.write.mode(mode).json(path)
+
+
+def save_table(
+    df: DataFrame,
+    qualified_name: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: str | list[str] | None = None,
+) -> None:
+    """S9 CTAS / S8 managed load: ``CREATE OR REPLACE TABLE … AS SELECT``
+    becomes saveAsTable(overwrite); ``mode="ignore"`` is the S10 guard."""
+    w = df.write.mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        w = w.partitionBy(*cols)
+    w.saveAsTable(qualified_name)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """S15 — the serving-layer load. The reference inserts row-by-row from
+    pandas (``MySQL/weatherINFO.ipynb`` cell 3); ``df.write.jdbc`` batches
+    per partition instead. Requires a JDBC driver jar on the classpath; in
+    this container there is none, so tests exercise only the call shape."""
+    df.write.jdbc(url, table, mode=mode, properties=properties or {})

@@ -1,0 +1,98 @@
+"""Incremental src → ods as Structured Streaming.
+
+The reference's "streaming" is daily-scheduled batch over date-stamped blob
+paths (``schedule_interval="@daily"`` ``d_gmaps_crawler_to_src.py:33``;
+``{blob}/{date}/*.parquet`` ``d_gmaps_reviews_src_to_ods.py:15-16``) with
+sensor-based synchronization. A Structured Streaming file source with an
+``availableNow`` trigger subsumes all of it: new files are discovered from
+checkpointed progress, each micro-batch lands idempotently into the
+day-partitioned ods table, and the sensors disappear — downstream reads see
+committed partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def stream_src_to_ods(
+    spark: SparkSession,
+    src_path: str,
+    schema: StructType,
+    transform: Callable[[DataFrame], DataFrame],
+    ods_path: str,
+    checkpoint: str,
+    *,
+    partition_by: str = "published_at",
+    fmt: str = "parquet",
+) -> None:
+    """Run one incremental hop: discover new files under ``src_path``, apply
+    the ods transform, append into the partitioned ods table. availableNow
+    processes the backlog then stops — the scheduled-batch operating mode."""
+    stream = spark.readStream.format(fmt).schema(schema).load(src_path)
+    out = transform(stream)
+    (
+        out.writeStream.format("parquet")
+        .option("path", ods_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(partition_by)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Tumbling-window counts with a watermark for late data — the streaming
+    generalization of the reference's day-partitioned daily rollup. Works on
+    both a static and a streaming DataFrame (same code path)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("win"), F.col(key_col))
+        # decimal partials → exact, order/parallelism-independent double sum
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            key_col,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Session windows per user (gap-based) — the custom-stateful-operator
+    surface. Uses the built-in session_window (state store managed by Spark)
+    rather than applyInPandasWithState: declarative wins again."""
+    return (
+        events.withWatermark(ts_col, gap)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            user_col,
+            "n_events",
+            "session_value",
+        )
+    )
