@@ -45,6 +45,7 @@ from tibame_project_spark.operators.dedup import (
 )
 from tibame_project_spark.operators.joins import anti_join, fuzzy_top1_join, star_join
 from tibame_project_spark.operators.reshape import melt
+from tibame_project_spark.partitioning import ensure_parallelism
 from tibame_project_spark.operators.similarity import cosine_topk, embedding_dedup_pairs
 from tibame_project_spark.streaming.incremental import windowed_event_counts
 
@@ -273,9 +274,7 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         tie_break=["c_custkey"],
     )
-    return out.select(
-        "s_suppkey", "c_custkey", F.levenshtein("s_name", "c_name").alias("distance")
-    )
+    return out.select("s_suppkey", "c_custkey", "distance")
 
 
 _FUZZY_SQL = """
@@ -332,7 +331,7 @@ SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12 explode + token counting (text-analysis tier) on documents."""
-    docs = load(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -351,7 +350,7 @@ GROUP BY token
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text quality/statistics scalars (training-data tier): token count,
     punctuation, stopword ratio, quality score, bag-of-words fingerprint."""
-    docs = load(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -388,7 +387,7 @@ FROM s
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (stopword markers + CJK override)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from tibame_project_spark.partitioning import ensure_parallelism
+
 # ---------------------------------------------------------------------------
 # Exact dedup (D1/D2/D3)
 # ---------------------------------------------------------------------------
@@ -152,7 +154,8 @@ def minhash_dedup_pairs(
     """
     rows = num_perm // bands
     base = (
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        ensure_parallelism(df)  # sketching is CPU-dense: split small scans
+        .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
         .withColumn("__sh", shingles(F.col("__text"), n))
         .filter(F.size("__sh") > 0)
         .withColumn("__sig", minhash_signature(F.col("__sh"), num_perm))
@@ -261,7 +264,7 @@ def simhash_dedup_pairs(
     only in low bits of different blocks are missed — standard
     multi-block-probing would run this with rotated blocks; one block
     suffices for the engine's test surface and keeps one shuffle.)"""
-    sig = df.select(
+    sig = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sim")
     ).withColumn("__blk", F.shiftrightunsigned("__sim", SIMHASH_BITS - block_bits))
     l, r = sig.alias("l"), sig.alias("r")
@@ -295,7 +298,8 @@ def ngram_jaccard_pairs(
     global min-shingle with probability ≥ t). One groupBy shuffle on the
     block key; exact verify inside blocks."""
     base = (
-        df.select(F.col(id_col).alias("__id"), shingles(F.col(text_col), n).alias("__sh"))
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("__id"), shingles(F.col(text_col), n).alias("__sh"))
         .filter(F.size("__sh") > 0)
         .withColumn("__blk", F.array_min(F.transform("__sh", lambda s: F.xxhash64(s))))
     )

@@ -9,7 +9,7 @@ variant for scale (see dedup.minhash for the LSH machinery it reuses).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -53,33 +53,40 @@ def fuzzy_top1_join(
     left_col: str,
     right_col: str,
     *,
-    id_cols: list[str] | None = None,
     max_distance: int | None = None,
     tie_break: list[str] | None = None,
 ) -> DataFrame:
     """Best-fuzzy-match join (J9 — ``airflow/utils/common.py:22-28``'s
     fuzzywuzzy.extractOne): for every left row, the dim row with minimum
-    Levenshtein distance to ``left_col``.
+    Levenshtein distance to ``left_col``, with a ``distance`` column added.
 
-    Physical shape: broadcast cross join (dim must be broadcast-sized — the
-    reference's dim is ~600 names) + per-left-row window top-1 with
-    deterministic tie-break on the match string. For dims too large to
-    broadcast, use operators.dedup.minhash machinery to block candidates
-    first (LSH), then apply the same window.
+    Physical shape, chosen for scale: the left side is repartitioned to full
+    parallelism (small single-file inputs otherwise pin the whole cross
+    product to one task), dim is broadcast, and the top-1 is a **map-side
+    partial MIN over a comparable struct** (distance, match, tie-break…,
+    payload) — the pair space is reduced inside each scan partition and
+    never shuffled, unlike a window over the cross product which must
+    shuffle+sort |left|×|dim| rows. Deterministic: ties break on the match
+    string, then the caller's tie_break columns.
+
+    Left rows must be distinct (they form the group key). Column names of
+    ``df`` and ``dim`` must not overlap. For dims too large to broadcast,
+    block candidates first with the LSH machinery in operators.dedup, then
+    apply the same aggregation.
     """
-    id_cols = id_cols or [c for c in dim.columns if c != right_col]
-    dist = F.levenshtein(F.col("__l"), F.col(right_col))
-    out = (
-        df.withColumn("__l", F.col(left_col))
-        .crossJoin(F.broadcast(dim))
-        .withColumn("__dist", dist)
-    )
+    from tibame_project_spark.partitioning import ensure_parallelism
+
+    dist = F.levenshtein(F.col(left_col), F.col(right_col))
+    cand = ensure_parallelism(df).crossJoin(F.broadcast(dim))
     if max_distance is not None:
-        out = out.filter(F.col("__dist") <= max_distance)
-    order = [F.col("__dist"), F.col(right_col)] + [F.col(c) for c in (tie_break or [])]
-    w = Window.partitionBy("__l").orderBy(*order)
-    return (
-        out.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__l")
+        cand = cand.filter(dist <= max_distance)
+    order_fields = [dist.alias("__d"), F.col(right_col).alias("__m")] + [
+        F.col(c).alias(f"__t{i}") for i, c in enumerate(tie_break or [])
+    ]
+    payload = F.struct(*[F.col(c) for c in dim.columns]).alias("__p")
+    best = cand.groupBy(*[F.col(c) for c in df.columns]).agg(
+        F.min(F.struct(*order_fields, payload)).alias("__b")
+    )
+    return best.select(
+        *df.columns, F.col("__b.__d").alias("distance"), F.col("__b.__p.*")
     )

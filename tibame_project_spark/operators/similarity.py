@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from tibame_project_spark.partitioning import ensure_parallelism
+
 
 def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -61,7 +63,8 @@ def cosine_topk(
         F.col(query_id_col), F.col(vec_col).alias("__qv")
     )
     scored = (
-        items.select(F.col(id_col), F.col(vec_col).alias("__iv"))
+        ensure_parallelism(items)  # dot products are CPU-dense
+        .select(F.col(id_col), F.col(vec_col).alias("__iv"))
         .crossJoin(F.broadcast(q))
         .withColumn("score", cosine(F.col("__iv"), F.col("__qv")))
     )
@@ -136,7 +139,9 @@ def embedding_dedup_pairs(
     """Embedding near-duplicate pairs: cosine ≥ threshold. With ``planes``
     given, candidates are restricted to same-LSH-bucket pairs (scale path);
     otherwise exact over the full self-join (correctness baseline)."""
-    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
     if planes is not None:
         base = base.withColumn("__bkt", hyperplane_bucket(F.col("__v"), planes))
         cond = (F.col("l.__bkt") == F.col("r.__bkt")) & (F.col("l.__id") < F.col("r.__id"))

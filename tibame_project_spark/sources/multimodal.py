@@ -68,6 +68,9 @@ def extract_features(
     payloads; decode happens per element inside the batch. The output drops
     the payload, so downstream stages shuffle features, never bytes.
     """
+    from tibame_project_spark.partitioning import ensure_parallelism
+
+    media = ensure_parallelism(media)  # decode is CPU-dense per row
     fn = decode_fn or (lambda b: _fake_decode(b, dim))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
