@@ -100,6 +100,34 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) > 0, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
 
 
+def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(__id, __sh) with the shingle array evaluated ONCE per row.
+
+    Higher-order-function expressions are not whole-stage-codegen-able
+    (interpreted eval), so expression duplication is a real cost here:
+    a ``filter(size(sh) > 0)`` on top of the projection gets pushed below it
+    and inlines the entire shingle expression a second time, and a single
+    nested expression evaluates the tokenization three times. Staging
+    tokenize → gram as separate projections (CollapseProject declines to
+    inline multi-use non-cheap aliases) and filtering empty docs on the raw
+    text column (equivalent: shingles are empty iff trim(text) = '';
+    pushable to the scan) keeps every HOF evaluated exactly once."""
+    toks = F.filter(F.split(F.lower(F.trim(F.col("__text"))), r"\s+"), lambda t: t != "")
+    k = F.size(F.col("__tk")) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("__tk"), i, n)),
+    )
+    return (
+        ensure_parallelism(df)  # sketching is CPU-dense: split small scans
+        .filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .withColumn("__tk", toks)
+        .withColumn("__sh", F.array_distinct(grams))
+        .select("__id", "__sh")
+    )
+
+
 def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the hash family — plain LCG expansion of
     the seed so runs are reproducible without Math.random."""
@@ -114,22 +142,25 @@ def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
     return params
 
 
-def _perm_fn(a: int, b: int):
-    # closure (not default-args) so PySpark sees a 1-arg lambda
-    return lambda h: (h * a + b) % _P
-
-
 def minhash_signature(shingle_col: Column, num_perm: int = 32, seed: int = 42) -> Column:
     """MinHash signature (array<bigint>, length num_perm) over a shingle
     array. Base hash is xxhash64 (JVM-side); each permutation is
-    min((a*h+b) mod p). Empty shingle set → NULL signature."""
-    base = F.transform(shingle_col, lambda s: F.abs(F.xxhash64(s)) % _P)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(base, _perm_fn(a, b)))
-            for a, b in _perm_params(num_perm, seed)
-        ]
-    )
+    min((a*h+b) mod p). Empty shingle set → NULL signature.
+
+    Single-pass form: one aggregate over the shingles, carrying the
+    element-wise running min of all ``num_perm`` permuted hashes — the base
+    xxhash64 is evaluated exactly once per shingle (the naive
+    one-array_min-per-permutation spelling re-hashes every shingle
+    ``num_perm`` times)."""
+    perms = _perm_params(num_perm, seed)
+    init = F.array_repeat(F.lit(_P).cast("long"), num_perm)
+
+    def step(acc: Column, s: Column) -> Column:
+        h = F.abs(F.xxhash64(s)) % _P
+        vals = F.array(*[(h * a + b) % _P for a, b in perms])
+        return F.zip_with(acc, vals, lambda x, y: F.least(x, y))
+
+    sig = F.aggregate(shingle_col, init, step)
     return F.when(F.size(shingle_col) > 0, sig)
 
 
@@ -151,15 +182,15 @@ def minhash_dedup_pairs(
     groupBy band bucket (shuffle on 16-byte band hash) → pair-join inside
     buckets → verify with exact shingle Jaccard. At 100 TB the only wide ops
     are the band groupBy and the candidate self-join, both on hashed keys.
+    ``base`` feeds three plan branches (banding + both verify sides); it is
+    persisted so sketching runs once — at very large scale materialize it to
+    a table instead (same idea, spill-backed here via MEMORY_AND_DISK).
     """
     rows = num_perm // bands
     base = (
-        ensure_parallelism(df)  # sketching is CPU-dense: split small scans
-        .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
-        .withColumn("__sh", shingles(F.col("__text"), n))
-        .filter(F.size("__sh") > 0)
+        _shingled(df, text_col, id_col, n)
         .withColumn("__sig", minhash_signature(F.col("__sh"), num_perm))
-        .select("__id", "__sh", "__sig")
+        .persist()
     )
     banded = base.select(
         "__id",
@@ -227,26 +258,28 @@ def simhash(text: Column) -> Column:
     """63-bit SimHash over whitespace tokens as a non-negative bigint.
 
     Per bit b: sum over token-hashes of ±1 depending on bit b; sign → bit.
-    Entirely built-in (nested higher-order functions), no UDF. The per-bit
-    mask is 2^b via pow() — exact for b ≤ 62 (powers of two are exact
-    doubles), which is why the signature is 63 bits rather than 64.
+    Entirely built-in (nested higher-order functions), no UDF. Bit 63 would
+    need unsigned handling, hence 63 bits.
+
+    Single-pass form: one aggregate over the tokens carrying an array of 63
+    signed counters (zip_with add of each token's ±1 bit vector) — xxhash64
+    runs exactly once per token, instead of once per token *per bit* as in
+    the naive one-aggregate-per-bit spelling.
     """
     toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
 
-    def bit_col(b: Column) -> Column:
-        mask = F.pow(F.lit(2.0), b.cast("int")).cast("long")
-        return F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
-            )
-            > 0,
-            mask,
-        ).otherwise(F.lit(0).cast("long"))
+    def step(acc: Column, t: Column) -> Column:
+        h = F.xxhash64(t)
+        signs = F.transform(
+            masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
+        )
+        return F.zip_with(acc, signs, lambda a, s: a + s)
 
-    bits = F.transform(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)), bit_col)
+    counts = F.aggregate(toks, F.array_repeat(F.lit(0), SIMHASH_BITS), step)
+    bits = F.zip_with(
+        counts, masks, lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long"))
+    )
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
 
 
@@ -263,10 +296,16 @@ def simhash_dedup_pairs(
     top ``block_bits`` bits to avoid the full cross join. (Docs differing
     only in low bits of different blocks are missed — standard
     multi-block-probing would run this with rotated blocks; one block
-    suffices for the engine's test surface and keeps one shuffle.)"""
-    sig = ensure_parallelism(df).select(
-        F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sim")
-    ).withColumn("__blk", F.shiftrightunsigned("__sim", SIMHASH_BITS - block_bits))
+    suffices for the engine's test surface and keeps one shuffle.)
+
+    The signature relation feeds both sides of the self-join; persisted so
+    the (interpreted, CPU-dense) sketch runs once."""
+    sig = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sim"))
+        .withColumn("__blk", F.shiftrightunsigned("__sim", SIMHASH_BITS - block_bits))
+        .persist()
+    )
     l, r = sig.alias("l"), sig.alias("r")
     return (
         l.join(r, (F.col("l.__blk") == F.col("r.__blk")) & (F.col("l.__id") < F.col("r.__id")))
@@ -296,12 +335,12 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over candidate pairs blocked by a cheap key
     (shared minimum shingle hash — any pair with Jaccard ≥ t shares the
     global min-shingle with probability ≥ t). One groupBy shuffle on the
-    block key; exact verify inside blocks."""
+    block key; exact verify inside blocks. Persisted: the blocked relation
+    feeds both sides of the self-join."""
     base = (
-        ensure_parallelism(df)
-        .select(F.col(id_col).alias("__id"), shingles(F.col(text_col), n).alias("__sh"))
-        .filter(F.size("__sh") > 0)
+        _shingled(df, text_col, id_col, n)
         .withColumn("__blk", F.array_min(F.transform("__sh", lambda s: F.xxhash64(s))))
+        .persist()
     )
     l, r = base.alias("l"), base.alias("r")
     return (
