@@ -24,8 +24,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tibame_project_spark.catalog import load
-from tibame_project_spark.functions.dates import convert_relative_date, quarter_case
+from tibame_project_spark.functions.dates import (
+    convert_relative_date,
+    is_fb_noise,
+    normalize_fb_date,
+    quarter_case,
+)
 from tibame_project_spark.functions.keys import md5_id
+from tibame_project_spark.functions.text import parse_rating, split_delimited
 from tibame_project_spark.functions.textstats import (
     LANG_MARKERS,
     fingerprint,
@@ -36,17 +42,28 @@ from tibame_project_spark.functions.textstats import (
     token_count,
     tokens,
 )
-from tibame_project_spark.operators.corrections import apply_deletes, apply_updates
+from tibame_project_spark.operators.corrections import (
+    apply_deletes,
+    apply_updates,
+    insert_missing,
+)
 from tibame_project_spark.operators.dedup import (
     dedup_exact_text,
+    dedup_keep_first,
     dedup_keep_last,
     minhash_dedup_pairs,
+    ngram_jaccard_exact_pairs,
     simhash_dedup_pairs,
 )
 from tibame_project_spark.operators.joins import anti_join, fuzzy_top1_join, star_join
 from tibame_project_spark.operators.reshape import melt
 from tibame_project_spark.partitioning import ensure_parallelism
-from tibame_project_spark.operators.similarity import cosine_topk, embedding_dedup_pairs
+from tibame_project_spark.operators.similarity import (
+    cosine_topk,
+    embedding_dedup_pairs,
+    lsh_cosine_topk,
+)
+from tibame_project_spark.sources.multimodal import extract_features
 from tibame_project_spark.streaming.incremental import windowed_event_counts
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -519,7 +536,312 @@ WHERE rank <= 5
 """
 
 
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 keep-first dedup (pandas drop_duplicates(keep='first'),
+    d_tripadvisor_src_to_ods.py:70-71): first order per customer in
+    (date, key) order."""
+    orders = load(spark, sf_dir, "orders")
+    out = dedup_keep_first(
+        orders, ["o_custkey"], [F.col("o_orderdate"), F.col("o_orderkey")]
+    )
+    return out.select("o_custkey", "o_orderkey", "o_orderdate")
+
+
+_KEEP_FIRST_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders) t WHERE rn = 1
+"""
+
+
+def q_insert_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 INSERT … WHERE NOT IN (create_dim_attraction_hashtag.py:187-190):
+    upsert-lite — append only rows whose key is absent from the dim."""
+    supplier = load(spark, sf_dir, "supplier")
+    existing = supplier.filter(F.col("s_suppkey") % 3 != 0)
+    incoming = supplier.withColumn("s_name", F.concat(F.lit("NEW_"), F.col("s_name")))
+    return insert_missing(existing, incoming, "s_suppkey")
+
+
+_INSERT_MISSING_SQL = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier WHERE s_suppkey % 3 <> 0
+UNION ALL
+SELECT s_suppkey, 'NEW_' || s_name, s_nationkey, s_acctbal FROM supplier WHERE s_suppkey % 3 = 0
+"""
+
+
+def q_left_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/J4 two-step LEFT join chain then IS NOT NULL filter (effectively
+    inner, create_dim_attraction_type.py:88-96)."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        customer.join(nation, F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"), "left")
+        .filter(F.col("r_name").isNotNull())
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+_LEFT_CHAIN_SQL = """
+SELECT c_custkey, n_name, r_name
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IS NOT NULL
+"""
+
+
+def q_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 self-join (sample/d_example_data_pipeline.py:175-181): supplier
+    pairs co-located in a nation."""
+    s = load(spark, sf_dir, "supplier")
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .select(
+            F.col("a.s_suppkey").alias("supp_a"),
+            F.col("b.s_suppkey").alias("supp_b"),
+            F.col("a.s_nationkey").alias("nationkey"),
+        )
+    )
+
+
+_SELF_JOIN_SQL = """
+SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b, a.s_nationkey AS nationkey
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 pivot (populartimes 7×24 matrix, crawler.py:215-269): daily event
+    matrix, one column per event type, exact-decimal sums."""
+    ev = load(spark, sf_dir, "events")
+    piv = (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .groupBy("event_date")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(_dsum(F.col("value")))
+    )
+    return piv.select(
+        "event_date", *[F.col(t).alias(f"sum_{t}") for t in _EVENT_TYPES]
+    )
+
+
+_PIVOT_COLS = ", ".join(
+    _DSUM("CASE WHEN event_type = '%s' THEN value END" % t) + " AS sum_%s" % t
+    for t in _EVENT_TYPES
+)
+_PIVOT_SQL = f"""
+SELECT CAST(ts AS DATE) AS event_date, {_PIVOT_COLS}
+FROM events GROUP BY CAST(ts AS DATE)
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via prefix filtering (PPJoin) —
+    no cross product, no sketch recall loss."""
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_exact_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+_NGRAM_JACCARD_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents WHERE trim(text) <> ''),
+s AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 1)),
+             i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+  FROM d)
+SELECT id_a, id_b, ROUND(jac, 4) AS jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+  FROM s a JOIN s b ON a.doc_id < b.doc_id) t
+WHERE jac >= 0.5
+"""
+
+
+def q_fb_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 fb relative/absolute zh date normalization
+    (fb_scraper/normalization.py:19-68): synthesize the scraper's time
+    strings from order attributes, filter the noise rows, normalize against
+    a fixed reference date."""
+    orders = load(spark, sf_dir, "orders")
+    n = (F.col("o_orderkey") % 10 + 1).cast("int")
+    raw = (
+        F.when(F.col("o_orderkey") % 5 == 0, F.concat(n.cast("string"), F.lit("天")))
+        .when(F.col("o_orderkey") % 5 == 1, F.lit("3小時"))
+        .when(F.col("o_orderkey") % 5 == 2, F.date_format("o_orderdate", "y年M月d日"))
+        .when(
+            F.col("o_orderkey") % 5 == 3,
+            F.concat(
+                F.month("o_orderdate").cast("string"),
+                F.lit("月"),
+                F.dayofmonth("o_orderdate").cast("string"),
+                # no space before 上午: the reference's strict strptime
+                # rejects the spaced form (trailing blank) → None; the
+                # spaced path is covered in tests/test_operators.py
+                F.lit("日上午10:00"),
+            ),
+        )
+        .otherwise(F.lit("在線上"))
+    )
+    ref = F.to_date(F.lit("2024-06-15"))
+    return (
+        orders.withColumn("raw_time", raw)
+        .filter(~is_fb_noise(F.col("raw_time")))
+        .select(
+            "o_orderkey",
+            normalize_fb_date(F.col("raw_time"), ref).alias("published_date"),
+        )
+    )
+
+
+_FB_DATES_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderdate,
+         CAST(o_orderkey % 10 + 1 AS INTEGER) AS n,
+         o_orderkey % 5 AS m
+  FROM orders)
+SELECT o_orderkey,
+  CASE m
+    WHEN 0 THEN CAST(DATE '2024-06-15' - to_days(n) AS DATE)
+    WHEN 1 THEN DATE '2024-06-15'
+    WHEN 2 THEN CAST(o_orderdate AS DATE)
+    WHEN 3 THEN make_date(2024, month(o_orderdate), day(o_orderdate))
+  END AS published_date
+FROM o WHERE m <> 4
+"""
+
+
+def q_clean_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 tripadvisor cleaning chain as ONE lazy expression (the
+    reference's 8 XCom-materialized pandas stages): rating parse (F8) +
+    delimiter split (F11) + explode (F12) + md5 surrogate key (F7)."""
+    part = load(spark, sf_dir, "part")
+    rating_raw = F.concat(
+        (F.col("p_size") % 5).cast("string"), F.lit(".0 分 (共 5 分)")
+    )
+    cats = split_delimited(F.regexp_replace("p_type", " ", "•"))
+    return (
+        part.withColumn("rating", parse_rating(rating_raw))
+        .withColumn("category", F.explode(cats))
+        .select(
+            "p_partkey",
+            "rating",
+            "category",
+            md5_id(F.col("p_name")).alias("attraction_id"),
+        )
+    )
+
+
+_CLEAN_CHAIN_SQL = """
+SELECT p_partkey,
+       CAST(p_size % 5 AS DOUBLE) AS rating,
+       unnest(string_split(replace(p_type, ' ', '•'), '•')) AS category,
+       md5(p_name) AS attraction_id
+FROM part
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata tier: opaque binary payload + typed metadata
+    (byte length, content digest) — the columnar plumbing every media
+    pipeline needs before any decode."""
+    docs = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+    )
+
+
+_MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+def _lsh_bucket_sql(planes: list[list[float]]) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {p!r}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"({terms})"
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbor (scale path): sign-LSH bucket join +
+    exact cosine top-k inside the bucket — hash join instead of the
+    brute-force cross product of q_cosine_topk."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    items = emb.filter(F.col("vec_id") >= 10)
+    return lsh_cosine_topk(items, queries, _EMBED_PLANES, k=5)
+
+
+def _lsh_ann_sql() -> str:
+    b = _lsh_bucket_sql(_EMBED_PLANES)
+    return f"""
+WITH it AS (
+  SELECT vec_id, embedding, {b} AS bkt FROM embeddings WHERE vec_id >= 10),
+q AS (
+  SELECT vec_id AS query_id, embedding, {b} AS bkt FROM embeddings WHERE vec_id < 10)
+SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, score FROM (
+  SELECT q.query_id, it.vec_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(CAST(it.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+                                     it.vec_id) AS rank,
+         ROUND(list_cosine_similarity(CAST(it.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score
+  FROM it JOIN q ON it.bkt = q.bkt) t
+WHERE rank <= 5
+"""
+
+
 # -- rows-only checks (no SQL-expressible oracle; driver records row count) --
+
+def q_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type (HLL sketch,
+    approx_count_distinct) — the 100 TB form of COUNT(DISTINCT). Approximate
+    by design → rows-only check (row count = #event types, stable)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction: Arrow-batched mapInPandas over binary
+    payloads with a deterministic fake decoder (real decode stubbed — no
+    media libs in container). Python-side decode → rows-only check."""
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    return extract_features(media)
+
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs over documents (scale-path dedup;
@@ -576,6 +898,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct": q_union_distinct,
         "json_extract": q_json_extract,
         "cosine_topk": q_cosine_topk,
+        "dedup_keep_first": q_dedup_keep_first,
+        "insert_missing": q_insert_missing,
+        "left_join_chain": q_left_join_chain,
+        "self_join": q_self_join,
+        "pivot_event_types": q_pivot_event_types,
+        "ngram_jaccard": q_ngram_jaccard,
+        "fb_dates": q_fb_dates,
+        "clean_chain": q_clean_chain,
+        "multimodal_meta": q_multimodal_meta,
+        "lsh_ann": q_lsh_ann,
+        "approx_users": q_approx_users,
+        "multimodal_features": q_multimodal_features,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
@@ -603,6 +937,18 @@ def oracle_sql() -> dict[str, str]:
         "union_distinct": _UNION_SQL,
         "json_extract": _JSON_SQL,
         "cosine_topk": _COSINE_SQL,
-        # minhash_pairs / simhash_pairs / embedding_dups: LSH banding +
-        # sketching are not reasonably SQL-expressible → rows-only check.
+        "dedup_keep_first": _KEEP_FIRST_SQL,
+        "insert_missing": _INSERT_MISSING_SQL,
+        "left_join_chain": _LEFT_CHAIN_SQL,
+        "self_join": _SELF_JOIN_SQL,
+        "pivot_event_types": _PIVOT_SQL,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "fb_dates": _FB_DATES_SQL,
+        "clean_chain": _CLEAN_CHAIN_SQL,
+        "multimodal_meta": _MULTIMODAL_META_SQL,
+        "lsh_ann": _lsh_ann_sql(),
+        # approx_users (HLL, approximate by design), multimodal_features
+        # (Python fake decoder), minhash_pairs / simhash_pairs /
+        # embedding_dups (LSH banding + sketching): not reasonably
+        # SQL-expressible → rows-only check.
     }

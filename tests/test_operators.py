@@ -1,0 +1,359 @@
+"""Per-operator unit tests against hand-computed frames (SURVEY.md §5's bar:
+the reference ships zero tests; we test every operator family on tiny inline
+data — dedup windows, corrections-DML, fuzzy join, fb dates, reshape,
+sketching determinism, readers/writers, streaming hop, multimodal plumbing).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tibame_project_spark.functions.dates import is_fb_noise, normalize_fb_date
+from tibame_project_spark.operators.corrections import (
+    apply_deletes,
+    apply_updates,
+    insert_missing,
+)
+from tibame_project_spark.operators.dedup import (
+    dedup_keep_first,
+    dedup_keep_last,
+    minhash_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_exact_pairs,
+    shingles,
+    simhash_dedup_pairs,
+)
+from tibame_project_spark.operators.joins import fuzzy_top1_join
+from tibame_project_spark.operators.reshape import melt, pivot_day_hour
+from tibame_project_spark.sources.multimodal import (
+    extract_features,
+    real_decoder_stub,
+    sample_frames,
+)
+from tibame_project_spark.sources import readers, writers
+
+
+# ---------------------------------------------------------------------------
+# dedup windows (D2/D3)
+# ---------------------------------------------------------------------------
+
+def _scrapes(spark):
+    return spark.createDataFrame(
+        [
+            ("p1", "2024-01-01", "old"),
+            ("p1", "2024-01-03", "new"),
+            ("p2", "2024-01-02", "only"),
+        ],
+        ["post_link", "scraped_at", "content"],
+    )
+
+
+def test_keep_first_and_last(spark):
+    df = _scrapes(spark)
+    first = dedup_keep_first(df, ["post_link"], [F.col("scraped_at")])
+    last = dedup_keep_last(df, ["post_link"], [F.col("scraped_at")])
+    assert {(r.post_link, r.content) for r in first.collect()} == {
+        ("p1", "old"),
+        ("p2", "only"),
+    }
+    assert {(r.post_link, r.content) for r in last.collect()} == {
+        ("p1", "new"),
+        ("p2", "only"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# corrections-as-data (M1/M2/M3)
+# ---------------------------------------------------------------------------
+
+def test_corrections_dml(spark):
+    dim = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "name"]
+    )
+    updated = apply_updates(
+        dim, spark.createDataFrame([(2, "B!")], ["id", "name"]), "id"
+    )
+    assert dict((r.id, r.name) for r in updated.collect()) == {1: "a", 2: "B!", 3: "c"}
+
+    deleted = apply_deletes(dim, spark.createDataFrame([(3,)], ["id"]), "id")
+    assert {r.id for r in deleted.collect()} == {1, 2}
+
+    upserted = insert_missing(
+        dim, spark.createDataFrame([(2, "dup"), (9, "new")], ["id", "name"]), "id"
+    )
+    assert dict((r.id, r.name) for r in upserted.collect()) == {
+        1: "a", 2: "b", 3: "c", 9: "new",
+    }
+
+
+def test_apply_updates_null_value_keeps_original(spark):
+    dim = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], ["id", "name", "v"])
+    # correction row sets name but leaves v NULL -> v untouched (coalesce)
+    upd = spark.createDataFrame([(1, "A!", None)], "id long, name string, v long")
+    out = apply_updates(dim, upd, "id")
+    assert {(r.id, r.name, r.v) for r in out.collect()} == {(1, "A!", 10), (2, "b", 20)}
+
+
+# ---------------------------------------------------------------------------
+# fuzzy top-1 join (J9)
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_top1_deterministic_tiebreak(spark):
+    left = spark.createDataFrame([("kitten",)], ["query"])
+    # two dim rows at equal distance 1: ties break on match string
+    dim = spark.createDataFrame(
+        [("bitten", 1), ("mitten", 2)], ["name", "dim_id"]
+    )
+    out = fuzzy_top1_join(left, dim, "query", "name").collect()
+    assert len(out) == 1
+    assert out[0].name == "bitten" and out[0].distance == 1
+
+
+# ---------------------------------------------------------------------------
+# fb date normalization (F2) — including the reference's failure modes
+# ---------------------------------------------------------------------------
+
+def test_fb_dates_reference_semantics(spark):
+    ref = F.to_date(F.lit("2024-06-15"))
+    rows = spark.createDataFrame(
+        [
+            ("3天",),
+            ("5小時",),
+            ("2023年1月7日",),
+            ("7月25日上午10:00",),
+            ("7月25日 上午10:00",),  # spaced: strict parse fails -> NULL
+            ("7月",),                 # no 日: fails -> NULL
+            ("just now",),            # fallthrough -> ref date
+        ],
+        ["t"],
+    )
+    got = [
+        r.d
+        for r in rows.select(normalize_fb_date(F.col("t"), ref).alias("d")).collect()
+    ]
+    assert got == [
+        dt.date(2024, 6, 12),
+        dt.date(2024, 6, 15),
+        dt.date(2023, 1, 7),
+        dt.date(2024, 7, 25),
+        None,
+        None,
+        dt.date(2024, 6, 15),
+    ]
+
+
+def test_fb_noise_filter(spark):
+    rows = spark.createDataFrame([("在線上",), ("+3",), ("3天",)], ["t"])
+    kept = rows.filter(~is_fb_noise(F.col("t"))).collect()
+    assert [r.t for r in kept] == ["3天"]
+
+
+# ---------------------------------------------------------------------------
+# reshape (F13/F19)
+# ---------------------------------------------------------------------------
+
+def test_melt_roundtrip(spark):
+    wide = spark.createDataFrame([(2015, 10, 20)], ["year", "zoo", "museum"])
+    long = melt(wide, ["year"], ["zoo", "museum"], "name", "number_people")
+    assert {(r.year, r.name, r.number_people) for r in long.collect()} == {
+        (2015, "zoo", 10),
+        (2015, "museum", 20),
+    }
+
+
+def test_pivot_day_hour(spark):
+    df = spark.createDataFrame(
+        [("Mon", 9, 4.0), ("Mon", 9, 6.0), ("Tue", 10, 3.0)],
+        ["day", "hour", "pop"],
+    )
+    out = pivot_day_hour(df, "day", "hour", "pop")
+    rows = {r["day"]: r for r in out.collect()}
+    assert rows["Mon"]["9"] == 5.0 and rows["Tue"]["10"] == 3.0
+
+
+# ---------------------------------------------------------------------------
+# sketching: determinism + exactness guarantees
+# ---------------------------------------------------------------------------
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog today"),
+    (2, "the quick brown fox jumps over the lazy dog today"),   # exact dup
+    (3, "the quick brown fox jumps over the lazy cat today"),   # near dup
+    (4, "completely unrelated text about apache spark engines"),
+]
+
+
+def test_minhash_pairs_deterministic_and_sane(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    pairs1 = {
+        (r.id_a, r.id_b) for r in minhash_dedup_pairs(df, "text", "doc_id").collect()
+    }
+    pairs2 = {
+        (r.id_a, r.id_b) for r in minhash_dedup_pairs(df, "text", "doc_id").collect()
+    }
+    assert pairs1 == pairs2                 # deterministic across runs
+    assert (1, 2) in pairs1                 # exact dup always collides
+    assert not any(4 in p for p in pairs1)  # unrelated never pairs
+
+
+def test_minhash_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    kept = {r.doc_id for r in minhash_dedup(df, "text", "doc_id").collect()}
+    assert 1 in kept and 2 not in kept and 4 in kept
+
+
+def test_ngram_exact_matches_bruteforce(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_exact_pairs(df, "text", "doc_id", threshold=0.3).collect()
+    }
+    # brute force in python
+    sh = {
+        r.doc_id: frozenset(r.sh)
+        for r in df.select("doc_id", shingles(F.col("text"), 3).alias("sh")).collect()
+    }
+    want = set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+            if j >= 0.3:
+                want.add((a, b, round(j, 4)))
+    assert got == want
+
+
+def test_simhash_blocks_exact_dups(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b, r.distance)
+        for r in simhash_dedup_pairs(df, "text", "doc_id", max_distance=10).collect()
+    }
+    assert (1, 2, 0) in pairs
+    assert not any(4 in (a, b) for a, b, _ in pairs)
+
+
+# ---------------------------------------------------------------------------
+# readers / writers round-trips (S1-S8, S10)
+# ---------------------------------------------------------------------------
+
+def test_parquet_roundtrip_partitioned(spark, tmp_path):
+    # non-date-like partition values: partition-column type inference would
+    # otherwise read "2024-01-01" back as DateType
+    df = spark.createDataFrame([(1, "d1"), (2, "d2")], ["id", "day"])
+    path = str(tmp_path / "t")
+    writers.write_parquet(df, path, partition_by="day")
+    assert sorted(p for p in os.listdir(path) if p.startswith("day=")) == [
+        "day=d1",
+        "day=d2",
+    ]
+    back = readers.read_parquet(spark, path)
+    assert {(r.id, r.day) for r in back.collect()} == {(1, "d1"), (2, "d2")}
+
+
+def test_csv_jsonl_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"])
+    cpath, jpath = str(tmp_path / "c"), str(tmp_path / "j")
+    writers.write_csv(df, cpath)
+    writers.write_jsonl(df, jpath)
+    cback = readers.read_csv(spark, cpath, schema="id long, s string")
+    jback = readers.read_jsonl(spark, jpath, schema="id long, s string")
+    want = {(1, "a"), (2, "b")}
+    assert {(r.id, r.s) for r in cback.collect()} == want
+    assert {(r.id, r.s) for r in jback.collect()} == want
+
+
+def test_write_mode_ignore_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    writers.write_parquet(spark.createDataFrame([(1,)], ["id"]), path)
+    # second write with mode=ignore must be a no-op, not an error (S10)
+    writers.write_parquet(spark.createDataFrame([(2,)], ["id"]), path, mode="ignore")
+    assert [r.id for r in readers.read_parquet(spark, path).collect()] == [1]
+
+
+def test_filename_column(spark, tmp_path):
+    p = str(tmp_path / "files")
+    spark.createDataFrame([(1,)], ["id"]).write.parquet(p + "/place=abc123.parquet")
+    df = spark.read.parquet(p + "/*")
+    out = readers.with_filename_column(df, "place_id", r"place=([^./]+)")
+    assert out.collect()[0].place_id == "abc123"
+
+
+# ---------------------------------------------------------------------------
+# streaming hop (M4): availableNow file source -> partitioned ods
+# ---------------------------------------------------------------------------
+
+def test_stream_src_to_ods_incremental(spark, tmp_path):
+    from tibame_project_spark.streaming.incremental import stream_src_to_ods
+
+    src = tmp_path / "src"
+    ods, ckpt = str(tmp_path / "ods"), str(tmp_path / "ckpt")
+    schema = "id long, published_at string"
+
+    def write_batch(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    write_batch([(1, "2024-01-01"), (2, "2024-01-02")], "b1")
+    stream_src_to_ods(
+        spark, str(src), spark.createDataFrame([], schema).schema,
+        lambda df: df, ods, ckpt,
+    )
+    assert spark.read.parquet(ods).count() == 2
+
+    # second hop only processes the NEW file (checkpointed progress)
+    write_batch([(3, "2024-01-02")], "b2")
+    stream_src_to_ods(
+        spark, str(src), spark.createDataFrame([], schema).schema,
+        lambda df: df, ods, ckpt,
+    )
+    back = spark.read.parquet(ods)
+    assert {r.id for r in back.collect()} == {1, 2, 3}
+    # day-partitioned layout on disk
+    assert any(p.startswith("published_at=") for p in os.listdir(ods))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (binary + mapInPandas)
+# ---------------------------------------------------------------------------
+
+def _media(spark):
+    return spark.createDataFrame(
+        [
+            ("m1", "image", bytearray(b"\x00\x10\x20\x30\x40\x50\x60\x70" * 4)),
+            ("m2", "image", bytearray(b"")),
+        ],
+        "media_id string, kind string, content binary",
+    )
+
+
+def test_extract_features_shape_and_determinism(spark):
+    out1 = extract_features(_media(spark)).orderBy("media_id").collect()
+    out2 = extract_features(_media(spark)).orderBy("media_id").collect()
+    assert [r.media_id for r in out1] == ["m1", "m2"]
+    assert out1[0].n_bytes == 32 and out1[1].n_bytes == 0
+    assert len(out1[0].feature) == 8
+    assert all(0.0 <= x <= 1.0 for x in out1[0].feature)
+    assert out1[0].feature == out2[0].feature  # deterministic fake decode
+
+
+def test_real_decoder_is_marked_stub():
+    with pytest.raises(NotImplementedError):
+        real_decoder_stub(b"bytes")
+
+
+def test_sample_frames_from_metadata(spark):
+    media = spark.createDataFrame(
+        [("v1", "video", Row(duration_ms=3500)), ("a1", "audio", Row(duration_ms=9000))],
+        "media_id string, kind string, meta struct<duration_ms: long>",
+    )
+    out = sample_frames(media, every_ms=1000).collect()
+    assert {r.media_id for r in out} == {"v1"}
+    assert [(r.frame_idx, r.frame_ts_ms) for r in out] == [(0, 0), (1, 1000), (2, 2000)]

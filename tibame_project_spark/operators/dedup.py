@@ -324,6 +324,57 @@ def simhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def ngram_jaccard_exact_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard ≥ threshold via prefix filtering
+    (PPJoin / All-Pairs): under a global shingle order, any pair with
+    J(A,B) ≥ t must share at least one shingle within each side's prefix of
+    length |x| − ⌈t·|x|⌉ + 1, so joining on exploded prefix shingles loses no
+    qualifying pair — no O(n²) cross product, no sketch recall loss. The
+    candidate join is an equi-join on a shingle string; verification is the
+    exact intersection/union ratio. Complements ``ngram_jaccard_pairs``
+    (min-hash blocked, probabilistic recall) when exactness is required.
+    """
+    base = (
+        _shingled(df, text_col, id_col, n)
+        .withColumn("__sh", F.array_sort("__sh"))
+        .persist()
+    )
+    plen = (
+        F.size("__sh")
+        - F.ceil(F.lit(threshold) * F.size("__sh")).cast("int")
+        + F.lit(1)
+    )
+    pref = base.select(
+        "__id", F.explode(F.slice("__sh", F.lit(1), plen)).alias("__tok")
+    )
+    cand = (
+        pref.alias("l")
+        .join(pref.alias("r"), (F.col("l.__tok") == F.col("r.__tok")) & (F.col("l.__id") < F.col("r.__id")))
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
