@@ -341,37 +341,48 @@ def ngram_jaccard_exact_pairs(
     exact intersection/union ratio. Complements ``ngram_jaccard_pairs``
     (min-hash blocked, probabilistic recall) when exactness is required.
     """
-    base = (
+    # Shape chosen to stay inside whole-stage codegen end-to-end: shingles
+    # are hashed to 8-byte longs (set identity up to 2^-64 collisions;
+    # shingles are already distinct per doc), exploded, and equi-joined on
+    # the hash with length-ratio pruning — J(A,B) >= t forces
+    # t*|A| <= |B| <= |A|/t — then |A∩B| falls out of a groupBy count and
+    # the union by inclusion-exclusion (|A|+|B|−|A∩B|). No array
+    # intersections (interpreted HOFs) in the pair path, and the threshold
+    # filter sits above the aggregate so nothing expensive is re-inlined
+    # into a pushed-down predicate. At extreme token-frequency skew the
+    # PPJoin upgrade is to explode only each doc's |x|−⌈t|x|⌉+1 smallest
+    # hashes for candidate generation and verify positionally; the
+    # length-pruned full-token join is the simpler plan and one fewer join.
+    tok = (
         _shingled(df, text_col, id_col, n)
-        .withColumn("__sh", F.array_sort("__sh"))
-        .persist()
-    )
-    plen = (
-        F.size("__sh")
-        - F.ceil(F.lit(threshold) * F.size("__sh")).cast("int")
-        + F.lit(1)
-    )
-    pref = base.select(
-        "__id", F.explode(F.slice("__sh", F.lit(1), plen)).alias("__tok")
-    )
-    cand = (
-        pref.alias("l")
-        .join(pref.alias("r"), (F.col("l.__tok") == F.col("r.__tok")) & (F.col("l.__id") < F.col("r.__id")))
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
-        .distinct()
-    )
-    a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+        .withColumn("__sz", F.size("__sh"))
+        .select(
+            "__id",
+            "__sz",
+            F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("__tok"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    pairs = (
+        tok.alias("l")
+        .join(
+            tok.alias("r"),
+            (F.col("l.__tok") == F.col("r.__tok"))
+            & (F.col("l.__id") < F.col("r.__id"))
+            & (F.col("l.__sz") * threshold <= F.col("r.__sz"))
+            & (F.col("r.__sz") * threshold <= F.col("l.__sz")),
+        )
+        .groupBy(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__sz").alias("sz_a"),
+            F.col("r.__sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    jac = F.col("__i") / (F.col("sz_a") + F.col("sz_b") - F.col("__i"))
+    return (
+        pairs.filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
 
 

@@ -59,14 +59,21 @@ def cosine_topk(
 
     Returns (query_id, id_col, rank, score) with deterministic id tie-break.
     """
+    # norms are precomputed per ROW (O(n+m) interpreted HOF evals), so the
+    # per-PAIR work is the dot product only — same float ops per pair as
+    # cosine(), so scores stay bit-identical to the SQL oracle
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qv")
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
     scored = (
         ensure_parallelism(items)  # dot products are CPU-dense
         .select(F.col(id_col), F.col(vec_col).alias("__iv"))
+        .withColumn("__in", l2_norm(F.col("__iv")))
         .crossJoin(F.broadcast(q))
-        .withColumn("score", cosine(F.col("__iv"), F.col("__qv")))
+        .withColumn(
+            "score",
+            dot(F.col("__iv"), F.col("__qv")) / (F.col("__in") * F.col("__qn")),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col)
@@ -111,14 +118,19 @@ def lsh_cosine_topk(
     k = kw.get("k", 5)
     round_to = kw.get("round_to", 4)
 
-    it = items.select(
-        F.col(id_col), F.col(vec_col).alias("__iv")
-    ).withColumn("__bkt", hyperplane_bucket(F.col("__iv"), planes))
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qv")
-    ).withColumn("__bkt", hyperplane_bucket(F.col("__qv"), planes))
+    it = (
+        items.select(F.col(id_col), F.col(vec_col).alias("__iv"))
+        .withColumn("__bkt", hyperplane_bucket(F.col("__iv"), planes))
+        .withColumn("__in", l2_norm(F.col("__iv")))
+    )
+    q = (
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+        .withColumn("__bkt", hyperplane_bucket(F.col("__qv"), planes))
+        .withColumn("__qn", l2_norm(F.col("__qv")))
+    )
     scored = it.join(F.broadcast(q), "__bkt").withColumn(
-        "score", cosine(F.col("__iv"), F.col("__qv"))
+        "score",
+        dot(F.col("__iv"), F.col("__qv")) / (F.col("__in") * F.col("__qn")),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
     return (
@@ -141,16 +153,22 @@ def embedding_dedup_pairs(
     otherwise exact over the full self-join (correctness baseline)."""
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
-    )
+    ).withColumn("__nrm", l2_norm(F.col("__v")))
     if planes is not None:
         base = base.withColumn("__bkt", hyperplane_bucket(F.col("__v"), planes))
         cond = (F.col("l.__bkt") == F.col("r.__bkt")) & (F.col("l.__id") < F.col("r.__id"))
     else:
         cond = F.col("l.__id") < F.col("r.__id")
+    # persisted: feeds both sides of the self-join (bucket + norm once)
+    base = base.persist()
     l, r = base.alias("l"), base.alias("r")
     joined = l.join(r, cond) if planes is not None else l.crossJoin(r).filter(cond)
     return (
-        joined.withColumn("score", cosine(F.col("l.__v"), F.col("r.__v")))
+        joined.withColumn(
+            "score",
+            dot(F.col("l.__v"), F.col("r.__v"))
+            / (F.col("l.__nrm") * F.col("r.__nrm")),
+        )
         .filter(F.col("score") >= threshold)
         .select(
             F.col("l.__id").alias("id_a"),
