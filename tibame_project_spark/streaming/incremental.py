@@ -87,7 +87,11 @@ def sessionize(
     return (
         events.withWatermark(ts_col, gap)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col(user_col))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        # decimal partials → exact, order/parallelism-independent double sum
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
         .select(
             F.col("sess.start").alias("session_start"),
             F.col("sess.end").alias("session_end"),
