@@ -66,8 +66,11 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(SCALE_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
-    # local-mode niceties; harmless on a cluster where these are set externally
-    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    # local-mode niceties; harmless on a cluster where these are set
+    # externally. 24g: local[32] runs 32 concurrent tasks in the driver JVM —
+    # an undersized heap turns persist()+wide joins into GC storms (observed
+    # as 10x run-to-run swings on otherwise sub-second queries).
+    conf.setdefault("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
     conf.setdefault("spark.ui.enabled", "false")
     if extra_conf:
         conf.update(extra_conf)
