@@ -1,0 +1,88 @@
+"""Physical-plan assertions: lock in the scale properties the engine is
+designed around — dims broadcast, predicates and projections reach the
+parquet scan, hot paths stay in whole-stage codegen, salting matches the
+direct aggregate. A regression here is a 100 TB performance bug even when
+every correctness test stays green."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from tests.conftest import SF_DIR
+from tibame_project_spark.partitioning import salted_count_sum
+
+
+def _plan(df, execute: bool = False) -> str:
+    if execute:
+        # AQE finalizes the physical plan (and its codegen stages) only on
+        # execution; collect() first, then read the final plan
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_mart_star_join_broadcasts_dims(spark):
+    plan = _plan(entry.q_mart_star_trends(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2  # both dims broadcast
+    assert "SortMergeJoin" not in plan          # fact never shuffles to join
+
+
+def test_pricing_summary_prunes_and_codegens(spark):
+    plan = _plan(entry.q_pricing_summary(spark, SF_DIR), execute=True)
+    # projection pushdown: referenced columns only (string is truncated by
+    # Spark, so assert pruning via the columns that must be ABSENT)
+    read = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_quantity" in read and "l_extendedprice" in read
+    assert "l_orderkey" not in read and "l_shipdate" not in read and "l_tax" not in read
+    # whole-stage codegen spans appear as "*(n)" operator prefixes
+    assert "*(1)" in plan
+    # partial aggregation before the shuffle (map-side combine)
+    assert "partial_sum" in plan and plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = entry.q_cosine_topk(spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(vec_id)" in plan or "GreaterThanOrEqual(vec_id" in plan
+
+
+def test_anti_join_is_join_not_subquery(spark):
+    plan = _plan(entry.q_customers_without_orders(spark, SF_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_ngram_jaccard_stays_in_codegen(spark):
+    """The near-dup pair path (explode → join → agg) must be codegen —
+    no interpreted array intersections in the per-pair hot loop."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from tibame_project_spark.operators.dedup import ngram_jaccard_exact_pairs
+
+    plan = _plan(ngram_jaccard_exact_pairs(docs, "text", "doc_id"), execute=True)
+    assert "array_intersect" not in plan
+    assert "*(1)" in plan
+
+
+def test_salted_agg_matches_direct(spark):
+    # heavily skewed: one hot key with 10k rows, 10 cold keys
+    rows = [("hot", float(i % 7)) for i in range(10000)] + [
+        (f"cold{i}", 1.0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double").withColumn(
+        "uid", F.monotonically_increasing_id()
+    )
+    got = {
+        (r.k, r.n, r.sum_v)
+        for r in salted_count_sum(
+            df, ["k"], value_col="v", salt_from="uid", buckets=16
+        ).collect()
+    }
+    want = {
+        (r.k, r.n, r.sum_v)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("sum_v"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -1,0 +1,222 @@
+"""Golden pipeline tests: reference-shaped fixtures (FIXTURES.md) replayed
+through the plans modules, asserting hand-computed outputs — the end-to-end
+tier the reference never had (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tibame_project_spark.plans import attractions, gmaps, taipei, tripadvisor
+
+
+def md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# gmaps: src -> ods -> dims/fact -> mart (flagship, SURVEY §3.1)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def gmaps_src(spark):
+    return spark.createDataFrame(
+        [
+            # (place, review, rating, text, published_at zh-relative, user, url, extracted_at)
+            ("故宮", "r1", 5.0, "great", "3天前", "u1", "url1", "2024-06-15 12:00:00"),
+            ("故宮", "r2", 4.0, "good", "2小時前", "u2", "url2", "2024-06-15 12:00:00"),
+            ("故宮", "r2", 4.0, "good", "2小時前", "u2", "url2", "2024-06-15 12:00:00"),  # dup
+            ("象山", "r3", 3.0, "ok", "1個月前", "u1", "url1", "2024-06-15 12:00:00"),
+            (None, "r4", 1.0, "bad", "1天前", "u3", "url3", "2024-06-15 12:00:00"),  # dropped
+        ],
+        "place_name string, review_id string, rating double, review_text string, "
+        "published_at string, user_name string, user_url string, extracted_at string",
+    )
+
+
+@pytest.fixture(scope="module")
+def gmaps_places(spark):
+    return spark.createDataFrame(
+        [
+            Row(
+                place_id="p1",
+                name="故宮",
+                detailed_address=Row(country_code="TW", state="臺北市士林區"),
+                coordinates=Row(latitude=25.1, longitude=121.5),
+                address="addr1",
+                google_place_url="g1",
+                main_category="museum",
+            ),
+            Row(
+                place_id="p2",
+                name="象山",
+                detailed_address=Row(country_code="TW", state="臺北市信義區"),
+                coordinates=Row(latitude=25.0, longitude=121.6),
+                address="addr2",
+                google_place_url="g2",
+                main_category="hike",
+            ),
+        ]
+    )
+
+
+def test_gmaps_ods_relative_dates_and_nulls(spark, gmaps_src):
+    ods = gmaps.ods_reviews(gmaps_src)
+    rows = {(r.review_id, r.published_at) for r in ods.collect()}
+    # 3天前 from 2024-06-15 → 06-12; 2小時前 → same day; 1個月前 → 05-15
+    assert rows == {
+        ("r1", dt.date(2024, 6, 12)),
+        ("r2", dt.date(2024, 6, 15)),
+        ("r2", dt.date(2024, 6, 15)),
+        ("r3", dt.date(2024, 5, 15)),
+    }
+
+
+def test_gmaps_dims_and_mart_golden(spark, gmaps_src, gmaps_places):
+    ods = gmaps.ods_reviews(gmaps_src)
+    time = gmaps.dim_time(ods)
+    users = gmaps.dim_users(ods)
+    places = gmaps.dim_places(gmaps_places)
+    fact = gmaps.fact_reviews(ods)
+
+    assert time.count() == 3  # three distinct dates
+    q2 = {r.date: r.quarter for r in time.collect()}
+    assert q2[dt.date(2024, 5, 15)] == 2 and q2[dt.date(2024, 6, 12)] == 2
+    assert users.count() == 2  # u1 (one url), u2
+    assert fact.count() == 3  # dup collapsed
+
+    city = {r.place_name: (r.city, r.region) for r in places.collect()}
+    assert city["故宮"] == ("臺北市", "士林區")  # regex split on 市/縣
+
+    mart = gmaps.mart_review_trends(fact, places, time)
+    got = {
+        (r.place_name, str(r.date)): (r.total_reviews, r.avg_rating)
+        for r in mart.collect()
+    }
+    assert got == {
+        ("故宮", "2024-06-12"): (1, 5.0),
+        ("故宮", "2024-06-15"): (1, 4.0),
+        ("象山", "2024-05-15"): (1, 3.0),
+    }
+
+
+# ---------------------------------------------------------------------------
+# tripadvisor: 8-stage chain as one expression (SURVEY §3.2)
+# ---------------------------------------------------------------------------
+
+def test_tripadvisor_ods_golden(spark):
+    src = spark.createDataFrame(
+        [
+            ("0", "故宮", "4.0 分 (共 5 分)", "博物館 • 歷史", "台北", "1,200"),
+            ("1", "故宮", "4.0 分 (共 5 分)", "博物館 • 歷史", "台北", "1,200"),  # dup
+            ("2", "象山", "4.5 分 (共 5 分)", "健行", "信義", "800"),
+            ("3", None, None, None, None, None),  # all-null payload row
+        ],
+        ["Unnamed: 0", "名稱", "評分", "類別", "地址", "totalReviews"],
+    )
+    ods = tripadvisor.ods_tripadvisor(src)
+    assert "Unnamed: 0" not in ods.columns and "total_reviews" not in ods.columns
+    rows = {r.attraction_name: r for r in ods.collect() if r.attraction_name}
+    assert rows["故宮"].rating == 4.0
+    assert rows["故宮"].categories == ["博物館", "歷史"]
+    assert rows["故宮"].attraction_id == md5("故宮")
+    assert rows["象山"].categories == ["健行"]
+    assert ods.filter(F.col("attraction_name") == "故宮").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# taipei: wide visitor matrix -> long (F13/F14, positional -> content drops)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def taipei_src(spark):
+    return spark.createDataFrame(
+        [
+            # zh header row the reference dropped positionally (drop([0]))
+            ("年度", "月份", "國立故宮博物院", "臺北市立動物園"),
+            ("104(2015)", "1", "546,050", "292,817"),
+            ("104(2015)", "2", "432,061", "瀏覽"),  # non-numeric -> dropped
+            ("113(2024)", "12", "500,000", "300,000"),
+        ],
+        ["year", "month", "Palace Museum", "Taipei Zoo"],
+    )
+
+
+def test_taipei_ods_golden(spark, taipei_src):
+    ods = taipei.ods_taipei(taipei_src)
+    rows = {(r.year, r.month, r.name): r.number_people for r in ods.collect()}
+    assert rows == {
+        (2015, 1, "Palace Museum"): 546050,
+        (2015, 1, "Taipei Zoo"): 292817,
+        (2015, 2, "Palace Museum"): 432061,
+        (2024, 12, "Palace Museum"): 500000,
+        (2024, 12, "Taipei Zoo"): 300000,
+    }
+
+
+def test_taipei_name_mapping_transpose(spark, taipei_src):
+    m = taipei.name_mapping(taipei_src, ["year", "month"])
+    assert {(r.name_en, r.name_zh) for r in m.collect()} == {
+        ("Palace Museum", "國立故宮博物院"),
+        ("Taipei Zoo", "臺北市立動物園"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# attractions: cross-source dims + corrections-as-data (M1-M3)
+# ---------------------------------------------------------------------------
+
+def test_attraction_hashtag_union_patch_insert(spark):
+    taipei_ids = spark.createDataFrame(
+        [(md5("故宮"), "故宮"), (md5("動物園"), "動物園")], ["attraction_id", "name"]
+    )
+    trip_ids = spark.createDataFrame(
+        [(md5("故宮"), "故宮"), (md5("象山"), "象山")], ["attraction_id", "name"]
+    )
+    # one of the 13 manual UPDATEs: remap 動物園 onto a synonym id
+    updates = spark.createDataFrame(
+        [("動物園", "fixed-id")], ["name", "attraction_id"]
+    )
+    new_rows = spark.createDataFrame(
+        [("fixed-id", "動物園"), ("new-id", "小油坑")], ["attraction_id", "name"]
+    )
+    dim = attractions.dim_attraction_hashtag(
+        taipei_ids, trip_ids, updates=updates, new_rows=new_rows
+    )
+    got = {(r.name, r.attraction_id) for r in dim.collect()}
+    assert got == {
+        ("故宮", md5("故宮")),       # union-distinct collapsed the shared row
+        ("動物園", "fixed-id"),      # UPDATE applied
+        ("象山", md5("象山")),
+        ("小油坑", "new-id"),        # INSERT … NOT IN appended
+    }
+
+
+def test_fact_attraction_history_join(spark):
+    visitors = spark.createDataFrame(
+        [(2015, 1, "故宮", 1000), (2015, None, "故宮", 99)],
+        "year int, month int, name string, number_people long",
+    )
+    ids = spark.createDataFrame([(md5("故宮"), "故宮")], ["attraction_id", "name"])
+    fact = attractions.fact_attraction_history(visitors, ids)
+    assert [(r.attraction_id, r.year, r.month, r.number_people) for r in fact.collect()] == [
+        (md5("故宮"), 2015, 1, 1000)
+    ]
+
+
+def test_dim_attraction_detail_with_deletes(spark):
+    hashtags = spark.createDataFrame(
+        [("id1", "故宮"), ("id2", "幽靈景點")], ["attraction_id", "name"]
+    )
+    trip = spark.createDataFrame(
+        [("故宮", 4.0, "台北")], ["name", "rating", "address"]
+    )
+    deletes = spark.createDataFrame([("id2",)], ["attraction_id"])
+    dim = attractions.dim_attraction_detail(hashtags, trip, deletes=deletes)
+    rows = dim.collect()
+    assert len(rows) == 1 and rows[0].name == "故宮" and rows[0].rating == 4.0

@@ -13,7 +13,8 @@ noise next to the compute it parallelizes).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -26,3 +27,37 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     if df.rdd.getNumPartitions() < min_parts:
         return df.repartition(min_parts)
     return df
+
+
+def salt(from_col: Column, buckets: int) -> Column:
+    """Deterministic salt in [0, buckets): hashed from a high-cardinality
+    column (never rand() — re-computation under task retry must agree)."""
+    return F.pmod(F.xxhash64(from_col), F.lit(buckets)).cast("int")
+
+
+def salted_count_sum(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    value_col: str | None = None,
+    salt_from: str,
+    buckets: int = 64,
+) -> DataFrame:
+    """Skew-proof count/sum aggregation: two-phase groupBy with a salt.
+
+    AQE's skew handling splits skewed JOIN partitions but a groupBy on a
+    pathological hot key (one key = 30% of 100 TB) still funnels that key's
+    partials into one reducer. Salting makes phase 1 aggregate on
+    (keys, salt) — ≤ ``buckets`` rows per hot key — and phase 2 re-aggregates
+    the tiny salted partials. Both phases are decomposable (count→sum,
+    sum→sum with exact decimal partials), so results are identical to the
+    direct groupBy; phase-2 input is |distinct keys| × buckets rows,
+    negligible at any scale.
+    """
+    d = df.withColumn("__salt", salt(F.col(salt_from), buckets))
+    aggs1 = [F.count(F.lit(1)).alias("__n")]
+    aggs2 = [F.sum("__n").alias("n")]
+    if value_col is not None:
+        aggs1.append(F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__s"))
+        aggs2.append(F.sum("__s").cast("double").alias(f"sum_{value_col}"))
+    return d.groupBy(*keys, "__salt").agg(*aggs1).groupBy(*keys).agg(*aggs2)
