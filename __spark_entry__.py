@@ -36,6 +36,8 @@ from tibame_project_spark.functions.textstats import (
     LANG_MARKERS,
     fingerprint,
     lang_id,
+    bpe_token_count,
+    bpe_tokens,
     punct_count,
     quality_score,
     stopword_ratio,
@@ -402,6 +404,25 @@ SELECT doc_id,
             + (CASE WHEN n_stop > 0 THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality,
        md5(array_to_string(list_sort(list_transform(toks, x -> lower(x))), ' ')) AS fp
 FROM s
+"""
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (training-data tier): GPT-2-style pre-token
+    regex, counted per doc and corpus-wide vocabulary size."""
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("n_bpe"),
+        F.size(F.array_distinct(bpe_tokens(F.col("text")))).alias("n_bpe_distinct"),
+    )
+
+
+_BPE_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INTEGER) AS n_bpe,
+       CAST(len(list_distinct(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS INTEGER) AS n_bpe_distinct
+FROM documents
 """
 
 
@@ -935,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_measures": q_unpivot,
         "token_counts": q_token_counts,
         "doc_stats": q_doc_stats,
+        "bpe_tokens": q_bpe_tokens,
         "lang_id": q_lang_id,
         "events_rollup": q_events_rollup,
         "corrections": q_corrections,
@@ -976,6 +998,7 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_measures": _UNPIVOT_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "doc_stats": _DOC_STATS_SQL,
+        "bpe_tokens": _BPE_SQL,
         "lang_id": _lang_sql(),
         "events_rollup": _ROLLUP_SQL,
         "corrections": _CORRECTIONS_SQL,

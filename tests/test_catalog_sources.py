@@ -173,3 +173,40 @@ def test_windowed_counts_runs_as_stream(spark, tmp_path):
     assert q.lastProgress is None or q.lastProgress["numInputRows"] >= 0
     import os
     assert os.path.exists(ckpt)
+
+
+# ---------------------------------------------------------------------------
+# declared nested schema: 3-level gmaps places record through JSONL (S3 + §1.2)
+# ---------------------------------------------------------------------------
+
+_PLACE_JSON = (
+    '{"place_id": "p1", "name": "故宮", "rating": 4.6,'
+    ' "categories": ["museum", "art"],'
+    ' "coordinates": {"latitude": 25.1, "longitude": 121.5},'
+    ' "detailed_address": {"country_code": "TW", "state": "臺北市士林區"},'
+    ' "review_keywords": [{"keyword": "jade", "count": 12}],'
+    ' "about": [{"name": "Accessibility",'
+    '            "options": [{"name": "wheelchair", "enabled": true}]}],'
+    ' "hours": [{"day": "Monday", "times": ["09:00-17:00"]}]}'
+)
+
+
+def test_nested_places_schema_jsonl(spark, tmp_path):
+    from tibame_project_spark.schemas import GMAPS_PLACES
+    from tibame_project_spark.plans.gmaps import dim_places
+
+    p = tmp_path / "places.jsonl"
+    p.write_text(_PLACE_JSON + "\n", encoding="utf-8")
+    df = spark.read.schema(GMAPS_PLACES).json(str(p))
+    row = df.collect()[0]
+    # 3 levels deep: about[0].options[0].enabled
+    assert row.about[0].options[0].enabled is True
+    assert row.review_keywords[0]["count"] == 12
+    assert row.hours[0].times == ["09:00-17:00"]
+    # absent fields of the declared schema arrive as NULL, not schema drift
+    assert row.popular_times is None and row.phone is None
+
+    dim = dim_places(df.withColumn("address", F.lit("addr")).withColumn(
+        "google_place_url", F.lit("g"))).collect()[0]
+    assert (dim.city, dim.region) == ("臺北市", "士林區")
+    assert dim.latitude == 25.1

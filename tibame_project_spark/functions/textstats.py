@@ -92,6 +92,22 @@ def lang_id(text: Column) -> Column:
     )
 
 
+#: BPE-ish pre-tokenization regex (GPT-2-style, simplified to the subset
+#: Java regex and RE2 evaluate identically — no lookaheads, no \p classes):
+#: a leading-space-glued letter run, digit run, or punctuation run.
+BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-style pre-tokens (the unit an LLM tokenizer would merge from) —
+    the training-data token counter that whitespace splitting undercounts."""
+    return F.regexp_extract_all(text, F.lit(BPE_RE), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def fingerprint(text: Column) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted, lowercased
     token bag. Robust to token reordering/whitespace — the batch analog of a
