@@ -560,6 +560,33 @@ WHERE rank <= 5
 """
 
 
+def q_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 ad-hoc SQL entry (query_bq_to_df, gcp.py:222-238): SQL text in →
+    DataFrame out, over the registered catalog views — the reference's only
+    query interface, served by Catalyst instead of a remote warehouse."""
+    from tibame_project_spark.catalog import register_testdata
+
+    register_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name AS nation, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
+_SQL_ENTRY_SQL = """
+SELECT n_name AS nation, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 keep-first dedup (pandas drop_duplicates(keep='first'),
     d_tripadvisor_src_to_ods.py:70-71): first order per customer in
@@ -963,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct": q_union_distinct,
         "json_extract": q_json_extract,
         "cosine_topk": q_cosine_topk,
+        "sql_entry": q_sql_entry,
         "dedup_keep_first": q_dedup_keep_first,
         "insert_missing": q_insert_missing,
         "left_join_chain": q_left_join_chain,
@@ -1005,6 +1033,7 @@ def oracle_sql() -> dict[str, str]:
         "union_distinct": _UNION_SQL,
         "json_extract": _JSON_SQL,
         "cosine_topk": _COSINE_SQL,
+        "sql_entry": _SQL_ENTRY_SQL,
         "dedup_keep_first": _KEEP_FIRST_SQL,
         "insert_missing": _INSERT_MISSING_SQL,
         "left_join_chain": _LEFT_CHAIN_SQL,

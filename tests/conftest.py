@@ -14,3 +14,10 @@ def spark():
     s = get_spark("tibame-tests", shuffle_partitions=8)
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    """Alias so hypothesis-driven tests reuse the session fixture without
+    triggering function-scoped teardown per example."""
+    return spark

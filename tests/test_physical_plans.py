@@ -86,3 +86,18 @@ def test_salted_agg_matches_direct(spark):
         .collect()
     }
     assert got == want
+
+
+def test_partition_pruning_on_day_partitioned_write(spark, tmp_path):
+    """The reference's PARTITION BY published_at tables must prune: a filter
+    on the partition column becomes a PartitionFilter (no full scan)."""
+    path = str(tmp_path / "ods")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 3) + 1:02d}") for i in range(30)], ["id", "published_at"]
+    )
+    df.write.partitionBy("published_at").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("published_at") == "2024-01-02")
+    plan = _plan(back)
+    assert "PartitionFilters: [isnotnull(published_at" in plan
+    # only one of three partitions is read
+    assert back.count() == 10
