@@ -10,8 +10,15 @@ SF_DIR = os.environ.get("TIBAME_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("tibame-tests", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    # isolated warehouse: saveAsTable/bucketing tests must not leave state
+    # behind in the repo or collide with a previous run's directories
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    s = get_spark(
+        "tibame-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield s
     s.stop()
 

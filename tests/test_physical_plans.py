@@ -101,3 +101,31 @@ def test_partition_pruning_on_day_partitioned_write(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(published_at" in plan
     # only one of three partitions is read
     assert back.count() == 10
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Bucketing co-locates join keys at write time: joining two tables
+    bucketed the same way plans zero Exchange — at 100 TB this removes the
+    dominant cost of repeated fact-to-fact joins."""
+    from tibame_project_spark.catalog import ensure_layers
+
+    ensure_layers(spark)
+    a = spark.range(0, 1000).withColumn("v", F.col("id") % 7)
+    b = spark.range(0, 1000).withColumn("w", F.col("id") % 11)
+    spark.sql("DROP TABLE IF EXISTS ods.bkt_a")
+    spark.sql("DROP TABLE IF EXISTS ods.bkt_b")
+    a.write.bucketBy(8, "id").sortBy("id").saveAsTable("ods.bkt_a")
+    b.write.bucketBy(8, "id").sortBy("id").saveAsTable("ods.bkt_b")
+    # force the (bucketed) sort-merge path: at 100 TB neither fact side is
+    # broadcastable, which is exactly the case bucketing exists for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("ods.bkt_a").join(spark.table("ods.bkt_b"), "id")
+        plan = _plan(joined)
+        assert "Exchange hashpartitioning" not in plan  # no shuffle at all
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
