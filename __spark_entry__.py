@@ -57,7 +57,12 @@ from tibame_project_spark.operators.dedup import (
     ngram_jaccard_exact_pairs,
     simhash_dedup_pairs,
 )
-from tibame_project_spark.operators.joins import anti_join, fuzzy_top1_join, star_join
+from tibame_project_spark.operators.joins import (
+    anti_join,
+    asof_join,
+    fuzzy_top1_join,
+    star_join,
+)
 from tibame_project_spark.operators.reshape import melt
 from tibame_project_spark.partitioning import ensure_parallelism
 from tibame_project_spark.operators.similarity import (
@@ -560,6 +565,64 @@ WHERE rank <= 5
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (point-in-time-correct lookup): for each event, the user's
+    most recent order at-or-before the event time. One shuffle, no range
+    cross-join (union + running last-ignorenulls window)."""
+    ev = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        orders,
+        on=("user_id", "o_custkey"),
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey"],
+        tie_break="o_orderkey",
+    )
+    return out.select("event_id", "user_id", F.col("o_orderkey").alias("last_orderkey"))
+
+
+_ASOF_SQL = """
+WITH r AS (
+  SELECT o_custkey AS k, CAST(o_orderdate AS TIMESTAMP) AS t, 0 AS side,
+         o_orderkey AS tie, o_orderkey, CAST(NULL AS BIGINT) AS event_id
+  FROM orders),
+l AS (
+  SELECT user_id AS k, ts AS t, 1 AS side, 0 AS tie,
+         CAST(NULL AS BIGINT) AS o_orderkey, event_id
+  FROM events),
+u AS (SELECT * FROM l UNION ALL BY NAME SELECT * FROM r),
+f AS (
+  SELECT *, last_value(o_orderkey IGNORE NULLS) OVER (
+      PARTITION BY k ORDER BY t, side, tie
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_orderkey
+  FROM u)
+SELECT event_id, k AS user_id, last_orderkey FROM f WHERE side = 1
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per event type (the
+    distribution-profiling agg a data-quality pipeline runs; Spark
+    percentile ≡ DuckDB quantile_cont bit-for-bit)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def q_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.3 ad-hoc SQL entry (query_bq_to_df, gcp.py:222-238): SQL text in →
     DataFrame out, over the registered catalog views — the reference's only
@@ -991,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "cosine_topk": q_cosine_topk,
         "sql_entry": q_sql_entry,
+        "asof_join": q_asof_join,
+        "percentiles": q_percentiles,
         "dedup_keep_first": q_dedup_keep_first,
         "insert_missing": q_insert_missing,
         "left_join_chain": q_left_join_chain,
@@ -1034,6 +1099,8 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": _JSON_SQL,
         "cosine_topk": _COSINE_SQL,
         "sql_entry": _SQL_ENTRY_SQL,
+        "asof_join": _ASOF_SQL,
+        "percentiles": _PERCENTILES_SQL,
         "dedup_keep_first": _KEEP_FIRST_SQL,
         "insert_missing": _INSERT_MISSING_SQL,
         "left_join_chain": _LEFT_CHAIN_SQL,

@@ -357,3 +357,35 @@ def test_sample_frames_from_metadata(spark):
     out = sample_frames(media, every_ms=1000).collect()
     assert {r.media_id for r in out} == {"v1"}
     assert [(r.frame_idx, r.frame_ts_ms) for r in out] == [(0, 0), (1, 1000), (2, 2000)]
+
+
+# ---------------------------------------------------------------------------
+# as-of join (point-in-time lookup)
+# ---------------------------------------------------------------------------
+
+def test_asof_join_semantics(spark):
+    from tibame_project_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "e1", "2024-01-10 12:00:00"),
+         (1, "e2", "2024-01-05 00:00:00"),   # same instant as an order
+         (2, "e3", "2024-01-01 00:00:00")],  # before any order -> NULL
+        ["uid", "eid", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "2024-01-01"), (1, 101, "2024-01-05"), (1, 99, "2024-01-05"),
+         (2, 200, "2024-06-01")],
+        ["k", "okey", "odate"],
+    )
+    out = {
+        r.eid: r.okey
+        for r in asof_join(
+            left, right, on=("uid", "k"), left_ts="ts", right_ts="odate",
+            value_cols=["okey"], tie_break="okey",
+        ).collect()
+    }
+    assert out == {
+        "e1": 101,   # latest order at-or-before, tie at 01-05 -> max okey
+        "e2": 101,   # same-instant order counts
+        "e3": None,  # nothing before -> LEFT semantics
+    }

@@ -47,6 +47,67 @@ def lookup_join(df: DataFrame, dim: DataFrame, key: str | list[str], how: str = 
     return df.join(F.broadcast(dim), key, how)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: tuple[str, str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tie_break: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` within the same key (LEFT semantics — no
+    match → NULL values). Not in the reference's surface (SURVEY §2.4 "not
+    present") but table stakes for a training-data/feature pipeline
+    (point-in-time-correct feature lookup).
+
+    Physical shape, chosen for scale: tag + union both inputs, ONE shuffle
+    on (key), and a running ``last(value, ignorenulls)`` window ordered by
+    (ts, side, tie) — right rows sort before left rows at equal timestamps
+    so same-instant matches count. No range cross-join, no per-left probe:
+    cost is a single sort per key partition, the same shape at 100 TB as at
+    sf0.01 (AQE splits skewed keys). ``tie_break`` resolves multiple right
+    rows at the same timestamp to the one with the greatest tie value.
+    """
+    lk, rk = on
+    payload = F.struct(*[F.col(c) for c in value_cols]).alias("__v")
+    r = right.select(
+        F.col(rk).alias("__k"),
+        F.col(right_ts).cast("timestamp").alias("__t"),
+        F.lit(0).alias("__side"),
+        (F.col(tie_break) if tie_break else F.lit(0)).alias("__tie"),
+        payload,
+        *[F.lit(None).cast(t) for _, t in _typed_nulls(left)],
+    )
+    l = left.select(
+        F.col(lk).alias("__k"),
+        F.col(left_ts).cast("timestamp").alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(0).alias("__tie"),
+        F.lit(None).cast(r.schema["__v"].dataType).alias("__v"),
+        *left.columns,
+    )
+    u = l.unionByName(r.toDF(*l.columns))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side", "__tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumn("__match", F.last("__v", ignorenulls=True).over(w))
+    return filled.filter(F.col("__side") == 1).select(
+        *left.columns, *[F.col(f"__match.{c}").alias(c) for c in value_cols]
+    )
+
+
+def _typed_nulls(df: DataFrame) -> list[tuple[str, str]]:
+    """(name, ddl-type) pairs for building NULL columns matching ``df``."""
+    return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+
+
 def fuzzy_top1_join(
     df: DataFrame,
     dim: DataFrame,
