@@ -50,6 +50,7 @@ from tibame_project_spark.operators.corrections import (
     insert_missing,
 )
 from tibame_project_spark.operators.dedup import (
+    connected_components,
     dedup_exact_text,
     dedup_keep_first,
     dedup_keep_last,
@@ -61,6 +62,7 @@ from tibame_project_spark.operators.joins import (
     anti_join,
     asof_join,
     fuzzy_top1_join,
+    range_join,
     star_join,
 )
 from tibame_project_spark.operators.reshape import melt
@@ -602,6 +604,70 @@ SELECT event_id, k AS user_id, last_orderkey FROM f WHERE side = 1
 """
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (bucketed decomposition — equi-join on (key, bucket),
+    never a per-key cross product): events within 7 days at-or-after each
+    order by the same user, counted per order."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    joined = range_join(
+        orders, ev, on=("o_custkey", "user_id"),
+        left_ts="o_orderdate", right_ts="ts", window_seconds=7 * 86400,
+    )
+    return joined.groupBy("o_orderkey").agg(F.count("event_id").alias("n_events"))
+
+
+_RANGE_JOIN_SQL = """
+SELECT o_orderkey, COUNT(event_id) AS n_events
+FROM orders JOIN events
+  ON o_custkey = user_id
+ AND ts >= CAST(o_orderdate AS TIMESTAMP)
+ AND ts < CAST(o_orderdate AS TIMESTAMP) + INTERVAL 7 DAY
+GROUP BY o_orderkey
+"""
+
+
+_NGRAM_PAIRS_CTE = r"""
+d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents WHERE trim(text) <> ''),
+s AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+             generate_series(1, greatest(len(toks) - 2, 1)),
+             i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+  FROM d),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5)
+"""
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components (iterative
+    min-label propagation, localCheckpoint-truncated lineage) over the
+    exact n-gram-Jaccard pair graph. Oracle: recursive CTE."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_exact_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return connected_components(pairs)
+
+
+_DEDUP_GROUPS_SQL = f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTE},
+e AS (SELECT id_a AS src, id_b AS dst FROM p
+      UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT src AS node, dst AS r FROM e
+  UNION
+  SELECT e2.src, reach.r FROM e e2 JOIN reach ON reach.node = e2.dst)
+SELECT node, LEAST(node, MIN(r)) AS component
+FROM reach GROUP BY node
+"""
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolated percentiles per event type (the
     distribution-profiling agg a data-quality pipeline runs; Spark
@@ -1056,6 +1122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_entry": q_sql_entry,
         "asof_join": q_asof_join,
         "percentiles": q_percentiles,
+        "range_join": q_range_join,
+        "dedup_groups": q_dedup_groups,
         "dedup_keep_first": q_dedup_keep_first,
         "insert_missing": q_insert_missing,
         "left_join_chain": q_left_join_chain,
@@ -1101,6 +1169,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_entry": _SQL_ENTRY_SQL,
         "asof_join": _ASOF_SQL,
         "percentiles": _PERCENTILES_SQL,
+        "range_join": _RANGE_JOIN_SQL,
+        "dedup_groups": _DEDUP_GROUPS_SQL,
         "dedup_keep_first": _KEEP_FIRST_SQL,
         "insert_missing": _INSERT_MISSING_SQL,
         "left_join_chain": _LEFT_CHAIN_SQL,

@@ -389,3 +389,36 @@ def test_asof_join_semantics(spark):
         "e2": 101,   # same-instant order counts
         "e3": None,  # nothing before -> LEFT semantics
     }
+
+
+def test_range_join_buckets(spark):
+    from tibame_project_spark.operators.joins import range_join
+
+    orders = spark.createDataFrame(
+        [(1, "o1", "2024-01-01 00:00:00"), (1, "o2", "2024-01-10 00:00:00")],
+        ["uid", "okey", "ots"],
+    )
+    events = spark.createDataFrame(
+        [(1, "e1", "2024-01-01 00:00:00"),   # at order instant -> in window
+         (1, "e2", "2024-01-07 23:59:59"),   # just inside 7 days
+         (1, "e3", "2024-01-08 00:00:00"),   # exactly 7 days -> out
+         (2, "e4", "2024-01-02 00:00:00")],  # other key
+        ["uid2", "ekey", "ets"],
+    )
+    out = range_join(
+        orders, events, on=("uid", "uid2"), left_ts="ots", right_ts="ets",
+        window_seconds=7 * 86400,
+    )
+    got = {(r.okey, r.ekey) for r in out.collect()}
+    assert got == {("o1", "e1"), ("o1", "e2")}
+
+
+def test_connected_components_chain_and_clusters(spark):
+    from tibame_project_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (transitive), pair 10-11, isolated-by-edge 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)], ["id_a", "id_b"]
+    )
+    out = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}

@@ -240,10 +240,64 @@ def minhash_dedup(
     """Drop near-duplicates, keeping the smallest id of each connected pair
     group (single-link, one pass — transitive chains collapse to their
     smallest reachable survivor on iteration; one pass suffices for dedup
-    semantics where any-survivor is acceptable)."""
+    semantics where any-survivor is acceptable). For exactly-one-survivor-
+    per-transitive-cluster semantics, feed the pairs through
+    ``connected_components`` and keep ``component`` representatives."""
     pairs = minhash_dedup_pairs(df, text_col, id_col, **kw)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame, *, max_iter: int = 20
+) -> DataFrame:
+    """(node, component) labeling of the undirected graph given as
+    (id_a, id_b) pairs — component = smallest reachable node id. The
+    iterative-algorithm surface of the engine: transitive dedup clusters,
+    synonym groups, entity resolution.
+
+    Alternating min-label propagation: each round every node adopts the
+    minimum label in its neighborhood (its own included); converges in
+    O(diameter) rounds. Each round is one groupBy shuffle on the node id;
+    ``localCheckpoint`` truncates the lineage so the plan doesn't double
+    per iteration (the classic iterative-Spark trap), and the loop exits
+    early the first round nothing changes — the single driver-side scalar
+    per round an iterative distributed algorithm legitimately collects.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b"), F.col("id_a")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("component").alias("__nbr"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nbr"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("__nbr"), F.col("component")) < F.col("component")).alias("__chg"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("__chg")).limit(1).count()
+        labels = updated.drop("__chg")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
 
 
 # ---------------------------------------------------------------------------

@@ -108,6 +108,43 @@ def _typed_nulls(df: DataFrame) -> list[tuple[str, str]]:
     return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: tuple[str, str],
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Interval join: pairs where ``left_ts ≤ right_ts < left_ts + window``
+    within the same key. Also not in the reference's surface (SURVEY §2.4)
+    but required the moment events must attribute to a preceding action.
+
+    A naive theta-join degenerates to per-key cross products (Spark plans
+    BroadcastNestedLoop for pure inequality conditions). Here both sides are
+    bucketed to ``window_seconds`` granularity; a left row can only match
+    right rows in its own or the next bucket, so the left side explodes into
+    2 bucket replicas and the join is a plain equi-join on (key, bucket) +
+    an exact range filter. Shuffle volume is 2·|left| + |right| rows — the
+    standard interval-join decomposition, AQE-skew-splittable.
+    """
+    lk, rk = on
+    lb = (F.unix_timestamp(F.col(left_ts)) / window_seconds).cast("long")
+    rb = (F.unix_timestamp(F.col(right_ts)) / window_seconds).cast("long")
+    l = left.withColumn("__b", F.explode(F.array(lb, lb + 1)))
+    r = right.withColumn("__b", rb)
+    lcol, rcol = F.col(left_ts).cast("timestamp"), F.col(right_ts).cast("timestamp")
+    return (
+        l.join(r, (F.col(lk) == F.col(rk)) & (l["__b"] == r["__b"]))
+        .filter(
+            (rcol >= lcol)
+            & (rcol < F.timestamp_add("SECOND", F.lit(window_seconds), lcol))
+        )
+        .drop("__b")
+    )
+
+
 def fuzzy_top1_join(
     df: DataFrame,
     dim: DataFrame,
