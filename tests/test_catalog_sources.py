@@ -210,3 +210,21 @@ def test_nested_places_schema_jsonl(spark, tmp_path):
         "google_place_url", F.lit("g"))).collect()[0]
     assert (dim.city, dim.region) == ("臺北市", "士林區")
     assert dim.latitude == 25.1
+
+
+# ---------------------------------------------------------------------------
+# JDBC sink (S15) — embedded Derby (ships with Spark) stands in for MySQL
+# ---------------------------------------------------------------------------
+
+def test_jdbc_sink_roundtrip(spark):
+    from tibame_project_spark.sources.writers import write_jdbc
+
+    url = "jdbc:derby:memory:sinkdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame([(1, "台北"), (2, "台中")], ["id", "city"])
+    write_jdbc(df, url, "serving_t", mode="overwrite", properties=props)
+    write_jdbc(df.filter(F.col("id") == 1), url, "serving_t", properties=props)  # append
+    back = spark.read.jdbc(url, "serving_t", properties=props)
+    assert sorted((r.id, r.city) for r in back.collect()) == [
+        (1, "台北"), (1, "台北"), (2, "台中"),
+    ]

@@ -93,13 +93,36 @@ def cosine_topk(
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: one bit per random hyperplane (sign of dot
     product), packed into a bigint. ``planes`` is a small, deterministic
-    list generated once on the driver."""
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot(vec, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-        bucket = bucket.bitwiseOR(bit)
-    return bucket
+    list generated once on the driver.
+
+    Single pass over the vector: the planes matrix is embedded TRANSPOSED as
+    a literal, and one aggregate accumulates all |planes| partial dot sums
+    at once (one-dot-per-plane would re-traverse the vector |planes| times
+    in interpreted HOF eval). Per-plane accumulation order over j is
+    unchanged (ascending left fold), so dot products — and therefore bucket
+    bits — are bit-identical to the per-plane spelling and to a SQL
+    list_dot_product oracle."""
+    n_planes = len(planes)
+    dim = len(planes[0])
+    transposed = F.array(
+        *[
+            F.array(*[F.lit(float(planes[i][j])) for i in range(n_planes)])
+            for j in range(dim)
+        ]
+    )
+    dots = F.aggregate(
+        F.zip_with(
+            _as_double(vec), transposed, lambda x, col: F.transform(col, lambda p: p * x)
+        ),
+        F.array_repeat(F.lit(0.0), n_planes),
+        lambda acc, contrib: F.zip_with(acc, contrib, lambda a, c: a + c),
+    )
+    bits = F.zip_with(
+        dots,
+        F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)]),
+        lambda d, m: F.when(d >= 0, m).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc.bitwiseOR(b))
 
 
 def lsh_cosine_topk(

@@ -70,6 +70,7 @@ def write_jdbc(
 ) -> None:
     """S15 — the serving-layer load. The reference inserts row-by-row from
     pandas (``MySQL/weatherINFO.ipynb`` cell 3); ``df.write.jdbc`` batches
-    per partition instead. Requires a JDBC driver jar on the classpath; in
-    this container there is none, so tests exercise only the call shape."""
+    per partition instead. Needs a JDBC driver on the classpath — for MySQL
+    that's the connector jar; tests use the embedded Derby driver Spark
+    already ships."""
     df.write.jdbc(url, table, mode=mode, properties=properties or {})
