@@ -36,6 +36,7 @@ from tibame_project_spark.functions.textstats import (
     LANG_MARKERS,
     fingerprint,
     lang_id,
+    rolling_hash,
     bpe_token_count,
     bpe_tokens,
     punct_count,
@@ -70,6 +71,7 @@ from tibame_project_spark.partitioning import ensure_parallelism
 from tibame_project_spark.operators.similarity import (
     cosine_topk,
     embedding_dedup_pairs,
+    ivf_cosine_topk,
     lsh_cosine_topk,
 )
 from tibame_project_spark.sources.multimodal import extract_features
@@ -429,6 +431,33 @@ _BPE_SQL = r"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INTEGER) AS n_bpe,
        CAST(len(list_distinct(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) AS INTEGER) AS n_bpe_distinct
+FROM documents
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting, both flavors: order-insensitive bag-of-words
+    md5 and the order-sensitive Rabin-Karp rolling hash."""
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("bag_fp"),
+        rolling_hash(F.col("text")).alias("roll_fp"),
+    )
+
+
+_FINGERPRINTS_SQL = r"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_transform(
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+           x -> lower(x))), ' ')) AS bag_fp,
+       CASE WHEN length(text) = 0 THEN 0 ELSE
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(text, ''),
+                                       c -> CAST(ord(c) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 72057594037927936)
+       END AS roll_fp
 FROM documents
 """
 
@@ -1038,6 +1067,47 @@ WHERE rank <= 5
 """
 
 
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to nearest-centroid cells (centroids =
+    a small anchor set, here the first 8 vectors), probe the query's cell,
+    exact top-k inside — the inverted-file scale path next to lsh_ann's
+    hyperplane one."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    items = emb.filter(F.col("vec_id") >= 10)
+    return ivf_cosine_topk(items, queries, centroids, k=5)
+
+
+_IVF_SQL = """
+WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id < 8),
+it AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings WHERE vec_id >= 10),
+qq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings WHERE vec_id < 10),
+ia AS (SELECT vec_id, v, cid,
+              row_number() OVER (PARTITION BY vec_id
+                  ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rn
+       FROM it CROSS JOIN c),
+ic AS (SELECT vec_id, v, cid AS cell FROM ia WHERE rn = 1),
+qa AS (SELECT query_id, v, cid,
+              row_number() OVER (PARTITION BY query_id
+                  ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rn
+       FROM qq CROSS JOIN c),
+qc AS (SELECT query_id, v AS qv, cid AS cell FROM qa WHERE rn = 1)
+SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, score FROM (
+  SELECT qc.query_id, ic.vec_id,
+         row_number() OVER (PARTITION BY qc.query_id
+             ORDER BY list_cosine_similarity(ic.v, qc.qv) DESC, ic.vec_id) AS rank,
+         ROUND(list_cosine_similarity(ic.v, qc.qv), 4) AS score
+  FROM ic JOIN qc ON ic.cell = qc.cell) t
+WHERE rank <= 5
+"""
+
+
 # -- rows-only checks (no SQL-expressible oracle; driver records row count) --
 
 def q_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1113,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_stats": q_doc_stats,
         "bpe_tokens": q_bpe_tokens,
+        "fingerprints": q_fingerprints,
         "lang_id": q_lang_id,
         "events_rollup": q_events_rollup,
         "corrections": q_corrections,
@@ -1136,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,
         "sessionize": q_sessionize,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "approx_users": q_approx_users,
         "multimodal_features": q_multimodal_features,
         "minhash_pairs": q_minhash_pairs,
@@ -1160,6 +1232,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _TOKEN_COUNTS_SQL,
         "doc_stats": _DOC_STATS_SQL,
         "bpe_tokens": _BPE_SQL,
+        "fingerprints": _FINGERPRINTS_SQL,
         "lang_id": _lang_sql(),
         "events_rollup": _ROLLUP_SQL,
         "corrections": _CORRECTIONS_SQL,
@@ -1183,6 +1256,7 @@ def oracle_sql() -> dict[str, str]:
         "windowed_counts": _WINDOWED_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "lsh_ann": _lsh_ann_sql(),
+        "ivf_ann": _IVF_SQL,
         # approx_users (HLL, approximate by design), multimodal_features
         # (Python fake decoder), minhash_pairs / simhash_pairs /
         # embedding_dups (LSH banding + sketching): not reasonably

@@ -228,3 +228,41 @@ def test_jdbc_sink_roundtrip(spark):
     assert sorted((r.id, r.city) for r in back.collect()) == [
         (1, "台北"), (1, "台北"), (2, "台中"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# custom stateful streaming operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+def test_running_totals_state_survives_batches(spark, tmp_path):
+    from tibame_project_spark.streaming.stateful import running_user_totals
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    schema = "user_id long, value double"
+
+    def run_hop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).parquet(src)
+        (
+            running_user_totals(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_hop([(1, 10.0), (1, 5.0), (2, 1.0)])
+    run_hop([(1, 2.0)])  # only user 1 in batch 2 — totals must include batch 1
+
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:  # keep the row with the max n_events per user (latest emit)
+        if r.user_id not in latest or r.n_events > latest[r.user_id].n_events:
+            latest[r.user_id] = r
+    assert (latest[1].n_events, latest[1].total_value) == (3, 17.0)
+    assert (latest[2].n_events, latest[2].total_value) == (1, 1.0)

@@ -108,6 +108,27 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(bpe_tokens(text))
 
 
+#: Rolling-hash parameters: base 31, modulus 2^56 — acc*31+cp < 2^62 stays
+#: inside a 64-bit long with no overflow under ANSI arithmetic.
+_RH_MOD = 1 << 56
+
+
+def rolling_hash(text: Column) -> Column:
+    """Order-SENSITIVE polynomial rolling hash (Rabin-Karp) over the
+    document's code points: h = Σ cp_i · 31^(n-i) mod 2^56. Complements
+    ``fingerprint`` (order-insensitive bag-of-words md5): reordered tokens
+    change this value but not that one. F.ascii returns the full code point
+    (matching SQL ord()), so the hash is identical cross-engine for any
+    unicode text."""
+    chars = F.filter(F.split(text, ""), lambda c: c != "")
+    h = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * 31 + F.ascii(c), F.lit(_RH_MOD)),
+    )
+    return F.when(F.length(text) == 0, F.lit(0).cast("long")).otherwise(h)
+
+
 def fingerprint(text: Column) -> Column:
     """Order-insensitive document fingerprint: md5 over the sorted, lowercased
     token bag. Robust to token reordering/whitespace — the batch analog of a

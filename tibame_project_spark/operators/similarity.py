@@ -163,6 +163,63 @@ def lsh_cosine_topk(
     )
 
 
+def ivf_cosine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    **kw,
+) -> DataFrame:
+    """IVF-style approximate nearest neighbor: coarse-quantize items into
+    cells (nearest centroid by cosine), probe only the query's cell, exact
+    top-k inside it. The inverted-file counterpart to ``lsh_cosine_topk`` —
+    data-adaptive cells instead of data-independent hyperplanes.
+
+    ``centroids`` is any small DataFrame of (id_col, vec_col) — k-means
+    means, a sampled subset, or curated anchors; it is broadcast, so cell
+    assignment is one narrow pass over the items (|items| × |centroids|
+    dot products, map-side argmin via min-struct, no shuffle). The cell
+    join then replaces the brute-force cross product exactly like an IVF
+    index replaces a flat scan. Ties break on centroid id (deterministic).
+    """
+    vec_col = kw.get("vec_col", "embedding")
+    id_col = kw.get("id_col", "vec_id")
+    query_id_col = kw.get("query_id_col", "query_id")
+    k = kw.get("k", 5)
+    round_to = kw.get("round_to", 4)
+
+    c = centroids.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+
+    def assign(df: DataFrame, key: str, vec: str) -> DataFrame:
+        v = df.select(F.col(key), F.col(vec).alias("__v")).withColumn(
+            "__n", l2_norm(F.col("__v"))
+        )
+        cos = dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn"))
+        return (
+            ensure_parallelism(v)
+            .crossJoin(F.broadcast(c))
+            .groupBy(key, "__v", "__n")
+            .agg(F.min(F.struct((-cos).alias("__negcos"), F.col("__cid"))).alias("__best"))
+            .select(key, "__v", "__n", F.col("__best.__cid").alias("__cell"))
+        )
+
+    it = assign(items, id_col, vec_col)
+    q = assign(queries, query_id_col, vec_col).withColumnsRenamed(
+        {"__v": "__qv", "__n": "__qn"}
+    )
+    scored = it.join(F.broadcast(q), "__cell").withColumn(
+        "score",
+        dot(F.col("__v"), F.col("__qv")) / (F.col("__n") * F.col("__qn")),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", F.round("score", round_to).alias("score"))
+    )
+
+
 def embedding_dedup_pairs(
     df: DataFrame,
     *,
