@@ -1067,6 +1067,58 @@ WHERE rank <= 5
 """
 
 
+def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (beyond the reference's plain GROUP BY — subtotal
+    lattice over (event_type, month) with exact decimal sums)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("m", F.month("ts"))
+        .cube("event_type", "m")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("value")).alias("total"))
+    )
+
+
+_CUBE_SQL = f"""
+SELECT event_type, CAST(month(ts) AS INTEGER) AS m,
+       COUNT(*) AS n, {_DSUM("value")} AS total
+FROM events GROUP BY CUBE (event_type, CAST(month(ts) AS INTEGER))
+"""
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per event type — the hash-checked twin of
+    approx_users (HLL); Catalyst expands it to a two-stage aggregate."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+_DISTINCT_USERS_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12/P13 head + shuffle made deterministic: the reference's
+    sample(frac=1)[:1500] has no stable order on a distributed engine —
+    ordering by a content hash gives a reproducible pseudo-random top-N."""
+    orders = load(spark, sf_dir, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    return (
+        orders.orderBy(h)
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_HASH_SAMPLE_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 100
+"""
+
+
 def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize to nearest-centroid cells (centroids =
     a small anchor set, here the first 8 vectors), probe the query's cell,
@@ -1153,9 +1205,23 @@ _EMBED_PLANES = [
 
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs via sign-LSH bucketing + exact cosine
-    verify (threshold 0.9)."""
+    verify. Threshold 0.35 = this synthetic embedding space's top-0.1%
+    pair similarity (its global max is ~0.6) — with a real embedder the
+    same operator runs at 0.9+."""
     emb = load(spark, sf_dir, "embeddings")
-    return embedding_dedup_pairs(emb, threshold=0.9, planes=_EMBED_PLANES)
+    return embedding_dedup_pairs(emb, threshold=0.35, planes=_EMBED_PLANES)
+
+
+def _embed_dups_sql() -> str:
+    b = _lsh_bucket_sql(_EMBED_PLANES)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {b} AS bkt
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 4) AS score
+FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1208,6 +1274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
+        "cube_rollup": q_cube_rollup,
+        "distinct_users": q_distinct_users,
+        "hash_sample": q_hash_sample,
         "approx_users": q_approx_users,
         "multimodal_features": q_multimodal_features,
         "minhash_pairs": q_minhash_pairs,
@@ -1257,8 +1326,11 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SESSIONIZE_SQL,
         "lsh_ann": _lsh_ann_sql(),
         "ivf_ann": _IVF_SQL,
+        "cube_rollup": _CUBE_SQL,
+        "distinct_users": _DISTINCT_USERS_SQL,
+        "hash_sample": _HASH_SAMPLE_SQL,
+        "embedding_dups": _embed_dups_sql(),
         # approx_users (HLL, approximate by design), multimodal_features
-        # (Python fake decoder), minhash_pairs / simhash_pairs /
-        # embedding_dups (LSH banding + sketching): not reasonably
-        # SQL-expressible → rows-only check.
+        # (Python fake decoder), minhash_pairs / simhash_pairs (banded
+        # minhash signatures need xxhash64, which SQL lacks): rows-only.
     }
