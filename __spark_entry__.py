@@ -556,6 +556,25 @@ SELECT o_custkey FROM orders WHERE o_totalprice > 100000
 """
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (beyond the reference's UNION-only surface):
+    customers active in H1 ∩ customers with big orders, minus a key slice."""
+    orders = load(spark, sf_dir, "orders")
+    h1 = orders.filter(F.month("o_orderdate") <= 6).select("o_custkey")
+    big = orders.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    slice7 = orders.filter(F.col("o_custkey") % 7 == 0).select("o_custkey")
+    return h1.intersect(big).subtract(slice7)
+
+
+_SET_OPS_SQL = """
+(SELECT o_custkey FROM orders WHERE month(o_orderdate) <= 6
+ INTERSECT
+ SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_custkey % 7 = 0
+"""
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from the events props payload (semi-structured
     scan surface)."""
@@ -1254,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "corrections": q_corrections,
         "union_distinct": q_union_distinct,
+        "set_ops": q_set_ops,
         "json_extract": q_json_extract,
         "cosine_topk": q_cosine_topk,
         "sql_entry": q_sql_entry,
@@ -1306,6 +1326,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": _ROLLUP_SQL,
         "corrections": _CORRECTIONS_SQL,
         "union_distinct": _UNION_SQL,
+        "set_ops": _SET_OPS_SQL,
         "json_extract": _JSON_SQL,
         "cosine_topk": _COSINE_SQL,
         "sql_entry": _SQL_ENTRY_SQL,
