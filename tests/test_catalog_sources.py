@@ -266,3 +266,25 @@ def test_running_totals_state_survives_batches(spark, tmp_path):
             latest[r.user_id] = r
     assert (latest[1].n_events, latest[1].total_value) == (3, 17.0)
     assert (latest[2].n_events, latest[2].total_value) == (1, 1.0)
+
+
+def test_stream_to_serving_foreachbatch_jdbc(spark, tmp_path):
+    """Streaming serving-layer load: file stream -> foreachBatch -> JDBC
+    (embedded Derby standing in for the reference's MySQL)."""
+    from tibame_project_spark.streaming.incremental import stream_to_serving
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    url = "jdbc:derby:memory:servedb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    schema = "id long, city string"
+    spark.createDataFrame([(1, "台北"), (2, "台中")], schema).write.parquet(src)
+
+    def write_batch(df, epoch_id):
+        df.write.jdbc(url, "serving_stream_t", mode="append", properties=props)
+
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).parquet(src)
+    stream_to_serving(stream, write_batch, ckpt)
+    back = spark.read.jdbc(url, "serving_stream_t", properties=props)
+    assert sorted((r.id, r.city) for r in back.collect()) == [(1, "台北"), (2, "台中")]

@@ -422,3 +422,11 @@ def test_connected_components_chain_and_clusters(spark):
     )
     out = {r.node: r.component for r in connected_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_select_positional(spark):
+    from tibame_project_spark.operators.reshape import select_positional
+
+    df = spark.createDataFrame([(1, "a", 2.0)], ["x", "y", "z"])
+    assert select_positional(df, [1, 0]).columns == ["y", "x"]
+    assert select_positional(df, [2]).collect()[0][0] == 2.0

@@ -21,6 +21,14 @@ def melt(
     return df.unpivot(id_cols, value_cols, var_name, value_name)
 
 
+def select_positional(df: DataFrame, indices: list[int]) -> DataFrame:
+    """P5 positional column select/reorder (pandas ``iloc[:, [1, 0]]``,
+    ``generate_attraction_id_taipei_to_bq_external_table.py:66``) — position
+    maps to schema order, which IS stable in Spark (unlike row order)."""
+    cols = df.columns
+    return df.select(*[cols[i] for i in indices])
+
+
 def explode_delimited(df: DataFrame, col: str, delim: str = "•", out_col: str | None = None) -> DataFrame:
     """Split-and-explode (F11+F12 —
     ``transfer_src_tripadvisor_to_ods_tripadvisor.py:75-76``): one row per

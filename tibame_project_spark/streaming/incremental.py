@@ -46,6 +46,30 @@ def stream_src_to_ods(
     )
 
 
+def stream_to_serving(
+    stream: DataFrame,
+    write_batch,
+    checkpoint: str,
+) -> None:
+    """Serving-layer streaming sink via foreachBatch — the streaming form of
+    the reference's MySQL load (``MySQL/weatherINFO.ipynb`` cell 3, done
+    there as a notebook's row-by-row INSERT loop).
+
+    ``write_batch(df, epoch_id)`` receives each micro-batch as a normal
+    DataFrame, so any batch writer works (df.write.jdbc, saveAsTable, …).
+    foreachBatch delivers at-least-once: a batch may be re-delivered with
+    the SAME epoch_id after recovery, so write_batch must be idempotent per
+    epoch (overwrite an epoch-keyed partition, or MERGE on a key) — that is
+    the contract, not an implementation detail."""
+    (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     *,
