@@ -337,6 +337,56 @@ SELECT user_id, event_id, value, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS; complement of the J7 anti-join surface,
+    create_dim_attraction_hashtag.py:187-190): customers holding at least
+    one urgent order. Filter applied below the join so only the matching
+    orders partition participates; semi-join stops at first match."""
+    customer = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, customer["c_custkey"] == urgent["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def q_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window lag (§2.6 extension): month-over-month revenue delta.
+    Aggregates first (shuffle on ~tens of month keys), then a single-
+    partition ordered window over the already-tiny monthly series — the
+    unpartitioned window never sees raw rows, so it stays safe at scale."""
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(_dsum(F.col("o_totalprice")).alias("revenue"))
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("delta"),
+    )
+
+
+_MOM_SQL = """
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         {dsum} AS revenue
+  FROM orders GROUP BY 1)
+SELECT month, revenue,
+       revenue - LAG(revenue) OVER (ORDER BY month) AS delta
+FROM m
+""".format(dsum=_DSUM("o_totalprice"))
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13 melt/unpivot (taipei wide→long matrix) on lineitem measures."""
     li = load(spark, sf_dir, "lineitem")
@@ -1264,6 +1314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relative_date": q_relative_date,
         "fuzzy_match": q_fuzzy_match,
         "window_topk": q_window_topk,
+        "semi_join": q_semi_join,
+        "month_over_month": q_month_over_month,
         "unpivot_measures": q_unpivot,
         "token_counts": q_token_counts,
         "doc_stats": q_doc_stats,
@@ -1317,6 +1369,8 @@ def oracle_sql() -> dict[str, str]:
         "relative_date": _RELDATE_SQL,
         "fuzzy_match": _FUZZY_SQL,
         "window_topk": _TOPK_SQL,
+        "semi_join": _SEMI_SQL,
+        "month_over_month": _MOM_SQL,
         "unpivot_measures": _UNPIVOT_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "doc_stats": _DOC_STATS_SQL,
