@@ -51,10 +51,12 @@ from tibame_project_spark.operators.corrections import (
     insert_missing,
 )
 from tibame_project_spark.operators.dedup import (
+    _perm_params,
     connected_components,
     dedup_exact_text,
     dedup_keep_first,
     dedup_keep_last,
+    md5_base_hash,
     minhash_dedup_pairs,
     ngram_jaccard_exact_pairs,
     simhash_dedup_pairs,
@@ -1251,20 +1253,111 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("text").alias("kind"),
         F.encode(F.col("text"), "UTF-8").alias("content"),
     )
-    return extract_features(media)
+    feats = extract_features(media)
+    # The driver canonicalizes results via pandas sort/hash, which cannot
+    # handle array columns — serialize the feature vector to JSON text.
+    return feats.select(
+        "media_id", "kind", "n_bytes", F.to_json("feature").alias("feature_json")
+    )
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs over documents (scale-path dedup;
-    banded LSH + exact-Jaccard verify)."""
+    banded LSH + exact-Jaccard verify). Runs on the md5-derived base hash so
+    the full sketch→band→verify pipeline is bit-for-bit reproducible by the
+    DuckDB oracle (xxhash64 stays the default fast path for production)."""
     docs = load(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
+    return minhash_dedup_pairs(
+        docs, "text", "doc_id", threshold=0.5, base_hash=md5_base_hash
+    )
+
+
+def _minhash_pairs_sql(num_perm: int = 32, bands: int = 8, seed: int = 42,
+                       threshold: float = 0.5) -> str:
+    """DuckDB twin of q_minhash_pairs: same shingles, same (a,b) permutation
+    family (shared via _perm_params), same md5-60-bit base hash, same banding
+    md5 and exact-Jaccard verify — the whole LSH pipeline is oracle-checked,
+    not just the final pair list."""
+    p = (1 << 31) - 1
+    rows = num_perm // bands
+    perms = _perm_params(num_perm, seed)
+    mins = ",\n       ".join(
+        f"min((h*{a}+{b})%{p}) AS m{i}" for i, (a, b) in enumerate(perms)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        "SELECT id, {i} AS band, md5(concat_ws(',', {ms})) AS bh FROM sig".format(
+            i=i, ms=", ".join(f"m{i * rows + j}" for j in range(rows))
+        )
+        for i in range(bands)
+    )
+    # the shingle-building prefix (d, s CTEs) shared with the n-gram oracle
+    shingle_cte = _NGRAM_PAIRS_CTE.split(",\np AS")[0]
+    return f"""
+WITH {shingle_cte},
+hashed AS (
+  SELECT id, CAST('0x' || substr(md5(sh_el), 1, 15) AS BIGINT) % {p} AS h
+  FROM (SELECT doc_id AS id, unnest(sh) AS sh_el FROM s)),
+sig AS (
+  SELECT id,
+       {mins}
+  FROM hashed GROUP BY id),
+banded AS (
+  {band_rows}),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id)
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM cand c JOIN s a ON a.doc_id = c.id_a JOIN s b ON b.doc_id = c.id_b
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= {threshold}
+"""
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (64-bit signature, top-16-bit blocking)."""
+    """SimHash near-dup pairs (63-bit signature, top-16-bit blocking) on the
+    md5-derived base hash for oracle parity (xxhash64 default elsewhere)."""
     docs = load(spark, sf_dir, "documents")
-    return simhash_dedup_pairs(docs, "text", "doc_id", max_distance=8)
+    return simhash_dedup_pairs(
+        docs, "text", "doc_id", max_distance=8, base_hash=md5_base_hash
+    )
+
+
+def _simhash_pairs_sql(max_distance: int = 8, block_bits: int = 16,
+                       sim_bits: int = 63) -> str:
+    """DuckDB twin of q_simhash_pairs: per-token md5-60-bit hash, 63 signed
+    bit counters, sign→bit signature, top-16-bit blocking, popcount
+    distance."""
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN h & {1 << b} <> 0 THEN 1 ELSE -1 END) AS c{b}"
+        for b in range(sim_bits)
+    )
+    bits = "\n       + ".join(
+        f"(CASE WHEN c{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(sim_bits)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id AS id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+th AS (
+  SELECT id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+  FROM (SELECT id, unnest(toks) AS t FROM d)),
+cnt AS (
+  SELECT id,
+       {sums}
+  FROM th GROUP BY id),
+sig AS (
+  SELECT id,
+       {bits} AS sim
+  FROM cnt),
+blk AS (SELECT id, sim, sim >> {sim_bits - block_bits} AS b FROM sig)
+SELECT l.id AS id_a, r.id AS id_b,
+       CAST(bit_count(xor(l.sim, r.sim)) AS INT) AS distance
+FROM blk l JOIN blk r ON l.b = r.b AND l.id < r.id
+WHERE bit_count(xor(l.sim, r.sim)) <= {max_distance}
+"""
 
 
 _EMBED_PLANES = [
@@ -1405,7 +1498,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": _DISTINCT_USERS_SQL,
         "hash_sample": _HASH_SAMPLE_SQL,
         "embedding_dups": _embed_dups_sql(),
-        # approx_users (HLL, approximate by design), multimodal_features
-        # (Python fake decoder), minhash_pairs / simhash_pairs (banded
-        # minhash signatures need xxhash64, which SQL lacks): rows-only.
+        "minhash_pairs": _minhash_pairs_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
+        # approx_users (HLL, approximate by design) and multimodal_features
+        # (Python fake decoder): rows-only.
     }

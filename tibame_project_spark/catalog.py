@@ -74,7 +74,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cannot represent; with ``nanosAsLong`` it arrives as a bigint of epoch
     nanos and is converted here to a microsecond timestamp (truncation —
     identical to DuckDB's ns→us read of the same file).
+
+    Both required confs are set here at runtime so ``load`` is
+    self-sufficient on a *foreign* (vanilla) SparkSession — e.g. the
+    driver's harness — not just one built by ``session.get_spark``:
+
+    - ``nanosAsLong`` (runtime-settable legacy conf) keeps the NANOS read
+      from dying with PARQUET_TYPE_ILLEGAL;
+    - ``session.timeZone=UTC`` makes calendar math over events match the
+      naive-UTC semantics of the parquet/DuckDB oracle.
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

@@ -128,6 +128,21 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     )
 
 
+def md5_base_hash(c: Column) -> Column:
+    """Oracle-parity 60-bit base hash: first 15 hex digits of md5 as a
+    non-negative bigint. Slower than xxhash64 (still JVM-side/codegen) but
+    computable identically in DuckDB
+    (``CAST('0x' || substr(md5(s),1,15) AS BIGINT)``), which xxhash64 is
+    not — use it wherever a sketch must be bit-for-bit verifiable by an
+    external SQL oracle."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def xxhash_base_hash(c: Column) -> Column:
+    """Default fast base hash: non-negative xxhash64 (single JVM intrinsic)."""
+    return F.abs(F.xxhash64(c))
+
+
 def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the hash family — plain LCG expansion of
     the seed so runs are reproducible without Math.random."""
@@ -142,21 +157,27 @@ def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
     return params
 
 
-def minhash_signature(shingle_col: Column, num_perm: int = 32, seed: int = 42) -> Column:
+def minhash_signature(
+    shingle_col: Column,
+    num_perm: int = 32,
+    seed: int = 42,
+    base_hash=xxhash_base_hash,
+) -> Column:
     """MinHash signature (array<bigint>, length num_perm) over a shingle
-    array. Base hash is xxhash64 (JVM-side); each permutation is
+    array. Base hash defaults to xxhash64 (JVM-side; pass
+    ``base_hash=md5_base_hash`` for oracle parity); each permutation is
     min((a*h+b) mod p). Empty shingle set → NULL signature.
 
     Single-pass form: one aggregate over the shingles, carrying the
     element-wise running min of all ``num_perm`` permuted hashes — the base
-    xxhash64 is evaluated exactly once per shingle (the naive
+    hash is evaluated exactly once per shingle (the naive
     one-array_min-per-permutation spelling re-hashes every shingle
     ``num_perm`` times)."""
     perms = _perm_params(num_perm, seed)
     init = F.array_repeat(F.lit(_P).cast("long"), num_perm)
 
     def step(acc: Column, s: Column) -> Column:
-        h = F.abs(F.xxhash64(s)) % _P
+        h = base_hash(s) % _P
         vals = F.array(*[(h * a + b) % _P for a, b in perms])
         return F.zip_with(acc, vals, lambda x, y: F.least(x, y))
 
@@ -173,6 +194,7 @@ def minhash_dedup_pairs(
     num_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    base_hash=xxhash_base_hash,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact-Jaccard verify.
 
@@ -189,7 +211,9 @@ def minhash_dedup_pairs(
     rows = num_perm // bands
     base = (
         _shingled(df, text_col, id_col, n)
-        .withColumn("__sig", minhash_signature(F.col("__sh"), num_perm))
+        .withColumn(
+            "__sig", minhash_signature(F.col("__sh"), num_perm, base_hash=base_hash)
+        )
         .persist()
     )
     banded = base.select(
@@ -308,23 +332,27 @@ def connected_components(
 SIMHASH_BITS = 63  # non-negative bigint; bit 63 would need unsigned handling
 
 
-def simhash(text: Column) -> Column:
+def simhash(text: Column, base_hash=F.xxhash64) -> Column:
     """63-bit SimHash over whitespace tokens as a non-negative bigint.
 
     Per bit b: sum over token-hashes of ±1 depending on bit b; sign → bit.
     Entirely built-in (nested higher-order functions), no UDF. Bit 63 would
     need unsigned handling, hence 63 bits.
 
+    ``base_hash`` defaults to raw xxhash64; pass ``md5_base_hash`` (60
+    non-negative bits — bits 60-62 then always clear, consistently on both
+    engines) for an externally-verifiable sketch.
+
     Single-pass form: one aggregate over the tokens carrying an array of 63
-    signed counters (zip_with add of each token's ±1 bit vector) — xxhash64
-    runs exactly once per token, instead of once per token *per bit* as in
-    the naive one-aggregate-per-bit spelling.
+    signed counters (zip_with add of each token's ±1 bit vector) — the base
+    hash runs exactly once per token, instead of once per token *per bit* as
+    in the naive one-aggregate-per-bit spelling.
     """
     toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
     masks = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
 
     def step(acc: Column, t: Column) -> Column:
-        h = F.xxhash64(t)
+        h = base_hash(t)
         signs = F.transform(
             masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
         )
@@ -344,7 +372,13 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_dedup_pairs(
-    df: DataFrame, text_col: str, id_col: str, *, max_distance: int = 3, block_bits: int = 16
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_distance: int = 3,
+    block_bits: int = 16,
+    base_hash=F.xxhash64,
 ) -> DataFrame:
     """Near-dup pairs with SimHash ≤ max_distance, blocked on the signature's
     top ``block_bits`` bits to avoid the full cross join. (Docs differing
@@ -356,7 +390,10 @@ def simhash_dedup_pairs(
     the (interpreted, CPU-dense) sketch runs once."""
     sig = (
         ensure_parallelism(df)
-        .select(F.col(id_col).alias("__id"), simhash(F.col(text_col)).alias("__sim"))
+        .select(
+            F.col(id_col).alias("__id"),
+            simhash(F.col(text_col), base_hash=base_hash).alias("__sim"),
+        )
         .withColumn("__blk", F.shiftrightunsigned("__sim", SIMHASH_BITS - block_bits))
         .persist()
     )
