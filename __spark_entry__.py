@@ -65,6 +65,7 @@ from tibame_project_spark.operators.joins import (
     anti_join,
     asof_join,
     fuzzy_top1_join,
+    fuzzy_top1_join_blocked,
     range_join,
     star_join,
 )
@@ -316,6 +317,76 @@ SELECT s_suppkey, c_custkey, distance FROM (
          row_number() OVER (PARTITION BY s_suppkey, s_name
                             ORDER BY levenshtein(s_name, c_name), c_name, c_custkey) AS rn
   FROM supplier CROSS JOIN customer) t
+WHERE rn = 1
+"""
+
+
+def q_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 scale tier: LSH-blocked fuzzy top-1 (char-3-gram MinHash banding,
+    equi-join candidates, no broadcast/cross product). md5 base hash so the
+    full block→score→top-1 pipeline is oracle-checked."""
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = fuzzy_top1_join_blocked(
+        supplier,
+        customer,
+        "s_name",
+        "c_name",
+        tie_break=["c_custkey"],
+        base_hash=md5_base_hash,
+    )
+    return out.select("s_suppkey", "c_custkey", "distance")
+
+
+def _fuzzy_blocked_sql(n: int = 3, num_perm: int = 16, bands: int = 8,
+                       seed: int = 42) -> str:
+    """DuckDB twin of q_fuzzy_blocked: identical char-n-gram shingles,
+    MinHash family, banding and top-1 tie-break, so the approximate
+    candidate set matches exactly, not just the final winners."""
+    p = (1 << 31) - 1
+    rows = num_perm // bands
+    perms = _perm_params(num_perm, seed)
+    mins = ",\n         ".join(
+        f"min((h*{a}+{b})%{p}) AS m{i}" for i, (a, b) in enumerate(perms)
+    )
+
+    def side(rel: str, idc: str, namec: str) -> str:
+        band_rows = "\n  UNION ALL\n  ".join(
+            "SELECT {idc}, {namec}, {i} AS band, md5(concat_ws(',', {ms})) AS bh FROM {rel}_sig".format(
+                idc=idc, namec=namec, i=i, rel=rel,
+                ms=", ".join(f"m{i * rows + j}" for j in range(rows)),
+            )
+            for i in range(bands)
+        )
+        return f"""{rel}_g AS (
+  SELECT {idc}, {namec},
+         list_distinct(list_transform(
+             generate_series(1, greatest(len(lower(trim({namec}))) - {n - 1}, 1)),
+             i -> substr(lower(trim({namec})), i, {n}))) AS grams
+  FROM {rel}),
+{rel}_h AS (
+  SELECT {idc}, {namec},
+         CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % {p} AS h
+  FROM (SELECT {idc}, {namec}, unnest(grams) AS g FROM {rel}_g)),
+{rel}_sig AS (
+  SELECT {idc}, {namec},
+         {mins}
+  FROM {rel}_h GROUP BY {idc}, {namec}),
+{rel}_band AS (
+  {band_rows})"""
+
+    return f"""
+WITH {side('supplier', 's_suppkey', 's_name')},
+{side('customer', 'c_custkey', 'c_name')},
+cand AS (
+  SELECT DISTINCT s.s_suppkey, s.s_name, c.c_custkey, c.c_name
+  FROM supplier_band s JOIN customer_band c
+    ON s.band = c.band AND s.bh = c.bh)
+SELECT s_suppkey, c_custkey, distance FROM (
+  SELECT s_suppkey, c_custkey, levenshtein(s_name, c_name) AS distance,
+         row_number() OVER (PARTITION BY s_suppkey, s_name
+                            ORDER BY levenshtein(s_name, c_name), c_name, c_custkey) AS rn
+  FROM cand) t
 WHERE rn = 1
 """
 
@@ -1406,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md5_surrogate": q_md5_surrogate,
         "relative_date": q_relative_date,
         "fuzzy_match": q_fuzzy_match,
+        "fuzzy_blocked": q_fuzzy_blocked,
         "window_topk": q_window_topk,
         "semi_join": q_semi_join,
         "month_over_month": q_month_over_month,
@@ -1461,6 +1533,7 @@ def oracle_sql() -> dict[str, str]:
         "md5_surrogate": _MD5_SQL,
         "relative_date": _RELDATE_SQL,
         "fuzzy_match": _FUZZY_SQL,
+        "fuzzy_blocked": _fuzzy_blocked_sql(),
         "window_topk": _TOPK_SQL,
         "semi_join": _SEMI_SQL,
         "month_over_month": _MOM_SQL,

@@ -26,18 +26,27 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     runs = int(os.environ.get("SPARK_GRAFT_RUNS", "2"))
+    # this host shows minutes-long CPU-steal bursts (10-60x single-query
+    # slowdowns); when the spread between runs exceeds STEAL_RATIO, keep
+    # re-running (up to EXTRA more) so `best` reflects the plan, not the VM
+    steal_ratio = float(os.environ.get("SPARK_GRAFT_STEAL_RATIO", "1.5"))
+    extra = int(os.environ.get("SPARK_GRAFT_EXTRA_RUNS", "2"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
-        best = float("inf")
-        for _ in range(runs):
+        times: list[float] = []
+        while len(times) < runs or (
+            len(times) < runs + extra and max(times) / min(times) > steal_ratio
+        ):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            times.append(time.perf_counter() - t0)
             # operators persist() shared join bases; drop them between runs
             # so each measurement is self-contained and cached blocks from
             # earlier queries can't squeeze later ones
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        timings[name] = round(min(times), 3)
+        spreads[name] = round(max(times) / min(times), 2)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -47,6 +56,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # max/min run ratio per query: ≫1 flags steal-distorted
+                # measurements (the driver's n=1 totals overstate then)
+                "run_spread": spreads,
                 "sf": sf,
             }
         )

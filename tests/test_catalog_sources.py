@@ -180,15 +180,64 @@ def test_windowed_counts_runs_as_stream(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 _PLACE_JSON = (
-    '{"place_id": "p1", "name": "故宮", "rating": 4.6,'
-    ' "categories": ["museum", "art"],'
+    '{"place_id": "p1", "place_id_raw": "ChIJr1", "place_name": "故宮",'
+    ' "avg_rating": 4.6, "total_reviews": 120, "can_claim": false,'
+    ' "categories": ["museum", "art"], "google_place_url": "g1",'
     ' "coordinates": {"latitude": 25.1, "longitude": 121.5},'
     ' "detailed_address": {"country_code": "TW", "state": "臺北市士林區"},'
     ' "review_keywords": [{"keyword": "jade", "count": 12}],'
-    ' "about": [{"name": "Accessibility",'
+    ' "reviews_per_rating": {"rating_1": 1, "rating_2": 2, "rating_3": 10,'
+    '                        "rating_4": 40, "rating_5": 67},'
+    ' "menu": {"link": "m1", "source": "official"},'
+    ' "reservations": [{"link": "r1", "source": "booking"}],'
+    ' "about": [{"id": "a1", "name": "Accessibility",'
     '            "options": [{"name": "wheelchair", "enabled": true}]}],'
-    ' "hours": [{"day": "Monday", "times": ["09:00-17:00"]}]}'
+    ' "hours": [{"day": "Monday", "times": ["09:00-17:00"]}],'
+    ' "most_popular_times": [{"hour_of_day": 14, "average_popularity": 87.5,'
+    '                         "time_label": "2 PM"}],'
+    ' "popular_times": {"Monday": [{"hour_of_day": 14, "time_label": "2 PM",'
+    '   "popularity_percentage": 80, "popularity_description": "busy"}]}}'
 )
+
+#: (name, repeated?) of every field in the reference BQ schema, in order —
+#: d_gmaps_places_src_to_ods.py:147-390.
+_REFERENCE_PLACES_FIELDS = [
+    ("place_id", False), ("place_id_raw", False), ("place_name", False),
+    ("description", False), ("total_reviews", False), ("avg_rating", False),
+    ("can_claim", False), ("featured_image", False), ("main_category", False),
+    ("categories", True), ("google_place_url", False),
+    ("workday_timing", False), ("address", False), ("review_keywords", True),
+    ("link", False), ("status", False), ("price_range", False),
+    ("reviews_link", False), ("reviews_per_rating", False),
+    ("coordinates", False), ("detailed_address", False), ("time_zone", False),
+    ("menu", False), ("reservations", True), ("order_online_links", True),
+    ("about", True), ("images", True), ("hours", True),
+    ("most_popular_times", True), ("popular_times", False),
+    ("is_spending_on_ads", False),
+]
+
+
+def test_places_schema_full_reference_fidelity():
+    """GMAPS_PLACES must declare every reference field, name-for-name and in
+    order, with REPEATED → ArrayType."""
+    from pyspark.sql import types as T
+    from tibame_project_spark.schemas import GMAPS_PLACES
+
+    declared = [
+        (f.name, isinstance(f.dataType, T.ArrayType)) for f in GMAPS_PLACES.fields
+    ]
+    assert declared == _REFERENCE_PLACES_FIELDS
+    # spot-check the 3-level nesting and the 7-day popular_times record
+    about = GMAPS_PLACES["about"].dataType.elementType
+    assert isinstance(about["options"].dataType, T.ArrayType)
+    days = [f.name for f in GMAPS_PLACES["popular_times"].dataType.fields]
+    assert days == ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+                    "Saturday", "Sunday"]
+    hist = GMAPS_PLACES["popular_times"].dataType["Monday"].dataType.elementType
+    assert [f.name for f in hist.fields] == [
+        "hour_of_day", "time_label", "popularity_percentage",
+        "popularity_description",
+    ]
 
 
 def test_nested_places_schema_jsonl(spark, tmp_path):
@@ -203,11 +252,15 @@ def test_nested_places_schema_jsonl(spark, tmp_path):
     assert row.about[0].options[0].enabled is True
     assert row.review_keywords[0]["count"] == 12
     assert row.hours[0].times == ["09:00-17:00"]
+    assert row.reviews_per_rating.rating_5 == 67
+    assert row.menu.source == "official"
+    # popular_times day histograms: present day parses, absent day is NULL
+    assert row.popular_times.Monday[0].popularity_percentage == 80
+    assert row.popular_times.Tuesday is None
     # absent fields of the declared schema arrive as NULL, not schema drift
-    assert row.popular_times is None and row.phone is None
+    assert row.workday_timing is None and row.time_zone is None
 
-    dim = dim_places(df.withColumn("address", F.lit("addr")).withColumn(
-        "google_place_url", F.lit("g"))).collect()[0]
+    dim = dim_places(df.withColumn("address", F.lit("addr"))).collect()[0]
     assert (dim.city, dim.region) == ("臺北市", "士林區")
     assert dim.latitude == 25.1
 

@@ -115,6 +115,59 @@ def test_fuzzy_top1_deterministic_tiebreak(spark):
     assert out[0].name == "bitten" and out[0].distance == 1
 
 
+def test_fuzzy_top1_max_distance_band_prune_equivalent(spark):
+    """The length-band prune under max_distance must not change results:
+    |len(l)-len(r)| lower-bounds edit distance, so banding only removes
+    pairs the distance filter would drop anyway."""
+    left = spark.createDataFrame([("kitten",), ("a",), ("abcdefghij",)], ["query"])
+    dim = spark.createDataFrame(
+        [("bitten", 1), ("ab", 2), ("abcdefgh", 3), ("zzzzzzzzzzzzzzz", 4)],
+        ["name", "dim_id"],
+    )
+    pruned = {
+        (r.query, r.dim_id, r.distance)
+        for r in fuzzy_top1_join(left, dim, "query", "name", max_distance=2).collect()
+    }
+    # reference: unbounded top-1 filtered post-hoc to distance <= 2
+    ref = {
+        (r.query, r.dim_id, r.distance)
+        for r in fuzzy_top1_join(left, dim, "query", "name").collect()
+        if r.distance <= 2
+    }
+    assert pruned == ref
+    # the length-band predicate sits below the levenshtein in the plan
+    plan = fuzzy_top1_join(
+        left, dim, "query", "name", max_distance=2
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "length" in plan and "levenshtein" in plan
+
+
+def test_fuzzy_blocked_finds_exact_and_near_matches(spark):
+    """LSH-blocked tier: identical and near-identical strings share n-gram
+    minhash bands with certainty/high probability, so the blocked top-1
+    agrees with the exact top-1 for them."""
+    from tibame_project_spark.operators.joins import fuzzy_top1_join_blocked
+
+    left = spark.createDataFrame(
+        [("grand hotel taipei",), ("night market shilin",)], ["query"]
+    )
+    dim = spark.createDataFrame(
+        [("grand hotel taipei", 1), ("night market shilin!", 2), ("xyzzy", 3)],
+        ["name", "dim_id"],
+    )
+    out = {
+        (r.query, r.dim_id, r.distance)
+        for r in fuzzy_top1_join_blocked(left, dim, "query", "name").collect()
+    }
+    assert ("grand hotel taipei", 1, 0) in out
+    assert ("night market shilin", 2, 1) in out
+    # plan shape: candidates come from an equi-join, not a cross product
+    plan = fuzzy_top1_join_blocked(
+        left, dim, "query", "name"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 # ---------------------------------------------------------------------------
 # fb date normalization (F2) — including the reference's failure modes
 # ---------------------------------------------------------------------------

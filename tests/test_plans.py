@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 import hashlib
+import os
 
 import pytest
 
@@ -45,7 +46,7 @@ def gmaps_places(spark):
         [
             Row(
                 place_id="p1",
-                name="故宮",
+                place_name="故宮",
                 detailed_address=Row(country_code="TW", state="臺北市士林區"),
                 coordinates=Row(latitude=25.1, longitude=121.5),
                 address="addr1",
@@ -54,7 +55,7 @@ def gmaps_places(spark):
             ),
             Row(
                 place_id="p2",
-                name="象山",
+                place_name="象山",
                 detailed_address=Row(country_code="TW", state="臺北市信義區"),
                 coordinates=Row(latitude=25.0, longitude=121.6),
                 address="addr2",
@@ -220,3 +221,154 @@ def test_dim_attraction_detail_with_deletes(spark):
     dim = attractions.dim_attraction_detail(hashtags, trip, deletes=deletes)
     rows = dim.collect()
     assert len(rows) == 1 and rows[0].name == "故宮" and rows[0].rating == 4.0
+
+
+# ---------------------------------------------------------------------------
+# weather: CWA monthly XML → station×month matrix → weather_history serving
+# (weatherINFO/a1-2.ipynb cells 1-9; MySQL/weatherINFO.ipynb cells 2-3;
+#  sql/init.sql:100-112)
+# ---------------------------------------------------------------------------
+
+_WEATHER_XML = os.path.join(os.path.dirname(__file__), "fixtures", "mn_report_202401.xml")
+
+
+def test_weather_long_and_matrix_golden(spark):
+    from tibame_project_spark.plans import weather
+
+    long_df = weather.read_monthly_reports(
+        spark, {"2024-01": _WEATHER_XML, "2024-02": _WEATHER_XML}
+    )
+    # 2 stations × 7 measurements × 2 months
+    assert long_df.count() == 28
+    one = long_df.filter(
+        (F.col("station_id") == "466920")
+        & (F.col("element") == "Mean AirTemperature")
+        & (F.col("year_month") == "2024-01")
+    ).collect()
+    assert len(one) == 1 and one[0].value == "16.2" and one[0].units == "˚C"
+    assert one[0].station_name_en == "TAIPEI"
+
+    mat = weather.station_month_matrix(long_df, "Accumulation Precipitation")
+    rows = {r.station_id: r for r in mat.collect()}
+    assert set(mat.columns) == {"station_id", "station_name", "2024-01", "2024-02"}
+    assert rows["466920"]["2024-01"] == "112.5"
+    assert rows["467490"]["2024-01"] == "T"  # trace rainfall survives as text
+
+
+def test_weather_history_serving_shape_and_jdbc(spark):
+    from tibame_project_spark.plans import weather
+
+    long_df = weather.read_monthly_reports(spark, {"2024-01": _WEATHER_XML})
+    hist = weather.weather_history_rows(long_df)
+    # exact serving contract of sql/init.sql:100-112 + the year/month split
+    assert hist.columns == [
+        "station_id", "year_month", "temperature_low", "temperature_high",
+        "temperature_avg", "rainfall", "humidity_avg", "total_sunshine_hrs",
+        "year", "month",
+    ]
+    rows = {r.station_id: r for r in hist.collect()}
+    taipei = rows["466920"]
+    assert (taipei.temperature_low, taipei.temperature_high) == (9.3, 28.1)
+    assert (taipei.year, taipei.month) == (2024, 1)
+    # 'T' (trace) rainfall coerces to NULL, like pandas to_numeric(coerce)
+    assert rows["467490"].rainfall is None
+
+    url = "jdbc:derby:memory:weatherdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    weather.load_weather_history(hist, url, props)
+    back = spark.read.jdbc(url, "weather_history", properties=props)
+    assert back.count() == 2 and set(back.columns) == set(hist.columns)
+
+
+# ---------------------------------------------------------------------------
+# populartimes 7×24 end-to-end (F19) + gold→serving contract (init.sql)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def places_with_popular_times(spark):
+    from tibame_project_spark.schemas import GMAPS_PLACES
+
+    hist = lambda pairs: [
+        {"hour_of_day": h, "time_label": f"{h} PM", "popularity_percentage": p,
+         "popularity_description": "busy"} for h, p in pairs
+    ]
+    rows = [
+        {
+            "place_id": "p1", "place_id_raw": "r1", "place_name": "故宮",
+            "google_place_url": "g1",
+            "popular_times": {
+                "Monday": hist([(14, 80), (15, 90)]),
+                "Sunday": hist([(10, 55)]),
+            },
+        },
+        {
+            "place_id": "p2", "place_id_raw": "r2", "place_name": "象山",
+            "google_place_url": "g2",
+            "popular_times": {"Saturday": hist([(6, 70)])},
+        },
+    ]
+    return spark.createDataFrame(rows, GMAPS_PLACES)
+
+
+def test_popular_times_long_and_matrix(spark, places_with_popular_times):
+    long = gmaps.popular_times_long(places_with_popular_times)
+    got = {(r.place_id, r.day, r.hour): r.popularity for r in long.collect()}
+    assert got == {
+        ("p1", "Monday", 14): 80, ("p1", "Monday", 15): 90,
+        ("p1", "Sunday", 10): 55, ("p2", "Saturday", 6): 70,
+    }
+
+    mat = gmaps.popular_times_matrix(places_with_popular_times)
+    assert mat.columns == ["place_id", "day"] + [str(h) for h in range(24)]
+    m = {(r.place_id, r.day): r for r in mat.collect()}
+    assert m[("p1", "Monday")]["14"] == 80 and m[("p1", "Monday")]["15"] == 90
+    assert m[("p1", "Monday")]["0"] == 0      # zero-initialized absent hours
+    assert m[("p2", "Saturday")]["6"] == 70
+
+
+def test_serving_contract_shapes_and_jdbc(spark, places_with_popular_times):
+    from tibame_project_spark.plans import serving
+
+    dim_places = spark.createDataFrame(
+        [("p1", "故宮", "臺北市", 25.1, 121.5, "g1")],
+        "place_id string, place_name string, city string, latitude double, "
+        "longitude double, google_place_url string",
+    )
+    city = serving.serving_city(dim_places)
+    assert city.columns == ["id", "name", "name_en"]
+    attr = serving.serving_attraction(dim_places)
+    assert attr.columns == ["attraction_id", "name", "name_en", "intro",
+                            "googlemap_name", "googlemap_url", "photo_url",
+                            "city_id", "lat", "lon"]
+    a = attr.collect()[0]
+    assert a.attraction_id == md5("故宮") and a.city_id == md5("臺北市")
+
+    fact = spark.createDataFrame(
+        [("r1", "故宮", 4.5, "great", dt.date(2024, 6, 1), "u1")],
+        "review_id string, place_name string, rating double, review_text string, "
+        "published_at date, user_name string",
+    )
+    rev = serving.serving_attraction_review(fact)
+    assert rev.columns == ["id", "attraction_id", "author", "rating",
+                           "description", "source_platform_id", "created_at", "url"]
+
+    trip = spark.createDataFrame(
+        [(md5("故宮"), ["博物館", "歷史"])], "attraction_id string, categories array<string>"
+    )
+    bridge, type_dim = serving.serving_attraction_type(trip)
+    assert bridge.count() == 2 and type_dim.count() == 2
+    assert set(bridge.columns) == {"attraction_id", "type_id"}
+    assert set(type_dim.columns) == {"id", "name"}
+
+    pop = serving.serving_attraction_popularity(
+        gmaps.popular_times_long(places_with_popular_times), "2024-06-01 00:00:00"
+    )
+    assert pop.columns == ["id", "attraction_id", "value", "hour", "created_at"]
+    assert pop.count() == 4
+
+    # one real serving load round-trip (Derby stands in for MySQL)
+    url = "jdbc:derby:memory:servingdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    serving.load_serving(attr, url, "attraction", props)
+    back = spark.read.jdbc(url, "attraction", properties=props)
+    assert back.count() == 1 and back.collect()[0].name == "故宮"

@@ -177,7 +177,100 @@ def fuzzy_top1_join(
     dist = F.levenshtein(F.col(left_col), F.col(right_col))
     cand = ensure_parallelism(df).crossJoin(F.broadcast(dim))
     if max_distance is not None:
-        cand = cand.filter(dist <= max_distance)
+        # Length-band prune BELOW the levenshtein: |len(l)−len(r)| is a lower
+        # bound on edit distance, and the And short-circuits left-to-right,
+        # so the expensive DP only runs on pairs inside the band. Exactly
+        # equivalent (any pair outside the band has dist > max_distance).
+        band = (
+            F.abs(F.length(left_col) - F.length(right_col)) <= max_distance
+        )
+        cand = cand.filter(band & (dist <= max_distance))
+    order_fields = [dist.alias("__d"), F.col(right_col).alias("__m")] + [
+        F.col(c).alias(f"__t{i}") for i, c in enumerate(tie_break or [])
+    ]
+    payload = F.struct(*[F.col(c) for c in dim.columns]).alias("__p")
+    best = cand.groupBy(*[F.col(c) for c in df.columns]).agg(
+        F.min(F.struct(*order_fields, payload)).alias("__b")
+    )
+    return best.select(
+        *df.columns, F.col("__b.__d").alias("distance"), F.col("__b.__p.*")
+    )
+
+
+def fuzzy_top1_join_blocked(
+    df: DataFrame,
+    dim: DataFrame,
+    left_col: str,
+    right_col: str,
+    *,
+    tie_break: list[str] | None = None,
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 8,
+    base_hash=None,
+) -> DataFrame:
+    """Scale tier of J9 for dims too large to broadcast: LSH blocking via
+    character-``n``-gram MinHash, then the same map-side struct-MIN top-1.
+
+    Both relations are sketched (char n-grams → MinHash signature → ``bands``
+    band hashes); candidates are generated by a plain **equi-join on
+    (band, band_hash)** — a hash-partitioned shuffle join, no cross product
+    and no broadcast requirement — then deduped and scored with Levenshtein.
+
+    Approximate by construction: a left row whose true best match never
+    shares a band gets its best *candidate* instead (or drops out if it has
+    none); recall follows the (1-(1-s^r)^b) LSH s-curve on n-gram Jaccard
+    similarity s. Deterministic for a fixed hash family, so the whole
+    pipeline is oracle-checkable when run with ``md5_base_hash``.
+    Reference behavior modeled: fuzzywuzzy extractOne
+    (``airflow/utils/common.py:22-28``) at data sizes extractOne cannot
+    reach.
+    """
+    from tibame_project_spark.operators.dedup import (
+        minhash_signature,
+        xxhash_base_hash,
+    )
+
+    base_hash = base_hash or xxhash_base_hash
+    rows = num_perm // bands
+
+    def banded(rel: DataFrame, col: str) -> DataFrame:
+        s = F.lower(F.trim(F.col(col)))
+        k = F.greatest(F.length(s) - (n - 1), F.lit(1))
+        grams = F.array_distinct(
+            F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(s, i, n))
+        )
+        sig = minhash_signature(grams, num_perm, base_hash=base_hash)
+        return rel.withColumn("__sig", sig).select(
+            *rel.columns,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.element_at("__sig", i * rows + j + 1)
+                                        for j in range(rows)
+                                    ],
+                                )
+                            ).alias("bh"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("__b"),
+        ).select(*rel.columns, "__b.band", "__b.bh")
+
+    cand = (
+        banded(df, left_col)
+        .join(banded(dim, right_col), ["band", "bh"])
+        .drop("band", "bh")
+        .distinct()  # a pair may collide in several bands
+    )
+    dist = F.levenshtein(F.col(left_col), F.col(right_col))
     order_fields = [dist.alias("__d"), F.col(right_col).alias("__m")] + [
         F.col(c).alias(f"__t{i}") for i, c in enumerate(tie_break or [])
     ]

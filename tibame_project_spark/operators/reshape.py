@@ -47,10 +47,19 @@ def header_transpose(df: DataFrame, name_row_filter: Column, key_col: str, cols:
     return row.unpivot([], cols, key_col, "value")
 
 
-def pivot_day_hour(df: DataFrame, day_col: str, hour_col: str, value_col: str, agg: str = "avg") -> DataFrame:
+def pivot_day_hour(
+    df: DataFrame,
+    day_col: str,
+    hour_col: str,
+    value_col: str,
+    agg: str = "avg",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
     """7×24 popularity matrix (F19 — ``populartimes/crawler.py:215-269``):
     groupBy(day).pivot(hour). Hours are enumerated explicitly so the pivot
-    skips its extra distinct-values job."""
-    return df.groupBy(day_col).pivot(hour_col, list(range(24))).agg(
+    skips its extra distinct-values job. ``extra_keys`` prepends grouping
+    columns (e.g. place_id for per-place matrices)."""
+    keys = [*(extra_keys or []), day_col]
+    return df.groupBy(*keys).pivot(hour_col, list(range(24))).agg(
         getattr(F, agg)(value_col)
     )

@@ -20,13 +20,25 @@ from pyspark.sql import functions as F
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition ``df`` to at least ``min_parts`` (default: the session's
     shuffle parallelism) if — and only if — its current plan has fewer
-    partitions. Use directly upstream of CPU-dense per-row operators."""
-    spark = df.sparkSession
-    if min_parts is None:
-        min_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() < min_parts:
-        return df.repartition(min_parts)
-    return df
+    partitions. Use directly upstream of CPU-dense per-row operators.
+
+    The partition-count probe (``df.rdd``) forces a plan→RDD translation,
+    which is not free; the verdict is memoized on the DataFrame instance so
+    chained operators sharing one input pay it once."""
+    default_call = min_parts is None
+    if default_call:
+        cached = getattr(df, "_ensured_parallel", None)
+        if cached is not None:
+            return cached
+        min_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    out = (
+        df.repartition(min_parts)
+        if df.rdd.getNumPartitions() < min_parts
+        else df
+    )
+    if default_call:
+        df._ensured_parallel = out
+    return out
 
 
 def salt(from_col: Column, buckets: int) -> Column:

@@ -60,10 +60,11 @@ def dim_users(ods: DataFrame) -> DataFrame:
 
 def dim_places(ods_places: DataFrame) -> DataFrame:
     """``d_gmaps_dim_places.py:35-49``: DISTINCT place attributes with
-    city/region regex-split from the nested address state."""
+    city/region regex-split from the nested address state. Consumes the
+    full-fidelity GMAPS_PLACES ods shape (schemas.py) name-for-name."""
     return ods_places.select(
         "place_id",
-        F.col("name").alias("place_name"),
+        "place_name",
         F.col("detailed_address.country_code").alias("country"),
         extract_city(F.col("detailed_address.state")).alias("city"),
         extract_region(F.col("detailed_address.state")).alias("region"),
@@ -73,6 +74,57 @@ def dim_places(ods_places: DataFrame) -> DataFrame:
         "google_place_url",
         "main_category",
     ).distinct()
+
+
+_DAYS = ("Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday")
+
+
+def popular_times_long(ods_places: DataFrame) -> DataFrame:
+    """GMAPS_PLACES.popular_times (7 per-day histogram arrays) → long rows
+    (place_id, day, hour, popularity). The relational form of the crawler's
+    7×24 zero-initialized matrix fill (``populartimes/crawler.py:215-269``):
+    stack the day structs, explode the histograms — absent hours are simply
+    absent rows (densified to 0 by ``popular_times_matrix``)."""
+    stacked = ods_places.select(
+        "place_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("day"),
+                        F.col(f"popular_times.{d}").alias("entries"),
+                    )
+                    for d in _DAYS
+                ]
+            )
+        ).alias("__d"),
+    )
+    return (
+        stacked.select("place_id", F.col("__d.day").alias("day"), F.explode("__d.entries").alias("__e"))
+        .select(
+            "place_id",
+            "day",
+            F.col("__e.hour_of_day").alias("hour"),
+            F.col("__e.popularity_percentage").alias("popularity"),
+        )
+    )
+
+
+def popular_times_matrix(ods_places: DataFrame) -> DataFrame:
+    """Per-place 7×24 matrix (F19 end-to-end): explode → pivot over the
+    enumerated 24 hours → missing cells filled with 0, exactly the
+    crawler's ``[[0]*24 for _ in range(7)]`` initialization."""
+    from tibame_project_spark.operators.reshape import pivot_day_hour
+
+    mat = pivot_day_hour(
+        popular_times_long(ods_places),
+        "day",
+        "hour",
+        "popularity",
+        agg="first",
+        extra_keys=["place_id"],
+    )
+    return mat.fillna(0, subset=[str(h) for h in range(24)])
 
 
 def fact_reviews(ods: DataFrame) -> DataFrame:

@@ -1,0 +1,127 @@
+"""Gold → serving: project gold-layer relations onto the MySQL serving
+contract (``sql/init.sql:1-141``, 15 tables) and load them over JDBC.
+
+The reference materializes its serving layer by hand (pandas → pymysql
+row-by-row INSERTs, e.g. ``MySQL/weatherINFO.ipynb`` cell 3); here each
+serving table is a DataFrame projection with the exact column set of its
+DDL, loaded as one JDBC batch write (``sources/writers.write_jdbc``) — or
+incrementally via the foreachBatch streaming sink
+(``streaming/incremental.py``) when the gold side is a stream.
+
+Each builder takes gold inputs and returns a DataFrame whose columns match
+the serving DDL name-for-name; ``load_serving`` writes any of them. CHAR(32)
+ids are md5 surrogates (``functions/keys.py``), matching the reference's
+hashlib convention (``airflow/utils/common.py:8-19``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tibame_project_spark.functions.keys import md5_id, surrogate_key
+
+
+def serving_city(dim_places: DataFrame) -> DataFrame:
+    """``city`` (init.sql:1-5): id CHAR(32), name, name_en — distinct cities
+    observed in dim_places; the md5 of the zh name is the id."""
+    return (
+        dim_places.select(F.col("city").alias("name"))
+        .filter(F.col("name").isNotNull())
+        .distinct()
+        .select(
+            md5_id(F.col("name")).alias("id"),
+            "name",
+            F.upper(F.col("name")).alias("name_en"),
+        )
+    )
+
+
+def serving_attraction(dim_places: DataFrame) -> DataFrame:
+    """``attraction`` (init.sql:29-41): one row per place; googlemap_name /
+    googlemap_url from the gmaps dim, city_id the md5 of the city name."""
+    return dim_places.select(
+        md5_id(F.col("place_name")).alias("attraction_id"),
+        F.col("place_name").alias("name"),
+        F.lit(None).cast("string").alias("name_en"),
+        F.lit(None).cast("string").alias("intro"),
+        F.col("place_name").alias("googlemap_name"),
+        F.col("google_place_url").alias("googlemap_url"),
+        F.lit(None).cast("string").alias("photo_url"),
+        md5_id(F.col("city")).alias("city_id"),
+        F.col("latitude").cast("decimal(8,6)").alias("lat"),
+        F.col("longitude").cast("decimal(9,6)").alias("lon"),
+    ).distinct()
+
+
+def serving_attraction_review(fact_reviews: DataFrame, platform: str = "googlemap") -> DataFrame:
+    """``attraction_review`` (init.sql:49-60): review facts keyed by a
+    (platform, review_id) surrogate; created_at from the resolved date."""
+    return fact_reviews.select(
+        surrogate_key(F.lit(platform), F.col("review_id")).alias("id"),
+        md5_id(F.col("place_name")).alias("attraction_id"),
+        F.col("user_name").alias("author"),
+        F.col("rating").cast("float").alias("rating"),
+        F.col("review_text").alias("description"),
+        md5_id(F.lit(platform)).alias("source_platform_id"),
+        F.col("published_at").cast("timestamp").alias("created_at"),
+        F.lit(None).cast("string").alias("url"),
+    )
+
+
+def serving_attraction_type(trip_ods: DataFrame) -> DataFrame:
+    """``attraction_type`` + ``type`` (init.sql:7-10, 92-98): explode the
+    tripadvisor category array into the M:N bridge; returns
+    (bridge, type_dim)."""
+    exploded = trip_ods.select(
+        "attraction_id", F.explode("categories").alias("type_name")
+    ).distinct()
+    bridge = exploded.select(
+        "attraction_id", md5_id(F.col("type_name")).alias("type_id")
+    ).distinct()
+    type_dim = exploded.select(
+        md5_id(F.col("type_name")).alias("id"), F.col("type_name").alias("name")
+    ).distinct()
+    return bridge, type_dim
+
+
+def serving_attraction_popularity(
+    popular_long: DataFrame, snapshot_ts: str
+) -> DataFrame:
+    """``attraction_popularity`` (init.sql:83-90): hourly crowding rows from
+    the populartimes long relation (``plans/gmaps.popular_times_long``)."""
+    return popular_long.select(
+        surrogate_key(
+            F.col("place_id"), F.col("day"), F.col("hour"), F.lit(snapshot_ts)
+        ).alias("id"),
+        md5_id(F.col("place_id")).alias("attraction_id"),
+        F.col("popularity").cast("int").alias("value"),
+        F.col("hour").cast("int").alias("hour"),
+        F.lit(snapshot_ts).cast("timestamp").alias("created_at"),
+    )
+
+
+def serving_attraction_history(fact_history: DataFrame) -> DataFrame:
+    """``attraction_history`` (init.sql:74-81): monthly visitor counts —
+    the gold fact already carries the contract columns."""
+    return fact_history.select(
+        "attraction_id",
+        F.col("year").cast("int").alias("year"),
+        F.col("month").cast("int").alias("month"),
+        F.col("number_people").cast("int").alias("number_people"),
+    )
+
+
+def load_serving(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str],
+    *,
+    mode: str = "append",
+) -> None:
+    """One JDBC batch write per serving table (vs the reference's per-row
+    cursor.execute loop)."""
+    from tibame_project_spark.sources.writers import write_jdbc
+
+    write_jdbc(df, url, table, mode=mode, properties=properties)

@@ -1,0 +1,183 @@
+"""Weather pipeline: CWA monthly XML reports → station×month matrix →
+MySQL-shaped serving rows.
+
+Reference lifecycle: ``weatherINFO/a1-2.ipynb`` cells 1-9 (BeautifulSoup
+parse of ``mn_Report_{yyyymm}.xml`` into a station × 108-month × 19-element
+matrix), then ``MySQL/weatherINFO.ipynb`` cells 2-3 (numeric coercion with
+NULL-on-fail + row-by-row INSERT into ``TIRDATA.weather_history``), whose
+DDL is ``sql/init.sql:100-112``.
+
+Spark-first re-expression: the notebook's hand-rolled 3-D array becomes a
+LONG relation — one row per (station, month, element, method) measurement —
+which pivots to the wide matrix or projects to the serving shape with plain
+relational ops. Parsing one small government XML per month is driver-side
+(same stance as ``sources/xml.py``); everything after ``createDataFrame``
+is distributed, so a century of reports across thousands of stations still
+pivots/aggregates in parallel.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: measurement → serving column, per the insert mapping in
+#: MySQL/weatherINFO.ipynb cell 3 and sql/init.sql:100-112.
+SERVING_COLUMNS = {
+    "Minimum AirTemperature": "temperature_low",
+    "Maximum AirTemperature": "temperature_high",
+    "Mean AirTemperature": "temperature_avg",
+    "Accumulation Precipitation": "rainfall",
+    "Minimum RelativeHumidity": "humidity_min",
+    "Mean RelativeHumidity": "humidity_avg",
+    "Total SunshineDuration": "total_sunshine_hrs",
+}
+
+_STATION_FIELDS = ("StationID", "StationName", "StationNameEN", "StationAttribute")
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _station_rows(text: str, year_month: str):
+    """One dict per (station, element-method) measurement in one monthly
+    report. The reference walks ``location`` → ``weatherElement`` →
+    ``methodTagName`` (a1-2.ipynb cells 2, 4, 5); here the same walk emits
+    long rows instead of filling a 3-D array."""
+    root = ET.fromstring(text)
+    for loc in root.iter():
+        if _local(loc.tag) != "location":
+            continue
+        meta = {}
+        for el in loc.iter():
+            if _local(el.tag) in _STATION_FIELDS and el.text:
+                meta[_local(el.tag)] = el.text.strip()
+        for wel in loc.iter():
+            if _local(wel.tag) != "weatherElement":
+                continue
+            tag_name = units = None
+            for child in wel.iter():
+                name = _local(child.tag)
+                if name == "tagName":
+                    tag_name = (child.text or "").strip()
+                elif name == "units":
+                    units = (child.text or "").strip()
+            if not tag_name:
+                continue
+            # measurements live in a container NAMED by tagName (the
+            # notebook's find_all('AirTemperature') → find('Mean')), with
+            # one leaf per method (Mean/Maximum/Minimum/Accumulation/Total)
+            for container in wel.iter():
+                if _local(container.tag) != tag_name:
+                    continue
+                for leaf in container:
+                    method = _local(leaf.tag)
+                    val = (leaf.text or "").strip()
+                    if not val:
+                        continue
+                    yield {
+                        "station_id": meta.get("StationID"),
+                        "station_name": meta.get("StationName"),
+                        "station_name_en": meta.get("StationNameEN"),
+                        "station_attribute": meta.get("StationAttribute"),
+                        "year_month": year_month,
+                        "element": f"{method} {tag_name}",
+                        "units": units,
+                        "value": val,
+                    }
+
+
+_LONG_SCHEMA = (
+    "station_id string, station_name string, station_name_en string, "
+    "station_attribute string, year_month string, element string, "
+    "units string, value string"
+)
+
+
+def read_monthly_reports(
+    spark: SparkSession, sources: dict[str, str]
+) -> DataFrame:
+    """``{year_month: xml text-or-path}`` → long measurement relation.
+
+    The reference loops 2015-2023 × 12 opening one file each
+    (``a1-2.ipynb`` cells 1, 3, 5); the union of months is a single
+    DataFrame here.
+    """
+    rows: list[dict] = []
+    for ym, source in sorted(sources.items()):
+        text = source
+        if not source.lstrip().startswith("<"):
+            with open(source, encoding="utf-8") as fh:
+                text = fh.read()
+        rows.extend(_station_rows(text, ym))
+    return spark.createDataFrame(rows, _LONG_SCHEMA)
+
+
+def station_month_matrix(long_df: DataFrame, element: str) -> DataFrame:
+    """The a1-2 matrix for one element: station rows × year_month columns.
+    ``pivot`` with the observed month list supplied by one small distinct
+    scan (bounded: months, not stations, are the pivot axis)."""
+    months = [
+        r.year_month
+        for r in long_df.select("year_month").distinct().orderBy("year_month").collect()
+    ]
+    return (
+        long_df.filter(F.col("element") == element)
+        .groupBy("station_id", "station_name")
+        .pivot("year_month", months)
+        .agg(F.first("value"))
+        .orderBy("station_id")
+    )
+
+
+def weather_history_rows(long_df: DataFrame) -> DataFrame:
+    """Serving-shape projection matching ``sql/init.sql:100-112``
+    (weather_history): one row per station × month, numeric coercion with
+    NULL-on-fail (``try_cast`` ≡ pandas ``to_numeric(errors='coerce')``,
+    weatherINFO.ipynb cell 2), year/month split from year_month.
+
+    Conditional aggregation instead of pivot: the target columns are a
+    fixed contract, so each is a MAX(CASE WHEN element=...) over one
+    groupBy — a single shuffle on (station_id, year_month).
+    """
+    aggs = [
+        F.max(
+            F.when(
+                F.col("element") == el, F.expr("try_cast(value AS double)")
+            )
+        ).alias(col)
+        for el, col in SERVING_COLUMNS.items()
+    ]
+    return (
+        long_df.groupBy("station_id", "year_month")
+        .agg(*aggs)
+        .withColumn("year", F.split("year_month", "-").getItem(0).cast("int"))
+        .withColumn("month", F.split("year_month", "-").getItem(1).cast("int"))
+        .drop("humidity_min")
+        .select(
+            "station_id",
+            "year_month",
+            "temperature_low",
+            "temperature_high",
+            "temperature_avg",
+            "rainfall",
+            "humidity_avg",
+            "total_sunshine_hrs",
+            "year",
+            "month",
+        )
+    )
+
+
+def load_weather_history(
+    df: DataFrame, url: str, properties: dict[str, str], table: str = "weather_history"
+) -> None:
+    """Serving load (MySQL/weatherINFO.ipynb cell 3's row-by-row INSERT →
+    one JDBC batch write)."""
+    from tibame_project_spark.sources.writers import write_jdbc
+
+    write_jdbc(df, url, table, properties=properties)

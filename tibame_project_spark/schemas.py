@@ -48,9 +48,10 @@ GMAPS_REVIEWS_ODS = T.StructType(
 )
 
 # ---------------------------------------------------------------------------
-# gmaps places — the deep nested schema (3-level arrays-of-structs), reference
-# d_gmaps_places_src_to_ods.py:147-390. Abbreviated to the fields the
-# downstream dims actually consume plus representative nesting of each kind.
+# gmaps places — the deep nested schema (3-level arrays-of-structs), declared
+# at full fidelity against the reference's BQ schema,
+# d_gmaps_places_src_to_ods.py:147-390: every field, name-for-name, in
+# reference order (BQ INTEGER→long, FLOAT→double, REPEATED→array).
 # ---------------------------------------------------------------------------
 _COORDINATES = T.StructType([_f("latitude", T.DoubleType()), _f("longitude", T.DoubleType())])
 _DETAILED_ADDRESS = T.StructType(
@@ -70,41 +71,63 @@ _ABOUT = T.StructType(
 )
 _IMAGE = T.StructType([_f("about", T.StringType()), _f("link", T.StringType())])
 _HOURS = T.StructType([_f("day", T.StringType()), _f("times", T.ArrayType(T.StringType()))])
+#: link + source pair (menu / reservations / order_online_links)
+_LINK_SOURCE = T.StructType([_f("link", T.StringType()), _f("source", T.StringType())])
+_MOST_POPULAR = T.StructType(
+    [
+        _f("hour_of_day", T.LongType()),
+        _f("average_popularity", T.DoubleType()),
+        _f("time_label", T.StringType()),
+    ]
+)
+#: per-day popularity histogram entry (popular_times.Monday…Sunday elements)
 _POPULAR_DAY = T.ArrayType(
     T.StructType(
         [
             _f("hour_of_day", T.LongType()),
-            _f("average_popularity", T.DoubleType()),
             _f("time_label", T.StringType()),
+            _f("popularity_percentage", T.LongType()),
+            _f("popularity_description", T.StringType()),
         ]
     )
 )
 _POPULAR_TIMES = T.StructType([_f(d, _POPULAR_DAY) for d in
                                ("Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday")])
-_REVIEWS_PER_RATING = T.StructType([_f(f"{i}", T.LongType()) for i in range(1, 6)])
+_REVIEWS_PER_RATING = T.StructType([_f(f"rating_{i}", T.LongType()) for i in range(1, 6)])
 
 GMAPS_PLACES = T.StructType(
     [
         _f("place_id", T.StringType(), nullable=False),
-        _f("name", T.StringType()),
+        _f("place_id_raw", T.StringType(), nullable=False),
+        _f("place_name", T.StringType(), nullable=False),
         _f("description", T.StringType()),
-        _f("is_spending_on_ads", T.BooleanType()),
-        _f("reviews", T.LongType()),
-        _f("rating", T.DoubleType()),
-        _f("website", T.StringType()),
-        _f("phone", T.StringType()),
-        _f("address", T.StringType()),
-        _f("google_place_url", T.StringType()),
+        _f("total_reviews", T.LongType()),
+        _f("avg_rating", T.DoubleType()),
+        _f("can_claim", T.BooleanType()),
+        _f("featured_image", T.StringType()),
         _f("main_category", T.StringType()),
         _f("categories", T.ArrayType(T.StringType())),
+        _f("google_place_url", T.StringType(), nullable=False),
+        _f("workday_timing", T.StringType()),
+        _f("address", T.StringType()),
+        _f("review_keywords", T.ArrayType(_REVIEW_KEYWORD)),
+        _f("link", T.StringType()),
+        _f("status", T.StringType()),
+        _f("price_range", T.StringType()),
+        _f("reviews_link", T.StringType()),
+        _f("reviews_per_rating", _REVIEWS_PER_RATING),
         _f("coordinates", _COORDINATES),
         _f("detailed_address", _DETAILED_ADDRESS),
-        _f("review_keywords", T.ArrayType(_REVIEW_KEYWORD)),
+        _f("time_zone", T.StringType()),
+        _f("menu", _LINK_SOURCE),
+        _f("reservations", T.ArrayType(_LINK_SOURCE)),
+        _f("order_online_links", T.ArrayType(_LINK_SOURCE)),
         _f("about", T.ArrayType(_ABOUT)),
         _f("images", T.ArrayType(_IMAGE)),
         _f("hours", T.ArrayType(_HOURS)),
+        _f("most_popular_times", T.ArrayType(_MOST_POPULAR)),
         _f("popular_times", _POPULAR_TIMES),
-        _f("reviews_per_rating", _REVIEWS_PER_RATING),
+        _f("is_spending_on_ads", T.BooleanType()),
     ]
 )
 
