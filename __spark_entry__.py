@@ -539,6 +539,89 @@ FROM s
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality battery (Rae et al. 2021 §A1.1) per document:
+    word count, mean word length, alphabetic/symbol ratios, duplicate
+    2-gram and duplicate-line fractions, and the combined pass gate —
+    the standard pretraining-corpus filter, as pure column exprs."""
+    from tibame_project_spark.functions.textstats import gopher_metrics
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+    return gopher_metrics(docs, "text", ["doc_id"])
+
+
+_GOPHER_SQL = r"""
+WITH d AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, text, toks, len(toks) AS n,
+         list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS chr_sum,
+         len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS n_alpha,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         len(regexp_extract_all(text, '\.\.\.|…')) AS n_ell,
+         CASE WHEN len(toks) - 1 > 0 THEN
+           list_transform(generate_series(1, len(toks) - 1), i -> array_to_string(toks[i:i+1], ' '))
+         ELSE [] END AS g2,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+  FROM d),
+m AS (
+  SELECT doc_id,
+         CAST(n AS INTEGER) AS n_words,
+         CASE WHEN n > 0 THEN CAST(chr_sum AS DOUBLE) / n ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n > 0 THEN CAST(n_alpha AS DOUBLE) / n ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN n > 0 THEN CAST(n_hash + n_ell AS DOUBLE) / n ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN len(g2) > 0 THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) ELSE 0.0 END AS dup2,
+         CASE WHEN len(lines) > 0 THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) ELSE 0.0 END AS dup_lines,
+         CASE WHEN n - 2 > 0 THEN
+           list_transform(generate_series(1, n - 2), i -> array_to_string(toks[i:i+2], ' '))
+         ELSE [] END AS g3
+  FROM s)
+SELECT doc_id, n_words, mean_word_len, alpha_ratio, symbol_ratio, dup2, dup_lines,
+       (n_words >= 5 AND n_words <= 100000
+        AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+        AND alpha_ratio >= 0.6 AND symbol_ratio < 0.1
+        AND dup2 <= 0.6
+        AND (CASE WHEN len(g3) > 0 THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) ELSE 0.0 END) <= 0.5
+       ) AS passes
+FROM m
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 App. C style n-gram overlap):
+    every 50th document stands in for an eval set; docs sharing any
+    5-gram with it are dropped. md5 base hash for oracle parity (raw
+    xxhash64 is the production default)."""
+    from tibame_project_spark.operators.dedup import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("text").alias("bench_text")
+    )
+    out = decontaminate(
+        docs, bench, "text", "doc_id", "bench_text", n=5, base_hash=md5_base_hash
+    )
+    return out.select("doc_id")
+
+
+_DECONTAMINATE_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+  FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 4, 1)),
+           i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+  FROM t),
+bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram))
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting (training-data tier): GPT-2-style pre-token
     regex, counted per doc and corpus-wide vocabulary size."""
@@ -1484,6 +1567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_measures": q_unpivot,
         "token_counts": q_token_counts,
         "doc_stats": q_doc_stats,
+        "gopher_quality": q_gopher_quality,
+        "decontaminate": q_decontaminate,
         "bpe_tokens": q_bpe_tokens,
         "fingerprints": q_fingerprints,
         "lang_id": q_lang_id,
@@ -1540,6 +1625,8 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_measures": _UNPIVOT_SQL,
         "token_counts": _TOKEN_COUNTS_SQL,
         "doc_stats": _DOC_STATS_SQL,
+        "gopher_quality": _GOPHER_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
         "bpe_tokens": _BPE_SQL,
         "fingerprints": _FINGERPRINTS_SQL,
         "lang_id": _lang_sql(),

@@ -483,3 +483,95 @@ def test_select_positional(spark):
     df = spark.createDataFrame([(1, "a", 2.0)], ["x", "y", "z"])
     assert select_positional(df, [1, 0]).columns == ["y", "x"]
     assert select_positional(df, [2]).collect()[0][0] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules + benchmark decontamination (training-data tier)
+# ---------------------------------------------------------------------------
+
+def test_gopher_rules_golden(spark):
+    from tibame_project_spark.functions.textstats import (
+        alpha_word_ratio,
+        dup_line_fraction,
+        dup_ngram_fraction,
+        mean_word_length,
+        symbol_word_ratio,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            ("clean", "the quick brown fox jumps over the lazy dog"),
+            ("reps", "spam spam spam spam"),
+            ("symbols", "### wow ### such ### tags ..."),
+            ("lines", "a\nb\na\n"),
+            ("empty", "   "),
+        ],
+        ["k", "text"],
+    )
+    t = F.col("text")
+    got = {
+        r.k: r
+        for r in rows.select(
+            "k",
+            mean_word_length(t).alias("mwl"),
+            alpha_word_ratio(t).alias("alpha"),
+            symbol_word_ratio(t).alias("sym"),
+            dup_ngram_fraction(t, 2).alias("dup2"),
+            dup_line_fraction(t).alias("dupl"),
+        ).collect()
+    }
+    assert got["clean"].mwl == pytest.approx(35 / 9)
+    assert got["clean"].alpha == 1.0 and got["clean"].dup2 == 0.0
+    # "spam spam" 2-grams: 3 total, 1 distinct
+    assert got["reps"].dup2 == pytest.approx(1 - 1 / 3)
+    # 9 '#' + 1 '...' over 7 tokens
+    assert got["symbols"].sym == pytest.approx(10 / 7)
+    assert got["lines"].dupl == pytest.approx(1 - 2 / 3)
+    assert got["empty"].mwl == 0.0 and got["empty"].alpha == 0.0
+
+
+def test_gopher_metrics_matches_scalar_rules(spark):
+    """The staged DataFrame form must agree with the scalar spelling on
+    every column (they share thresholds)."""
+    from tibame_project_spark.functions.textstats import (
+        gopher_metrics,
+        gopher_pass,
+    )
+
+    rows = spark.createDataFrame(
+        [("a", "the quick brown fox jumps over the lazy dog again"),
+         ("b", "x x x x x x"),
+         ("c", "### ### ###"),
+         ("d", "")],
+        ["k", "text"],
+    )
+    staged = {r.k: r.passes for r in gopher_metrics(rows, "text", ["k"]).collect()}
+    scalar = {
+        r.k: r.p
+        for r in rows.select("k", gopher_pass(F.col("text")).alias("p")).collect()
+    }
+    assert staged == scalar
+    assert staged["a"] is True and staged["b"] is False and staged["d"] is False
+
+
+def test_decontaminate_overlap_semantics(spark):
+    from tibame_project_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "completely unrelated text with other words"),
+            (3, "prefix alpha beta gamma suffix tokens here"),  # shares the 3-gram
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [("alpha beta gamma",)], ["bench_text"]
+    )
+    out = decontaminate(docs, bench, "text", "doc_id", "bench_text", n=3)
+    assert {r.doc_id for r in out.collect()} == {2}
+    # and the overlap join must broadcast the benchmark side
+    plan = decontaminate(
+        docs, bench, "text", "doc_id", "bench_text", n=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

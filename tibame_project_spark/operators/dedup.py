@@ -325,6 +325,58 @@ def connected_components(
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_text_col: str,
+    *,
+    n: int = 13,
+    base_hash=xxhash_base_hash,
+) -> DataFrame:
+    """Drop training documents sharing any word ``n``-gram with a benchmark
+    set — the standard eval-decontamination pass (GPT-3 App. C / PaLM-style
+    13-gram overlap) a training-data pipeline must run before every release.
+
+    Plan shape at 100 TB: both sides explode to DISTINCT hashed n-grams
+    (64-bit digests, never gram strings, cross the network); the benchmark
+    side is tiny by construction — eval suites, not corpora — so the overlap
+    join broadcasts it and the only wide op is the contaminated-id distinct.
+    Returns the surviving rows of ``df`` unchanged (left_anti on the
+    contaminated ids).
+    """
+    def grams(rel: DataFrame, col: str, out: str) -> DataFrame:
+        toks = F.filter(F.split(F.lower(F.trim(F.col(col))), r"\s+"), lambda t: t != "")
+        rel = rel.withColumn("__tk", toks)
+        k = F.size(F.col("__tk")) - (n - 1)
+        g = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__tk"), i, n)),
+            )
+        )
+        # docs shorter than n words contribute their whole text as one gram
+        # (matching the shingles() convention) — still a valid overlap unit
+        return rel.withColumn("__g", F.explode(g)).select(
+            *([out] if out else []), base_hash(F.col("__g")).alias("__h")
+        )
+
+    doc_grams = grams(df.select(id_col, text_col), text_col, id_col)
+    bench_grams = grams(
+        benchmark.select(bench_text_col), bench_text_col, ""
+    ).distinct()
+    contaminated = (
+        doc_grams.join(F.broadcast(bench_grams), "__h").select(id_col).distinct()
+    )
+    return df.join(contaminated, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
