@@ -622,6 +622,58 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-ranked top-3 terms per document (rational tf/df score — see
+    textstats.top_terms for why no log): the corpus-level text-analysis
+    join (term counts × vocabulary document frequency)."""
+    from tibame_project_spark.functions.textstats import top_terms
+
+    docs = load(spark, sf_dir, "documents")
+    return top_terms(docs, "text", "doc_id", k=3)
+
+
+_TOP_TERMS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                    x -> x <> '')) AS token
+  FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS INTEGER) AS tf
+  FROM t GROUP BY doc_id, token),
+df AS (
+  SELECT token, CAST(count(*) AS INTEGER) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) / df.df AS score
+  FROM tf JOIN df USING (token))
+SELECT doc_id, token, tf, df, score, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+  FROM scored) x
+WHERE rn <= 3
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 20 events per event_type,
+    chosen by smallest content hash — rand()-free so retries/re-runs agree
+    (the per-stratum form of hash_sample)."""
+    from tibame_project_spark.partitioning import stratified_hash_sample
+
+    ev = load(spark, sf_dir, "events")
+    out = stratified_hash_sample(ev, ["event_type"], 20, hash_col="event_id")
+    return out.select("event_id", "event_type", "rank")
+
+
+_STRATIFIED_SQL = """
+SELECT event_id, event_type, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events) t
+WHERE rn <= 20
+"""
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting (training-data tier): GPT-2-style pre-token
     regex, counted per doc and corpus-wide vocabulary size."""
@@ -1358,6 +1410,73 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(items, queries, centroids, k=5)
 
 
+def q_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed k-means (2 Lloyd iterations, md5-seeded) —
+    the trainer for ivf_ann's cells, oracle-checked END-TO-END through both
+    iterations: the output (cell sizes + per-centroid coordinate sums) is a
+    bit-exact function of every assignment and every decimal-mean update, so
+    a single flipped point anywhere in the iteration would hash-mismatch."""
+    from tibame_project_spark.operators.similarity import kmeans_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, 8, iters=2)
+    # coordinate sum through exact decimal addition — raw double summation
+    # order differs between engines (±ULPs), and even a double→decimal cast
+    # at scale 12 can round a ULP-apart pair to different sides (Java
+    # BigDecimal parses the shortest decimal string; DuckDB scales by 10^n
+    # in floating point). Scale 9 leaves a ~1e8× guard band between the
+    # engines' ULP noise (~1e-17) and the rounding boundary.
+    return (
+        cent.select("cell_id", "size", F.posexplode("centroid").alias("__p", "__m"))
+        .groupBy("cell_id", "size")
+        .agg(
+            F.sum(F.col("__m").cast("decimal(28,9)"))
+            .cast("double")
+            .alias("centroid_sum")
+        )
+    )
+
+
+def _ivf_train_sql(k: int = 8) -> str:
+    """DuckDB twin of q_ivf_train: same md5 seeding, same cosine-argmin
+    assignment (list_cosine_similarity ≡ Spark's dot/(‖a‖‖b‖), proven by the
+    green ivf_ann entry), same decimal-sum-then-double-divide means."""
+    assign = (
+        "SELECT id, v, cid AS cell FROM (\n"
+        "    SELECT b.id, b.v, s.cid,\n"
+        "           row_number() OVER (PARTITION BY b.id\n"
+        "               ORDER BY list_cosine_similarity(b.v, s.cv) DESC, s.cid) AS rn\n"
+        "    FROM base b CROSS JOIN {src} s) t WHERE rn = 1"
+    )
+    update = (
+        "SELECT cell AS cid, list(mean ORDER BY pos) AS cv FROM (\n"
+        "    SELECT cell, pos,\n"
+        "           CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean\n"
+        "    FROM (SELECT cell, unnest(v) AS val, unnest(range(1, len(v)+1)) AS pos\n"
+        "          FROM {src}) x\n"
+        "    GROUP BY cell, pos) y GROUP BY cell"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS cid, v AS cv
+  FROM (SELECT id, v FROM base ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {k})),
+a1 AS ({assign.format(src='seeds')}),
+u1 AS ({update.format(src='a1')}),
+a2 AS ({assign.format(src='u1')}),
+u2 AS ({update.format(src='a2')}),
+sizes AS (
+  SELECT cell AS cid, CAST(count(*) AS INTEGER) AS size
+  FROM ({assign.format(src='u2')}) fa GROUP BY cell),
+csum AS (
+  SELECT cid, CAST(sum(CAST(m AS DECIMAL(28,9))) AS DOUBLE) AS centroid_sum
+  FROM (SELECT cid, unnest(cv) AS m FROM u2) z GROUP BY cid)
+SELECT u2.cid AS cell_id, COALESCE(s.size, 0) AS size, csum.centroid_sum
+FROM u2 LEFT JOIN sizes s ON u2.cid = s.cid JOIN csum ON csum.cid = u2.cid
+"""
+
+
 _IVF_SQL = """
 WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
            FROM embeddings WHERE vec_id < 8),
@@ -1569,6 +1688,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
+        "top_terms": q_top_terms,
+        "stratified_sample": q_stratified_sample,
+        "ivf_train": q_ivf_train,
         "bpe_tokens": q_bpe_tokens,
         "fingerprints": q_fingerprints,
         "lang_id": q_lang_id,
@@ -1627,6 +1749,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": _DOC_STATS_SQL,
         "gopher_quality": _GOPHER_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
+        "top_terms": _TOP_TERMS_SQL,
+        "stratified_sample": _STRATIFIED_SQL,
+        "ivf_train": _ivf_train_sql(),
         "bpe_tokens": _BPE_SQL,
         "fingerprints": _FINGERPRINTS_SQL,
         "lang_id": _lang_sql(),

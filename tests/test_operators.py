@@ -575,3 +575,93 @@ def test_decontaminate_overlap_semantics(spark):
         docs, bench, "text", "doc_id", "bench_text", n=3
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# streaming dedup, stratified sampling, tf-idf top terms
+# ---------------------------------------------------------------------------
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from tibame_project_spark.streaming.incremental import streaming_dedup
+
+    src = tmp_path / "dup_src"
+    out, ckpt = str(tmp_path / "dup_out"), str(tmp_path / "dup_ckpt")
+    schema = "k string, ts timestamp"
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 10, 0)),
+        ("a", dt.datetime(2024, 1, 1, 10, 5)),  # dup within watermark
+        ("b", dt.datetime(2024, 1, 1, 10, 1)),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    (
+        streaming_dedup(stream, ["k"], ts_col="ts", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    back = spark.read.parquet(out)
+    assert sorted(r.k for r in back.collect()) == ["a", "b"]
+
+
+def test_stratified_hash_sample_exact_k_deterministic(spark):
+    from tibame_project_spark.partitioning import stratified_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, "x" if i % 2 else "y") for i in range(100)], ["id", "grp"]
+    )
+    s1 = stratified_hash_sample(df, ["grp"], 5, hash_col="id")
+    s2 = stratified_hash_sample(df, ["grp"], 5, hash_col="id")
+    r1 = {(r.grp, r.id, r.rank) for r in s1.collect()}
+    assert r1 == {(r.grp, r.id, r.rank) for r in s2.collect()}  # deterministic
+    per = {}
+    for g, _, _ in r1:
+        per[g] = per.get(g, 0) + 1
+    assert per == {"x": 5, "y": 5}  # exactly k per stratum
+
+
+def test_top_terms_ranking(spark):
+    from tibame_project_spark.functions.textstats import top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared"),
+            (2, "banana cherry shared"),
+            (3, "shared shared shared"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r.doc_id, r.rank): (r.token, r.tf, r.df) for r in
+           top_terms(docs, "text", "doc_id", k=2).collect()}
+    # doc 1: apple tf=2 df=1 (score 2.0) beats banana tf=1 df=2 (0.5)
+    assert out[(1, 1)] == ("apple", 2, 1)
+    assert out[(1, 2)] == ("banana", 1, 2)
+    # doc 2: cherry (1/1) beats banana (1/2); 'shared' (df=3) last
+    assert out[(2, 1)] == ("cherry", 1, 1)
+
+
+def test_kmeans_centroids_recovers_separated_clusters(spark):
+    from tibame_project_spark.operators.similarity import kmeans_centroids
+
+    import random
+    rnd = random.Random(7)
+    rows = []
+    for c, center in enumerate([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]]):
+        for i in range(30):
+            rows.append((c * 100 + i, [v + rnd.uniform(-0.5, 0.5) for v in center]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = kmeans_centroids(df, 3, iters=4).collect()
+    assert sorted(r.size for r in cent) == [30, 30, 30]
+    # each trained centroid sits on one true center (one dominant axis ~10)
+    axes = sorted(max(range(4), key=lambda i: r.centroid[i]) for r in cent)
+    assert axes == [0, 1, 2]
+    for r in cent:
+        assert max(r.centroid) == pytest.approx(10.0, abs=0.2)
+    # deterministic: re-training yields identical centroids
+    again = kmeans_centroids(df, 3, iters=4).collect()
+    assert {(r.cell_id, tuple(r.centroid)) for r in cent} == {
+        (r.cell_id, tuple(r.centroid)) for r in again
+    }

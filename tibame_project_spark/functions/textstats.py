@@ -233,6 +233,42 @@ def gopher_pass(
     )
 
 
+def top_terms(df, text_col: str, id_col: str, k: int = 3):
+    """TF-IDF-ranked top-``k`` terms per document: (id, token, tf, df,
+    score, rank) with score = tf/df — the rational (transcendental-free)
+    idf surrogate, so the value is bit-identical on any engine (a log-based
+    idf ranks identically for a fixed corpus but its last-ULP float differs
+    between libm implementations, which would break value-hash checks).
+
+    Plan: explode tokens → (id, token) counts [1 shuffle] → token document
+    frequency from the SAME aggregate [1 shuffle on token] → join back on
+    token [co-partitioned by the previous shuffle] → per-doc top-k window.
+    The vocabulary relation is usually broadcastable but is joined on the
+    token shuffle key here so the plan survives web-scale vocabularies."""
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("int").alias("df"))
+    scored = tf.join(docfreq, "token").withColumn(
+        "score", F.col("tf") / F.col("df")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df", "score", "rank")
+    )
+
+
 def gopher_metrics(df, text_col: str, id_cols: list[str]):
     """DataFrame-level Gopher battery: (ids…, n_words, mean_word_len,
     alpha_ratio, symbol_ratio, dup2, dup_lines, passes) with every

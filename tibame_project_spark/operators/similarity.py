@@ -256,3 +256,103 @@ def embedding_dedup_pairs(
             F.round("score", 4).alias("score"),
         )
     )
+
+
+def kmeans_centroids(
+    items: DataFrame,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 5,
+) -> DataFrame:
+    """Deterministic distributed Lloyd's k-means over an embedding column —
+    trains the cells ``ivf_cosine_topk`` probes, with no MLlib dependency
+    and bit-reproducible output.
+
+    Determinism choices (each one matters for retries/re-runs/oracles):
+
+    * seeds = the ``k`` rows with smallest ``md5(id)`` — a pure function of
+      the data, not ``rand()``;
+    * assignment = min-struct argmin by (negative cosine, centroid id) —
+      ties can't flip between runs;
+    * update = per-dimension mean over ``decimal(28,12)`` partial sums —
+      order/parallelism-independent, unlike a double sum.
+
+    Plan per iteration: broadcast centroids (k × dim doubles — KBs) → narrow
+    assignment pass → posexplode to (cell, pos, val) → two-level groupBy.
+    ``localCheckpoint`` truncates lineage so the plan doesn't double per
+    iteration (same iterative-Spark discipline as ``connected_components``).
+    Returns (cell_id, centroid array<double>, cell size).
+    """
+    base = (
+        ensure_parallelism(items)
+        .select(F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v"))
+        .persist()
+    )
+    centroids = (
+        base.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id")))
+            .alias("__cid"),
+            F.col("__v").alias("__cv"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        c = centroids.withColumn("__cn", l2_norm(F.col("__cv")))
+        assigned = (
+            base.withColumn("__n", l2_norm(F.col("__v")))
+            .crossJoin(F.broadcast(c))
+            .withColumn(
+                "__negcos",
+                -dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn")),
+            )
+            .groupBy("__id", "__v")
+            .agg(F.min(F.struct(F.col("__negcos"), F.col("__cid"))).alias("__b"))
+            .select("__id", "__v", F.col("__b.__cid").alias("__cell"))
+        )
+        centroids = (
+            assigned.select("__cell", F.posexplode("__v").alias("__pos", "__val"))
+            .groupBy("__cell", "__pos")
+            # decimal partial sums → exact, order-independent; the division
+            # happens in double AFTER the exact sum (decimal division scale
+            # rules differ between engines; double division does not)
+            .agg(
+                (
+                    F.sum(F.col("__val").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("__mean")
+            )
+            .groupBy("__cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__mean"))
+                ).alias("__pm")
+            )
+            .select(
+                F.col("__cell").alias("__cid"),
+                F.transform("__pm", lambda s: s["__mean"]).alias("__cv"),
+            )
+            .localCheckpoint()
+        )
+    sizes = (
+        base.withColumn("__n", l2_norm(F.col("__v")))
+        .crossJoin(F.broadcast(centroids.withColumn("__cn", l2_norm(F.col("__cv")))))
+        .withColumn(
+            "__negcos",
+            -dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn")),
+        )
+        .groupBy("__id")
+        .agg(F.min(F.struct(F.col("__negcos"), F.col("__cid"))).alias("__b"))
+        .groupBy(F.col("__b.__cid").alias("__cid"))
+        .agg(F.count(F.lit(1)).cast("int").alias("size"))
+    )
+    base.unpersist()
+    return centroids.join(sizes, "__cid", "left").select(
+        F.col("__cid").alias("cell_id"),
+        F.col("__cv").alias("centroid"),
+        F.coalesce("size", F.lit(0)).alias("size"),
+    )

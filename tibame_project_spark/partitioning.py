@@ -41,6 +41,27 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     return out
 
 
+def stratified_hash_sample(
+    df: DataFrame, stratum_cols: list[str], k: int, *, hash_col: str
+) -> DataFrame:
+    """Deterministic stratified sample: the k rows with the smallest
+    content-hash per stratum — ``rand()``-free (task retries and re-runs
+    agree; the sample is a pure function of the data), evenly spread by the
+    hash's uniformity, and exactly k per stratum unlike fraction-based
+    ``sampleBy``. One window shuffle on the stratum keys; AQE splits skewed
+    strata. The per-stratum form of the engine's ``hash_sample`` query."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(hash_col).cast("string"))
+    w = Window.partitionBy(*stratum_cols).orderBy(h, F.col(hash_col))
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .withColumn("rank", F.col("__rank").cast("int"))
+        .drop("__rank")
+    )
+
+
 def salt(from_col: Column, buckets: int) -> Column:
     """Deterministic salt in [0, buckets): hashed from a high-cardinality
     column (never rand() — re-computation under task retry must agree)."""

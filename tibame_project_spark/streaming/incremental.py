@@ -70,6 +70,26 @@ def stream_to_serving(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: drop rows whose ``keys``
+    were already seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark``) — the streaming form of D1/D2 for
+    at-least-once upstream sources (the reference's crawler re-scrapes pages
+    across runs; batch mode handles it with keep-first windows, a stream
+    must dedup online).
+
+    State scales with keys-per-watermark-window, not stream length — the
+    property that keeps this runnable forever; plain ``dropDuplicates`` on a
+    stream would grow state without bound."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def windowed_event_counts(
     events: DataFrame,
     *,
