@@ -674,6 +674,129 @@ WHERE rn <= 20
 """
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking (16-token chunks): the context-window
+    unit-of-work transform; narrow explode, no shuffle."""
+    from tibame_project_spark.functions.textstats import chunk_text
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_text(docs, "text", "doc_id", max_tokens=16)
+
+
+_CHUNK_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+  FROM documents),
+c AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(0, CAST(floor((len(tk) - 1) / 16.0) AS INTEGER))) AS chunk_idx
+  FROM t WHERE len(tk) > 0)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       array_to_string(tk[chunk_idx * 16 + 1 : chunk_idx * 16 + 16], ' ') AS chunk,
+       CAST(len(tk[chunk_idx * 16 + 1 : chunk_idx * 16 + 16]) AS INTEGER) AS n_tokens
+FROM c
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect/redact (C4-style release scrub): deterministic synthetic
+    PII is injected per doc_id, then counted and redacted with typed
+    tokens; output carries the scrubbed-text md5 so any span difference
+    hash-mismatches."""
+    from tibame_project_spark.functions.pii import pii_counts, scrub_pii
+
+    docs = load(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" reach me: user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            )
+            .when(F.col("doc_id") % 7 == 1, F.lit(" call +886 912 345 678 now"))
+            .when(
+                F.col("doc_id") % 7 == 2,
+                F.concat(F.lit(" from 10.0.3."), (F.col("doc_id") % 256).cast("string")),
+            )
+            .otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    n_email, n_ip, n_phone = pii_counts(F.col("t"))
+    return injected.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_phone.alias("n_phones"),
+        F.md5(scrub_pii(F.col("t"))).alias("scrubbed_md5"),
+    )
+
+
+_PII_SQL = r"""
+WITH inj AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 7 = 0 THEN ' reach me: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           WHEN doc_id % 7 = 1 THEN ' call +886 912 345 678 now'
+           WHEN doc_id % 7 = 2 THEN ' from 10.0.3.' || CAST(doc_id % 256 AS VARCHAR)
+           ELSE '' END AS t
+  FROM documents),
+s AS (
+  SELECT doc_id, t,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM inj),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+         regexp_replace(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t2
+  FROM s)
+SELECT doc_id,
+       CAST(n_emails AS INTEGER) AS n_emails,
+       CAST(n_ips AS INTEGER) AS n_ips,
+       CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9()\-\. ]{7,13}[0-9]')) AS INTEGER) AS n_phones,
+       md5(regexp_replace(t2, '\+?[0-9][0-9()\-\. ]{7,13}[0-9]', '<PHONE>', 'g')) AS scrubbed_md5
+FROM s2
+"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line dedup (C4 rule): a line appearing in several
+    documents survives only at its first (doc, position) occurrence; docs
+    are reassembled in order. Output hashes the surviving text."""
+    from tibame_project_spark.operators.dedup import line_dedup_corpus
+
+    docs = load(spark, sf_dir, "documents")
+    out = line_dedup_corpus(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    )
+
+
+_LINE_DEDUP_SQL = r"""
+WITH l AS (
+  SELECT doc_id, pos, line, md5(line) AS h FROM (
+    SELECT doc_id,
+           unnest(string_split(text, chr(10))) AS line,
+           unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+    FROM documents) x
+  WHERE length(trim(line)) >= 1),
+k AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM l)
+SELECT doc_id,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE rn = 1), '')) AS text_md5,
+       CAST(count(*) FILTER (WHERE rn = 1) AS INTEGER) AS n_lines_kept,
+       CAST(count(*) FILTER (WHERE rn > 1) AS INTEGER) AS n_lines_dropped
+FROM k GROUP BY doc_id
+"""
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting (training-data tier): GPT-2-style pre-token
     regex, counted per doc and corpus-wide vocabulary size."""
@@ -1691,6 +1814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
         "ivf_train": q_ivf_train,
+        "chunk_docs": q_chunk_docs,
+        "pii_scrub": q_pii_scrub,
+        "line_dedup": q_line_dedup,
         "bpe_tokens": q_bpe_tokens,
         "fingerprints": q_fingerprints,
         "lang_id": q_lang_id,
@@ -1752,6 +1878,9 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": _TOP_TERMS_SQL,
         "stratified_sample": _STRATIFIED_SQL,
         "ivf_train": _ivf_train_sql(),
+        "chunk_docs": _CHUNK_SQL,
+        "pii_scrub": _PII_SQL,
+        "line_dedup": _LINE_DEDUP_SQL,
         "bpe_tokens": _BPE_SQL,
         "fingerprints": _FINGERPRINTS_SQL,
         "lang_id": _lang_sql(),

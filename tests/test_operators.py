@@ -665,3 +665,56 @@ def test_kmeans_centroids_recovers_separated_clusters(spark):
     assert {(r.cell_id, tuple(r.centroid)) for r in cent} == {
         (r.cell_id, tuple(r.centroid)) for r in again
     }
+
+
+def test_chunk_text_boundaries_and_empty(spark):
+    from tibame_project_spark.functions.textstats import chunk_text
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, "   ")], ["doc_id", "text"]
+    )
+    out = {(r.doc_id, r.chunk_idx): (r.chunk, r.n_tokens) for r in
+           chunk_text(docs, "text", "doc_id", max_tokens=2).collect()}
+    assert out == {
+        (1, 0): ("a b", 2), (1, 1): ("c d", 2), (1, 2): ("e", 1),
+        (2, 0): ("x", 1),
+    }  # doc 3 (whitespace only) yields no chunks
+
+
+def test_pii_scrub_and_counts_agree(spark):
+    from tibame_project_spark.functions.pii import pii_counts, scrub_pii
+
+    rows = spark.createDataFrame(
+        [("a@b.com and c.d@e.org, host 10.0.0.1, tel +886 912 345 678",),
+         ("no pii here",)],
+        ["t"],
+    )
+    ne, ni, np_ = pii_counts(F.col("t"))
+    got = rows.select(
+        ne.alias("e"), ni.alias("i"), np_.alias("p"), scrub_pii(F.col("t")).alias("s")
+    ).collect()
+    assert (got[0].e, got[0].i, got[0].p) == (2, 1, 1)
+    s = got[0].s
+    assert "<EMAIL>" in s and "<IP>" in s and "<PHONE>" in s
+    assert "a@b.com" not in s and "10.0.0.1" not in s
+    assert (got[1].e, got[1].i, got[1].p) == (0, 0, 0)
+    assert got[1].s == "no pii here"
+
+
+def test_line_dedup_corpus_keep_first_occurrence(spark):
+    from tibame_project_spark.operators.dedup import line_dedup_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nshared line\nunique two"),
+            (2, "shared line\nonly in two"),   # 'shared line' seen in doc 1
+            (3, "shared line"),                # fully duplicated -> empty
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in line_dedup_corpus(docs, "text", "doc_id").collect()}
+    assert out[1].text == "unique one\nshared line\nunique two"
+    assert (out[1].n_lines_kept, out[1].n_lines_dropped) == (3, 0)
+    assert out[2].text == "only in two"
+    assert (out[2].n_lines_kept, out[2].n_lines_dropped) == (1, 1)
+    assert out[3].text == "" and out[3].n_lines_kept == 0

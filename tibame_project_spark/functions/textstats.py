@@ -269,6 +269,35 @@ def top_terms(df, text_col: str, id_col: str, k: int = 3):
     )
 
 
+def chunk_text(df, text_col: str, id_col: str, max_tokens: int = 128):
+    """Fixed-size token chunking: split each document into consecutive
+    ``max_tokens``-token chunks at whitespace boundaries — the unit-of-work
+    transform feeding context-window-bounded training/embedding jobs.
+    Returns (id, chunk_idx, chunk, n_tokens); empty docs yield no chunks.
+
+    Narrow per-row explode (no shuffle): output rows ≈ corpus_tokens /
+    max_tokens regardless of document skew, so one 1 GB document becomes
+    many rows instead of one straggler task downstream."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    staged = df.select(F.col(id_col), toks.alias("__tk")).filter(
+        F.size("__tk") > 0
+    )
+    n_chunks = F.floor((F.size("__tk") - 1) / max_tokens).cast("int") + 1
+    return (
+        staged.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.concat_ws(
+                " ", F.slice("__tk", F.col("chunk_idx") * max_tokens + 1, max_tokens)
+            ).alias("chunk"),
+            F.size(
+                F.slice("__tk", F.col("chunk_idx") * max_tokens + 1, max_tokens)
+            ).alias("n_tokens"),
+        )
+    )
+
+
 def gopher_metrics(df, text_col: str, id_cols: list[str]):
     """DataFrame-level Gopher battery: (ids…, n_words, mean_word_len,
     alpha_ratio, symbol_ratio, dup2, dup_lines, passes) with every

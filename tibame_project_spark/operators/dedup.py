@@ -324,6 +324,56 @@ def connected_components(
     return labels
 
 
+def line_dedup_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide line deduplication (the C4 rule: a line appearing in
+    multiple documents is kept only in its first occurrence): explode
+    lines → md5-keyed keep-first window over (line hash) ordered by
+    (doc id, line position) → reassemble surviving lines in document order.
+
+    Returns (id, text, n_lines_kept, n_lines_dropped); documents whose
+    every line was seen earlier come back with empty text (callers filter).
+
+    Scale shape: the only wide ops are one shuffle on the 16-byte line
+    hash (window keep-first) and one on the doc id (reassembly groupBy) —
+    line text itself never shuffles twice, and the reassembly's
+    collect_list is per-document, bounded by document size."""
+    lines = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.split(F.col(text_col), r"\n")).alias("__pos", "__line"),
+        )
+        .filter(F.length(F.trim(F.col("__line"))) >= min_line_chars)
+        .withColumn("__h", F.md5(F.col("__line")))
+    )
+    w = Window.partitionBy("__h").orderBy("__id", "__pos")
+    kept = lines.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__keep", F.col("__rn") == 1
+    )
+    return (
+        kept.groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("__keep"), F.struct("__pos", "__line"))
+                )
+            ).alias("__kl"),
+            F.sum(F.when(F.col("__keep"), 0).otherwise(1)).cast("int").alias("n_lines_dropped"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.concat_ws("\n", F.transform("__kl", lambda s: s["__line"])).alias(text_col),
+            F.size("__kl").cast("int").alias("n_lines_kept"),
+            "n_lines_dropped",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination
 # ---------------------------------------------------------------------------
