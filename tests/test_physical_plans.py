@@ -129,3 +129,49 @@ def test_bucketed_tables_join_without_shuffle(spark):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_chunk_text_is_narrow(spark):
+    """Chunking must be a pure per-row explode — zero shuffles."""
+    from tibame_project_spark.functions.textstats import chunk_text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(chunk_text(docs, "text", "doc_id", max_tokens=16))
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_gopher_metrics_is_narrow(spark):
+    """The quality battery is scan-side work: no shuffle anywhere."""
+    from tibame_project_spark.functions.textstats import gopher_metrics
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(gopher_metrics(docs, "text", ["doc_id"]))
+    assert "Exchange" not in plan
+
+
+def test_top_terms_partial_agg_before_exchange(spark):
+    """Term counting must combine map-side before the (doc, token) shuffle."""
+    from tibame_project_spark.functions.textstats import top_terms
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(top_terms(docs, "text", "doc_id"))
+    assert "partial_count" in plan
+    # per-doc top-k is also reduced map-side before its shuffle
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_kmeans_broadcasts_centroids(spark):
+    """Assignment must broadcast the (tiny) centroid side — the item side
+    never shuffles for assignment, only the (cell, dim) partials do."""
+    from tibame_project_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # execute so AQE finalizes (converts the tiny k-row metadata join to
+    # broadcast); iteration internals are materialized by localCheckpoint
+    # and their decimal-partial means are covered by the ivf_train oracle
+    plan = _plan(kmeans_centroids(emb, 4, iters=1), execute=True)
+    # the data-sized side (items × centroids assignment) must be a
+    # broadcast, never a shuffle of the items; the k-row centroid↔size
+    # metadata join at the end is free either way and not asserted
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
