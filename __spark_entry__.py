@@ -797,6 +797,95 @@ FROM k GROUP BY doc_id
 """
 
 
+def q_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data release pipeline composed as one lazy DAG
+    (quality gate → PII scrub → corpus line dedup → exact dedup →
+    benchmark decontamination → 64-token chunking) and oracle-checked
+    END-TO-END: the final chunk set is a deterministic function of every
+    stage's exact semantics, so one wrong row anywhere in the six stages
+    hash-mismatches here even if each stage's own query stays green."""
+    from tibame_project_spark.plans.release import release_corpus
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("text").alias("bench_text")
+    )
+    out = release_corpus(
+        docs, bench, chunk_tokens=64, decontaminate_n=5, base_hash=md5_base_hash
+    )
+    return out.select(
+        "doc_id", "chunk_idx", F.md5("chunk").alias("chunk_md5"), "n_tokens"
+    )
+
+
+def _release_sql() -> str:
+    """DuckDB twin of q_release_pipeline — the six stage CTEs chained, each
+    reusing the spelling its standalone oracle already proved."""
+    return r"""
+WITH gpass AS (
+  SELECT doc_id FROM (""" + _GOPHER_SQL + r""") g WHERE g.passes),
+p1 AS (
+  SELECT d.doc_id, d.text FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM gpass)),
+p2 AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+           '\+?[0-9][0-9()\-\. ]{7,13}[0-9]', '<PHONE>', 'g') AS text
+  FROM p1),
+ll AS (
+  SELECT doc_id, pos, line FROM (
+    SELECT doc_id,
+           unnest(string_split(text, chr(10))) AS line,
+           unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+    FROM p2) x
+  WHERE length(trim(line)) >= 1),
+lk AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+  FROM ll),
+p3 AS (
+  SELECT doc_id,
+         coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE rn = 1), '') AS text
+  FROM lk GROUP BY doc_id),
+p3b AS (SELECT * FROM p3 WHERE length(text) > 0),
+p4 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM p3b) y WHERE rn = 1),
+dg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 4, 1)),
+           i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+        FROM p4) z),
+bg AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 4, 1)),
+           i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+  FROM (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+        FROM documents WHERE doc_id % 50 = 0) w),
+bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (gram)),
+p5 AS (SELECT * FROM p4 WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+ck AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(0, CAST(floor((len(tk) - 1) / 64.0) AS INTEGER))) AS chunk_idx
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        FROM p5) c
+  WHERE len(tk) > 0)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       md5(array_to_string(tk[chunk_idx * 64 + 1 : chunk_idx * 64 + 64], ' ')) AS chunk_md5,
+       CAST(len(tk[chunk_idx * 64 + 1 : chunk_idx * 64 + 64]) AS INTEGER) AS n_tokens
+FROM ck
+"""
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting (training-data tier): GPT-2-style pre-token
     regex, counted per doc and corpus-wide vocabulary size."""
@@ -1817,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "pii_scrub": q_pii_scrub,
         "line_dedup": q_line_dedup,
+        "release_pipeline": q_release_pipeline,
         "bpe_tokens": q_bpe_tokens,
         "fingerprints": q_fingerprints,
         "lang_id": q_lang_id,
@@ -1881,6 +1971,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": _CHUNK_SQL,
         "pii_scrub": _PII_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
+        "release_pipeline": _release_sql(),
         "bpe_tokens": _BPE_SQL,
         "fingerprints": _FINGERPRINTS_SQL,
         "lang_id": _lang_sql(),

@@ -718,3 +718,56 @@ def test_line_dedup_corpus_keep_first_occurrence(spark):
     assert out[2].text == "only in two"
     assert (out[2].n_lines_kept, out[2].n_lines_dropped) == (1, 1)
     assert out[3].text == "" and out[3].n_lines_kept == 0
+
+
+def test_stream_interval_join_attribution(spark, tmp_path):
+    from tibame_project_spark.streaming.incremental import stream_interval_join
+
+    schema = "k long, ts timestamp"
+    lsrc, rsrc = tmp_path / "sj_l", tmp_path / "sj_r"
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    spark.createDataFrame(
+        [(1, t0), (2, t0)], schema
+    ).coalesce(1).write.parquet(str(lsrc))
+    spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(seconds=30)),   # in window
+            (1, t0 + dt.timedelta(seconds=90)),   # out (window 60s)
+            (2, t0 - dt.timedelta(seconds=5)),    # before left -> out
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(rsrc))
+
+    l = spark.readStream.schema(schema).parquet(str(lsrc)).withColumnsRenamed({"ts": "lts"})
+    r = spark.readStream.schema(schema).parquet(str(rsrc)).withColumnsRenamed({"k": "rk", "ts": "rts"})
+    joined = stream_interval_join(
+        l, r, on=("k", "rk"), left_ts="lts", right_ts="rts",
+        window_seconds=60, watermark="10 minutes",
+    )
+    out, ckpt = str(tmp_path / "sj_out"), str(tmp_path / "sj_ckpt")
+    (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    back = spark.read.parquet(out).collect()
+    assert len(back) == 1 and back[0].k == 1
+
+
+def test_tune_shuffle_partitions_bounds(spark):
+    from tibame_project_spark.partitioning import tune_shuffle_partitions
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # small input: floor at per_core_tasks × parallelism
+        n_small = tune_shuffle_partitions(spark, 1024)
+        assert n_small == 2 * spark.sparkContext.defaultParallelism
+        # 1 TB at 128 MB targets: 8192 partitions
+        n_big = tune_shuffle_partitions(spark, 1 << 40)
+        assert n_big == 8192
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8192"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)

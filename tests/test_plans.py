@@ -372,3 +372,33 @@ def test_serving_contract_shapes_and_jdbc(spark, places_with_popular_times):
     serving.load_serving(attr, url, "attraction", props)
     back = spark.read.jdbc(url, "attraction", properties=props)
     assert back.count() == 1 and back.collect()[0].name == "故宮"
+
+
+def test_release_pipeline_stage_interactions(spark):
+    """Composition golden: each stage's effect visible in the final chunks."""
+    from tibame_project_spark.plans.release import release_corpus
+
+    docs = spark.createDataFrame(
+        [
+            # healthy doc, survives everything
+            (1, "the quick brown fox jumps over the lazy dog today ok fine"),
+            # identical twin of 1 -> exact-dedup drops (higher id loses)
+            (2, "the quick brown fox jumps over the lazy dog today ok fine"),
+            # fails the quality gate (no alphabetic tokens)
+            (3, "1 2 3 4 5 6 7 8"),
+            # contaminated: shares a 3-gram with the benchmark
+            (4, "the secret eval answer is hidden somewhere in this text ok"),
+            # PII is scrubbed but the doc survives
+            (5, "contact me at a@b.com about the next hiking trip soon ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [("secret eval answer",)], ["bench_text"]
+    )
+    out = release_corpus(docs, bench, chunk_tokens=6, decontaminate_n=3)
+    chunks = {(r.doc_id, r.chunk_idx): r.chunk for r in out.collect()}
+    ids = {d for d, _ in chunks}
+    assert ids == {1, 5}          # 2 deduped, 3 quality-failed, 4 contaminated
+    assert "<EMAIL>" in chunks[(5, 0)] and "a@b.com" not in chunks[(5, 0)]
+    assert chunks[(1, 0)].split() == ["the", "quick", "brown", "fox", "jumps", "over"]

@@ -41,6 +41,31 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     return out
 
 
+def tune_shuffle_partitions(
+    spark,
+    input_bytes: int,
+    *,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    per_core_tasks: int = 2,
+) -> int:
+    """Size ``spark.sql.shuffle.partitions`` for an input volume: enough
+    partitions that a post-shuffle partition targets ~``target_partition_
+    bytes`` (spill-free with executor memory in the GBs), but never fewer
+    than ``per_core_tasks`` × cluster parallelism (all cores busy, room for
+    stragglers). The 100 TB arithmetic this encodes: 100 TB / 128 MB ≈
+    800k partitions — far beyond any static default, which is why this is
+    computed, not hard-coded. With AQE on, this sets the *initial*
+    partitioning that AQE coalesces/splits from, so getting the order of
+    magnitude right still matters. Returns the value it set."""
+    parallelism = spark.sparkContext.defaultParallelism
+    n = max(
+        per_core_tasks * parallelism,
+        -(-input_bytes // target_partition_bytes),  # ceil division
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n
+
+
 def stratified_hash_sample(
     df: DataFrame, stratum_cols: list[str], k: int, *, hash_col: str
 ) -> DataFrame:

@@ -90,6 +90,40 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: tuple[str, str],
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair right-stream rows
+    landing within ``window_seconds`` AFTER a left row with the same key —
+    the streaming form of ``operators.joins.range_join`` (click→purchase
+    attribution while both sides are still arriving).
+
+    Both sides carry a watermark and the join condition bounds event time
+    in both directions, so Spark can expire buffered state: each side's
+    state holds only rows newer than (watermark + window) — the condition
+    that makes an infinite join finite. Works identically on static frames
+    (same code path, batch join).
+    """
+    lk, rk = on
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    lcol = F.col(f"l.{left_ts}")
+    rcol = F.col(f"r.{right_ts}")
+    return l.join(
+        r,
+        (F.col(f"l.{lk}") == F.col(f"r.{rk}"))
+        & (rcol >= lcol)
+        & (rcol < F.timestamp_add("SECOND", F.lit(window_seconds), lcol)),
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     *,
