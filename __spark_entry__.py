@@ -1731,7 +1731,10 @@ def q_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction: Arrow-batched mapInPandas over binary
     payloads with a deterministic fake decoder (real decode stubbed — no
-    media libs in container). Python-side decode → rows-only check."""
+    media libs in container). The fake decode is pure byte arithmetic, so
+    even this Python-side path is oracle-checked: DuckDB recomputes the
+    per-bucket byte means from hex(blob). Features explode to
+    (idx, value) rows — scalar columns for the driver's canonicalizer."""
     docs = load(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").cast("string").alias("media_id"),
@@ -1739,11 +1742,29 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("content"),
     )
     feats = extract_features(media)
-    # The driver canonicalizes results via pandas sort/hash, which cannot
-    # handle array columns — serialize the feature vector to JSON text.
     return feats.select(
-        "media_id", "kind", "n_bytes", F.to_json("feature").alias("feature_json")
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.posexplode("feature").alias("idx", "value"),
     )
+
+
+_MULTIMODAL_FEATURES_SQL = """
+WITH b AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id, 'text' AS kind,
+         encode(text) AS bl
+  FROM documents),
+v AS (
+  SELECT media_id, kind, octet_length(bl) AS n_bytes,
+         greatest(1, octet_length(bl) // 8) AS step,
+         list_transform(generate_series(1, octet_length(bl)),
+                        i -> CAST('0x' || substr(hex(bl), 2*i-1, 2) AS INTEGER)) AS bytes
+  FROM b)
+SELECT media_id, kind, n_bytes, CAST(k AS INTEGER) AS idx,
+       CAST(coalesce(list_sum(bytes[k*step+1 : (k+1)*step]), 0) % 256 AS DOUBLE) / 255.0 AS value
+FROM v, unnest(generate_series(0, 7)) AS u(k)
+"""
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1871,6 +1892,144 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.35
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (training-data tier): 16-token chunks laid end-to-end
+    into 64-token training sequences across 8 hash-bucketed packing streams —
+    the step between chunking and a trainer wanting dense fixed-length
+    examples. Bucketed windows, so packing parallelizes instead of forcing a
+    global single-partition sort."""
+    from tibame_project_spark.functions.textstats import chunk_text, pack_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    chunks = chunk_text(docs, "text", "doc_id", max_tokens=16)
+    return pack_chunks(
+        chunks, seq_tokens=64, n_buckets=8, base_hash=md5_base_hash
+    )
+
+
+_PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+  FROM documents),
+c AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(0, CAST(floor((len(tk) - 1) / 16.0) AS INTEGER))) AS chunk_idx
+  FROM t WHERE len(tk) > 0),
+ch AS (
+  SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         CAST(len(tk[chunk_idx * 16 + 1 : chunk_idx * 16 + 16]) AS INTEGER) AS n_tokens,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS INTEGER) AS bucket
+  FROM c),
+p AS (
+  SELECT bucket, doc_id, chunk_idx, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM ch)
+SELECT bucket, doc_id, chunk_idx, n_tokens,
+       CAST(floor(cum / 64.0) AS INTEGER) AS seq_id,
+       CAST(cum % 64 AS INTEGER) AS seq_offset
+FROM p
+"""
+
+
+def q_scd2_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: collapse each customer's order-priority
+    observations into validity intervals (valid_from/valid_to/is_current) —
+    the auditable-dimension piece the reference's WRITE_TRUNCATE dim rebuilds
+    (d_gmaps_dim_places.py:35-49) lose."""
+    from tibame_project_spark.operators.scd import scd2_from_observations
+
+    orders = load(spark, sf_dir, "orders")
+    return scd2_from_observations(
+        orders.select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"),
+        key_col="o_custkey",
+        attr_cols=["o_orderpriority"],
+        ts_col="o_orderdate",
+        tie_col="o_orderkey",
+    )
+
+
+_SCD2_SQL = """
+WITH w AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders),
+c AS (
+  SELECT * FROM w WHERE rn = 1 OR prev IS DISTINCT FROM o_orderpriority)
+SELECT o_custkey, o_orderpriority,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+FROM c
+"""
+
+#: Target source mixture for q_domain_mix (weights are relative, not
+#: normalized; total is the asked-for output size at any sf).
+_MIX_WEIGHTS = {"src1": 3.0, "src2": 2.0, "src3": 1.0, "src4": 1.0}
+_MIX_TOTAL = 12
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain mixing: deterministically downsample documents so the
+    output approximates a target source mixture — the corpus-mixture step of
+    a training-data build, rand()-free so retries and the oracle agree."""
+    from tibame_project_spark.partitioning import domain_mix_sample
+
+    docs = load(spark, sf_dir, "documents")
+    out = domain_mix_sample(
+        docs,
+        domain_col="source",
+        weights=_MIX_WEIGHTS,
+        total=_MIX_TOTAL,
+        id_col="doc_id",
+        base_hash=md5_base_hash,
+    )
+    return out.select("doc_id", "source")
+
+
+def _domain_mix_sql() -> str:
+    """DuckDB twin: identical Python-computed per-domain targets, identical
+    md5 hash-threshold selection."""
+    sum_w = float(sum(_MIX_WEIGHTS.values()))
+    vals = ", ".join(
+        f"('{d}', {w / sum_w * _MIX_TOTAL!r})" for d, w in _MIX_WEIGHTS.items()
+    )
+    return f"""
+WITH tgt(source, target) AS (VALUES {vals}),
+n AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+r AS (SELECT n.source, least(1.0, tgt.target / n.cnt) AS rate
+      FROM n JOIN tgt ON n.source = tgt.source)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r ON d.source = r.source
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1048576
+      < r.rate * 1048576
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS subtotal lattice (the general form of cube_rollup's
+    CUBE): per-(flag, status), per-flag, and grand-total rows in one pass —
+    Catalyst expands to a single Expand + partial agg, one shuffle."""
+    from tibame_project_spark.catalog import register_testdata
+
+    register_testdata(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_GROUPING_SETS_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       {_DSUM("l_quantity")} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1942,6 +2101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
+        "pack_sequences": q_pack_sequences,
+        "scd2_priority": q_scd2_priority,
+        "domain_mix": q_domain_mix,
+        "grouping_sets": q_grouping_sets,
     }
 
 
@@ -2005,6 +2168,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups": _embed_dups_sql(),
         "minhash_pairs": _minhash_pairs_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
-        # approx_users (HLL, approximate by design) and multimodal_features
-        # (Python fake decoder): rows-only.
+        "pack_sequences": _PACK_SQL,
+        "scd2_priority": _SCD2_SQL,
+        "domain_mix": _domain_mix_sql(),
+        "grouping_sets": _GROUPING_SETS_SQL,
+        "multimodal_features": _MULTIMODAL_FEATURES_SQL,
+        # approx_users (HLL, approximate by design) is the only rows-only
+        # entry left.
     }

@@ -341,3 +341,27 @@ def test_stream_to_serving_foreachbatch_jdbc(spark, tmp_path):
     stream_to_serving(stream, write_batch, ckpt)
     back = spark.read.jdbc(url, "serving_stream_t", properties=props)
     assert sorted((r.id, r.city) for r in back.collect()) == [(1, "台北"), (2, "台中")]
+
+
+def test_orc_round_trip_with_partitioning(spark, tmp_path):
+    from tibame_project_spark.sources.readers import read_orc
+    from tibame_project_spark.sources.writers import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-01"), (3, "c", "2024-01-02")],
+        ["id", "v", "day"],
+    )
+    path = str(tmp_path / "orc_tbl")
+    write_orc(df, path, partition_by="day")
+    back = read_orc(spark, path)
+    # partition-dir values are type-inferred (date-shaped strings -> DateType)
+    assert {(r.id, r.v, r.day) for r in back.collect()} == {
+        (1, "a", dt.date(2024, 1, 1)),
+        (2, "b", dt.date(2024, 1, 1)),
+        (3, "c", dt.date(2024, 1, 2)),
+    }
+    # partition pruning: a day filter must prune, not scan both partitions
+    pruned = back.filter(F.col("day") == "2024-01-02")
+    assert pruned.count() == 1
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "2024-01-02" in plan

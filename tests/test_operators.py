@@ -771,3 +771,102 @@ def test_tune_shuffle_partitions_bounds(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == "8192"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_pack_chunks_layout_and_overflow(spark):
+    from tibame_project_spark.functions.textstats import pack_chunks
+
+    chunks = spark.createDataFrame(
+        [
+            # one bucket (n_buckets=1): lay chunks end-to-end, capacity 10
+            (1, 0, 4), (1, 1, 4),        # cum 0, 4
+            (2, 0, 4),                   # cum 8 -> starts in seq 0 (overflow)
+            (3, 0, 4), (3, 1, 9),        # cum 12 -> seq 1; cum 16 -> seq 1
+            (4, 0, 1),                   # cum 25 -> seq 2
+        ],
+        ["doc_id", "chunk_idx", "n_tokens"],
+    )
+    out = {
+        (r.doc_id, r.chunk_idx): (r.seq_id, r.seq_offset)
+        for r in pack_chunks(chunks, seq_tokens=10, n_buckets=1).collect()
+    }
+    assert out == {
+        (1, 0): (0, 0), (1, 1): (0, 4),
+        (2, 0): (0, 8),          # straddles the boundary, stays in seq 0
+        (3, 0): (1, 2), (3, 1): (1, 6),
+        (4, 0): (2, 5),
+    }
+
+
+def test_pack_chunks_buckets_are_independent(spark):
+    from pyspark.sql import functions as F
+    from tibame_project_spark.functions.textstats import pack_chunks
+
+    chunks = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("chunk_idx"),
+        F.lit(7).alias("n_tokens"),
+    )
+    out = pack_chunks(chunks, seq_tokens=21, n_buckets=4)
+    # within every bucket, offsets restart and never exceed capacity
+    assert out.filter("seq_offset >= 21 OR seq_offset < 0").count() == 0
+    assert out.select("bucket").distinct().count() == 4
+    # stream layout is a pure function of (bucket, doc, idx): re-running agrees
+    again = {tuple(r) for r in pack_chunks(chunks, seq_tokens=21, n_buckets=4).collect()}
+    assert {tuple(r) for r in out.collect()} == again
+
+
+def test_scd2_collapses_and_closes_intervals(spark):
+    from tibame_project_spark.operators.scd import scd2_from_observations
+
+    obs = spark.createDataFrame(
+        [
+            # key 1: A, A (no change), B, B, A  -> intervals A, B, A
+            (1, "A", dt.datetime(2024, 1, 1), 10),
+            (1, "A", dt.datetime(2024, 1, 2), 11),
+            (1, "B", dt.datetime(2024, 1, 3), 12),
+            (1, "B", dt.datetime(2024, 1, 4), 13),
+            (1, "A", dt.datetime(2024, 1, 5), 14),
+            # key 2: same-timestamp tie broken by the tie column
+            (2, "X", dt.datetime(2024, 2, 1), 20),
+            (2, "Y", dt.datetime(2024, 2, 1), 21),
+        ],
+        ["k", "attr", "ts", "ev"],
+    )
+    out = scd2_from_observations(
+        obs, key_col="k", attr_cols=["attr"], ts_col="ts", tie_col="ev"
+    ).collect()
+    k1 = sorted([r for r in out if r.k == 1], key=lambda r: r.valid_from)
+    assert [r.attr for r in k1] == ["A", "B", "A"]
+    assert [r.is_current for r in k1] == [False, False, True]
+    assert k1[0].valid_to == dt.datetime(2024, 1, 3)
+    assert k1[1].valid_to == dt.datetime(2024, 1, 5)
+    assert k1[2].valid_to is None
+    k2 = sorted([r for r in out if r.k == 2], key=lambda r: r.valid_from or dt.datetime.min)
+    assert [r.attr for r in k2] == ["X", "Y"] and k2[1].is_current
+
+
+def test_domain_mix_sample_hits_targets(spark):
+    from pyspark.sql import functions as F
+    from tibame_project_spark.partitioning import domain_mix_sample
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("src"),
+    )  # 1000 rows per domain s0/s1/s2
+    out = domain_mix_sample(
+        df, domain_col="src", weights={"s0": 3.0, "s1": 1.0}, total=400,
+        id_col="doc_id",
+    )
+    got = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert set(got) == {"s0", "s1"}              # unweighted s2 dropped
+    # hash threshold approximates the asked-for 300/100 split
+    assert abs(got["s0"] - 300) < 60 and abs(got["s1"] - 100) < 40
+    # deterministic: same rows on re-run
+    assert {r.doc_id for r in out.collect()} == {
+        r.doc_id
+        for r in domain_mix_sample(
+            df, domain_col="src", weights={"s0": 3.0, "s1": 1.0}, total=400,
+            id_col="doc_id",
+        ).collect()
+    }

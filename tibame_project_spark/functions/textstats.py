@@ -361,3 +361,55 @@ def gopher_metrics(df, text_col: str, id_cols: list[str]):
             & (F.col("__dup3") <= 0.5)
         ).alias("passes"),
     )
+
+
+def pack_chunks(
+    chunks,
+    *,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "n_tokens",
+    seq_tokens: int = 256,
+    n_buckets: int = 16,
+    base_hash=None,
+):
+    """Sequence packing: assign fixed-size chunks to training sequences of
+    ~``seq_tokens`` tokens — the step between ``chunk_text`` and a trainer
+    that wants dense, fixed-length examples (concat-and-cut packing).
+
+    Strategy: documents are hash-assigned to ``n_buckets`` independent
+    packing streams; within a stream chunks are laid end-to-end in
+    (doc, chunk) order and a chunk belongs to the sequence where its first
+    token lands (``floor(exclusive_cumsum / seq_tokens)``). A chunk that
+    straddles a boundary stays in its starting sequence, so a sequence can
+    overflow by at most one chunk — the standard best-effort trade that
+    keeps packing a single window pass instead of a sequential first-fit.
+
+    Scale: the window partitions by bucket, so packing parallelizes across
+    ``n_buckets`` × shuffle — no global single-partition sort. At 100 TB,
+    size ``n_buckets`` ≥ cluster parallelism; streams stay independent so
+    adding buckets never changes intra-stream layout, only how many run at
+    once. Returns (bucket, seq_id, id, idx, n_tokens, seq_offset)."""
+    from pyspark.sql import Window
+
+    from tibame_project_spark.operators.dedup import xxhash_base_hash
+
+    bh = base_hash or xxhash_base_hash
+    bucket = (bh(F.col(id_col).cast("string")) % n_buckets).cast("int")
+    staged = chunks.select(
+        bucket.alias("bucket"), id_col, idx_col, tokens_col
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col, idx_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(tokens_col).over(w), F.lit(0).cast("long"))
+    return staged.select(
+        "bucket",
+        id_col,
+        idx_col,
+        F.col(tokens_col),
+        F.floor(cum / seq_tokens).cast("int").alias("seq_id"),
+        (cum % seq_tokens).cast("int").alias("seq_offset"),
+    )

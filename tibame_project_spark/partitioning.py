@@ -119,3 +119,42 @@ def salted_count_sum(
         aggs1.append(F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__s"))
         aggs2.append(F.sum("__s").cast("double").alias(f"sum_{value_col}"))
     return d.groupBy(*keys, "__salt").agg(*aggs1).groupBy(*keys).agg(*aggs2)
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    *,
+    domain_col: str,
+    weights: dict[str, float],
+    total: int,
+    id_col: str,
+    base_hash=None,
+) -> DataFrame:
+    """Deterministic weighted domain mixing: downsample each domain so the
+    output approximates ``total`` rows distributed per ``weights`` — the
+    "sample the corpus to a target source mixture" step of a training-data
+    build. Domains absent from ``weights`` are dropped.
+
+    Per-domain keep rate = min(1, target_c / n_c), applied as a pure
+    hash-threshold on ``id_col`` (no rand(): retries, re-runs, and an
+    external oracle all select the same rows; an over-asked domain keeps
+    everything rather than upsampling). The domain counts are one
+    aggregation whose result is broadcast back — the only full pass before
+    the filter, and the filter itself is map-side.
+    """
+    from tibame_project_spark.operators.dedup import xxhash_base_hash
+
+    bh = base_hash or xxhash_base_hash
+    sum_w = float(sum(weights.values()))
+    rate_rows = [(d, float(w) / sum_w * total) for d, w in weights.items()]
+    targets = df.sparkSession.createDataFrame(
+        rate_rows, f"{domain_col} string, __target double"
+    )
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    rates = counts.join(targets, domain_col).select(
+        domain_col,
+        F.least(F.lit(1.0), F.col("__target") / F.col("__n")).alias("__rate"),
+    )
+    scale = 1 << 20
+    keep = (bh(F.col(id_col).cast("string")) % scale) < F.col("__rate") * scale
+    return df.join(F.broadcast(rates), domain_col).filter(keep).drop("__rate")

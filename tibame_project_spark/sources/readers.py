@@ -62,3 +62,13 @@ def with_filename_column(df: DataFrame, col_name: str, pattern: str, group: int 
     name (``d_gmaps_places_src_to_ods.py:117-119``), place+ref-date from
     scrape filename (``fb_scraper/normalization.py:8-13``)."""
     return df.withColumn(col_name, F.regexp_extract(F.input_file_name(), pattern, group))
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC read — same external-table semantics as S1; ORC is the columnar
+    interchange format warehouses other than BigQuery commonly hand over
+    (Hive/Trino lakes). Vectorized reader + predicate pushdown are native."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

@@ -74,3 +74,18 @@ def write_jdbc(
     that's the connector jar; tests use the embedded Derby driver Spark
     already ships."""
     df.write.jdbc(url, table, mode=mode, properties=properties or {})
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: str | list[str] | None = None,
+) -> None:
+    """ORC sink — parity with write_parquet for Hive/Trino-consuming lakes."""
+    w = df.write.mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        w = w.partitionBy(*cols)
+    w.orc(path)
