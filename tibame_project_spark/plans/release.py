@@ -32,11 +32,20 @@ def release_corpus(
     chunk_tokens: int = 64,
     decontaminate_n: int = 5,
     base_hash=None,
+    materialize: bool = True,
 ) -> DataFrame:
     """documents × benchmark → released chunks with provenance.
 
     Returns (id, chunk_idx, chunk, n_tokens) for every surviving document.
     ``base_hash`` forwards to ``decontaminate`` (md5 for oracle parity).
+
+    ``materialize`` persists the post-exact-dedup frame: decontamination
+    consumes it on two branches (gram explode + anti-join), and without a
+    barrier Catalyst re-executes the entire five-stage upstream lineage for
+    each branch — 2× the quality battery, scrub, and both dedup shuffles.
+    At 100 TB the same barrier is a parquet materialization between
+    pipeline stages (checkpoint-restart for free); in-session, persist()
+    is the equivalent move.
     """
     from tibame_project_spark.functions.pii import scrub_pii
     from tibame_project_spark.functions.textstats import chunk_text, gopher_metrics
@@ -47,12 +56,16 @@ def release_corpus(
     )
     from pyspark.sql import Window
 
-    # 1. quality gate (narrow; the staged single-pass battery)
-    passed_ids = (
-        gopher_metrics(docs, text_col, [id_col])
-        .filter(F.col("passes"))
-        .select(id_col)
-    )
+    # 1. quality gate (narrow; the staged single-pass battery). The verdict
+    # is persisted BEFORE filtering: filtering the projection directly lets
+    # PushPredicateThroughNonJoin inline the whole staged HOF battery into
+    # one per-row predicate — staging undone, every metric re-evaluated
+    # inside every comparison (measured 7× slower). The barrier is (id,
+    # passes) — bytes per row at any corpus size.
+    gate = gopher_metrics(docs, text_col, [id_col]).select(id_col, "passes")
+    if materialize:
+        gate = gate.persist()
+    passed_ids = gate.filter(F.col("passes")).select(id_col)
     passed = docs.join(passed_ids, id_col, "left_semi").select(id_col, text_col)
 
     # 2. PII scrub (narrow) — before hashing so dedup keys see released text
@@ -70,6 +83,8 @@ def release_corpus(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    if materialize:
+        exact = exact.persist()
 
     # 5. benchmark decontamination (hashed n-gram overlap, broadcast bench)
     clean = decontaminate(
