@@ -168,20 +168,22 @@ def minhash_signature(
     ``base_hash=md5_base_hash`` for oracle parity); each permutation is
     min((a*h+b) mod p). Empty shingle set → NULL signature.
 
-    Single-pass form: one aggregate over the shingles, carrying the
-    element-wise running min of all ``num_perm`` permuted hashes — the base
-    hash is evaluated exactly once per shingle (the naive
-    one-array_min-per-permutation spelling re-hashes every shingle
-    ``num_perm`` times)."""
+    Single-pass form: shingles are base-hashed ONCE via a ``transform``
+    (yielding an array of longs), and the aggregate's step references the
+    hash only through its lambda variable. Spelling the base hash inside
+    the step instead inlines it into every permutation expression — HOFs
+    are interpreted with no common-subexpression elimination, so that
+    spelling pays ``num_perm`` base hashes per shingle (measured ~10× on
+    the md5 base hash)."""
     perms = _perm_params(num_perm, seed)
     init = F.array_repeat(F.lit(_P).cast("long"), num_perm)
+    hashed = F.transform(shingle_col, lambda s: base_hash(s) % _P)
 
-    def step(acc: Column, s: Column) -> Column:
-        h = base_hash(s) % _P
+    def step(acc: Column, h: Column) -> Column:
         vals = F.array(*[(h * a + b) % _P for a, b in perms])
         return F.zip_with(acc, vals, lambda x, y: F.least(x, y))
 
-    sig = F.aggregate(shingle_col, init, step)
+    sig = F.aggregate(hashed, init, step)
     return F.when(F.size(shingle_col) > 0, sig)
 
 

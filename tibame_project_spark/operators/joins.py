@@ -235,40 +235,45 @@ def fuzzy_top1_join_blocked(
     rows = num_perm // bands
 
     def banded(rel: DataFrame, col: str) -> DataFrame:
+        # Explode the band INDEX first, then slice the signature per output
+        # row: building all band hashes inside one explode(array(struct…))
+        # re-inlines the signature aggregate into every band expression —
+        # measured ~bands× the sketch cost (the generator input is one
+        # expression tree, so the multi-use staging that protects projections
+        # does not apply). Post-explode, __sig is a carried column computed
+        # once per input row; each band row pays only element_at + md5.
         s = F.lower(F.trim(F.col(col)))
         k = F.greatest(F.length(s) - (n - 1), F.lit(1))
         grams = F.array_distinct(
             F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(s, i, n))
         )
         sig = minhash_signature(grams, num_perm, base_hash=base_hash)
-        return rel.withColumn("__sig", sig).select(
-            *rel.columns,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band"),
-                            F.md5(
-                                F.concat_ws(
-                                    ",",
-                                    *[
-                                        F.element_at("__sig", i * rows + j + 1)
-                                        for j in range(rows)
-                                    ],
-                                )
-                            ).alias("bh"),
-                        )
-                        for i in range(bands)
-                    ]
-                )
-            ).alias("__b"),
-        ).select(*rel.columns, "__b.band", "__b.bh")
+        bh = F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at(
+                        "__sig", (F.col("band") * rows + (j + 1)).cast("int")
+                    )
+                    for j in range(rows)
+                ],
+            )
+        )
+        return (
+            rel.withColumn("__sig", sig)
+            .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+            .select(*rel.columns, "band", bh.alias("bh"))
+        )
 
+    # A pair may collide in several bands; duplicates are NOT removed here —
+    # MIN is duplicate-insensitive, so a distinct() would only re-shuffle
+    # the full candidate set to save ≤ bands× map-side levenshteins. Leaving
+    # them in keeps the pair stream map-side: the partial MIN collapses each
+    # scan partition to one row per left key before the only extra shuffle.
     cand = (
         banded(df, left_col)
         .join(banded(dim, right_col), ["band", "bh"])
         .drop("band", "bh")
-        .distinct()  # a pair may collide in several bands
     )
     dist = F.levenshtein(F.col(left_col), F.col(right_col))
     order_fields = [dist.alias("__d"), F.col(right_col).alias("__m")] + [
