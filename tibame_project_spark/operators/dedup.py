@@ -447,22 +447,23 @@ def simhash(text: Column, base_hash=F.xxhash64) -> Column:
     non-negative bits — bits 60-62 then always clear, consistently on both
     engines) for an externally-verifiable sketch.
 
-    Single-pass form: one aggregate over the tokens carrying an array of 63
-    signed counters (zip_with add of each token's ±1 bit vector) — the base
-    hash runs exactly once per token, instead of once per token *per bit* as
-    in the naive one-aggregate-per-bit spelling.
+    Single-pass form: tokens are base-hashed ONCE via a ``transform`` and
+    the aggregate's step sees the hash only as its lambda variable. With
+    the hash spelled inside the step it sits as a subtree under the
+    per-mask transform, and interpreted HOFs re-evaluate it for every one
+    of the 63 masks — once per token *per bit*.
     """
     toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != "")
     masks = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
+    hashed = F.transform(toks, lambda t: base_hash(t))
 
-    def step(acc: Column, t: Column) -> Column:
-        h = base_hash(t)
+    def step(acc: Column, h: Column) -> Column:
         signs = F.transform(
             masks, lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
         )
         return F.zip_with(acc, signs, lambda a, s: a + s)
 
-    counts = F.aggregate(toks, F.array_repeat(F.lit(0), SIMHASH_BITS), step)
+    counts = F.aggregate(hashed, F.array_repeat(F.lit(0), SIMHASH_BITS), step)
     bits = F.zip_with(
         counts, masks, lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long"))
     )
