@@ -1213,7 +1213,7 @@ def q_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     query interface, served by Catalyst instead of a remote warehouse."""
     from tibame_project_spark.catalog import register_testdata
 
-    register_testdata(spark, sf_dir)
+    register_testdata(spark, sf_dir, ["orders", "customer", "nation"])
     return spark.sql(
         """
         SELECT n_name AS nation, COUNT(*) AS n_orders,
@@ -2012,13 +2012,78 @@ WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10
 """
 
 
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 boilerplate line filtering (Raffel et al. 2020 §2.2): terminal
+    punctuation, ≥3 words, no boilerplate markers; docs reassembled in
+    line order. Output carries the filtered-text md5 so any span
+    difference hash-mismatches."""
+    from tibame_project_spark.functions.textstats import c4_line_filter
+
+    docs = load(spark, sf_dir, "documents")
+    out = c4_line_filter(docs, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    )
+
+
+_C4_FILTER_SQL = r"""
+WITH l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+  FROM documents),
+k AS (
+  SELECT doc_id, pos, line,
+         regexp_matches(trim(line), '[.!?"]$')
+         AND len(list_filter(string_split_regex(trim(line), '\s+'), x -> x <> '')) >= 3
+         AND NOT contains(lower(trim(line)), 'lorem ipsum')
+         AND NOT contains(lower(trim(line)), 'javascript')
+         AND NOT contains(lower(trim(line)), '{') AS keep
+  FROM l)
+SELECT doc_id,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '')) AS text_md5,
+       CAST(coalesce(SUM(CASE WHEN keep THEN 1 END), 0) AS INTEGER) AS n_lines_kept,
+       CAST(coalesce(SUM(CASE WHEN NOT keep THEN 1 END), 0) AS INTEGER) AS n_lines_dropped
+FROM k GROUP BY doc_id
+"""
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-filter shape with the corpus itself as the unigram LM:
+    per-doc mean corpus-frequency of token occurrences + rare-token ratio.
+    Rational arithmetic only (exact cross-engine); a real KenLM scorer
+    slots into the same plan as a pandas UDF."""
+    from tibame_project_spark.functions.textstats import unigram_lm_score
+
+    docs = load(spark, sf_dir, "documents")
+    return unigram_lm_score(docs, "text", "doc_id")
+
+
+_LM_SCORE_SQL = r"""
+WITH occ AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS token
+  FROM documents),
+v AS (SELECT token, COUNT(*) AS cnt FROM occ GROUP BY token)
+SELECT occ.doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+       CAST(SUM(cnt) AS BIGINT) AS sum_freq,
+       SUM(cnt) / COUNT(*) AS mean_freq,
+       SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) / COUNT(*) AS rare_ratio
+FROM occ JOIN v USING (token)
+GROUP BY occ.doc_id
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS subtotal lattice (the general form of cube_rollup's
     CUBE): per-(flag, status), per-flag, and grand-total rows in one pass —
     Catalyst expands to a single Expand + partial agg, one shuffle."""
     from tibame_project_spark.catalog import register_testdata
 
-    register_testdata(spark, sf_dir)
+    register_testdata(spark, sf_dir, ["lineitem"])
     return spark.sql(_GROUPING_SETS_SQL)
 
 
@@ -2105,6 +2170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_priority": q_scd2_priority,
         "domain_mix": q_domain_mix,
         "grouping_sets": q_grouping_sets,
+        "c4_filter": q_c4_filter,
+        "lm_score": q_lm_score,
     }
 
 
@@ -2172,6 +2239,8 @@ def oracle_sql() -> dict[str, str]:
         "scd2_priority": _SCD2_SQL,
         "domain_mix": _domain_mix_sql(),
         "grouping_sets": _GROUPING_SETS_SQL,
+        "c4_filter": _C4_FILTER_SQL,
+        "lm_score": _LM_SCORE_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         # approx_users (HLL, approximate by design) is the only rows-only
         # entry left.

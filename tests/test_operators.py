@@ -870,3 +870,38 @@ def test_domain_mix_sample_hits_targets(spark):
             id_col="doc_id",
         ).collect()
     }
+
+
+def test_c4_line_filter_rules(spark):
+    from tibame_project_spark.functions.textstats import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A good long sentence stays here.\nshort.\nno terminal punct here\n"
+                "Click here to enable JavaScript now.\nfunction() { return 1; }\n"
+                "Another keeper line survives too!"),
+            (2, "lorem ipsum dolor sit amet."),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in c4_line_filter(docs, "text", "doc_id").collect()}
+    assert out[1].text == "A good long sentence stays here.\nAnother keeper line survives too!"
+    assert (out[1].n_lines_kept, out[1].n_lines_dropped) == (2, 4)
+    assert out[2].text == "" and out[2].n_lines_kept == 0
+
+
+def test_unigram_lm_score_values(spark):
+    from tibame_project_spark.functions.textstats import unigram_lm_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the cat"),     # the:3 (corpus), cat:1
+            (2, "the dog dog"),     # dog:2
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in unigram_lm_score(docs, "text", "doc_id").collect()}
+    # corpus counts: the=3, cat=1, dog=2
+    assert out[1].n_tokens == 3 and out[1].sum_freq == 3 + 3 + 1
+    assert out[1].mean_freq == 7 / 3 and out[1].rare_ratio == 1 / 3
+    assert out[2].sum_freq == 3 + 2 + 2 and out[2].rare_ratio == 0.0

@@ -51,14 +51,19 @@ def ensure_layers(spark: SparkSession, location: str | None = None) -> None:
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {layer}{loc}")
 
 
-def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def register_testdata(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> dict[str, DataFrame]:
     """Register each testdata parquet as a temp view named after the table.
 
     Equivalent of the reference's external-table-over-glob bootstrap
     (``airflow/utils/gcp.py:132-201``) for the driver's synthetic tables.
+    ``tables`` narrows registration to the views a query actually reads —
+    view creation is per-table driver work (schema resolution), so callers
+    on a hot path shouldn't pay for ten tables to use one.
     """
     out: dict[str, DataFrame] = {}
-    for t in TESTDATA_TABLES:
+    for t in tables if tables is not None else TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             df = load(spark, sf_dir, t)

@@ -413,3 +413,91 @@ def pack_chunks(
         F.floor(cum / seq_tokens).cast("int").alias("seq_id"),
         (cum % seq_tokens).cast("int").alias("seq_offset"),
     )
+
+
+#: C4-style boilerplate line rules (Raffel et al. 2020 §2.2, public method):
+#: a line survives only if it ends in terminal punctuation, has at least
+#: three words, and contains no code/boilerplate markers. The marker list is
+#: explicit (not a regex class) so a SQL oracle replicates it verbatim.
+C4_LINE_MIN_WORDS = 3
+C4_BAD_MARKERS = ("lorem ipsum", "javascript", "{")
+
+
+def c4_line_filter(df, text_col: str, id_col: str):
+    """C4 boilerplate line filtering: drop lines that don't end in terminal
+    punctuation (``.!?"``), have fewer than three words, or contain a
+    boilerplate marker; reassemble surviving lines in document order.
+    Returns (id, text, n_lines_kept, n_lines_dropped); fully-boilerplate
+    documents come back with empty text (callers filter).
+
+    Scale shape: narrow per-row explode → per-line column predicates →
+    one groupBy on the doc id for reassembly. No corpus-wide state (unlike
+    ``line_dedup_corpus``), so the only shuffle is the reassembly."""
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("__pos", "__line"),
+    )
+    t = F.trim(F.col("__line"))
+    lw = F.lower(t)
+    n_words = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+    keep = t.rlike('[.!?"]$') & (n_words >= C4_LINE_MIN_WORDS)
+    for marker in C4_BAD_MARKERS:
+        keep = keep & ~lw.contains(marker)
+    kept = lines.withColumn("__keep", keep)
+    return (
+        kept.groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("__keep"), F.struct("__pos", "__line"))
+                )
+            ).alias("__kl"),
+            F.sum(F.when(F.col("__keep"), 0).otherwise(1)).cast("int").alias("n_lines_dropped"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.concat_ws("\n", F.transform("__kl", lambda s: s["__line"])).alias(text_col),
+            F.size("__kl").cast("int").alias("n_lines_kept"),
+            "n_lines_dropped",
+        )
+    )
+
+
+def unigram_lm_score(df, text_col: str, id_col: str):
+    """Statistical language-model quality proxy: score each document by the
+    corpus-frequency of its own tokens — the shape of a perplexity filter
+    (CCNet-style) with the corpus itself as the unigram LM, so no external
+    model is needed and every value stays rational (exact across engines;
+    a real KenLM scorer would slot into the same plan as a pandas UDF).
+
+    Returns (id, n_tokens, sum_freq, mean_freq, rare_ratio): ``sum_freq``
+    sums each token occurrence's corpus count (exact bigint), ``mean_freq``
+    divides once at the end (one double op, no accumulation drift), and
+    ``rare_ratio`` is the fraction of occurrences whose token appears
+    exactly once in the corpus — high values flag gibberish.
+
+    Scale shape: explode → (token) count agg → join back on the token
+    shuffle key (co-partitioned, not broadcast — survives web-scale
+    vocabularies) → per-doc agg. Same 3-shuffle budget as ``top_terms``."""
+    occ = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    vocab = occ.groupBy("token").agg(F.count(F.lit(1)).alias("__cnt"))
+    return (
+        occ.join(vocab, "token")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum("__cnt").alias("sum_freq"),
+            (F.sum("__cnt") / F.count(F.lit(1))).alias("mean_freq"),
+            (
+                F.sum(F.when(F.col("__cnt") == 1, 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("rare_ratio"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens", "sum_freq", "mean_freq", "rare_ratio",
+        )
+    )
