@@ -175,3 +175,57 @@ def test_kmeans_broadcasts_centroids(spark):
     # broadcast, never a shuffle of the items; the k-row centroid↔size
     # metadata join at the end is free either way and not asserted
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pack_sequences_windows_by_bucket_not_globally(spark):
+    """Packing must parallelize: the cumsum window partitions by bucket, so
+    the sort is within hash partitions — a global (empty-key) window would
+    single-partition the whole corpus at 100 TB."""
+    plan = _plan(entry.q_pack_sequences(spark, SF_DIR))
+    assert "partitionBy" not in plan  # sanity: no API leak in plan text
+    assert "Window" in plan
+    # the exchange feeding the window is hashpartitioning on bucket, not
+    # SinglePartition
+    win_idx = plan.index("Window")
+    exch = plan[win_idx:].split("Exchange")[1][:120] if "Exchange" in plan[win_idx:] else plan.split("Exchange")[1][:120]
+    assert "SinglePartition" not in exch
+
+
+def test_scd2_single_shuffle_on_key(spark):
+    """Both window passes and the change-filter share one key partitioning:
+    exactly one exchange on o_custkey."""
+    plan = _plan(entry.q_scd2_priority(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_domain_mix_broadcasts_rates_and_keeps_filter_mapside(spark):
+    """The per-domain rate relation (|domains| rows) must broadcast; the
+    selection itself is a filter, never a shuffle of the corpus."""
+    plan = _plan(entry.q_domain_mix(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_c4_filter_single_reassembly_shuffle(spark):
+    """Line filtering is per-row; the only exchange is the doc-id
+    reassembly groupBy (partial_count runs map-side before it)."""
+    plan = _plan(entry.q_c4_filter(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_lm_score_vocab_join_not_pinned_to_broadcast(spark):
+    """At toy scale Catalyst broadcasts the (tiny) vocabulary — the right
+    call. What must hold for web-scale vocabularies is that nothing PINS
+    the join to broadcast: with auto-broadcast off, the plan degrades to a
+    co-partitioned shuffle join on token, and the vocab side still
+    partial-aggregates before its exchange."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(entry.q_lm_score(spark, SF_DIR))
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+        assert "partial_count" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
