@@ -2012,6 +2012,85 @@ WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10
 """
 
 
+def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving aggregate per event type — the RANGE-frame window
+    surface (trend smoothing over the daily rollup). The frame ranges over
+    epoch-day numbers, so gaps in the calendar are honored (a RANGE frame,
+    not a ROWS frame over whatever days happen to exist)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("event_type", "day")
+        # keep the daily total DECIMAL through the window: sliding-frame
+        # sums over doubles accumulate in engine-specific order (segment
+        # trees vs running sums) — decimal partials are order-exact
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("__dec"))
+        .withColumn("day_num", F.datediff("day", F.lit("1970-01-01")))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("__dec").cast("double").alias("day_total"),
+        F.sum("__dec").over(w).cast("double").alias("sum_7d"),
+        F.count(F.lit(1)).over(w).cast("int").alias("n_days_7d"),
+        (
+            F.sum("__dec").over(w).cast("double") / F.count(F.lit(1)).over(w)
+        ).alias("avg_7d"),
+    )
+
+
+_ROLLING_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,2))) AS dec_total,
+         datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_num
+  FROM events GROUP BY 1, 2)
+SELECT event_type, day, CAST(dec_total AS DOUBLE) AS day_total,
+       CAST(SUM(dec_total) OVER w AS DOUBLE) AS sum_7d,
+       CAST(COUNT(*) OVER w AS INTEGER) AS n_days_7d,
+       CAST(SUM(dec_total) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_7d
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface: ntile quartiles, percent_rank and
+    cume_dist over order value within each priority class — deterministic
+    via the (price, key) tie-break, all values rational."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+_RANK_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 boilerplate line filtering (Raffel et al. 2020 §2.2): terminal
     punctuation, ≥3 words, no boilerplate markers; docs reassembled in
@@ -2172,6 +2251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "c4_filter": q_c4_filter,
         "lm_score": q_lm_score,
+        "rolling_avg": q_rolling_avg,
+        "rank_functions": q_rank_functions,
     }
 
 
@@ -2241,6 +2322,8 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets": _GROUPING_SETS_SQL,
         "c4_filter": _C4_FILTER_SQL,
         "lm_score": _LM_SCORE_SQL,
+        "rolling_avg": _ROLLING_SQL,
+        "rank_functions": _RANK_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         # approx_users (HLL, approximate by design) is the only rows-only
         # entry left.

@@ -365,3 +365,38 @@ def test_orc_round_trip_with_partitioning(spark, tmp_path):
     assert pruned.count() == 1
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "2024-01-02" in plan
+
+
+def test_seen_keys_dedup_exactly_once_across_batches(spark, tmp_path):
+    """transformWithState tier: re-delivered (user, event) pairs are
+    swallowed even in a later micro-batch (past any watermark).
+
+    The transformWithState runtime speaks protobuf to its Python state
+    server; skipped where google.protobuf is absent (this container)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from tibame_project_spark.streaming.stateful import seen_keys_dedup
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    schema = "user_id long, event_id long"
+
+    def run_hop(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).parquet(src)
+        (
+            seen_keys_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_hop([(1, 100), (1, 100), (1, 101), (2, 100)])
+    run_hop([(1, 100), (1, 102), (2, 100), (2, 101)])  # 100s are re-deliveries
+
+    rows = [(r.user_id, r.event_id) for r in spark.read.parquet(out).collect()]
+    assert sorted(rows) == [(1, 100), (1, 101), (1, 102), (2, 100), (2, 101)]

@@ -49,3 +49,59 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def seen_keys_dedup(events: DataFrame, *, ttl_ms: int | None = None) -> DataFrame:
+    """First-occurrence pass-through on the transformWithState API (the
+    arbitrary-state successor to applyInPandasWithState): emit each
+    (user_id, event_id) exactly once across micro-batches; re-deliveries
+    are swallowed by a per-user ValueState set of seen event ids.
+
+    Unlike ``streaming_dedup`` (dropDuplicatesWithinWatermark), the seen
+    set here survives past any watermark — exactly-once forever, with the
+    state-size trade made explicit via ``ttl_ms`` (state TTL evicts idle
+    users; None keeps them indefinitely). State partitions by user hash
+    like any groupBy, so scale-out and skew behave like the rest of the
+    engine.
+
+    Runtime dependency: transformWithState's Python state server speaks
+    protobuf — environments without ``google.protobuf`` (this container)
+    fail at stream start with an ImportError from Spark's driver worker;
+    the covering test importorskips on exactly that.
+    """
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ttl = ttl_ms  # captured by the processor below
+
+    class SeenKeys(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType([StructField("ids", ArrayType(LongType()))])
+            self._seen = handle.getValueState("seen", schema, ttlDurationMs=ttl)
+
+        def handleInputRows(self, key, rows, timerValues):
+            seen = set(self._seen.get()[0]) if self._seen.exists() else set()
+            out = []
+            for pdf in rows:
+                for eid in pdf["event_id"]:
+                    e = int(eid)
+                    if e not in seen:
+                        seen.add(e)
+                        out.append(e)
+            self._seen.update(([*map(int, sorted(seen))],))
+            yield pd.DataFrame({"user_id": [key[0]] * len(out), "event_id": out})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        SeenKeys(),
+        outputStructType="user_id long, event_id long",
+        outputMode="append",
+        timeMode="none",
+    )
