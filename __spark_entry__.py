@@ -2156,6 +2156,71 @@ GROUP BY occ.doc_id
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two table snapshots (insert/delete/update/same tags):
+    what a WRITE_TRUNCATE warehouse publishes as an increment. Snapshots
+    are carved deterministically from customer (mod-11 missing from old,
+    mod-13 missing from new, mod-7 balances shifted)."""
+    from tibame_project_spark.operators.corrections import snapshot_diff
+
+    cust = load(spark, sf_dir, "customer")
+    old = cust.filter(F.col("c_custkey") % 11 != 0).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    new = cust.filter(F.col("c_custkey") % 13 != 0).select(
+        "c_custkey",
+        "c_name",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100.0
+        ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+    )
+    return snapshot_diff(old, new, "c_custkey")
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH o AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 11 <> 0),
+n AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 13 <> 0)
+SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+       CASE WHEN n.c_custkey IS NULL THEN 'delete'
+            WHEN o.c_custkey IS NULL THEN 'insert'
+            WHEN o.c_name IS DISTINCT FROM n.c_name
+                 OR o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'update'
+            ELSE 'same' END AS op,
+       o.c_name AS old_c_name, o.c_acctbal AS old_c_acctbal,
+       n.c_name AS new_c_name, n.c_acctbal AS new_c_acctbal
+FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey
+"""
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style profile of customer: one scan for all columns'
+    (n_rows, n_null, n_distinct) — integer-only stats, so bit-exact across
+    engines."""
+    from tibame_project_spark.catalog import profile_table
+
+    cust = load(spark, sf_dir, "customer")
+    return profile_table(
+        cust, ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    )
+
+
+_PROFILE_SQL = """
+SELECT 'c_name' AS "column", COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(c_name) AS n_null, COUNT(DISTINCT c_name) AS n_distinct
+FROM customer
+UNION ALL
+SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(c_nationkey), COUNT(DISTINCT c_nationkey) FROM customer
+UNION ALL
+SELECT 'c_acctbal', COUNT(*), COUNT(*) - COUNT(c_acctbal), COUNT(DISTINCT c_acctbal) FROM customer
+UNION ALL
+SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment), COUNT(DISTINCT c_mktsegment) FROM customer
+"""
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS subtotal lattice (the general form of cube_rollup's
     CUBE): per-(flag, status), per-flag, and grand-total rows in one pass —
@@ -2253,6 +2318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "rolling_avg": q_rolling_avg,
         "rank_functions": q_rank_functions,
+        "snapshot_diff": q_snapshot_diff,
+        "profile_table": q_profile_table,
     }
 
 
@@ -2324,6 +2391,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": _LM_SCORE_SQL,
         "rolling_avg": _ROLLING_SQL,
         "rank_functions": _RANK_SQL,
+        "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "profile_table": _PROFILE_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         # approx_users (HLL, approximate by design) is the only rows-only
         # entry left.

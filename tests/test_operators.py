@@ -905,3 +905,37 @@ def test_unigram_lm_score_values(spark):
     assert out[1].n_tokens == 3 and out[1].sum_freq == 3 + 3 + 1
     assert out[1].mean_freq == 7 / 3 and out[1].rare_ratio == 1 / 3
     assert out[2].sum_freq == 3 + 2 + 2 and out[2].rare_ratio == 0.0
+
+
+def test_snapshot_diff_tags_and_nullsafety(spark):
+    from tibame_project_spark.operators.corrections import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "k long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),      # same
+         (2, "b", 2.0),      # NULL -> value = update
+         (3, None, 3.0),     # value -> NULL = update
+         (5, "e", 5.0)],     # insert; 4 deleted
+        "k long, name string, v double",
+    )
+    out = {r.k: r for r in snapshot_diff(old, new, "k").collect()}
+    assert out[1].op == "same"
+    assert out[2].op == "update" and out[2].old_v is None and out[2].new_v == 2.0
+    assert out[3].op == "update" and out[3].new_name is None
+    assert out[4].op == "delete" and out[4].new_name is None
+    assert out[5].op == "insert" and out[5].old_name is None
+
+
+def test_profile_table_counts(spark):
+    from tibame_project_spark.catalog import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, None), (None, "y")],
+        "a long, b string",
+    )
+    out = {r.column: r for r in profile_table(df).collect()}
+    assert (out["a"].n_rows, out["a"].n_null, out["a"].n_distinct) == (4, 1, 3)
+    assert (out["b"].n_rows, out["b"].n_null, out["b"].n_distinct) == (4, 1, 2)

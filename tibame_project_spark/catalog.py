@@ -136,3 +136,34 @@ def rename_table(spark: SparkSession, src: str, dst: str) -> None:
     copy+drop, ``airflow/utils/gcp.py:385-445``; Spark's metastore rename is
     atomic for managed tables)."""
     spark.sql(f"ALTER TABLE {src} RENAME TO {dst}")
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """ANALYZE-style column profile: (column, n_rows, n_null, n_distinct)
+    per profiled column — the stats a planner (or a data steward) wants
+    before trusting a new feed. Restricted to counts on purpose: min/max
+    would need cross-engine-stable value formatting; counts are integers
+    everywhere.
+
+    One aggregation pass over the table (Catalyst expands the multiple
+    exact count-distincts into a single Expand + two-stage aggregate), then
+    a k-row explode of the wide result — profile cost is one scan
+    regardless of how many columns are profiled."""
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"__null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__dist_{c}"))
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__null_{c}").alias("n_null"),
+                F.col(f"__dist_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(entries).alias("__e")).select("__e.*")
