@@ -2156,6 +2156,80 @@ GROUP BY occ.doc_id
 """
 
 
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split is a hash of the
+    document's SOURCE (all docs of a source land together — near-dups
+    can't straddle train and eval). Map-side, rand()-free."""
+    from tibame_project_spark.partitioning import leakage_safe_split
+
+    docs = load(spark, sf_dir, "documents")
+    out = leakage_safe_split(
+        docs,
+        group_col="source",
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        base_hash=md5_base_hash,
+    )
+    return out.select("doc_id", "source", "split")
+
+
+_TRAIN_SPLIT_SQL = """
+SELECT doc_id, source,
+       CASE WHEN h < 0.8 * 1048576 THEN 'train'
+            WHEN h < 0.9 * 1048576 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(source), 1, 15) AS BIGINT) % 1048576 AS h
+  FROM documents) t
+"""
+
+
+def q_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the per-(type, month) mart is
+    refreshed by merging the standing aggregate (events before June) with
+    the delta's aggregate (June onward) — and the ORACLE is the full
+    recompute over all events, so the decomposition itself is what's
+    hash-checked."""
+    from tibame_project_spark.operators.corrections import merge_aggregates
+
+    ev = load(spark, sf_dir, "events").withColumn("m", F.month("ts"))
+    cutoff = F.col("m") >= 6
+
+    def agg(rel):
+        return rel.groupBy("event_type", "m").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("__dec"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    merged = merge_aggregates(
+        agg(ev.filter(~cutoff)),
+        agg(ev.filter(cutoff)),
+        ["event_type", "m"],
+        counts=["n"],
+        sums=["__dec"],
+        mins=["min_value"],
+        maxs=["max_value"],
+    )
+    return merged.select(
+        "event_type",
+        "m",
+        "n",
+        F.col("__dec").cast("double").alias("total_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+_INCREMENTAL_MART_SQL = f"""
+SELECT event_type, CAST(month(ts) AS INTEGER) AS m, COUNT(*) AS n,
+       {_DSUM("value")} AS total_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC between two table snapshots (insert/delete/update/same tags):
     what a WRITE_TRUNCATE warehouse publishes as an increment. Snapshots
@@ -2320,6 +2394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_functions": q_rank_functions,
         "snapshot_diff": q_snapshot_diff,
         "profile_table": q_profile_table,
+        "train_split": q_train_split,
+        "incremental_mart": q_incremental_mart,
     }
 
 
@@ -2393,6 +2469,8 @@ def oracle_sql() -> dict[str, str]:
         "rank_functions": _RANK_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "profile_table": _PROFILE_SQL,
+        "train_split": _TRAIN_SPLIT_SQL,
+        "incremental_mart": _INCREMENTAL_MART_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         # approx_users (HLL, approximate by design) is the only rows-only
         # entry left.

@@ -939,3 +939,57 @@ def test_profile_table_counts(spark):
     out = {r.column: r for r in profile_table(df).collect()}
     assert (out["a"].n_rows, out["a"].n_null, out["a"].n_distinct) == (4, 1, 3)
     assert (out["b"].n_rows, out["b"].n_null, out["b"].n_distinct) == (4, 1, 2)
+
+
+def test_leakage_safe_split_groups_stay_together(spark):
+    from pyspark.sql import functions as F
+    from tibame_project_spark.partitioning import leakage_safe_split
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("g"), (F.col("id") % 50).cast("string")).alias("grp"),
+    )
+    out = leakage_safe_split(
+        df, group_col="grp", fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    # every group maps to exactly one split (the leakage guard)
+    assert (
+        out.groupBy("grp").agg(F.countDistinct("split").alias("k"))
+        .filter("k != 1").count() == 0
+    )
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    # deterministic across runs
+    a = {(r.doc_id, r.split) for r in out.collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in leakage_safe_split(
+            df, group_col="grp", fractions={"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert a == b
+
+
+def test_merge_aggregates_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+    from tibame_project_spark.operators.corrections import merge_aggregates
+
+    rows = [(i % 3, float(i), 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "k int, v double, one int")
+
+    def agg(rel):
+        return rel.groupBy("k").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+
+    inc = merge_aggregates(
+        agg(df.filter("v < 50")), agg(df.filter("v >= 50")),
+        ["k"], counts=["n"], sums=["s"], mins=["mn"], maxs=["mx"],
+    )
+    full = agg(df)
+    a = {tuple(r) for r in inc.select("k", "n", F.col("s").cast("double"), "mn", "mx").collect()}
+    b = {tuple(r) for r in full.select("k", "n", F.col("s").cast("double"), "mn", "mx").collect()}
+    assert a == b

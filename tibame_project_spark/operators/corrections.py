@@ -89,3 +89,35 @@ def snapshot_diff(
         *[F.col(f"o.{c}").alias(f"old_{c}") for c in cols],
         *[F.col(f"n.{c}").alias(f"new_{c}") for c in cols],
     )
+
+
+def merge_aggregates(
+    old_agg: DataFrame,
+    delta_agg: DataFrame,
+    keys: list[str],
+    *,
+    counts: list[str] = (),
+    sums: list[str] = (),
+    mins: list[str] = (),
+    maxs: list[str] = (),
+) -> DataFrame:
+    """Incremental aggregate maintenance: combine an existing aggregate
+    table with the aggregate of a new delta — the daily mart refresh that
+    reads only the day's partition instead of recomputing the full history
+    (the reference recomputes every mart wholesale each run,
+    ``d_gmaps_mart_review_trends.py:71-106``).
+
+    Only decomposable measures are accepted (counts/sums/mins/maxs —
+    averages belong downstream as sum/count). The merge is a unionByName +
+    one groupBy on the aggregate keys: cost scales with |aggregate| +
+    |delta|, never with history. Exactness requires the inputs to carry
+    exact partials (bigint counts, decimal sums) — the same discipline the
+    engine's aggregation queries already follow."""
+    merged = old_agg.unionByName(delta_agg)
+    aggs = (
+        [F.sum(c).alias(c) for c in counts]
+        + [F.sum(c).alias(c) for c in sums]
+        + [F.min(c).alias(c) for c in mins]
+        + [F.max(c).alias(c) for c in maxs]
+    )
+    return merged.groupBy(*keys).agg(*aggs)

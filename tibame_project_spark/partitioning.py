@@ -158,3 +158,37 @@ def domain_mix_sample(
     scale = 1 << 20
     keep = (bh(F.col(id_col).cast("string")) % scale) < F.col("__rate") * scale
     return df.join(F.broadcast(rates), domain_col).filter(keep).drop("__rate")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    *,
+    group_col: str,
+    fractions: dict[str, float],
+    base_hash=None,
+) -> DataFrame:
+    """Train/val/test splitting without leakage: the split is decided by a
+    hash of ``group_col`` (source domain, near-dup cluster id, author…), so
+    every row of a group lands in the SAME split — the guard against
+    near-duplicates straddling train and eval. Deterministic (no rand():
+    retries, re-runs and oracles agree) and map-side (no shuffle at all).
+
+    ``fractions`` maps split name → weight (normalized internally); split
+    boundaries are consecutive hash intervals, so adjusting one fraction
+    reassigns only the groups crossing the moved boundary."""
+    from tibame_project_spark.operators.dedup import xxhash_base_hash
+
+    bh = base_hash or xxhash_base_hash
+    scale = 1 << 20
+    total = float(sum(fractions.values()))
+    h = bh(F.col(group_col).cast("string")) % scale
+    expr, acc = None, 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name] / total
+        cond = h < acc * scale
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn("split", expr)
