@@ -2156,6 +2156,57 @@ GROUP BY occ.doc_id
 """
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus quality report — a second composition target
+    (after release_pipeline): the quality gate, exact-dup detection and
+    token counting joined per document, aggregated per source. Counts
+    only, so the report is engine-exact by construction."""
+    from pyspark.sql import Window
+
+    from tibame_project_spark.functions.textstats import gopher_metrics, token_count
+
+    docs = load(spark, sf_dir, "documents")
+    gate = gopher_metrics(docs, "text", ["doc_id"]).select("doc_id", "passes")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    per_doc = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "source",
+            token_count(F.col("text")).alias("__tok"),
+            (F.col("__rn") > 1).alias("__is_dup"),
+        )
+        .join(gate, "doc_id")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum(F.when(F.col("passes"), 1).otherwise(0)).cast("int").alias("n_gopher_pass"),
+        F.sum(F.when(F.col("__is_dup"), 1).otherwise(0)).cast("int").alias("n_exact_dup"),
+        F.sum("__tok").alias("total_tokens"),
+    )
+
+
+def _corpus_report_sql() -> str:
+    return r"""
+WITH gp AS (SELECT doc_id, passes FROM (""" + _GOPHER_SQL + r""") g),
+dup AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
+  FROM documents),
+tok AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS n_tok
+  FROM documents)
+SELECT d.source, CAST(COUNT(*) AS INTEGER) AS n_docs,
+       CAST(SUM(CASE WHEN gp.passes THEN 1 ELSE 0 END) AS INTEGER) AS n_gopher_pass,
+       CAST(SUM(CASE WHEN dup.is_dup THEN 1 ELSE 0 END) AS INTEGER) AS n_exact_dup,
+       CAST(SUM(tok.n_tok) AS BIGINT) AS total_tokens
+FROM documents d
+JOIN gp USING (doc_id) JOIN dup USING (doc_id) JOIN tok USING (doc_id)
+GROUP BY d.source
+"""
+
+
 def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: the split is a hash of the
     document's SOURCE (all docs of a source land together — near-dups
@@ -2396,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         "train_split": q_train_split,
         "incremental_mart": q_incremental_mart,
+        "corpus_report": q_corpus_report,
     }
 
 
@@ -2471,6 +2523,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_table": _PROFILE_SQL,
         "train_split": _TRAIN_SPLIT_SQL,
         "incremental_mart": _INCREMENTAL_MART_SQL,
+        "corpus_report": _corpus_report_sql(),
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         # approx_users (HLL, approximate by design) is the only rows-only
         # entry left.
