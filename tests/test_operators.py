@@ -142,6 +142,39 @@ def test_fuzzy_top1_max_distance_band_prune_equivalent(spark):
     assert "length" in plan and "levenshtein" in plan
 
 
+def test_fuzzy_top1_prune_threshold_exact(spark):
+    """prune_threshold must be invisible in the result: rows whose best
+    match is within the threshold come from the banded phase; rows whose
+    best is farther (here 'zzzzzzzz', best distance 8 > t=2) go through the
+    unbounded fallback and still get their exact global top-1."""
+    left = spark.createDataFrame(
+        [("kitten",), ("abcdefgh",), ("zzzzzzzz",)], ["query"]
+    )
+    dim = spark.createDataFrame(
+        [("bitten", 1), ("abcdefgx", 2), ("abcdefg", 3)], ["name", "dim_id"]
+    )
+    ref = {
+        (r.query, r.dim_id, r.distance)
+        for r in fuzzy_top1_join(left, dim, "query", "name").collect()
+    }
+    pruned = {
+        (r.query, r.dim_id, r.distance)
+        for r in fuzzy_top1_join(
+            left, dim, "query", "name", prune_threshold=2
+        ).collect()
+    }
+    assert pruned == ref
+    # all-hit case takes the single-phase exit (no fallback union)
+    hit_only = {
+        (r.query, r.dim_id, r.distance)
+        for r in fuzzy_top1_join(
+            left.filter("query <> 'zzzzzzzz'"), dim, "query", "name",
+            prune_threshold=2,
+        ).collect()
+    }
+    assert hit_only == {t for t in ref if t[0] != "zzzzzzzz"}
+
+
 def test_fuzzy_blocked_finds_exact_and_near_matches(spark):
     """LSH-blocked tier: identical and near-identical strings share n-gram
     minhash bands with certainty/high probability, so the blocked top-1
@@ -993,3 +1026,115 @@ def test_merge_aggregates_equals_full_recompute(spark):
     a = {tuple(r) for r in inc.select("k", "n", F.col("s").cast("double"), "mn", "mx").collect()}
     b = {tuple(r) for r in full.select("k", "n", F.col("s").cast("double"), "mn", "mx").collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# analytics: gap fill / cohort / funnel / histogram / pearson
+# ---------------------------------------------------------------------------
+
+def test_gap_fill_forward_fills_and_flags(spark):
+    from datetime import date
+    from tibame_project_spark.operators.analytics import gap_fill
+
+    daily = spark.createDataFrame(
+        [("a", date(2024, 1, 1), 10.0), ("a", date(2024, 1, 4), 40.0),
+         ("b", date(2024, 1, 2), 5.0)],
+        ["k", "day", "v"],
+    )
+    out = {(r.k, str(r.day)): (r.v, r.is_observed)
+           for r in gap_fill(daily, ["k"], "day", ["v"]).collect()}
+    # a: 4-day span, middle days carried forward from Jan 1
+    assert out[("a", "2024-01-01")] == (10.0, True)
+    assert out[("a", "2024-01-02")] == (10.0, False)
+    assert out[("a", "2024-01-03")] == (10.0, False)
+    assert out[("a", "2024-01-04")] == (40.0, True)
+    # b: single-day span, no padding beyond its own bounds
+    assert [k for k in out if k[0] == "b"] == [("b", "2024-01-02")]
+
+
+def test_gap_fill_global_range_literals(spark):
+    from datetime import date
+    from pyspark.sql import functions as F
+    from tibame_project_spark.operators.analytics import gap_fill
+
+    daily = spark.createDataFrame(
+        [("a", date(2024, 1, 3), 1.0)], ["k", "day", "v"]
+    )
+    out = gap_fill(
+        daily, ["k"], "day", ["v"],
+        start=F.lit(date(2024, 1, 1)), end=F.lit(date(2024, 1, 5)),
+    ).collect()
+    assert len(out) == 5
+    # before first observation: NULL, not carried
+    by_day = {str(r.day): r.v for r in out}
+    assert by_day["2024-01-01"] is None and by_day["2024-01-05"] == 1.0
+
+
+def test_funnel_strict_ordering(spark):
+    from datetime import datetime
+    from tibame_project_spark.operators.analytics import funnel_conversion
+
+    ts = lambda h: datetime(2024, 1, 1, h)
+    events = spark.createDataFrame(
+        # u1 completes in order; u2 purchases BEFORE clicking (stage 3 no)
+        # u3 never clicks
+        [("u1", ts(1), "view"), ("u1", ts(2), "click"), ("u1", ts(3), "purchase"),
+         ("u2", ts(1), "view"), ("u2", ts(3), "click"), ("u2", ts(2), "purchase"),
+         ("u3", ts(1), "view")],
+        ["user_id", "ts", "event_type"],
+    )
+    out = {r.stage: r.n_entities for r in funnel_conversion(
+        events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_cohort_retention_week_bucket(spark):
+    from datetime import datetime
+    from tibame_project_spark.operators.analytics import cohort_retention
+
+    events = spark.createDataFrame(
+        [("u1", datetime(2024, 1, 1)), ("u1", datetime(2024, 1, 10)),
+         ("u2", datetime(2024, 1, 10))],
+        ["user_id", "ts"],
+    )
+    out = {(str(r.cohort), r.offset): r.n_active for r in cohort_retention(
+        events, "user_id", "ts", bucket="week"
+    ).collect()}
+    # u1's cohort week starts Mon Jan 1; Jan 10 is 9 days later -> offset 1
+    assert out[("2024-01-01", 0)] == 1 and out[("2024-01-01", 1)] == 1
+    assert out[("2024-01-08", 0)] == 1
+
+
+def test_histogram_fixed_clamps_edges(spark):
+    from tibame_project_spark.operators.analytics import histogram_fixed
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.9,), (10.0,), (95.0,), (200.0,)], ["x"]
+    )
+    out = {r.bucket: (r.bucket_lo, r.n) for r in histogram_fixed(
+        df, "x", 0.0, 100.0, 10
+    ).collect()}
+    assert out[0] == (0.0, 3)   # -5 clamps in, 0.0 and 9.9 natural
+    assert out[1] == (10.0, 1)
+    assert out[9] == (90.0, 2)  # 95 natural, 200 clamps into top bucket
+
+
+def test_pearson_stats_matches_closed_form(spark):
+    import math
+    from tibame_project_spark.operators.analytics import pearson_stats
+
+    xs = [1.0, 2.0, 3.0, 4.0]
+    ys = [2.0, 4.0, 7.0, 8.0]
+    df = spark.createDataFrame(list(zip(xs, ys)), ["x", "y"])
+    r = pearson_stats(df, "x", "y").collect()[0]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxx, syy, sxy = sum(x*x for x in xs), sum(y*y for y in ys), sum(x*y for x, y in zip(xs, ys))
+    corr = (n*sxy - sx*sy) / math.sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+    assert r.n == 4
+    assert abs(r.corr_xy - corr) < 1e-12
+    assert abs(r.covar_xy - 3.5) < 1e-12  # hand-checked sample covariance
+    # repartition-invariance: identical bits on a different layout
+    r2 = pearson_stats(df.repartition(7), "x", "y").collect()[0]
+    assert r2.corr_xy == r.corr_xy and r2.covar_xy == r.covar_xy

@@ -145,6 +145,11 @@ def range_join(
     )
 
 
+#: Sentinel distance for "no candidate within the prune threshold" — larger
+#: than any real Levenshtein distance over string columns.
+_NO_MATCH = 1 << 30
+
+
 def fuzzy_top1_join(
     df: DataFrame,
     dim: DataFrame,
@@ -152,6 +157,7 @@ def fuzzy_top1_join(
     right_col: str,
     *,
     max_distance: int | None = None,
+    prune_threshold: int | None = None,
     tie_break: list[str] | None = None,
 ) -> DataFrame:
     """Best-fuzzy-match join (J9 — ``airflow/utils/common.py:22-28``'s
@@ -171,30 +177,68 @@ def fuzzy_top1_join(
     ``df`` and ``dim`` must not overlap. For dims too large to broadcast,
     block candidates first with the LSH machinery in operators.dedup, then
     apply the same aggregation.
+
+    ``prune_threshold=t`` keeps the result EXACT while cutting per-pair
+    cost: phase 1 scores every pair with the *banded* three-arg
+    ``levenshtein(l, r, t)`` — O(t·n) instead of O(n²) character work, with
+    an O(1) length-difference bail-out — mapping its ``-1`` ("> t") to a
+    sentinel that loses every MIN. Any left row whose true best distance is
+    ≤ t gets its exact global top-1 from this pass alone. Only rows whose
+    best candidate is farther than ``t`` (detected from the tiny persisted
+    |left|-row aggregate — the one driver scalar, same pattern as the
+    connected-components convergence check) fall back to an unbounded pass,
+    so the full-width DP runs on |misses|×|dim| pairs, not |left|×|dim|.
     """
     from tibame_project_spark.partitioning import ensure_parallelism
 
-    dist = F.levenshtein(F.col(left_col), F.col(right_col))
-    cand = ensure_parallelism(df).crossJoin(F.broadcast(dim))
-    if max_distance is not None:
-        # Length-band prune BELOW the levenshtein: |len(l)−len(r)| is a lower
-        # bound on edit distance, and the And short-circuits left-to-right,
-        # so the expensive DP only runs on pairs inside the band. Exactly
-        # equivalent (any pair outside the band has dist > max_distance).
-        band = (
-            F.abs(F.length(left_col) - F.length(right_col)) <= max_distance
+    def top1(left: DataFrame, dist: Column) -> DataFrame:
+        # Map-side partial MIN over a comparable struct: the pair space is
+        # reduced inside each scan partition and never shuffled (unlike a
+        # window over the cross product). Ties break on the match string,
+        # then the caller's tie_break columns — deterministic.
+        order_fields = [dist.alias("__d"), F.col(right_col).alias("__m")] + [
+            F.col(c).alias(f"__t{i}") for i, c in enumerate(tie_break or [])
+        ]
+        payload = F.struct(*[F.col(c) for c in dim.columns]).alias("__p")
+        cand = ensure_parallelism(left).crossJoin(F.broadcast(dim))
+        if max_distance is not None:
+            # Length-band prune BELOW the levenshtein: |len(l)−len(r)| is a
+            # lower bound on edit distance, and the And short-circuits
+            # left-to-right, so the expensive DP only runs on pairs inside
+            # the band. Exactly equivalent (any pair outside the band has
+            # dist > max_distance).
+            band = (
+                F.abs(F.length(left_col) - F.length(right_col))
+                <= max_distance
+            )
+            cand = cand.filter(band & (dist <= max_distance))
+        return cand.groupBy(*[F.col(c) for c in df.columns]).agg(
+            F.min(F.struct(*order_fields, payload)).alias("__b")
         )
-        cand = cand.filter(band & (dist <= max_distance))
-    order_fields = [dist.alias("__d"), F.col(right_col).alias("__m")] + [
-        F.col(c).alias(f"__t{i}") for i, c in enumerate(tie_break or [])
-    ]
-    payload = F.struct(*[F.col(c) for c in dim.columns]).alias("__p")
-    best = cand.groupBy(*[F.col(c) for c in df.columns]).agg(
-        F.min(F.struct(*order_fields, payload)).alias("__b")
-    )
-    return best.select(
-        *df.columns, F.col("__b.__d").alias("distance"), F.col("__b.__p.*")
-    )
+
+    def unpack(best: DataFrame) -> DataFrame:
+        return best.select(
+            *df.columns, F.col("__b.__d").alias("distance"), F.col("__b.__p.*")
+        )
+
+    full_dist = F.levenshtein(F.col(left_col), F.col(right_col))
+    if prune_threshold is None or max_distance is not None:
+        return unpack(top1(df, full_dist))
+
+    banded = F.levenshtein(F.col(left_col), F.col(right_col), prune_threshold)
+    # Single-eval sentinel mapping: pmod sends the DP's -1 ("> t") to
+    # _NO_MATCH-1 and keeps 0..t unchanged, evaluating the levenshtein ONCE
+    # per pair. (A `when(banded < 0, …).otherwise(banded)` spells the
+    # expression twice and pays the DP twice — expressions get no CSE — and
+    # a separate Filter would be pushed below the projection and re-evaluate
+    # it there too.)
+    capped = F.pmod(banded, F.lit(_NO_MATCH))
+    best = top1(df, capped).persist()
+    misses = best.filter(F.col("__b.__d") >= _NO_MATCH - 1)
+    found = unpack(best.filter(F.col("__b.__d") < _NO_MATCH - 1))
+    if misses.limit(1).count() == 0:
+        return found
+    return found.unionByName(unpack(top1(misses.select(*df.columns), full_dist)))
 
 
 def fuzzy_top1_join_blocked(
