@@ -96,7 +96,13 @@ def _dsum(col, scale: int = 2):
 
 
 def _DSUM(expr: str, scale: int = 2) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    # VARCHAR round-trip, not a direct decimal→double cast: DuckDB converts
+    # decimals via int128→double then a scale divide (two roundings — off by
+    # 1 ulp once the sum's significand passes 53 bits), while Spark's
+    # BigDecimal→double is correctly rounded. decimal→varchar is exact and
+    # varchar→double is correctly-rounded strtod, so this path always agrees
+    # with Spark bit-for-bit.
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS STRING) AS DOUBLE)"
 
 
 # ---------------------------------------------------------------------------
@@ -668,7 +674,7 @@ _STRATIFIED_SQL = """
 SELECT event_id, event_type, CAST(rn AS INTEGER) AS rank FROM (
   SELECT event_id, event_type,
          row_number() OVER (PARTITION BY event_type
-                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+                            ORDER BY md5(CAST(event_id AS STRING)), event_id) AS rn
   FROM events) t
 WHERE rn <= 20
 """
@@ -737,9 +743,9 @@ _PII_SQL = r"""
 WITH inj AS (
   SELECT doc_id,
          text || CASE
-           WHEN doc_id % 7 = 0 THEN ' reach me: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           WHEN doc_id % 7 = 0 THEN ' reach me: user' || CAST(doc_id AS STRING) || '@example.com'
            WHEN doc_id % 7 = 1 THEN ' call +886 912 345 678 now'
-           WHEN doc_id % 7 = 2 THEN ' from 10.0.3.' || CAST(doc_id % 256 AS VARCHAR)
+           WHEN doc_id % 7 = 2 THEN ' from 10.0.3.' || CAST(doc_id % 256 AS STRING)
            ELSE '' END AS t
   FROM documents),
 s AS (
@@ -1227,7 +1233,7 @@ def q_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_ENTRY_SQL = """
 SELECT n_name AS nation, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
@@ -1604,7 +1610,7 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HASH_SAMPLE_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice
-FROM orders ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 100
+FROM orders ORDER BY md5(CAST(o_orderkey AS STRING)) LIMIT 100
 """
 
 
@@ -1663,7 +1669,7 @@ def _ivf_train_sql(k: int = 8) -> str:
     update = (
         "SELECT cell AS cid, list(mean ORDER BY pos) AS cv FROM (\n"
         "    SELECT cell, pos,\n"
-        "           CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean\n"
+        "           CAST(CAST(sum(CAST(val AS DECIMAL(28,12))) AS STRING) AS DOUBLE) / count(*) AS mean\n"
         "    FROM (SELECT cell, unnest(v) AS val, unnest(range(1, len(v)+1)) AS pos\n"
         "          FROM {src}) x\n"
         "    GROUP BY cell, pos) y GROUP BY cell"
@@ -1672,8 +1678,8 @@ def _ivf_train_sql(k: int = 8) -> str:
 WITH base AS (
   SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 seeds AS (
-  SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS cid, v AS cv
-  FROM (SELECT id, v FROM base ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT {k})),
+  SELECT row_number() OVER (ORDER BY md5(CAST(id AS STRING)), id) AS cid, v AS cv
+  FROM (SELECT id, v FROM base ORDER BY md5(CAST(id AS STRING)), id LIMIT {k})),
 a1 AS ({assign.format(src='seeds')}),
 u1 AS ({update.format(src='a1')}),
 a2 AS ({assign.format(src='u1')}),
@@ -1682,7 +1688,7 @@ sizes AS (
   SELECT cell AS cid, CAST(count(*) AS INTEGER) AS size
   FROM ({assign.format(src='u2')}) fa GROUP BY cell),
 csum AS (
-  SELECT cid, CAST(sum(CAST(m AS DECIMAL(28,9))) AS DOUBLE) AS centroid_sum
+  SELECT cid, CAST(CAST(sum(CAST(m AS DECIMAL(28,9))) AS STRING) AS DOUBLE) AS centroid_sum
   FROM (SELECT cid, unnest(cv) AS m FROM u2) z GROUP BY cid)
 SELECT u2.cid AS cell_id, COALESCE(s.size, 0) AS size, csum.centroid_sum
 FROM u2 LEFT JOIN sizes s ON u2.cid = s.cid JOIN csum ON csum.cid = u2.cid
@@ -1752,7 +1758,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MULTIMODAL_FEATURES_SQL = """
 WITH b AS (
-  SELECT CAST(doc_id AS VARCHAR) AS media_id, 'text' AS kind,
+  SELECT CAST(doc_id AS STRING) AS media_id, 'text' AS kind,
          encode(text) AS bl
   FROM documents),
 v AS (
@@ -1919,7 +1925,7 @@ c AS (
 ch AS (
   SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
          CAST(len(tk[chunk_idx * 16 + 1 : chunk_idx * 16 + 16]) AS INTEGER) AS n_tokens,
-         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS INTEGER) AS bucket
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 15) AS BIGINT) % 8 AS INTEGER) AS bucket
   FROM c),
 p AS (
   SELECT bucket, doc_id, chunk_idx, n_tokens,
@@ -2007,7 +2013,7 @@ r AS (SELECT n.source, least(1.0, tgt.target / n.cnt) AS rate
       FROM n JOIN tgt ON n.source = tgt.source)
 SELECT d.doc_id, d.source
 FROM documents d JOIN r ON d.source = r.source
-WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1048576
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS STRING)), 1, 15) AS BIGINT) % 1048576
       < r.rate * 1048576
 """
 
@@ -2052,10 +2058,10 @@ WITH daily AS (
          SUM(CAST(value AS DECIMAL(18,2))) AS dec_total,
          datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_num
   FROM events GROUP BY 1, 2)
-SELECT event_type, day, CAST(dec_total AS DOUBLE) AS day_total,
-       CAST(SUM(dec_total) OVER w AS DOUBLE) AS sum_7d,
+SELECT event_type, day, CAST(CAST(dec_total AS STRING) AS DOUBLE) AS day_total,
+       CAST(CAST(SUM(dec_total) OVER w AS STRING) AS DOUBLE) AS sum_7d,
        CAST(COUNT(*) OVER w AS INTEGER) AS n_days_7d,
-       CAST(SUM(dec_total) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_7d
+       CAST(CAST(SUM(dec_total) OVER w AS STRING) AS DOUBLE) / COUNT(*) OVER w AS avg_7d
 FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY day_num
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -2364,6 +2370,169 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + forward fill per user: densify each user's
+    daily value total to one row per day of their active span, carrying
+    the last observed total across missing days (balance semantics).
+    Single-shuffle operator — see operators/analytics.gap_fill."""
+    from tibame_project_spark.operators.analytics import gap_fill
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("user_id", "day")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("__dec"))
+        .select(
+            "user_id", "day", F.col("__dec").cast("double").alias("total")
+        )
+    )
+    out = gap_fill(daily, ["user_id"], "day", ["total"])
+    return out.select(
+        "user_id", "day", F.col("total").alias("last_total"), "is_observed"
+    )
+
+
+_GAP_FILL_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         {_DSUM("value")} AS total
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds)
+SELECT s.user_id, s.day,
+       last_value(d.total IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_total,
+       d.total IS NOT NULL AS is_observed
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity day,
+    distinct-counted per (cohort, days-since-cohort)."""
+    from tibame_project_spark.operators.analytics import cohort_retention
+
+    ev = load(spark, sf_dir, "events")
+    out = cohort_retention(ev, "user_id", "ts", bucket="day")
+    return out.select(
+        "cohort", F.col("offset").cast("int").alias("day_offset"), "n_active"
+    )
+
+
+_COHORT_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort
+  FROM events GROUP BY 1),
+act AS (
+  SELECT e.user_id, f.cohort,
+         datediff('day', f.cohort, CAST(date_trunc('day', e.ts) AS DATE)) AS diff
+  FROM events e JOIN first f USING (user_id))
+SELECT cohort, CAST(diff AS INTEGER) AS day_offset,
+       COUNT(DISTINCT user_id) AS n_active
+FROM act GROUP BY 1, 2
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: stage k counts a user only
+    if the stage event occurs strictly after their stage-(k-1) completion.
+    One shuffle on user_id; the stage cascade is unordered window
+    aggregates on that single exchange."""
+    from tibame_project_spark.operators.analytics import funnel_conversion
+
+    ev = load(spark, sf_dir, "events")
+    return funnel_conversion(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+_FUNNEL_SQL = """
+WITH t0 AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+             OVER (PARTITION BY user_id) AS s0
+  FROM events),
+t1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > s0 THEN ts END)
+            OVER (PARTITION BY user_id) AS s1
+  FROM t0),
+t2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > s1 THEN ts END)
+            OVER (PARTITION BY user_id) AS s2
+  FROM t1),
+u AS (SELECT user_id, MIN(s0) AS s0, MIN(s1) AS s1, MIN(s2) AS s2
+      FROM t2 GROUP BY 1),
+c AS (SELECT COUNT(s0) AS n0, COUNT(s1) AS n1, COUNT(s2) AS n2 FROM u)
+SELECT 0 AS stage_idx, 'view' AS stage, n0 AS n_entities FROM c
+UNION ALL SELECT 1, 'click', n1 FROM c
+UNION ALL SELECT 2, 'purchase', n2 FROM c
+"""
+
+
+def q_pearson_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment stats per return flag from exact decimal partial sums
+    (corr/covar/stddev that are reproducible under any partitioning —
+    unlike the built-in streaming-double aggregates)."""
+    from tibame_project_spark.operators.analytics import pearson_stats
+
+    li = load(spark, sf_dir, "lineitem")
+    return pearson_stats(
+        li, "l_quantity", "l_extendedprice", ["l_returnflag"]
+    )
+
+
+_PEARSON_SQL = """
+WITH s AS (
+  -- VARCHAR round-trips (see _DSUM): DuckDB's direct decimal→double cast
+  -- double-rounds and can land 1 ulp off Spark's correctly-rounded
+  -- BigDecimal conversion once a sum exceeds 2^53.
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY 1)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr_xy,
+       (sxy - sx*sy/n) / (n - 1.0) AS covar_xy,
+       sqrt((sxx - sx*sx/n) / (n - 1.0)) AS stddev_x,
+       sqrt((syy - sy*sy/n) / (n - 1.0)) AS stddev_y
+FROM s
+"""
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-edge order-value histogram per priority class: 24 buckets of
+    width 25000 over [0, 600000), edge-clamped. Literal edges → no min/max
+    pre-pass, single-stage scan + one small-key aggregation."""
+    from tibame_project_spark.operators.analytics import histogram_fixed
+
+    orders = load(spark, sf_dir, "orders")
+    return histogram_fixed(
+        orders, "o_totalprice", 0.0, 600000.0, 24, ["o_orderpriority"]
+    )
+
+
+_HISTOGRAM_SQL = """
+WITH b AS (
+  SELECT o_orderpriority,
+         CAST(least(greatest(floor((o_totalprice - 0.0) / 25000.0), 0), 23)
+              AS INTEGER) AS bucket
+  FROM orders)
+SELECT o_orderpriority, bucket, 0.0 + bucket * 25000.0 AS bucket_lo,
+       COUNT(*) AS n
+FROM b GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2448,6 +2617,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": q_train_split,
         "incremental_mart": q_incremental_mart,
         "corpus_report": q_corpus_report,
+        "gap_fill": q_gap_fill,
+        "cohort_retention": q_cohort_retention,
+        "funnel": q_funnel,
+        "pearson_stats": q_pearson_stats,
+        "histogram": q_histogram,
     }
 
 
@@ -2524,6 +2698,11 @@ def oracle_sql() -> dict[str, str]:
         "train_split": _TRAIN_SPLIT_SQL,
         "incremental_mart": _INCREMENTAL_MART_SQL,
         "corpus_report": _corpus_report_sql(),
+        "gap_fill": _GAP_FILL_SQL,
+        "cohort_retention": _COHORT_SQL,
+        "funnel": _FUNNEL_SQL,
+        "pearson_stats": _PEARSON_SQL,
+        "histogram": _HISTOGRAM_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         # approx_users (HLL, approximate by design) is the only rows-only
         # entry left.

@@ -229,3 +229,44 @@ def test_lm_score_vocab_join_not_pinned_to_broadcast(spark):
         assert "partial_count" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+
+
+def test_gap_fill_single_exchange(spark):
+    """gap_fill packs observations into a per-key map inside the bounds
+    aggregate and explodes the calendar from that same row, so the
+    forward-fill window reuses the aggregation's hash(key) partitioning:
+    exactly one exchange for rollup + spine + fill."""
+    from tibame_project_spark.operators.analytics import gap_fill
+
+    daily = spark.read.parquet(f"{SF_DIR}/orders.parquet").selectExpr(
+        "o_custkey AS k", "to_date(o_orderdate) AS day", "o_totalprice AS v"
+    )  # unique per (k, day) not required for the plan-shape assertion
+    plan = _plan(gap_fill(daily, ["k"], "day", ["v"]))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_funnel_stage_cascade_shares_one_exchange(spark):
+    """The k-stage min-timestamp cascade must not re-shuffle per stage:
+    one hashpartitioning(user_id) exchange feeds every Window, plus the
+    single-partition exchange for the final global count."""
+    plan = _plan(entry.q_funnel(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_histogram_no_min_max_prepass(spark):
+    """Literal bucket edges: one scan, one aggregation — no second scan
+    for min/max and no join."""
+    final = _plan(entry.q_histogram(spark, SF_DIR), execute=True).split(
+        "== Initial Plan =="
+    )[0]
+    assert final.count("Scan parquet") == 1
+    assert "partial_count" in final
+
+
+def test_pearson_stats_single_pass(spark):
+    """All five sufficient statistics accumulate in ONE aggregation pass
+    (decimal partials, map-side combine before the exchange)."""
+    plan = _plan(entry.q_pearson_stats(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
