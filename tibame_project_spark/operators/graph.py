@@ -1,0 +1,89 @@
+"""Iterative graph operators beyond connected components (which lives with
+the dedup family in ``operators/dedup.py`` — transitive duplicate clusters
+are its use case here).
+
+PageRank is the representative "iterative join-aggregate" workload: each
+round is rank ⋈ edges on the source key followed by a groupBy on the
+destination key. Scale shape per round: one hash join (ranks are one row
+per node — orders of magnitude smaller than edges; edges are pre-joined
+with out-degrees ONCE and persisted so the per-round join touches a
+ready-made (src, dst, out_degree) relation), one aggregation with map-side
+partial sums, and a ``localCheckpoint`` to truncate lineage — without it
+the plan doubles per round and the job eventually dies in the optimizer,
+exactly like naive iterative Spark always does. Skewed in-degree (a hub
+node) is AQE's skew-join case; the aggregation side is already salt-free
+safe because integer partial sums are associative.
+
+Determinism: ranks are BIGINTs in units of 1/``scale`` and every update is
+integer arithmetic (``div`` truncation) — no floating-point accumulation
+anywhere, so results are bit-identical under any partitioning, retry, or
+engine (the DuckDB oracle unrolls the same integer recurrence). The same
+discipline as the decimal k-means trainer (`similarity.kmeans_centroids`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    *,
+    iterations: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fixed-iteration PageRank with integer-scaled exact arithmetic.
+
+    ``edges`` is a directed edge list (duplicates allowed — they are
+    dropped). Every node must appear as a source at least once (true for
+    symmetrized graphs; dangling nodes would otherwise leak rank mass).
+    Returns (node, rank) with rank a BIGINT in units of 1/``scale``:
+
+        r_0(v)   = scale div N
+        r_k+1(v) = (scale · (den−num)) div (den · N)
+                   + (num · Σ_{u→v} r_k(u) div deg(u)) div den
+
+    The truncating ``div`` makes the recurrence exactly reproducible in
+    any engine with 64-bit integers; the mass lost to truncation is
+    < N·iterations/scale — irrelevant for ranking, decisive for parity.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+        )
+        .distinct()
+    )
+    deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__od"))
+    # one row per edge with its source out-degree, reused every round
+    ed = e.join(deg, "__s").persist()
+    nodes = ed.select(F.col("__s").alias("node")).distinct()
+    n_df = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", F.expr(f"{scale} div __n").alias("rank")
+    )
+    teleport_num = scale * (damping_den - damping_num)
+    for _ in range(iterations):
+        contrib = (
+            ed.join(ranks, ed["__s"] == ranks["node"])
+            .select(F.col("__d").alias("node"), F.expr("rank div __od").alias("__c"))
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__csum"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "node",
+                F.expr(
+                    f"{teleport_num} div ({damping_den} * __n)"
+                    f" + ({damping_num} * coalesce(__csum, 0)) div {damping_den}"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
