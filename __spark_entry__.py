@@ -313,6 +313,13 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         "c_name",
         tie_break=["c_custkey"],
+        # Exact two-phase banded-DP prune (operators/joins.py): phase 1
+        # scores every pair with the banded three-arg levenshtein — O(t·n)
+        # instead of O(n²) per pair — and only left rows whose true best is
+        # farther than t repay the full DP. Bit-identical result; the names
+        # here ("Supplier#…" vs "Customer#…") are within distance 8 of
+        # their best match, so the fallback pass is empty at every SF.
+        prune_threshold=8,
     )
     return out.select("s_suppkey", "c_custkey", "distance")
 
@@ -2543,67 +2550,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER is load-bearing: the driver's CORRECTNESS gate records the
+    # FIRST 50 keys only. Block 1 holds the 28 entries that had never
+    # received a driver row through round 3 (the LLM-pipeline flagships);
+    # block 2 keeps 22 high-complexity queries in-window (including
+    # fuzzy_match, whose plan changed this round); block 3 rotates
+    # long-stable round-1/2 entries out — they stay oracle-protected by
+    # tests/test_oracle_parity.py, which parametrizes EVERY oracle_sql()
+    # entry regardless of position.
     return {
-        "mart_star_trends": q_mart_star_trends,
-        "pricing_summary": q_pricing_summary,
-        "dim_time": q_dim_time,
-        "dedup_keep_last": q_dedup_keep_last,
-        "dedup_exact_text": q_dedup_exact_text,
-        "customers_without_orders": q_customers_without_orders,
-        "md5_surrogate": q_md5_surrogate,
-        "relative_date": q_relative_date,
-        "fuzzy_match": q_fuzzy_match,
-        "fuzzy_blocked": q_fuzzy_blocked,
-        "window_topk": q_window_topk,
-        "semi_join": q_semi_join,
-        "month_over_month": q_month_over_month,
-        "unpivot_measures": q_unpivot,
-        "token_counts": q_token_counts,
-        "doc_stats": q_doc_stats,
-        "gopher_quality": q_gopher_quality,
-        "decontaminate": q_decontaminate,
-        "top_terms": q_top_terms,
-        "stratified_sample": q_stratified_sample,
-        "ivf_train": q_ivf_train,
-        "chunk_docs": q_chunk_docs,
-        "pii_scrub": q_pii_scrub,
-        "line_dedup": q_line_dedup,
-        "release_pipeline": q_release_pipeline,
-        "bpe_tokens": q_bpe_tokens,
-        "fingerprints": q_fingerprints,
-        "lang_id": q_lang_id,
-        "events_rollup": q_events_rollup,
-        "corrections": q_corrections,
-        "union_distinct": q_union_distinct,
-        "set_ops": q_set_ops,
-        "json_extract": q_json_extract,
-        "cosine_topk": q_cosine_topk,
-        "sql_entry": q_sql_entry,
-        "asof_join": q_asof_join,
-        "percentiles": q_percentiles,
-        "range_join": q_range_join,
-        "dedup_groups": q_dedup_groups,
-        "dedup_keep_first": q_dedup_keep_first,
-        "insert_missing": q_insert_missing,
-        "left_join_chain": q_left_join_chain,
-        "self_join": q_self_join,
-        "pivot_event_types": q_pivot_event_types,
-        "ngram_jaccard": q_ngram_jaccard,
-        "fb_dates": q_fb_dates,
-        "clean_chain": q_clean_chain,
-        "multimodal_meta": q_multimodal_meta,
-        "windowed_counts": q_windowed_counts,
-        "sessionize": q_sessionize,
+        # -- block 1: driver-unwitnessed through r03 ----------------------
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
-        "cube_rollup": q_cube_rollup,
-        "distinct_users": q_distinct_users,
-        "hash_sample": q_hash_sample,
-        "approx_users": q_approx_users,
-        "multimodal_features": q_multimodal_features,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
+        "multimodal_features": q_multimodal_features,
         "pack_sequences": q_pack_sequences,
         "scd2_priority": q_scd2_priority,
         "domain_mix": q_domain_mix,
@@ -2622,6 +2584,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "pearson_stats": q_pearson_stats,
         "histogram": q_histogram,
+        "cube_rollup": q_cube_rollup,
+        "distinct_users": q_distinct_users,
+        "hash_sample": q_hash_sample,
+        "approx_users": q_approx_users,
+        # -- block 2: high-complexity keepers (stay in-window) ------------
+        "mart_star_trends": q_mart_star_trends,
+        "fuzzy_match": q_fuzzy_match,
+        "fuzzy_blocked": q_fuzzy_blocked,
+        "ivf_train": q_ivf_train,
+        "release_pipeline": q_release_pipeline,
+        "dedup_groups": q_dedup_groups,
+        "dedup_exact_text": q_dedup_exact_text,
+        "line_dedup": q_line_dedup,
+        "decontaminate": q_decontaminate,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "multimodal_meta": q_multimodal_meta,
+        "sessionize": q_sessionize,
+        "windowed_counts": q_windowed_counts,
+        "sql_entry": q_sql_entry,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "percentiles": q_percentiles,
+        "pivot_event_types": q_pivot_event_types,
+        "month_over_month": q_month_over_month,
+        "corrections": q_corrections,
+        "stratified_sample": q_stratified_sample,
+        # -- block 3: long-stable, rotated past the driver window ---------
+        "pricing_summary": q_pricing_summary,
+        "dim_time": q_dim_time,
+        "dedup_keep_last": q_dedup_keep_last,
+        "customers_without_orders": q_customers_without_orders,
+        "md5_surrogate": q_md5_surrogate,
+        "relative_date": q_relative_date,
+        "window_topk": q_window_topk,
+        "semi_join": q_semi_join,
+        "unpivot_measures": q_unpivot,
+        "token_counts": q_token_counts,
+        "doc_stats": q_doc_stats,
+        "gopher_quality": q_gopher_quality,
+        "top_terms": q_top_terms,
+        "chunk_docs": q_chunk_docs,
+        "pii_scrub": q_pii_scrub,
+        "bpe_tokens": q_bpe_tokens,
+        "fingerprints": q_fingerprints,
+        "lang_id": q_lang_id,
+        "events_rollup": q_events_rollup,
+        "union_distinct": q_union_distinct,
+        "set_ops": q_set_ops,
+        "json_extract": q_json_extract,
+        "dedup_keep_first": q_dedup_keep_first,
+        "insert_missing": q_insert_missing,
+        "left_join_chain": q_left_join_chain,
+        "self_join": q_self_join,
+        "fb_dates": q_fb_dates,
+        "clean_chain": q_clean_chain,
     }
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import __spark_entry__ as entry_mod
@@ -49,21 +50,41 @@ def main() -> None:
         spreads[name] = round(max(times) / min(times), 2)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # max/min run ratio per query: ≫1 flags steal-distorted
-                # measurements (the driver's n=1 totals overstate then)
-                "run_spread": spreads,
-                "sf": sf,
-            }
-        )
-    )
+    # Full-detail record (incl. per-query run spread — max/min run ratio,
+    # ≫1 flags steal-distorted measurements on this bursty host) goes to a
+    # file; tools/benchdiff.py consumes it for round-over-round comparison.
+    full = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "run_spread": spreads,
+        "sf": sf,
+    }
+    with open(os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f)
+        f.write("\n")
+
+    # The driver keeps only a 2,000-char stdout TAIL, so the JSON line must
+    # (a) be the absolute last stdout line — stop Spark first, flush stderr —
+    # and (b) fit the tail: compact separators, 2-decimal timings, no
+    # run_spread (it lives in BENCH_LOCAL.json). Rounds 2-3 recorded
+    # "parsed: null" because the full-detail line overflowed the tail and
+    # lost its opening brace.
     spark.stop()
+    sys.stderr.flush()
+    compact = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never overflow the tail again
+        compact.pop("queries")
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -98,6 +98,8 @@ def test_zh_fallback_pure():
 
 
 def test_zh_udfs_on_dataframe(spark):
+    from tibame_project_spark.functions.zh import _HAS_JIEBA, _HAS_SNOWNLP
+
     df = spark.createDataFrame(
         [("故宮好棒",), ("太糟了很差",), ("hello world",)], ["text"]
     )
@@ -105,8 +107,37 @@ def test_zh_udfs_on_dataframe(spark):
         tokenize_zh(F.col("text")).alias("toks"),
         sentiment_zh(F.col("text")).alias("s"),
     ).collect()
-    assert out[0].toks == ["故宮", "宮好", "好棒"]
-    assert out[0].s > 0.5 and out[1].s < 0.5 and out[2].s == 0.5
+    # Library-agnostic invariants (hold on both the real and fallback paths).
+    assert all(len(r.toks) >= 1 for r in out)
+    assert all(0.0 <= r.s <= 1.0 for r in out)
+    # Exact outputs are only pinned for the deterministic fallback.
+    if not _HAS_JIEBA:
+        assert out[0].toks == ["故宮", "宮好", "好棒"]
+    if not _HAS_SNOWNLP:
+        assert out[0].s > 0.5 and out[1].s < 0.5 and out[2].s == 0.5
+
+
+def test_zh_real_libs_arrow_path(spark):
+    """Proves the jieba/snownlp Arrow path the moment the container gains the
+    libs (reference declares them: airflow/requirements.txt:9-11); explicit
+    skip otherwise so the gap is visible in the test report, not silent."""
+    from tibame_project_spark.functions.zh import _HAS_JIEBA, _HAS_SNOWNLP
+
+    if not (_HAS_JIEBA and _HAS_SNOWNLP):
+        pytest.skip("jieba/snownlp not installed — fallback path covered above")
+    df = spark.createDataFrame(
+        [("故宮博物院很好看，推薦",), ("這家店很差，太失望了",)], ["text"]
+    )
+    out = df.select(
+        tokenize_zh(F.col("text")).alias("toks"),
+        sentiment_zh(F.col("text")).alias("s"),
+    ).collect()
+    # jieba segments dictionary words — multi-char tokens, and lcut is
+    # lossless: concatenating the tokens reproduces the input exactly.
+    assert any(len(t) >= 2 for t in out[0].toks)
+    assert "".join(out[0].toks) == "故宮博物院很好看，推薦"
+    # snownlp polarity orders the clearly-positive above the clearly-negative.
+    assert 0.0 <= out[1].s <= 1.0 and out[0].s > out[1].s
 
 
 # ---------------------------------------------------------------------------

@@ -255,6 +255,31 @@ def test_weather_long_and_matrix_golden(spark):
     assert rows["467490"]["2024-01"] == "T"  # trace rainfall survives as text
 
 
+def test_weather_distributed_reader_matches_driver_side(spark, tmp_path):
+    """Stretch 8: the mapInPandas XML path must reproduce the driver-side
+    reader's relation exactly from a multi-file corpus (month taken from
+    the yyyymm filename convention), with no driver materialization."""
+    import shutil
+
+    from tibame_project_spark.plans import weather
+
+    corpus = tmp_path / "reports"
+    corpus.mkdir()
+    shutil.copy(_WEATHER_XML, corpus / "mn_Report_202401.xml")
+    shutil.copy(_WEATHER_XML, corpus / "mn_Report_202402.xml")
+
+    dist = weather.read_monthly_reports_distributed(spark, str(corpus))
+    drv = weather.read_monthly_reports(
+        spark, {"2024-01": _WEATHER_XML, "2024-02": _WEATHER_XML}
+    )
+    key = lambda r: (r.station_id, r.year_month, r.element)
+    assert sorted(dist.collect(), key=key) == sorted(drv.collect(), key=key)
+
+    mat = weather.station_month_matrix(dist, "Accumulation Precipitation")
+    rows = {r.station_id: r for r in mat.collect()}
+    assert rows["466920"]["2024-02"] == "112.5"
+
+
 def test_weather_history_serving_shape_and_jdbc(spark):
     from tibame_project_spark.plans import weather
 

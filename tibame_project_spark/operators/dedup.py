@@ -282,14 +282,28 @@ def connected_components(
     iterative-algorithm surface of the engine: transitive dedup clusters,
     synonym groups, entity resolution.
 
-    Alternating min-label propagation: each round every node adopts the
-    minimum label in its neighborhood (its own included); converges in
-    O(diameter) rounds. Each round is one groupBy shuffle on the node id;
-    ``localCheckpoint`` truncates the lineage so the plan doesn't double
-    per iteration (the classic iterative-Spark trap), and the loop exits
-    early the first round nothing changes — the single driver-side scalar
-    per round an iterative distributed algorithm legitimately collects.
+    Min-label propagation with POINTER JUMPING: each round every node first
+    adopts the minimum label in its neighborhood (its own included), then
+    shortcuts through its label's label (``component ← label[component]``,
+    the path-doubling step of Shiloach-Vishkin / the small-star contraction
+    of Kiveris et al., "Connected Components in MapReduce and Beyond").
+    Plain min-label converges in O(diameter) rounds — a 100 TB dedup graph
+    with a pathological chain (A≈B≈C≈… drifting near-dup text) would
+    silently exhaust the round budget; the jump step doubles the shortcut
+    distance every round, so convergence is O(log diameter): a
+    million-node path converges in ~20 rounds instead of a million.
+
+    Each round is two bounded shuffles (neighborhood groupBy + the
+    labels-sized self-join for the jump); ``localCheckpoint`` truncates the
+    lineage so the plan doesn't double per iteration (the classic
+    iterative-Spark trap), and the loop exits early the first round nothing
+    changes — the single driver-side scalar per round an iterative
+    distributed algorithm legitimately collects. If ``max_iter`` rounds pass
+    without convergence the (possibly under-merged) labeling is returned
+    with an explicit ``RuntimeWarning`` rather than a silent wrong answer.
     """
+    import warnings
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b"), F.col("id_a")))
@@ -302,26 +316,52 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("component").alias("__nbr"))
         )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.col("component").alias("__old"),
+            F.least(
+                F.col("component"), F.coalesce(F.col("__nbr"), F.col("component"))
+            ).alias("component"),
+        )
+        # Pointer jump: component ← label[component]. Every label IS a node
+        # id (labels cover all nodes; least() only ever picks node ids), so
+        # the lookup is a labels self-join; coalesce guards the no-op case.
+        ptr = stepped.select(
+            F.col("node").alias("__pn"), F.col("component").alias("__pc")
+        )
         updated = (
-            labels.join(neighbor_min, "node", "left")
+            stepped.join(ptr, stepped["component"] == ptr["__pn"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("__nbr"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("__pc"), F.col("component")),
                 ).alias("component"),
-                (F.coalesce(F.col("__nbr"), F.col("component")) < F.col("component")).alias("__chg"),
+                "__old",
             )
-        ).localCheckpoint()
+            .withColumn("__chg", F.col("component") < F.col("__old"))
+            .localCheckpoint()
+        )
         changed = updated.filter(F.col("__chg")).limit(1).count()
-        labels = updated.drop("__chg")
+        labels = updated.select("node", "component")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"connected_components: not converged after {max_iter} rounds; "
+            "labels may be under-merged (raise max_iter — convergence is "
+            "O(log diameter) with pointer jumping)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     edges.unpersist()
     return labels
 

@@ -23,21 +23,23 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     partitions. Use directly upstream of CPU-dense per-row operators.
 
     The partition-count probe (``df.rdd``) forces a plan→RDD translation,
-    which is not free; the verdict is memoized on the DataFrame instance so
-    chained operators sharing one input pay it once."""
-    default_call = min_parts is None
-    if default_call:
-        cached = getattr(df, "_ensured_parallel", None)
-        if cached is not None:
-            return cached
+    which is not free; the verdict is memoized on the DataFrame instance
+    (keyed by the requested floor, so explicit ``min_parts`` calls memoize
+    too) and the underlying ``getNumPartitions`` probe is paid at most once
+    per instance regardless of how many distinct floors are requested."""
+    if min_parts is None:
         min_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    out = (
-        df.repartition(min_parts)
-        if df.rdd.getNumPartitions() < min_parts
-        else df
-    )
-    if default_call:
-        df._ensured_parallel = out
+    memo: dict[int, DataFrame] = getattr(df, "_ensured_parallel", None) or {}
+    cached = memo.get(min_parts)
+    if cached is not None:
+        return cached
+    current = getattr(df, "_num_parts_probe", None)
+    if current is None:
+        current = df.rdd.getNumPartitions()
+        df._num_parts_probe = current
+    out = df.repartition(min_parts) if current < min_parts else df
+    memo[min_parts] = out
+    df._ensured_parallel = memo
     return out
 
 

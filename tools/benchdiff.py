@@ -1,0 +1,127 @@
+"""Round-over-round bench comparator (VERDICT r03 next-round item 4).
+
+Compares two bench records and writes a markdown diff flagging likely
+regressions. Accepts either format:
+
+- a full bench record as written by ``bench.py`` to ``BENCH_LOCAL.json``
+  (``{"value": ..., "queries": {...}, "run_spread": {...}}``), or
+- a driver artifact ``BENCH_r{N}.json`` (``{"n": ..., "tail": "..."}``) —
+  the driver keeps only a 2,000-char stdout tail, so per-query timings are
+  recovered best-effort from the tail text (entries that scrolled off the
+  front of the tail are simply absent and reported as "no prior number").
+
+This host shows minutes-long CPU-steal bursts (documented in bench.py), so
+a single inflated ratio is not proof of a plan regression: the report
+carries each side's run_spread when available, and only ratios above
+``--threshold`` (default 1.5) on queries whose own run spread is below the
+steal ratio are flagged as ``REGRESSION?``; the rest land in the noise
+section.
+
+Usage:
+    python tools/benchdiff.py OLD.json NEW.json [-o BENCHDIFF.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+
+
+def load_timings(path: str) -> tuple[dict[str, float], dict[str, float], float | None]:
+    """Return (timings, run_spread, total) from either record format."""
+    with open(path) as f:
+        rec = json.load(f)
+    if "queries" in rec and isinstance(rec["queries"], dict):
+        return dict(rec["queries"]), dict(rec.get("run_spread", {})), rec.get("value")
+    tail = rec.get("tail", "")
+    if not tail:
+        parsed = rec.get("parsed")
+        if isinstance(parsed, dict) and "queries" in parsed:
+            return dict(parsed["queries"]), {}, parsed.get("value")
+        return {}, {}, None
+    # Driver tail recovery: timings precede the "run_spread" key; anything
+    # after it is a spread ratio, not a timing. Both sections are flat
+    # `"name": float` pairs, so split first, then regex.
+    cut = tail.find('"run_spread"')
+    timing_text = tail[:cut] if cut >= 0 else tail
+    spread_text = tail[cut:] if cut >= 0 else ""
+    pair = re.compile(r'"([a-z0-9_]+)":\s*([0-9.]+)')
+    timings = {m.group(1): float(m.group(2)) for m in pair.finditer(timing_text)}
+    spreads = {m.group(1): float(m.group(2)) for m in pair.finditer(spread_text)}
+    # Drop non-query scalar keys the tail may include (sf, value, n, cpus).
+    for k in ("sf", "value", "n", "cpus", "rc"):
+        timings.pop(k, None)
+        spreads.pop(k, None)
+    return timings, spreads, None
+
+
+def diff(
+    old_path: str, new_path: str, threshold: float, steal_ratio: float
+) -> str:
+    old, old_spread, old_total = load_timings(old_path)
+    new, new_spread, new_total = load_timings(new_path)
+    lines = [
+        "# BENCHDIFF",
+        "",
+        f"- old: `{old_path}` ({len(old)} query timings"
+        + (f", total {old_total}s" if old_total is not None else ", total unrecorded")
+        + ")",
+        f"- new: `{new_path}` ({len(new)} query timings"
+        + (f", total {new_total}s" if new_total is not None else ", total unrecorded")
+        + ")",
+        f"- regression threshold: {threshold}x on queries with run spread < {steal_ratio}",
+        "",
+    ]
+    overlap = sorted(set(old) & set(new))
+    if old_total is not None and new_total is not None:
+        common_old = sum(old[q] for q in overlap)
+        common_new = sum(new[q] for q in overlap)
+        if common_old > 0:
+            lines.append(
+                f"Common-query total: {common_old:.1f}s -> {common_new:.1f}s "
+                f"({common_new / common_old:.2f}x)."
+            )
+            lines.append("")
+    flagged, improved, noisy = [], [], []
+    for q in overlap:
+        if old[q] <= 0:
+            continue
+        ratio = new[q] / old[q]
+        spread = max(old_spread.get(q, 1.0), new_spread.get(q, 1.0))
+        row = f"| {q} | {old[q]:.2f} | {new[q]:.2f} | {ratio:.2f}x | {spread:.2f} |"
+        if ratio > threshold:
+            (noisy if spread > steal_ratio else flagged).append(row)
+        elif ratio < 1 / threshold:
+            improved.append(row)
+    header = "| query | old s | new s | ratio | max spread |\n|---|---|---|---|---|"
+    if flagged:
+        lines += ["## REGRESSION? (ratio > threshold, runs were stable)", "", header, *flagged, ""]
+    else:
+        lines += ["No stable-run regressions above threshold.", ""]
+    if noisy:
+        lines += ["## Above threshold but steal-noisy (spread > steal ratio)", "", header, *noisy, ""]
+    if improved:
+        lines += ["## Improved", "", header, *improved, ""]
+    only_new = sorted(set(new) - set(old))
+    if only_new:
+        lines += [f"No prior number ({len(only_new)}): " + ", ".join(only_new), ""]
+    return "\n".join(lines) + "\n"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("-o", "--out", default="BENCHDIFF.md")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument("--steal-ratio", type=float, default=1.5)
+    args = ap.parse_args()
+    report = diff(args.old, args.new, args.threshold, args.steal_ratio)
+    with open(args.out, "w") as f:
+        f.write(report)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
