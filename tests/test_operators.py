@@ -732,6 +732,32 @@ def test_kmeans_centroids_recovers_separated_clusters(spark):
     }
 
 
+def test_semantic_dedup_cell_bounded_survivors(spark):
+    """SemDeDup semantics: duplicates only count within a cell, survivor is
+    the smallest id, near-orthogonal items survive."""
+    from tibame_project_spark.operators.similarity import semantic_dedup
+
+    # Two anchor directions (cells); anchors are themselves items, so every
+    # non-anchor is kept ≥5% off its anchor's direction (cosine < 0.95 vs
+    # the anchor) except the deliberate near-dup pair 10/11.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),            # anchor / cell 0
+        (1, [0.0, 1.0, 0.0]),            # anchor / cell 1
+        (10, [0.8, 0.6, 0.0]),           # cell 0; cosine 0.80 vs anchor
+        (11, [0.8, 0.6, 0.001]),         # ~1.0 cosine with 10 → dropped
+        (12, [0.6, 0.45, 0.66]),         # cell 0; <0.95 vs everything
+        (13, [0.5, 0.86, 0.0]),          # cell 1; cosine 0.86 vs anchor
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    anchors = df.filter(F.col("vec_id") < 2)
+    out = {r.vec_id: r.cell for r in semantic_dedup(df, anchors, threshold=0.95).collect()}
+    assert 11 not in out                      # lost to smaller-id near-dup 10
+    assert 10 in out and 12 in out and 13 in out
+    assert out[10] == 0 and out[12] == 0 and out[13] == 1
+    # anchors survive, each in its own cell
+    assert out[0] == 0 and out[1] == 1
+
+
 def test_chunk_text_boundaries_and_empty(spark):
     from tibame_project_spark.functions.textstats import chunk_text
 

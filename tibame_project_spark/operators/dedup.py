@@ -317,7 +317,7 @@ def connected_components(
         .localCheckpoint()
     )
     converged = False
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy(F.col("src").alias("node"))
@@ -333,12 +333,19 @@ def connected_components(
         # Pointer jump: component ← label[component]. Every label IS a node
         # id (labels cover all nodes; least() only ever picks node ids), so
         # the lookup is a labels self-join; coalesce guards the no-op case.
-        ptr = stepped.select(
-            F.col("node").alias("__pn"), F.col("component").alias("__pc")
-        )
-        updated = (
-            stepped.join(ptr, stepped["component"] == ptr["__pn"], "left")
-            .select(
+        # GATED to round 3+: typical dedup graphs (star-shaped clusters,
+        # diameter ≤ 2) converge in 2 rounds of plain min-label, and the
+        # jump's extra self-join shuffle measurably slows them (~1.8x on
+        # dedup_groups at sf0.1); only a graph still changing after 2
+        # rounds has the growing diameter the O(log d) doubling is for —
+        # engaging it then still bounds pathological chains.
+        if i >= 2:
+            ptr = stepped.select(
+                F.col("node").alias("__pn"), F.col("component").alias("__pc")
+            )
+            stepped = stepped.join(
+                ptr, stepped["component"] == ptr["__pn"], "left"
+            ).select(
                 "node",
                 F.least(
                     F.col("component"),
@@ -346,9 +353,9 @@ def connected_components(
                 ).alias("component"),
                 "__old",
             )
-            .withColumn("__chg", F.col("component") < F.col("__old"))
-            .localCheckpoint()
-        )
+        updated = stepped.withColumn(
+            "__chg", F.col("component") < F.col("__old")
+        ).localCheckpoint()
         changed = updated.filter(F.col("__chg")).limit(1).count()
         labels = updated.select("node", "component")
         if changed == 0:

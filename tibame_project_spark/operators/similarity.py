@@ -258,6 +258,65 @@ def embedding_dedup_pairs(
     )
 
 
+def semantic_dedup(
+    items: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Semantic deduplication, the cluster-then-dedup scheme of SemDeDup
+    (Abbas et al., 2023, arXiv:2303.09540): assign every item to its
+    nearest-centroid cell, call two items duplicates when their cosine
+    similarity within a cell reaches ``threshold``, and keep the
+    smallest-id member of each duplicate relation (an item is dropped iff a
+    smaller-id near-duplicate shares its cell — the same survivor rule as
+    ``minhash_dedup_docs``, so the two dedup tiers compose predictably).
+
+    Physical shape for 100 TB: ``centroids`` is small (k-means output from
+    ``kmeans_centroids`` or curated anchors) and is broadcast, so cell
+    assignment is one narrow map-side argmin pass — no shuffle. The
+    duplicate search is a self-join ON THE CELL ID, so the pair space is
+    Σ|cell|² instead of |items|² — exactly the reduction that makes
+    SemDeDup tractable where brute-force embedding dedup
+    (``embedding_dedup_pairs`` without planes) is not; skewed cells split
+    under AQE since the join key is the cell id. Returns (id_col, cell)
+    for survivors.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    v = items.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    cos = dot(F.col("__v"), F.col("__cv")) / (F.col("__n") * F.col("__cn"))
+    assigned = (
+        ensure_parallelism(v)
+        .crossJoin(F.broadcast(c))
+        .groupBy("__id", "__v", "__n")
+        .agg(F.min(F.struct((-cos).alias("__negcos"), F.col("__cid"))).alias("__b"))
+        .select("__id", "__v", "__n", F.col("__b.__cid").alias("cell"))
+        # feeds both self-join sides AND the survivor anti-join: assign once
+        .persist()
+    )
+    l, r = assigned.alias("l"), assigned.alias("r")
+    sim = dot(F.col("l.__v"), F.col("r.__v")) / (F.col("l.__n") * F.col("r.__n"))
+    losers = (
+        l.join(
+            r,
+            (F.col("l.cell") == F.col("r.cell"))
+            & (F.col("r.__id") < F.col("l.__id")),
+        )
+        .filter(sim >= threshold)
+        .select(F.col("l.__id").alias("__id"))
+        .distinct()
+    )
+    return assigned.join(losers, "__id", "left_anti").select(
+        F.col("__id").alias(id_col), "cell"
+    )
+
+
 def kmeans_centroids(
     items: DataFrame,
     k: int,
