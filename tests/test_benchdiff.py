@@ -1,0 +1,68 @@
+"""tools/benchdiff.py: record loading (both formats) and regression triage."""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from benchdiff import diff, load_timings  # noqa: E402
+
+
+def _write(tmp_path, name, obj):
+    p = tmp_path / name
+    p.write_text(json.dumps(obj))
+    return str(p)
+
+
+def test_load_full_record(tmp_path):
+    p = _write(
+        tmp_path,
+        "full.json",
+        {
+            "value": 3.0,
+            "queries": {"a": 1.0, "b": 2.0},
+            "run_spread": {"a": 1.1, "b": 2.0},
+        },
+    )
+    t, s, total = load_timings(p)
+    assert t == {"a": 1.0, "b": 2.0} and s["b"] == 2.0 and total == 3.0
+
+
+def test_load_driver_tail_recovers_partial_timings(tmp_path):
+    # A truncated driver artifact: the head of the JSON line is gone, the
+    # tail carries the last timings then the full run_spread section.
+    tail = (
+        '"q_two": 0.5, "q_three": 1.5}, "run_spread": '
+        '{"q_one": 1.0, "q_two": 9.9, "q_three": 1.2}, "sf": 0.1}'
+    )
+    p = _write(tmp_path, "driver.json", {"n": 4, "rc": 0, "tail": tail})
+    t, s, total = load_timings(p)
+    assert t == {"q_two": 0.5, "q_three": 1.5}  # q_one scrolled off
+    assert s["q_two"] == 9.9 and "sf" not in t and total is None
+
+
+def test_diff_separates_stable_regressions_from_steal_noise(tmp_path):
+    old = _write(
+        tmp_path,
+        "old.json",
+        {"value": 3.0, "queries": {"a": 1.0, "b": 1.0, "c": 1.0},
+         "run_spread": {"a": 1.0, "b": 1.0, "c": 1.0}},
+    )
+    new = _write(
+        tmp_path,
+        "new.json",
+        # a: stable 2x regression; b: 2x but steal-noisy; c: improved 2x
+        {"value": 3.5, "queries": {"a": 2.0, "b": 2.0, "c": 0.5, "d": 1.0},
+         "run_spread": {"a": 1.1, "b": 7.0, "c": 1.0, "d": 1.0}},
+    )
+    report = diff(old, new, 1.5, 1.5)
+    assert "REGRESSION?" in report
+    reg_section = report.split("REGRESSION?")[1].split("##")[0]
+    assert "| a |" in reg_section and "| b |" not in reg_section
+    noisy_section = report.split("steal-noisy")[1].split("##")[0]
+    assert "| b |" in noisy_section
+    assert "| c |" in report.split("Improved")[1]
+    assert "No prior number (1): d" in report
