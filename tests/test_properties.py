@@ -76,3 +76,122 @@ def test_relative_date_matches_model(spark_global, cases):
         for n, u, ts in cases
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# connected components vs a union-find model (protects the pointer-jump +
+# round-gating rewrite: labels must equal the min node id of each component
+# for ARBITRARY graphs, not just the fixtures)
+# ---------------------------------------------------------------------------
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_connected_components_matches_union_find(spark_global, edges):
+    from tibame_project_spark.operators.dedup import connected_components
+
+    pairs = spark_global.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r.node: r.component for r in connected_components(pairs).collect()
+    }
+    assert got == _uf_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup vs a pure-Python model: cell assignment (argmax cosine,
+# smallest-anchor tie-break) and smallest-id-survivor semantics for
+# arbitrary non-zero integer vectors. Python floats are IEEE doubles and
+# the model folds sums in the same left-to-right order as the Spark HOFs,
+# so cosines are bit-identical — no tolerance needed.
+# ---------------------------------------------------------------------------
+
+def _cos(a: list[int], b: list[int]) -> float:
+    import math
+
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    na = 0.0
+    for x in a:
+        na += float(x) * float(x)
+    nb = 0.0
+    for y in b:
+        nb += float(y) * float(y)
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _semdedup_model(
+    vecs: dict[int, list[int]], anchor_ids: list[int], threshold: float
+) -> dict[int, int]:
+    cell = {
+        i: min(
+            anchor_ids,
+            key=lambda c: (-_cos(v, vecs[c]), c),
+        )
+        for i, v in vecs.items()
+    }
+    # the engine drops i when ANY smaller-id j in its cell is within
+    # threshold — including j's that were themselves dropped (pairwise
+    # relation, not a greedy chain)
+    survivors = {}
+    for i in sorted(vecs):
+        dropped = any(
+            j < i and cell[j] == cell[i] and _cos(vecs[i], vecs[j]) >= threshold
+            for j in vecs
+        )
+        if not dropped:
+            survivors[i] = cell[i]
+    return survivors
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        keys=st.integers(min_value=2, max_value=12),
+        values=st.lists(
+            st.integers(min_value=-3, max_value=3), min_size=3, max_size=3
+        ).filter(lambda v: any(x != 0 for x in v)),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_semantic_dedup_matches_model(spark_global, extra):
+    from tibame_project_spark.operators.similarity import semantic_dedup
+
+    # ids 0 and 1 are always present and serve as the anchors
+    vecs = {0: [1, 0, 0], 1: [0, 1, 0], **extra}
+    df = spark_global.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())],
+        "vec_id long, embedding array<double>",
+    )
+    anchors = df.filter(F.col("vec_id") < 2)
+    got = {
+        r.vec_id: r.cell
+        for r in semantic_dedup(df, anchors, threshold=0.9).collect()
+    }
+    assert got == _semdedup_model(vecs, [0, 1], 0.9)
