@@ -781,6 +781,52 @@ FROM s2
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style dedup (arXiv:2107.06499): every 13-token window
+    repeated anywhere in the corpus survives only at its first (doc, pos)
+    occurrence; later occurrences' tokens are removed and docs reassembled.
+    Output hashes the cleaned text so the whole window→first-occurrence→
+    coverage→rebuild pipeline is oracle-checked."""
+    from tibame_project_spark.operators.dedup import exact_substring_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    out = exact_substring_dedup(docs, "text", "doc_id", k=13)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_tokens_kept",
+        "n_tokens_removed",
+    )
+
+
+_SUBSTRING_DEDUP_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+  SELECT doc_id, p, md5(array_to_string(toks[p : p+12], ' ')) AS wh
+  FROM t, unnest(generate_series(1, greatest(0, len(toks)-12))) AS u(p)),
+f AS (
+  SELECT doc_id, p,
+         row_number() OVER (PARTITION BY wh ORDER BY doc_id, p) AS rn
+  FROM w),
+rm AS (
+  SELECT DISTINCT doc_id, q AS pos
+  FROM f, unnest(generate_series(p, p+12)) AS v(q) WHERE rn > 1),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tk,
+         unnest(range(1, len(toks)+1)) AS pos
+  FROM t),
+flagged AS (
+  SELECT tok.doc_id, tok.pos, tok.tk, rm.pos IS NOT NULL AS removed
+  FROM tok LEFT JOIN rm ON tok.doc_id = rm.doc_id AND tok.pos = rm.pos)
+SELECT doc_id,
+       md5(coalesce(string_agg(tk, ' ' ORDER BY pos) FILTER (WHERE NOT removed), '')) AS text_md5,
+       CAST(count(*) FILTER (WHERE NOT removed) AS INTEGER) AS n_tokens_kept,
+       CAST(count(*) FILTER (WHERE removed) AS INTEGER) AS n_tokens_removed
+FROM flagged GROUP BY doc_id
+"""
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide line dedup (C4 rule): a line appearing in several
     documents survives only at its first (doc, position) occurrence; docs
@@ -2599,6 +2645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- block 1: driver-unwitnessed through r03 (+ new this round) ---
         "semantic_dedup": q_semantic_dedup,
+        "substring_dedup": q_substring_dedup,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
         "minhash_pairs": q_minhash_pairs,
@@ -2648,8 +2695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "pivot_event_types": q_pivot_event_types,
         "month_over_month": q_month_over_month,
-        "corrections": q_corrections,
         # -- block 3: long-stable, rotated past the driver window ---------
+        "corrections": q_corrections,
         "stratified_sample": q_stratified_sample,
         "pricing_summary": q_pricing_summary,
         "dim_time": q_dim_time,
@@ -2735,6 +2782,7 @@ def oracle_sql() -> dict[str, str]:
         "windowed_counts": _WINDOWED_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "substring_dedup": _SUBSTRING_DEDUP_SQL,
         "lsh_ann": _lsh_ann_sql(),
         "ivf_ann": _IVF_SQL,
         "cube_rollup": _CUBE_SQL,

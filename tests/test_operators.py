@@ -732,6 +732,46 @@ def test_kmeans_centroids_recovers_separated_clusters(spark):
     }
 
 
+def test_exact_substring_dedup_semantics(spark):
+    """ExactSubstr rules: the first occurrence of a repeated k-window keeps
+    its tokens, later occurrences lose exactly the covered span, short docs
+    pass untouched, and a doc that is entirely a repeat empties out."""
+    from tibame_project_spark.operators.dedup import exact_substring_dedup
+
+    boiler = "a b c d"  # the repeated 4-token window
+    docs = [
+        (1, f"{boiler} x y"),        # canonical occurrence (smallest doc id)
+        (2, f"p q {boiler} r"),      # later: loses the 4 covered tokens
+        (3, boiler),                 # later, nothing else: empties out
+        (4, "a b c"),                # shorter than k: no windows, unchanged
+        (5, "u v w x y z"),          # no repeats: unchanged
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_removed)
+        for r in exact_substring_dedup(df, "text", "doc_id", k=4).collect()
+    }
+    assert out[1] == (f"{boiler} x y", 6, 0)
+    assert out[2] == ("p q r", 3, 4)
+    assert out[3] == ("", 0, 4)
+    assert out[4] == ("a b c", 3, 0)
+    assert out[5] == ("u v w x y z", 6, 0)
+
+
+def test_exact_substring_dedup_overlapping_windows(spark):
+    """Overlapping duplicate windows cover the UNION of their spans; tokens
+    inside the canonical doc are never removed even when the doc repeats
+    its own window later (later position in the same doc = duplicate)."""
+    from tibame_project_spark.operators.dedup import exact_substring_dedup
+
+    # "a b a b a b": windows (k=2) = ab,ba,ab,ba,ab — first "a b" (pos 1)
+    # and first "b a" (pos 2) are canonical, every later window duplicates,
+    # covering positions 3..6 → only the first two tokens survive.
+    df = spark.createDataFrame([(1, "a b a b a b")], ["doc_id", "text"])
+    out = exact_substring_dedup(df, "text", "doc_id", k=2).collect()[0]
+    assert (out.text, out.n_tokens_kept, out.n_tokens_removed) == ("a b", 2, 4)
+
+
 def test_semantic_dedup_cell_bounded_survivors(spark):
     """SemDeDup semantics: duplicates only count within a cell, survivor is
     the smallest id, near-orthogonal items survive."""

@@ -423,6 +423,98 @@ def line_dedup_corpus(
     )
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 13,
+) -> DataFrame:
+    """ExactSubstr-style corpus deduplication (Lee et al. 2022,
+    arXiv:2107.06499, "Deduplicating Training Data Makes Language Models
+    Better"): any ``k``-token window that already occurred earlier in the
+    corpus (global order = (doc id, position); the first occurrence is
+    canonical) is removed from the later document — repeated boilerplate,
+    licenses, and templated spans disappear from every copy but the first.
+
+    The reference implementation builds a corpus-wide suffix array; that is
+    re-expressed relationally so it shards: windows are md5-hashed, the
+    canonical occurrence per hash is one keep-first window function, later
+    occurrences explode to their covered token positions, and documents are
+    rebuilt from the surviving tokens. Same survivor rule as
+    ``line_dedup_corpus`` one level down (tokens instead of lines).
+
+    Returns (id, text, n_tokens_kept, n_tokens_removed); a document whose
+    every token was covered comes back with empty text (callers filter).
+    Documents shorter than ``k`` tokens have no windows and pass unchanged.
+
+    Scale shape: the wide ops are the window-hash shuffle (16-byte digests,
+    never window text), the removed-position distinct and its co-partitioned
+    join against the token relation on (doc, pos), and the per-document
+    reassembly groupBy — all on bounded keys; per-doc state is the document
+    length, exactly like line_dedup. O(n·k) slice work per doc is the price
+    of windowing without a suffix array (k is a small constant).
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"), F.split(F.col(text_col), " ").alias("__t")
+    )
+    n = F.size("__t")
+    # (pos, window-hash) per k-token window; 1-based positions. sequence()
+    # would count DOWN for docs shorter than k — gate to an empty array.
+    wins = base.select(
+        "__id",
+        F.explode(
+            F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - k + 1),
+                    lambda p: F.struct(
+                        p.alias("__p"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice("__t", p, k))
+                        ).alias("__h"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("__w"),
+    ).select("__id", "__w.__p", "__w.__h")
+    first = Window.partitionBy("__h").orderBy("__id", "__p")
+    removed_pos = (
+        wins.withColumn("__rn", F.row_number().over(first))
+        .filter(F.col("__rn") > 1)
+        .select(
+            "__id", F.explode(F.sequence("__p", F.col("__p") + k - 1)).alias("__pos")
+        )
+        .distinct()  # overlapping duplicate windows cover the same token
+        .withColumn("__rm", F.lit(True))
+    )
+    toks = base.select(
+        "__id", F.posexplode("__t").alias("__pos0", "__tok")
+    ).select("__id", (F.col("__pos0") + 1).alias("__pos"), "__tok")
+    flagged = toks.join(removed_pos, ["__id", "__pos"], "left")
+    return (
+        flagged.groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("__rm").isNull(), F.struct("__pos", "__tok"))
+                )
+            ).alias("__kt"),
+            F.sum(F.when(F.col("__rm").isNull(), 0).otherwise(1))
+            .cast("int")
+            .alias("n_tokens_removed"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.concat_ws(" ", F.transform("__kt", lambda s: s["__tok"])).alias(
+                text_col
+            ),
+            F.size("__kt").cast("int").alias("n_tokens_kept"),
+            "n_tokens_removed",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination
 # ---------------------------------------------------------------------------
