@@ -195,3 +195,54 @@ def test_semantic_dedup_matches_model(spark_global, extra):
         for r in semantic_dedup(df, anchors, threshold=0.9).collect()
     }
     assert got == _semdedup_model(vecs, [0, 1], 0.9)
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup vs a pure-Python model: window hashing, global
+# first-occurrence rule, covered-span union, and document rebuild hold for
+# arbitrary small corpora over a tiny alphabet (which maximizes window
+# collisions — the interesting regime)
+# ---------------------------------------------------------------------------
+
+def _substr_model(docs: dict[int, str], k: int) -> dict[int, tuple[str, int, int]]:
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    occurrences: dict[tuple[str, ...], tuple[int, int]] = {}
+    for d in sorted(toks):
+        for p in range(len(toks[d]) - k + 1):
+            w = tuple(toks[d][p : p + k])
+            occurrences.setdefault(w, (d, p))
+    removed: dict[int, set[int]] = {d: set() for d in toks}
+    for d in sorted(toks):
+        for p in range(len(toks[d]) - k + 1):
+            w = tuple(toks[d][p : p + k])
+            if occurrences[w] != (d, p):
+                removed[d].update(range(p, p + k))
+    out = {}
+    for d, t in toks.items():
+        kept = [tok for i, tok in enumerate(t) if i not in removed[d]]
+        out[d] = (" ".join(kept), len(kept), len(t) - len(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.dictionaries(
+        keys=st.integers(min_value=1, max_value=6),
+        values=st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_exact_substring_dedup_matches_model(spark_global, docs):
+    from tibame_project_spark.operators.dedup import exact_substring_dedup
+
+    df = spark_global.createDataFrame(
+        sorted(docs.items()), ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.text, r.n_tokens_kept, r.n_tokens_removed)
+        for r in exact_substring_dedup(df, "text", "doc_id", k=3).collect()
+    }
+    assert got == _substr_model(docs, 3)
