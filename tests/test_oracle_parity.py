@@ -74,3 +74,17 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_queries_oracle_contract():
+    """Structural guard on the driver contract: no duplicate keys, every
+    oracle belongs to a declared query, and the only rows-only entry is the
+    intentional one (HLL is approximate by design). Catches accidental
+    drops during the per-round window rotation."""
+    q = list(entry_mod.queries())
+    o = entry_mod.oracle_sql()
+    assert len(q) == len(set(q))
+    assert set(o) <= set(q)
+    assert set(q) - set(o) == {"approx_users"}
+    # the driver records the first 50 keys — the window must stay full
+    assert len(q) >= 50
