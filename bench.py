@@ -67,12 +67,21 @@ def main() -> None:
 
     # The driver keeps only a 2,000-char stdout TAIL, so the JSON line must
     # (a) be the absolute last stdout line — stop Spark first, flush stderr —
-    # and (b) fit the tail: compact separators, 2-decimal timings, no
-    # run_spread (it lives in BENCH_LOCAL.json). Rounds 2-3 recorded
-    # "parsed: null" because the full-detail line overflowed the tail and
-    # lost its opening brace.
+    # and (b) fit the tail. Rounds 2-3 recorded "parsed: null" because the
+    # full-detail line overflowed the tail and lost its opening brace.
     spark.stop()
     sys.stderr.flush()
+    print(compact_line(total, timings, sf), flush=True)
+
+
+def compact_line(
+    total: float, timings: dict[str, float], sf: float, limit: int = 1900
+) -> str:
+    """The driver-facing JSON line: compact separators, 2-decimal timings,
+    no run_spread (that lives in BENCH_LOCAL.json), and guaranteed to fit
+    the driver's capture tail — if per-query detail would overflow
+    ``limit``, it is dropped rather than risking a truncated, unparseable
+    head (the total is the gate metric; detail is in the file)."""
     compact = {
         "metric": "total_query_wall_sec",
         "value": total,
@@ -81,10 +90,10 @@ def main() -> None:
         "sf": sf,
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # belt-and-braces: never overflow the tail again
+    if len(line) > limit:
         compact.pop("queries")
         line = json.dumps(compact, separators=(",", ":"))
-    print(line, flush=True)
+    return line
 
 
 if __name__ == "__main__":

@@ -66,3 +66,22 @@ def test_diff_separates_stable_regressions_from_steal_noise(tmp_path):
     assert "| b |" in noisy_section
     assert "| c |" in report.split("Improved")[1]
     assert "No prior number (1): d" in report
+
+
+def test_bench_compact_line_fits_driver_tail():
+    """The driver keeps a 2,000-char stdout tail; the bench line must always
+    parse from it — with per-query detail when it fits, without when not."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import compact_line
+
+    few = {f"q{i}": 1.234 for i in range(10)}
+    line = compact_line(12.3, few, 0.1)
+    rec = json.loads(line)
+    assert rec["queries"]["q0"] == 1.23 and rec["value"] == 12.3
+    assert len(line) <= 1900
+
+    many = {f"very_long_query_name_{i:04d}": 123.456 for i in range(200)}
+    line = compact_line(999.9, many, 0.1)
+    rec = json.loads(line)  # still one parseable line...
+    assert len(line) <= 1900  # ...that fits the tail
+    assert "queries" not in rec and rec["value"] == 999.9
