@@ -283,6 +283,16 @@ def semantic_dedup(
     (``embedding_dedup_pairs`` without planes) is not; skewed cells split
     under AQE since the join key is the cell id. Returns (id_col, cell)
     for survivors.
+
+    Caching contract: the cell-assignment relation is ``persist()``-ed
+    (it feeds both self-join sides and the survivor anti-join; computing
+    the broadcast-argmin three times would cost more than the storage) and
+    the returned DataFrame keeps referencing it, so it cannot be released
+    here. It lives until ``spark.catalog.clearCache()`` or session end —
+    long-lived sessions calling this repeatedly should clearCache between
+    corpora (``bench.py`` does exactly that between queries). At 100 TB
+    replace the persist with an explicit parquet materialization of the
+    assignment, as ``plans/release.py`` documents for its barriers.
     """
     c = centroids.select(
         F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
