@@ -280,6 +280,31 @@ def test_weather_distributed_reader_matches_driver_side(spark, tmp_path):
     assert rows["466920"]["2024-02"] == "112.5"
 
 
+def test_weather_distributed_reader_month_regex_anchored(spark, tmp_path):
+    """A stray 6-digit run before the month token (backup stamp, date
+    prefix) must not be mistaken for yyyymm: the anchored convention wins,
+    and the loose fallback for renamed copies takes the LAST digit run."""
+    import shutil
+
+    from tibame_project_spark.plans import weather
+
+    corpus = tmp_path / "reports"
+    corpus.mkdir()
+    # convention name with a decoy digit run earlier in the name
+    shutil.copy(_WEATHER_XML, corpus / "bak_991231_mn_Report_202401.xml")
+    # renamed copy: no convention match; fallback takes last run (202402)
+    shutil.copy(_WEATHER_XML, corpus / "export_111111_copy_202402.xml")
+
+    months = {
+        r.year_month
+        for r in weather.read_monthly_reports_distributed(spark, str(corpus))
+        .select("year_month")
+        .distinct()
+        .collect()
+    }
+    assert months == {"2024-01", "2024-02"}
+
+
 def test_weather_history_serving_shape_and_jdbc(spark):
     from tibame_project_spark.plans import weather
 

@@ -147,8 +147,20 @@ def read_monthly_reports_distributed(
         for pdf in batches:
             rows: list[dict] = []
             for text, fname in zip(pdf["value"], pdf["__file"]):
-                m = re.search(r"(\d{6})", os.path.basename(fname))
-                ym = f"{m.group(1)[:4]}-{m.group(1)[4:6]}" if m else None
+                # Anchored to the documented report-name convention
+                # (mn_Report_yyyymm.xml) so a stray digit run elsewhere in
+                # the name (date stamp, backup suffix) can't be mistaken
+                # for the month; loose search is the documented fallback
+                # for renamed copies, taking the LAST 6-digit run (closest
+                # to the extension, where the convention puts the month).
+                base = os.path.basename(fname)
+                m = re.search(r"mn_Report_(\d{6})\.xml$", base)
+                if m is None:
+                    runs = re.findall(r"\d{6}", base)
+                    ym_digits = runs[-1] if runs else None
+                else:
+                    ym_digits = m.group(1)
+                ym = f"{ym_digits[:4]}-{ym_digits[4:6]}" if ym_digits else None
                 rows.extend(_station_rows(text, ym))
             yield pd.DataFrame(rows, columns=cols)
 
