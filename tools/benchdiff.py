@@ -26,6 +26,13 @@ from __future__ import annotations
 import argparse
 import json
 import re
+import sys
+
+#: A truncated driver tail still holds dozens of `"name": float` pairs;
+#: recovering fewer than this many suggests the regex missed the format
+#: (or the tail was cut mid-record) — warn rather than silently triage
+#: against a near-empty prior.
+_SUSPICIOUS_RECOVERY_FLOOR = 10
 
 
 def load_timings(path: str) -> tuple[dict[str, float], dict[str, float], float | None]:
@@ -46,13 +53,19 @@ def load_timings(path: str) -> tuple[dict[str, float], dict[str, float], float |
     cut = tail.find('"run_spread"')
     timing_text = tail[:cut] if cut >= 0 else tail
     spread_text = tail[cut:] if cut >= 0 else ""
-    pair = re.compile(r'"([a-z0-9_]+)":\s*([0-9.]+)')
+    pair = re.compile(r'"([A-Za-z0-9_]+)":\s*([0-9.]+)')
     timings = {m.group(1): float(m.group(2)) for m in pair.finditer(timing_text)}
     spreads = {m.group(1): float(m.group(2)) for m in pair.finditer(spread_text)}
     # Drop non-query scalar keys the tail may include (sf, value, n, cpus).
     for k in ("sf", "value", "n", "cpus", "rc"):
         timings.pop(k, None)
         spreads.pop(k, None)
+    if len(timings) < _SUSPICIOUS_RECOVERY_FLOOR:
+        print(
+            f"benchdiff: WARNING recovered only {len(timings)} timings from "
+            f"truncated tail {path!r} — regression triage is partial",
+            file=sys.stderr,
+        )
     return timings, spreads, None
 
 
