@@ -327,6 +327,11 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the work via the fallback pass. Kept wired as the documented
         # correctness baseline; fuzzy_blocked is the scale tier.
         prune_threshold=8,
+        # Deliberate override of the cartesian guard: this entry IS the
+        # documented cross-product baseline (and skipping the guard's two
+        # count jobs keeps the bench path unchanged). Accidental scale use
+        # raises via the default max_pairs=1e8.
+        max_pairs=None,
     )
     return out.select("s_suppkey", "c_custkey", "distance")
 
@@ -1051,6 +1056,36 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
        COUNT(*) AS n,
        {dsum} AS total_value
 FROM events GROUP BY 1, 2
+""".format(dsum=_DSUM("value"))
+
+
+def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation demo (partitioning.salted_count_sum): a rollup
+    on a DELIBERATELY hot key — ~90% of events collapse onto one derived key
+    (-1), the worst case for a direct groupBy, whose hot key funnels into a
+    single reducer regardless of cluster size. The salted two-phase plan
+    aggregates on (key, salt) first — at most ``buckets`` partials per hot
+    key, spread across reducers — then re-aggregates the tiny partials.
+    Decomposable aggs (count, exact-decimal sum) make it bit-identical to
+    the direct rollup, which is exactly what the oracle checks."""
+    from tibame_project_spark.partitioning import salted_count_sum
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "skew_key",
+        F.when(F.pmod("user_id", F.lit(100)) < 90, F.lit(-1)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    return salted_count_sum(
+        ev, ["skew_key"], value_col="value", salt_from="event_id"
+    )
+
+
+_SALTED_ROLLUP_SQL = """
+SELECT CASE WHEN user_id % 100 < 90 THEN -1 ELSE user_id END AS skew_key,
+       COUNT(*) AS n,
+       {dsum} AS sum_value
+FROM events GROUP BY 1
 """.format(dsum=_DSUM("value"))
 
 
@@ -2661,67 +2696,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is load-bearing: the driver's CORRECTNESS gate records the
-    # FIRST 50 keys only. Block 1 holds the 28 entries that had never
-    # received a driver row through round 3 (the LLM-pipeline flagships);
-    # block 2 keeps 22 high-complexity queries in-window (including
-    # fuzzy_match, whose plan changed this round); block 3 rotates
-    # long-stable round-1/2 entries out — they stay oracle-protected by
-    # tests/test_oracle_parity.py, which parametrizes EVERY oracle_sql()
-    # entry regardless of position.
+    # FIRST 50 keys only, so blocks ALTERNATE round to round — every entry's
+    # latest driver-green row stays <= 2 rounds old, and every entry is
+    # oracle-protected every run regardless of position by
+    # tests/test_oracle_parity.py (which parametrizes all oracle_sql()).
+    # r05 window: block 1 = the 30 entries last driver-witnessed in r01/r02
+    # (rotated back in; their source — dedup.py et al. — changed since);
+    # block 2 = entries changed or added THIS round; block 3 = 16
+    # high-complexity r04-green keepers. Block 4 (31 r04-green entries)
+    # rotates out and is due back in the r06 window.
     return {
-        # -- block 1: driver-unwitnessed through r03 (+ new this round) ---
-        "semantic_dedup": q_semantic_dedup,
-        "substring_dedup": q_substring_dedup,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "embedding_dups": q_embedding_dups,
-        "multimodal_features": q_multimodal_features,
-        "pack_sequences": q_pack_sequences,
-        "scd2_priority": q_scd2_priority,
-        "domain_mix": q_domain_mix,
-        "grouping_sets": q_grouping_sets,
-        "c4_filter": q_c4_filter,
-        "lm_score": q_lm_score,
-        "rolling_avg": q_rolling_avg,
-        "rank_functions": q_rank_functions,
-        "snapshot_diff": q_snapshot_diff,
-        "profile_table": q_profile_table,
-        "train_split": q_train_split,
-        "incremental_mart": q_incremental_mart,
-        "corpus_report": q_corpus_report,
-        "gap_fill": q_gap_fill,
-        "cohort_retention": q_cohort_retention,
-        "funnel": q_funnel,
-        "pearson_stats": q_pearson_stats,
-        "histogram": q_histogram,
-        "cube_rollup": q_cube_rollup,
-        "distinct_users": q_distinct_users,
-        "hash_sample": q_hash_sample,
-        "approx_users": q_approx_users,
-        # -- block 2: high-complexity keepers (stay in-window) ------------
-        "mart_star_trends": q_mart_star_trends,
-        "fuzzy_match": q_fuzzy_match,
-        "fuzzy_blocked": q_fuzzy_blocked,
-        "ivf_train": q_ivf_train,
-        "release_pipeline": q_release_pipeline,
-        "dedup_groups": q_dedup_groups,
-        "dedup_exact_text": q_dedup_exact_text,
-        "line_dedup": q_line_dedup,
-        "decontaminate": q_decontaminate,
-        "ngram_jaccard": q_ngram_jaccard,
-        "cosine_topk": q_cosine_topk,
-        "multimodal_meta": q_multimodal_meta,
-        "sessionize": q_sessionize,
-        "windowed_counts": q_windowed_counts,
-        "sql_entry": q_sql_entry,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "percentiles": q_percentiles,
-        "pivot_event_types": q_pivot_event_types,
-        "month_over_month": q_month_over_month,
-        # -- block 3: long-stable, rotated past the driver window ---------
+        # -- block 1: last witnessed r01/r02 — rotated back in-window -----
         "corrections": q_corrections,
         "stratified_sample": q_stratified_sample,
         "pricing_summary": q_pricing_summary,
@@ -2752,6 +2737,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "self_join": q_self_join,
         "fb_dates": q_fb_dates,
         "clean_chain": q_clean_chain,
+        # -- block 2: changed or added in r05 -----------------------------
+        "approx_users": q_approx_users,      # new HLL-vs-exact certificate
+        "salted_rollup": q_salted_rollup,    # new: skew-proof two-phase agg
+        "fuzzy_match": q_fuzzy_match,        # cartesian guard + override
+        "semantic_dedup": q_semantic_dedup,  # caching-contract touch
+        # -- block 3: high-complexity r04-green keepers -------------------
+        "fuzzy_blocked": q_fuzzy_blocked,
+        "ivf_train": q_ivf_train,
+        "release_pipeline": q_release_pipeline,
+        "dedup_groups": q_dedup_groups,
+        "decontaminate": q_decontaminate,
+        "substring_dedup": q_substring_dedup,
+        "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "minhash_pairs": q_minhash_pairs,
+        "embedding_dups": q_embedding_dups,
+        "multimodal_features": q_multimodal_features,
+        "sessionize": q_sessionize,
+        "windowed_counts": q_windowed_counts,
+        "sql_entry": q_sql_entry,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        # ---- 50-key window boundary -------------------------------------
+        # -- block 4: r04-green, rotated out; due back in the r06 window --
+        "simhash_pairs": q_simhash_pairs,
+        "pack_sequences": q_pack_sequences,
+        "scd2_priority": q_scd2_priority,
+        "domain_mix": q_domain_mix,
+        "grouping_sets": q_grouping_sets,
+        "c4_filter": q_c4_filter,
+        "lm_score": q_lm_score,
+        "rolling_avg": q_rolling_avg,
+        "rank_functions": q_rank_functions,
+        "snapshot_diff": q_snapshot_diff,
+        "profile_table": q_profile_table,
+        "train_split": q_train_split,
+        "incremental_mart": q_incremental_mart,
+        "corpus_report": q_corpus_report,
+        "gap_fill": q_gap_fill,
+        "cohort_retention": q_cohort_retention,
+        "funnel": q_funnel,
+        "pearson_stats": q_pearson_stats,
+        "histogram": q_histogram,
+        "cube_rollup": q_cube_rollup,
+        "distinct_users": q_distinct_users,
+        "hash_sample": q_hash_sample,
+        "mart_star_trends": q_mart_star_trends,
+        "dedup_exact_text": q_dedup_exact_text,
+        "line_dedup": q_line_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "multimodal_meta": q_multimodal_meta,
+        "percentiles": q_percentiles,
+        "pivot_event_types": q_pivot_event_types,
+        "month_over_month": q_month_over_month,
     }
 
 
@@ -2839,4 +2879,5 @@ def oracle_sql() -> dict[str, str]:
         # approx_users: HLL estimate vs exact as a 2%-tolerance certificate —
         # the last former rows-only entry, now hash-checked.
         "approx_users": _APPROX_USERS_SQL,
+        "salted_rollup": _SALTED_ROLLUP_SQL,
     }

@@ -85,3 +85,21 @@ def test_bench_compact_line_fits_driver_tail():
     rec = json.loads(line)  # still one parseable line...
     assert len(line) <= 1900  # ...that fits the tail
     assert "queries" not in rec and rec["value"] == 999.9
+
+
+def test_bench_line_keeps_detail_at_current_query_count():
+    """Regression guard for the r02/r03 'parsed: null' incident: with the
+    CURRENT registered query set and worst-case timing widths, the compact
+    line must still fit the driver's 2,000-char tail WITH per-query detail
+    (detail silently dropping is the next failure mode after truncation)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __spark_entry__ as entry_mod
+    from bench import compact_line
+
+    worst = {name: 999.99 for name in entry_mod.queries()}
+    line = compact_line(99999.999, worst, 0.1)
+    assert len(line) <= 1900
+    assert "queries" in json.loads(line), (
+        "per-query detail no longer fits the driver tail — trim query-name "
+        "lengths or move the oldest entries to BENCH_LOCAL-only reporting"
+    )

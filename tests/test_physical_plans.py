@@ -88,6 +88,22 @@ def test_salted_agg_matches_direct(spark):
     assert got == want
 
 
+def test_salted_agg_plan_shape(spark):
+    """The salted rollup must actually plan two aggregation phases — the
+    first keyed on (keys, __salt) so a hot key fans out over reducers — not
+    collapse back into a single direct groupBy under optimization."""
+    rows = [("hot", 1.0)] * 100 + [("cold", 2.0)]
+    df = spark.createDataFrame(rows, "k string, v double").withColumn(
+        "uid", F.monotonically_increasing_id()
+    )
+    plan = _plan(
+        salted_count_sum(df, ["k"], value_col="v", salt_from="uid", buckets=8)
+    )
+    assert "__salt" in plan  # phase-1 grouping key survives to the physical plan
+    # two logical phases x (partial, final) = 4 hash aggregates
+    assert plan.count("HashAggregate") >= 4
+
+
 def test_partition_pruning_on_day_partitioned_write(spark, tmp_path):
     """The reference's PARTITION BY published_at tables must prune: a filter
     on the partition column becomes a PartitionFilter (no full scan)."""
