@@ -633,6 +633,31 @@ def test_gopher_metrics_matches_scalar_rules(spark):
     assert staged["a"] is True and staged["b"] is False and staged["d"] is False
 
 
+def test_top_ngram_stats_golden(spark):
+    """Hand-checked top-2-gram stats: dominance, tie-breaks, short docs."""
+    from tibame_project_spark.functions.textstats import top_ngram_stats
+
+    rows = spark.createDataFrame(
+        [
+            # "a b" x3 (overlapping list: a b, b a, a b, b a, a b, b c)
+            ("rep", "a b a b a b c"),
+            # every gram unique -> tie on count=1, lexicographic min wins
+            ("tie", "z y x w"),
+            ("one", "solo"),   # < 2 tokens: NULL gram, 0.0 frac
+            ("empty", ""),
+        ],
+        ["k", "text"],
+    )
+    got = {r.k: r for r in top_ngram_stats(rows, "text", ["k"]).collect()}
+    assert got["rep"].top_gram == "a b" and got["rep"].top_gram_n == 3
+    # covered = 3 occurrences x 2 token chars; total token chars = 7
+    assert got["rep"].top_gram_char_frac == pytest.approx(6 / 7)
+    assert got["tie"].top_gram == "x w" and got["tie"].top_gram_n == 1
+    assert got["one"].top_gram is None and got["one"].top_gram_n == 0
+    assert got["one"].top_gram_char_frac == 0.0
+    assert got["empty"].top_gram is None and got["empty"].top_gram_char_frac == 0.0
+
+
 def test_decontaminate_overlap_semantics(spark):
     from tibame_project_spark.operators.dedup import decontaminate
 

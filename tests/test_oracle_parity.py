@@ -78,13 +78,14 @@ def test_entry_smoke(spark):
 
 def test_queries_oracle_contract():
     """Structural guard on the driver contract: no duplicate keys, every
-    oracle belongs to a declared query, and the only rows-only entry is the
-    intentional one (HLL is approximate by design). Catches accidental
-    drops during the per-round window rotation."""
+    oracle belongs to a declared query, and every query carries an oracle —
+    approximate ops (approx_users, approx_percentiles) are hash-checked via
+    tolerance certificates, so nothing is rows-only anymore. Catches
+    accidental drops during the per-round window rotation."""
     q = list(entry_mod.queries())
     o = entry_mod.oracle_sql()
     assert len(q) == len(set(q))
     assert set(o) <= set(q)
-    assert set(q) - set(o) == {"approx_users"}
+    assert set(q) - set(o) == set()
     # the driver records the first 50 keys — the window must stay full
     assert len(q) >= 50

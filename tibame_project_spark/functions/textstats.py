@@ -363,6 +363,80 @@ def gopher_metrics(df, text_col: str, id_cols: list[str]):
     )
 
 
+def top_ngram_stats(df, text_col: str, id_cols: list[str], *, n: int = 2):
+    """Gopher's *top n-gram character fraction* signal (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): for each document, find the most frequent
+    token n-gram and report the fraction of the document's token characters
+    covered by its occurrences. Complements ``dup_ngram_fraction`` (which
+    measures distinct-ratio repetition, not single-gram dominance) —
+    boilerplate pages score high here while staying under the dup radar.
+
+    Relational shape, scale-safe: grams are built per row with HOFs (narrow),
+    exploded, counted by (doc, gram) — a key whose cardinality is bounded by
+    total tokens, partitioned evenly — and the per-doc argmax is the same
+    map-side struct-MIN used by the fuzzy join (min over (-count, gram):
+    max count, ties to the lexicographically smallest gram, deterministic).
+    Docs with fewer than ``n`` tokens come back with a NULL gram and 0.0
+    fraction via the final left join against the per-doc totals (narrow:
+    both sides share the id).
+
+    Occurrences are counted over the overlapping sliding-window gram list;
+    covered characters are ``count × token-chars-in-gram`` — overlapping
+    occurrences may double-count characters, which keeps both engines'
+    arithmetic identical (the paper's signal is a threshold feature, not a
+    measure-theoretic quantity). Returns (ids…, top_gram, top_gram_n,
+    top_gram_char_frac).
+    """
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    base = df.select(*id_cols, toks.alias("__tk")).select(
+        *id_cols,
+        "__tk",
+        F.aggregate(
+            "__tk", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("__total"),
+    )
+    grams = F.when(
+        F.size("__tk") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__tk") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("__tk", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        base.select(*id_cols, "__total", F.explode(grams).alias("__gram"))
+        .groupBy(*id_cols, "__total", "__gram")
+        .agg(F.count(F.lit(1)).alias("__n_occ"))
+    )
+    top = counts.groupBy(*id_cols, "__total").agg(
+        F.min(
+            F.struct((-F.col("__n_occ")).alias("__neg"), F.col("__gram"))
+        ).alias("__b")
+    )
+    picked = top.select(
+        *id_cols,
+        F.col("__b.__gram").alias("top_gram"),
+        (-F.col("__b.__neg")).alias("top_gram_n"),
+        (
+            (-F.col("__b.__neg")) * (F.length("__b.__gram") - (n - 1))
+        ).cast("double").alias("__covered"),
+    )
+    return (
+        base.select(*id_cols, "__total")
+        .join(picked, id_cols, "left")
+        .select(
+            *id_cols,
+            "top_gram",
+            F.coalesce("top_gram_n", F.lit(0).cast("long")).alias("top_gram_n"),
+            F.when(
+                F.col("__covered").isNotNull() & (F.col("__total") > 0),
+                F.col("__covered") / F.col("__total"),
+            )
+            .otherwise(0.0)
+            .alias("top_gram_char_frac"),
+        )
+    )
+
+
 def pack_chunks(
     chunks,
     *,
