@@ -104,6 +104,45 @@ def test_salted_agg_plan_shape(spark):
     assert plan.count("HashAggregate") >= 4
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-group pruning for selective fact-to-dim joins: Spark's
+    InjectRuntimeFilter builds a bloom filter from the filtered dim side
+    and applies it on the fact side BELOW the shuffle, so at 100 TB a
+    selective dim predicate prunes fact rows at the scan instead of
+    shuffling the full fact table into the join. The default application
+    thresholds (10 GB scan) are cluster-sized, so the test pins the knobs
+    to local scale — the assertion is that the rewrite itself fires."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    knobs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # keep the join a shuffle join so the bloom filter has a shuffle to
+        # prune below (a broadcast join gets DPP-style pruning instead)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in knobs}
+    try:
+        for k, v in knobs.items():
+            spark.conf.set(k, v)
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey", "o_orderdate"
+        )
+        joined = lineitem.join(sel, lineitem.l_orderkey == sel.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_orderdate"
+        )
+        plan = _plan(joined)
+        assert "bloom_filter" in plan or "BloomFilter" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_partition_pruning_on_day_partitioned_write(spark, tmp_path):
     """The reference's PARTITION BY published_at tables must prune: a filter
     on the partition column becomes a PartitionFilter (no full scan)."""
