@@ -77,23 +77,44 @@ def main() -> None:
 def compact_line(
     total: float, timings: dict[str, float], sf: float, limit: int = 1900
 ) -> str:
-    """The driver-facing JSON line: compact separators, 2-decimal timings,
-    no run_spread (that lives in BENCH_LOCAL.json), and guaranteed to fit
-    the driver's capture tail — if per-query detail would overflow
-    ``limit``, it is dropped rather than risking a truncated, unparseable
-    head (the total is the gate metric; detail is in the file)."""
-    compact = {
-        "metric": "total_query_wall_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
-        "sf": sf,
-    }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > limit:
-        compact.pop("queries")
-        line = json.dumps(compact, separators=(",", ":"))
-    return line
+    """The driver-facing JSON line: compact separators, no run_spread (that
+    lives in BENCH_LOCAL.json), and guaranteed to fit the driver's capture
+    tail. Degrades gracefully instead of all-or-nothing: 2-decimal full
+    detail when it fits, else 1-decimal, else the slowest queries that fit
+    with a ``q_dropped`` count (the slowest are the ones regression triage
+    needs; the fast tail is recoverable from BENCH_LOCAL.json) — so the
+    r02/r03 failure mode (overflowed tail, ``parsed: null``) stays
+    impossible while keeping maximal detail."""
+
+    def render(queries: dict | None, dropped: int) -> str:
+        compact: dict = {
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+        }
+        if queries is not None:
+            compact["queries"] = queries
+        if dropped:
+            compact["q_dropped"] = dropped
+        compact["sf"] = sf
+        return json.dumps(compact, separators=(",", ":"))
+
+    for nd in (2, 1):
+        line = render({k: round(v, nd) for k, v in timings.items()}, 0)
+        if len(line) <= limit:
+            return line
+    # Keep the slowest entries that fit (stable: ties break on name).
+    by_cost = sorted(timings, key=lambda k: (-timings[k], k))
+    kept: dict[str, float] = {}
+    for k in by_cost:
+        trial = dict(kept)
+        trial[k] = round(timings[k], 1)
+        if len(render(trial, len(timings) - len(trial))) > limit:
+            break
+        kept = trial
+    if kept:
+        return render(kept, len(timings) - len(kept))
+    return render(None, len(timings))
 
 
 if __name__ == "__main__":
