@@ -81,6 +81,7 @@ from tibame_project_spark.operators.similarity import (
 from tibame_project_spark.sources.multimodal import extract_features
 from tibame_project_spark.streaming.incremental import (
     sessionize,
+    stream_interval_join,
     windowed_event_counts,
 )
 
@@ -652,6 +653,36 @@ SELECT tot.doc_id,
             THEN CAST(top.n_occ * (length(top.gram) - 1) AS DOUBLE) / tot.total
             ELSE 0.0 END AS top_gram_char_frac
 FROM tot LEFT JOIN (SELECT * FROM top WHERE rn = 1) top USING (doc_id)
+"""
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf-idf (log-free
+    idf for cross-engine bit-exactness — see tfidf_top_terms)."""
+    from tibame_project_spark.functions.textstats import tfidf_top_terms
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+    return tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+_TFIDF_SQL = r"""
+WITH pairs AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM pairs GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df DESC,
+                                     tf.term) AS rank
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+SELECT doc_id, term, CAST(rank AS INTEGER) AS rank, score
+FROM scored WHERE rank <= 3
 """
 
 
@@ -1666,6 +1697,44 @@ _WINDOWED_SQL = f"""
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
        COUNT(*) AS n, {_DSUM("value")} AS total_value
 FROM events GROUP BY date_trunc('day', ts), event_type
+"""
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch twin (§2.11): click→purchase
+    attribution — purchases landing within 30 minutes AFTER a click by the
+    same user, via the same stream_interval_join code path that runs
+    watermarked under readStream (watermarks are documented no-ops in
+    batch). The time bound on both event-time sides is what lets streaming
+    state expire; here it is also the predicate the oracle replays."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    out = stream_interval_join(
+        clicks,
+        purchases,
+        on=("cu", "pu"),
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        window_seconds=1800,
+    )
+    return out.select(
+        F.col("cu").alias("user_id"), "click_ts", "purchase_ts", "value"
+    )
+
+
+_ATTRIBUTION_SQL = """
+SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts, p.value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
 """
 
 
@@ -2778,8 +2847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_oracle_parity.py (which parametrizes all oracle_sql()).
     # r05 window: block 1 = the 30 entries last driver-witnessed in r01/r02
     # (rotated back in; their source — dedup.py et al. — changed since);
-    # block 2 = entries changed or added THIS round; block 3 = 14
-    # high-complexity r04-green keepers. Block 4 (33 r04-green entries)
+    # block 2 = entries changed or added THIS round; block 3 = 12
+    # high-complexity r04-green keepers. Block 4 (35 r04-green entries)
     # rotates out and is due back in the r06 window.
     return {
         # -- block 1: last witnessed r01/r02 — rotated back in-window -----
@@ -2818,6 +2887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_rollup": q_salted_rollup,    # new: skew-proof two-phase agg
         "approx_percentiles": q_approx_percentiles,  # new: GK certificate
         "top_ngram": q_top_ngram,            # new: Gopher top-2-gram signal
+        "tfidf": q_tfidf,                    # new: tf-idf keyword top-3
+        "attribution": q_attribution,        # new: interval-join batch twin
         "fuzzy_match": q_fuzzy_match,        # cartesian guard + override
         "semantic_dedup": q_semantic_dedup,  # caching-contract touch
         # -- block 3: high-complexity r04-green keepers -------------------
@@ -2833,10 +2904,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups": q_embedding_dups,
         "multimodal_features": q_multimodal_features,
         "sessionize": q_sessionize,
-        "windowed_counts": q_windowed_counts,
-        "sql_entry": q_sql_entry,
         # ---- 50-key window boundary -------------------------------------
         # -- block 4: r04-green, rotated out; due back in the r06 window --
+        "windowed_counts": q_windowed_counts,
+        "sql_entry": q_sql_entry,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "simhash_pairs": q_simhash_pairs,
@@ -2962,4 +3033,6 @@ def oracle_sql() -> dict[str, str]:
         # certificate, same scheme as approx_users.
         "approx_percentiles": _APPROX_PERCENTILES_SQL,
         "top_ngram": _TOP_NGRAM_SQL,
+        "tfidf": _TFIDF_SQL,
+        "attribution": _ATTRIBUTION_SQL,
     }
