@@ -656,36 +656,6 @@ FROM tot LEFT JOIN (SELECT * FROM top WHERE rn = 1) top USING (doc_id)
 """
 
 
-def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document keyword extraction: top-3 terms by tf-idf (log-free
-    idf for cross-engine bit-exactness — see tfidf_top_terms)."""
-    from tibame_project_spark.functions.textstats import tfidf_top_terms
-
-    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
-    return tfidf_top_terms(docs, "text", "doc_id", k=3)
-
-
-_TFIDF_SQL = r"""
-WITH pairs AS (
-  SELECT doc_id,
-         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                            x -> x <> '')) AS term
-  FROM documents),
-tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM pairs GROUP BY 1, 2),
-dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
-scored AS (
-  SELECT tf.doc_id, tf.term,
-         CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score,
-         row_number() OVER (PARTITION BY tf.doc_id
-                            ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df DESC,
-                                     tf.term) AS rank
-  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
-SELECT doc_id, term, CAST(rank AS INTEGER) AS rank, score
-FROM scored WHERE rank <= 3
-"""
-
-
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3 App. C style n-gram overlap):
     every 50th document stands in for an eval set; docs sharing any
@@ -1683,6 +1653,52 @@ SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
        md5(text) AS payload_md5
 FROM documents
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (sources/multimodal.py sample_frames): one
+    row per sampled frame timestamp, enumerated from typed metadata ONLY —
+    the narrow explode that plans a video pipeline's per-frame work before
+    any decode touches bytes. Documents stand in as videos with a
+    deterministic duration (n_chars × 10 ms); the per-frame decode itself
+    rides extract_features (stubbed — no media libs in container).
+    Integer frame arithmetic is replayed exactly by the oracle (// in
+    DuckDB mirrors Spark's truncating int cast on non-negatives)."""
+    from tibame_project_spark.sources.multimodal import sample_frames
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.struct(
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms")
+        ).alias("meta"),
+    )
+    out = sample_frames(media, every_ms=1000)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+
+
+_FRAME_SAMPLE_SQL = """
+WITH v AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         CAST(n_chars * 10 AS BIGINT) AS duration_ms,
+         GREATEST(CAST((n_chars * 10) // 1000 AS INTEGER) - 1, 0) AS max_idx
+  FROM documents),
+f AS (
+  SELECT media_id, duration_ms,
+         unnest(generate_series(0, max_idx)) AS frame_idx
+  FROM v)
+SELECT media_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(frame_idx * 1000 AS INTEGER) AS frame_ts_ms,
+       duration_ms
+FROM f
 """
 
 
@@ -2887,8 +2903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_rollup": q_salted_rollup,    # new: skew-proof two-phase agg
         "approx_percentiles": q_approx_percentiles,  # new: GK certificate
         "top_ngram": q_top_ngram,            # new: Gopher top-2-gram signal
-        "tfidf": q_tfidf,                    # new: tf-idf keyword top-3
         "attribution": q_attribution,        # new: interval-join batch twin
+        "frame_sample": q_frame_sample,      # new: multimodal frame explode
         "fuzzy_match": q_fuzzy_match,        # cartesian guard + override
         "semantic_dedup": q_semantic_dedup,  # caching-contract touch
         # -- block 3: high-complexity r04-green keepers -------------------
@@ -3033,6 +3049,6 @@ def oracle_sql() -> dict[str, str]:
         # certificate, same scheme as approx_users.
         "approx_percentiles": _APPROX_PERCENTILES_SQL,
         "top_ngram": _TOP_NGRAM_SQL,
-        "tfidf": _TFIDF_SQL,
         "attribution": _ATTRIBUTION_SQL,
+        "frame_sample": _FRAME_SAMPLE_SQL,
     }

@@ -658,26 +658,6 @@ def test_top_ngram_stats_golden(spark):
     assert got["empty"].top_gram is None and got["empty"].top_gram_char_frac == 0.0
 
 
-def test_tfidf_top_terms_golden(spark):
-    """Hand-checked tf-idf: scores, ranking, and deterministic tie-break."""
-    from tibame_project_spark.functions.textstats import tfidf_top_terms
-
-    docs = spark.createDataFrame(
-        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry cherry cherry")],
-        ["doc_id", "text"],
-    )
-    got = {
-        (r.doc_id, r.rank): (r.term, r.score)
-        for r in tfidf_top_terms(docs, "text", "doc_id", k=2).collect()
-    }
-    # N=3; df: apple 1, banana 2, cherry 2
-    assert got[(1, 1)] == ("apple", 6.0)      # tf 2 * 3 / 1
-    assert got[(1, 2)] == ("banana", 1.5)     # tf 1 * 3 / 2
-    # doc 2: banana and cherry tie at 1.5 — lexicographic term order
-    assert got[(2, 1)] == ("banana", 1.5) and got[(2, 2)] == ("cherry", 1.5)
-    assert got[(3, 1)] == ("cherry", 4.5)
-
-
 def test_decontaminate_overlap_semantics(spark):
     from tibame_project_spark.operators.dedup import decontaminate
 

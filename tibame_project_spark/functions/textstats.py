@@ -437,54 +437,6 @@ def top_ngram_stats(df, text_col: str, id_cols: list[str], *, n: int = 2):
     )
 
 
-def tfidf_top_terms(df, text_col: str, id_col: str, *, k: int = 3):
-    """Per-document keyword extraction by tf-idf: the top-``k`` terms of
-    each document ranked by term frequency × inverse document frequency.
-
-    The idf is the LOG-FREE variant ``N / df`` (raw inverse document
-    frequency): the ranking it induces per fixed term is identical to the
-    log form, and dropping the log keeps the score a single exact-integer
-    division — ``CAST(tf · N AS DOUBLE) / df`` — which both Spark and
-    DuckDB round identically (IEEE correctly-rounded division), where
-    ``ln()`` is a libm call with no cross-engine bit guarantee. The same
-    trade the quality battery makes everywhere: oracle-checkable arithmetic
-    over textbook-exact formulas.
-
-    Relational shape for 100 TB: one explode → (doc, term) count for tf
-    (shuffle on doc+term), term-level df derived FROM the tf relation
-    (shuffle on term — cardinality = vocabulary, not corpus), corpus size N
-    broadcast as a 1-row join, and the top-k a per-doc window. No driver
-    collect; ties break on the term string, deterministic.
-    """
-    from pyspark.sql import Window
-
-    toks = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
-    )
-    pairs = df.select(F.col(id_col), F.explode(toks).alias("term"))
-    tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.select(
-        F.countDistinct(id_col).cast("long").alias("__n_docs")
-    )
-    scored = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "score",
-            (F.col("tf") * F.col("__n_docs")).cast("double") / F.col("df"),
-        )
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("score").desc(), F.col("term")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "term", F.col("rank").cast("int").alias("rank"), "score")
-    )
-
-
 def pack_chunks(
     chunks,
     *,
