@@ -1,0 +1,143 @@
+"""Coverage for the thin public-API rows that no driver query exercises —
+each maps to a SURVEY §2 row or a documented engine extension, and an
+untested export is one rename away from silent breakage."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_distinct_rows_and_dim_type(spark):
+    """D1 full-row DISTINCT, and the dim_type plan built on it."""
+    from tibame_project_spark.operators.dedup import distinct_rows
+    from tibame_project_spark.plans.attractions import dim_type
+
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["id", "v"])
+    assert sorted(tuple(r) for r in distinct_rows(df).collect()) == [(1, "a"), (2, "b")]
+
+    ta = spark.createDataFrame([("museum",), ("museum",), ("park",)], ["type"])
+    ids = spark.createDataFrame([(10, "museum"), (20, "park"), (30, "zoo")], ["type_id", "type"])
+    got = sorted(tuple(r) for r in dim_type(ta, ids).collect())
+    assert got == [(10, "museum"), (20, "park")]
+
+
+def test_explode_delimited_trims_elements(spark):
+    """F11+F12: split on the reference's bullet delimiter, trim, explode."""
+    from tibame_project_spark.operators.reshape import explode_delimited
+
+    df = spark.createDataFrame([(1, "a • b •c")], ["id", "tags"])
+    got = sorted(
+        (r.id, r.tags) for r in explode_delimited(df, "tags", delim="•").collect()
+    )
+    assert got == [(1, "a"), (1, "b"), (1, "c")]
+
+
+def test_header_transpose_builds_mapping(spark):
+    """F14: the header row becomes a (column_name, value) mapping table."""
+    from tibame_project_spark.operators.reshape import header_transpose
+
+    df = spark.createDataFrame(
+        [("header", "機關", "年度"), ("data", "x", "y")], ["kind", "c1", "c2"]
+    )
+    got = {
+        r.column_name: r.value
+        for r in header_transpose(
+            df, F.col("kind") == "header", "column_name", ["c1", "c2"]
+        ).collect()
+    }
+    assert got == {"c1": "機關", "c2": "年度"}
+
+
+def test_lookup_join_broadcasts(spark):
+    """J8: the lookup side must plan as a broadcast-hash join."""
+    from tibame_project_spark.operators.joins import lookup_join
+
+    df = spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"])
+    dim = spark.createDataFrame([(1, "one")], ["k", "name"])
+    out = lookup_join(df, dim, "k")
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+    rows = {(r.k, r.name) for r in out.collect()}
+    assert rows == {(1, "one"), (2, None)}
+
+
+def test_save_table_lifecycle(spark):
+    """S8/S9/S10: saveAsTable overwrite + the mode='ignore' create guard."""
+    from tibame_project_spark.sources.writers import save_table
+
+    df = spark.createDataFrame([(1,), (2,)], ["x"])
+    save_table(df, "api_surface_t", mode="overwrite")
+    assert spark.table("api_surface_t").count() == 2
+    # ignore: existing table left untouched
+    save_table(spark.createDataFrame([(99,)], ["x"]), "api_surface_t", mode="ignore")
+    assert spark.table("api_surface_t").count() == 2
+    spark.sql("DROP TABLE api_surface_t")
+
+
+def test_pagerank_integer_symmetric_cycle(spark):
+    """Exact integer PageRank: a directed cycle is rank-symmetric, total
+    mass stays within N div-truncations of scale, and results are BIGINT
+    (bit-identical under any partitioning — no float drift)."""
+    from tibame_project_spark.operators.graph import pagerank_integer
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    ranks = {r.node: r.rank for r in pagerank_integer(edges, "src", "dst").collect()}
+    assert set(ranks) == {"a", "b", "c"}
+    assert len(set(ranks.values())) == 1  # symmetry -> identical ranks
+    scale = 10**12
+    assert scale - 3 * 3 <= sum(ranks.values()) <= scale  # mass conservation
+
+
+def test_serving_attraction_history_contract(spark):
+    """init.sql attraction_history projection: names and int casts."""
+    from tibame_project_spark.plans.serving import serving_attraction_history
+
+    fact = spark.createDataFrame(
+        [("A1", "2024", "7", "1500")], ["attraction_id", "year", "month", "number_people"]
+    )
+    out = serving_attraction_history(fact)
+    assert out.columns == ["attraction_id", "year", "month", "number_people"]
+    row = out.collect()[0]
+    assert (row.year, row.month, row.number_people) == (2024, 7, 1500)
+    assert dict(out.dtypes)["number_people"] == "int"
+
+
+def test_ngram_jaccard_pairs_blocked_variant(spark):
+    """The min-shingle-blocked probabilistic variant agrees with the exact
+    one on pairs whose Jaccard clears the threshold AND share their global
+    min shingle (identical docs trivially do)."""
+    from tibame_project_spark.operators.dedup import (
+        ngram_jaccard_exact_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    blocked = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_exact_pairs(
+            docs, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert blocked == exact == {(1, 2): 1.0}
+
+
+def test_char_count_matches_length(spark):
+    from tibame_project_spark.functions.textstats import char_count
+
+    df = spark.createDataFrame([("héllo",), ("",)], ["t"])
+    got = [r.n for r in df.select(char_count(F.col("t")).alias("n")).collect()]
+    assert got == [5, 0]
