@@ -246,3 +246,87 @@ def test_exact_substring_dedup_matches_model(spark_global, docs):
         for r in exact_substring_dedup(df, "text", "doc_id", k=3).collect()
     }
     assert got == _substr_model(docs, 3)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["hot", "hot", "hot", "warm", "c1", "c2", "c3"]),
+            st.floats(
+                min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_salted_agg_matches_direct_for_any_distribution(spark_global, rows):
+    """salted_count_sum must be bit-identical to the direct groupBy for ANY
+    key distribution (the sampled_from above is skew-weighted on purpose) —
+    decomposability of count and exact decimal sum is what the salt relies
+    on."""
+    from tibame_project_spark.partitioning import salted_count_sum
+
+    df = spark_global.createDataFrame(rows, "k string, v double").withColumn(
+        "uid", F.monotonically_increasing_id()
+    )
+    got = {
+        (r.k, r.n, r.sum_v)
+        for r in salted_count_sum(
+            df, ["k"], value_col="v", salt_from="uid", buckets=4
+        ).collect()
+    }
+    want = {
+        (r.k, r.n, r.sum_v)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("sum_v"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def _top_ngram_model(docs: dict[int, str], n: int):
+    out = {}
+    for did, text in docs.items():
+        tk = [t for t in text.split() if t]
+        total = sum(len(t) for t in tk)
+        grams = [" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+        if not grams:
+            out[did] = (None, 0, 0.0)
+            continue
+        counts: dict[str, int] = {}
+        for g in grams:
+            counts[g] = counts.get(g, 0) + 1
+        best = min(counts, key=lambda g: (-counts[g], g))
+        covered = counts[best] * (len(best) - (n - 1))
+        out[did] = (best, counts[best], covered / total if total else 0.0)
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.dictionaries(
+        keys=st.integers(min_value=1, max_value=5),
+        values=st.lists(
+            st.sampled_from(["aa", "bb", "cc", "x"]), min_size=0, max_size=10
+        ).map(" ".join),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_top_ngram_stats_matches_model(spark_global, docs):
+    """top_ngram_stats agrees with a pure-Python sliding-window model on
+    arbitrary token sequences: argmax count, (count, gram) tie order, and
+    the covered-character fraction."""
+    from tibame_project_spark.functions.textstats import top_ngram_stats
+
+    df = spark_global.createDataFrame(sorted(docs.items()), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.top_gram, r.top_gram_n, r.top_gram_char_frac)
+        for r in top_ngram_stats(df, "text", ["doc_id"], n=2).collect()
+    }
+    assert got == _top_ngram_model(docs, 2)
