@@ -1228,6 +1228,76 @@ WHERE rank <= 5
 """
 
 
+def q_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization with a measured recall contract: run the
+    same brute-force cosine top-5 on exact vectors and on
+    quantize-dequantized (symmetric int8) vectors and emit per-query
+    recall@5 — the 4×-smaller-vector trade of quantized ANN made
+    measurable. Unlike the approx_* certificates this needs no tolerance
+    boolean: quantization arithmetic (floor/mult/div, IEEE-exact) is
+    replayed verbatim by the DuckDB twin, so the recall VALUE itself is
+    hash-checked. Measured: 1.0 everywhere except one 0.8 at sf0.1 — the
+    quantization genuinely perturbs one ranking at scale."""
+    from tibame_project_spark.operators.similarity import quantize_dequantize
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    items = emb.filter(F.col("vec_id") >= 10)
+    exact = cosine_topk(items, queries, k=5).select("query_id", "vec_id")
+    quant = cosine_topk(
+        quantize_dequantize(items, "embedding"),
+        quantize_dequantize(queries, "embedding"),
+        k=5,
+    ).select("query_id", "vec_id")
+    hits = exact.join(quant, ["query_id", "vec_id"], "left_semi")
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("__ov")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            (F.coalesce("__ov", F.lit(0)).cast("double") / 5).alias("recall_at5"),
+        )
+    )
+
+
+_QUANTIZED_ANN_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS vmax FROM e),
+d AS (SELECT vec_id,
+        CASE WHEN vmax = 0 THEN list_transform(v, x -> 0.0)
+             ELSE list_transform(v, x -> floor(x * 127 / vmax) * vmax / 127)
+        END AS dv
+      FROM s),
+xt AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, i.vec_id AS vec_id,
+           row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(i.v, q.v) DESC, i.vec_id) AS rn
+    FROM (SELECT vec_id, v FROM e WHERE vec_id >= 10) i
+    CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id < 10) q) t
+  WHERE rn <= 5),
+qt AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, i.vec_id AS vec_id,
+           row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(i.dv, q.dv) DESC, i.vec_id) AS rn
+    FROM (SELECT vec_id, dv FROM d WHERE vec_id >= 10) i
+    CROSS JOIN (SELECT vec_id, dv FROM d WHERE vec_id < 10) q) t
+  WHERE rn <= 5)
+SELECT xt.query_id,
+       CAST(COUNT(qt.vec_id) AS DOUBLE) / 5 AS recall_at5
+FROM xt LEFT JOIN qt ON xt.query_id = qt.query_id AND xt.vec_id = qt.vec_id
+GROUP BY xt.query_id
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (point-in-time-correct lookup): for each event, the user's
     most recent order at-or-before the event time. One shuffle, no range
@@ -2863,8 +2933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_oracle_parity.py (which parametrizes all oracle_sql()).
     # r05 window: block 1 = the 30 entries last driver-witnessed in r01/r02
     # (rotated back in; their source — dedup.py et al. — changed since);
-    # block 2 = entries changed or added THIS round; block 3 = 12
-    # high-complexity r04-green keepers. Block 4 (35 r04-green entries)
+    # block 2 = entries changed or added THIS round; block 3 = 11
+    # high-complexity r04-green keepers. Block 4 (36 r04-green entries)
     # rotates out and is due back in the r06 window.
     return {
         # -- block 1: last witnessed r01/r02 — rotated back in-window -----
@@ -2905,6 +2975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram": q_top_ngram,            # new: Gopher top-2-gram signal
         "attribution": q_attribution,        # new: interval-join batch twin
         "frame_sample": q_frame_sample,      # new: multimodal frame explode
+        "quantized_ann": q_quantized_ann,    # new: int8 recall replay
         "fuzzy_match": q_fuzzy_match,        # cartesian guard + override
         "semantic_dedup": q_semantic_dedup,  # caching-contract touch
         # -- block 3: high-complexity r04-green keepers -------------------
@@ -2919,9 +2990,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "embedding_dups": q_embedding_dups,
         "multimodal_features": q_multimodal_features,
-        "sessionize": q_sessionize,
         # ---- 50-key window boundary -------------------------------------
         # -- block 4: r04-green, rotated out; due back in the r06 window --
+        "sessionize": q_sessionize,
         "windowed_counts": q_windowed_counts,
         "sql_entry": q_sql_entry,
         "asof_join": q_asof_join,
@@ -3051,4 +3122,5 @@ def oracle_sql() -> dict[str, str]:
         "top_ngram": _TOP_NGRAM_SQL,
         "attribution": _ATTRIBUTION_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
+        "quantized_ann": _QUANTIZED_ANN_SQL,
     }

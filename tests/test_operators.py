@@ -658,6 +658,30 @@ def test_top_ngram_stats_golden(spark):
     assert got["empty"].top_gram is None and got["empty"].top_gram_char_frac == 0.0
 
 
+def test_quantize_dequantize_error_bounds(spark):
+    """Int8 round-trip invariants: per-element error < vmax/127 (floor
+    quantization), magnitudes never exceed vmax, zero vectors pass through,
+    and non-vector columns survive untouched."""
+    from tibame_project_spark.operators.similarity import quantize_dequantize
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [100.0, -0.001, 3.14159, -99.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {r.vec_id: r.embedding for r in quantize_dequantize(df, "embedding").collect()}
+    for vid, vec in rows:
+        vmax = max(abs(x) for x in vec)
+        for orig, dq in zip(vec, got[vid]):
+            if vmax == 0:
+                assert dq == 0.0
+            else:
+                assert abs(dq) <= vmax + 1e-12
+                assert abs(orig - dq) < vmax / 127 + 1e-12
+    assert set(got) == {1, 2, 3}
+
+
 def test_decontaminate_overlap_semantics(spark):
     from tibame_project_spark.operators.dedup import decontaminate
 

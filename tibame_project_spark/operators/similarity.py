@@ -258,6 +258,45 @@ def embedding_dedup_pairs(
     )
 
 
+def quantize_dequantize(df: DataFrame, vec_col: str, *, bits: int = 8) -> DataFrame:
+    """Symmetric per-vector integer quantization, returned as the
+    dequantized double array — the storage/bandwidth trade of int8 ANN
+    (4× smaller vectors, one extra multiply on read) made measurable: run
+    the same top-k on the round-tripped vectors and compare recall.
+
+    Per vector: ``q_j = floor(v_j · L / vmax)``, ``dq_j = q_j · vmax / L``
+    with ``L = 2^(bits−1) − 1`` and ``vmax = max|v_j|`` (zero vectors pass
+    through as zeros). Every step is IEEE-exact or correctly rounded and
+    spelled identically in the DuckDB oracle, so dequantized values — and
+    therefore downstream cosine scores and rankings — are bit-identical
+    cross-engine. vmax is staged in its own projection (interpreted-HOF
+    discipline: referencing it inside the transform lambda would
+    re-evaluate the array max per element).
+
+    Replaces ``vec_col`` in place; all other columns pass through.
+    """
+    levels = (1 << (bits - 1)) - 1
+    others = [c for c in df.columns if c != vec_col]
+    staged = df.select(
+        *others,
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).withColumn(
+        "__vmax", F.array_max(F.transform(F.col("__v"), F.abs))
+    )
+    dq = F.when(
+        F.col("__vmax") == 0,
+        F.transform(F.col("__v"), lambda x: F.lit(0.0)),
+    ).otherwise(
+        F.transform(
+            F.col("__v"),
+            lambda x: F.floor(x * levels / F.col("__vmax"))
+            * F.col("__vmax")
+            / levels,
+        )
+    )
+    return staged.select(*others, dq.alias(vec_col))
+
+
 def semantic_dedup(
     items: DataFrame,
     centroids: DataFrame,
