@@ -1114,7 +1114,9 @@ def q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").withColumn(
         "skew_key",
-        F.when(F.pmod("user_id", F.lit(100)) < 90, F.lit(-1)).otherwise(
+        # % (not pmod): Spark's % follows the dividend's sign, matching
+        # DuckDB's %, so the derived key agrees even for negative ids.
+        F.when(F.col("user_id") % 100 < 90, F.lit(-1)).otherwise(
             F.col("user_id")
         ),
     )
@@ -1438,9 +1440,14 @@ def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_approx(value, 0.5, 10000)").alias("__a50"),
         F.expr("percentile_approx(value, 0.9, 10000)").alias("__a90"),
     )
-    ok = (F.abs(F.col("__a50") - F.col("p50")) / F.abs(F.col("p50")) <= 0.05) & (
-        F.abs(F.col("__a90") - F.col("p90")) / F.abs(F.col("p90")) <= 0.05
-    )
+    def within(approx: str, exact: str):
+        # Zero-exact guard: relative error is undefined at 0; unguarded
+        # division yields NULL precisely when the sketch is perfect (0 vs 0).
+        return F.when(F.col(exact) == 0, F.col(approx) == 0).otherwise(
+            F.abs(F.col(approx) - F.col(exact)) / F.abs(F.col(exact)) <= 0.05
+        )
+
+    ok = within("__a50", "p50") & within("__a90", "p90")
     return agg.select(
         "event_type", "p50", "p90", ok.alias("approx_within_5pct")
     )
@@ -2102,11 +2109,18 @@ def q_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "exact_users",
-            (
+            # Zero-exact guard: relative error is undefined at 0, and the
+            # unguarded division would yield NULL (never TRUE) exactly when
+            # the estimate is perfect (0 vs 0).
+            F.when(
+                F.col("exact_users") == 0, F.col("approx") == 0
+            )
+            .otherwise(
                 F.abs(F.col("approx") - F.col("exact_users"))
                 / F.col("exact_users")
                 <= F.lit(0.02)
-            ).alias("within_2pct"),
+            )
+            .alias("within_2pct"),
         )
     )
 

@@ -386,6 +386,13 @@ def top_ngram_stats(df, text_col: str, id_cols: list[str], *, n: int = 2):
     arithmetic identical (the paper's signal is a threshold feature, not a
     measure-theoretic quantity). Returns (ids…, top_gram, top_gram_n,
     top_gram_char_frac).
+
+    The tokenized base feeds both the gram-count branch and the final
+    short-doc join, so it is ``persist()``-ed — tokenizing twice measured
+    slower at sf0.1 (unlike substring dedup's 6×-blowup relation, this one
+    is ~text-sized). Same caching contract as ``semantic_dedup``: released
+    by ``spark.catalog.clearCache()`` or session end; at 100 TB materialize
+    the tokenized relation instead.
     """
     toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
     base = df.select(*id_cols, toks.alias("__tk")).select(
@@ -394,7 +401,7 @@ def top_ngram_stats(df, text_col: str, id_cols: list[str], *, n: int = 2):
         F.aggregate(
             "__tk", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
         ).alias("__total"),
-    )
+    ).persist()
     grams = F.when(
         F.size("__tk") >= n,
         F.transform(

@@ -191,13 +191,16 @@ def fuzzy_top1_join(
     so the full-width DP runs on |misses|×|dim| pairs, not |left|×|dim|.
 
     ``max_pairs`` guards the cartesian tier against accidental use at scale:
-    |df| × |dim| is checked up front (two count jobs — metadata-cheap on
-    parquet scans) and a ValueError pointing at :func:`fuzzy_top1_join_blocked`
-    is raised past the bound. The default 1e8 is the measured knee on
-    local[32] (~150 M pairs ≈ 3 s; at cluster scale the cross product grows
-    O(n·m) while the blocked tier stays near-linear). Pass ``max_pairs=None``
-    to skip the check entirely — zero extra jobs — for correctness baselines
-    at test scale that deliberately exercise this tier.
+    |df| × |dim| is checked up front and a ValueError pointing at
+    :func:`fuzzy_top1_join_blocked` is raised past the bound. The check runs
+    two ``count()`` jobs AT CONSTRUCTION TIME — an eager action in an
+    otherwise lazy API, and the counts materialize whatever upstream plan
+    feeds ``df``/``dim`` (cheap only for bare scans). That cost is the
+    deliberate price of the guard: the failure it prevents is O(n·m) at
+    cluster scale. Hot paths that have already sized their inputs pass
+    ``max_pairs=None`` to skip it entirely — zero extra jobs — as the
+    bench baseline does. Default 1e8 ≈ the measured local[32] knee
+    (~150 M pairs ≈ 3 s).
     """
     from tibame_project_spark.partitioning import ensure_parallelism
 

@@ -56,8 +56,9 @@ def load_timings(path: str) -> tuple[dict[str, float], dict[str, float], float |
     pair = re.compile(r'"([A-Za-z0-9_]+)":\s*([0-9.]+)')
     timings = {m.group(1): float(m.group(2)) for m in pair.finditer(timing_text)}
     spreads = {m.group(1): float(m.group(2)) for m in pair.finditer(spread_text)}
-    # Drop non-query scalar keys the tail may include (sf, value, n, cpus).
-    for k in ("sf", "value", "n", "cpus", "rc"):
+    # Drop non-query scalar keys the tail may include (sf, value, n, cpus,
+    # and compact_line's q_dropped truncation marker).
+    for k in ("sf", "value", "n", "cpus", "rc", "q_dropped"):
         timings.pop(k, None)
         spreads.pop(k, None)
     if len(timings) < _SUSPICIOUS_RECOVERY_FLOOR:
