@@ -104,6 +104,25 @@ def test_salted_agg_plan_shape(spark):
     assert plan.count("HashAggregate") >= 4
 
 
+def test_frame_sample_plans_metadata_only(spark):
+    """frame_sample must stay a narrow metadata explode: one scan reading
+    only (doc_id, n_chars) — never text — and zero shuffles."""
+    plan = _plan(entry.q_frame_sample(spark, SF_DIR))
+    assert plan.count("FileScan") == 1
+    assert "Exchange hashpartitioning" not in plan
+    assert "text" not in plan.split("ReadSchema")[-1][:200]
+
+
+def test_attribution_pushes_event_type_to_scan(spark):
+    """The click/purchase predicates must reach both parquet scans —
+    at 100 TB the interval join's input is the filtered slivers, not the
+    full event stream."""
+    plan = _plan(entry.q_attribution(spark, SF_DIR))
+    assert plan.count("PushedFilters: [") >= 2
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark):
     """Runtime row-group pruning for selective fact-to-dim joins: Spark's
     InjectRuntimeFilter builds a bloom filter from the filtered dim side

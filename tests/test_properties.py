@@ -330,3 +330,42 @@ def test_top_ngram_stats_matches_model(spark_global, docs):
         for r in top_ngram_stats(df, "text", ["doc_id"], n=2).collect()
     }
     assert got == _top_ngram_model(docs, 2)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_quantize_dequantize_error_bound_holds(spark_global, vecs):
+    """For arbitrary finite vectors the int8 round-trip keeps every element
+    within vmax/127 of the original (floor quantization) and inside
+    [-vmax, vmax]."""
+    from tibame_project_spark.operators.similarity import quantize_dequantize
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark_global.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {
+        r.vec_id: r.embedding
+        for r in quantize_dequantize(df, "embedding").collect()
+    }
+    for i, v in rows:
+        vmax = max(abs(x) for x in v)
+        for orig, dq in zip(v, got[i]):
+            if vmax == 0:
+                assert dq == 0.0
+            else:
+                assert abs(dq) <= vmax * (1 + 1e-12)
+                assert abs(orig - dq) <= vmax / 127 * (1 + 1e-9)
