@@ -62,15 +62,6 @@ def test_query_matches_oracle(spark, name):
     assert not mismatches, f"{len(mismatches)} value mismatches; first: {mismatches[0]}"
 
 
-@pytest.mark.parametrize(
-    "name", sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
-)
-def test_rows_only_queries_run(spark, name):
-    df = entry_mod.queries()[name](spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
-
-
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
