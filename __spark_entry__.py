@@ -1300,6 +1300,66 @@ GROUP BY xt.query_id
 """
 
 
+def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label evaluation — the standard embedding-quality probe: predict
+    each query vector's label by majority vote of its cosine top-5
+    neighbors and compare to the true label. Composes cosine_topk (one
+    items pass, broadcast query batch) with a votes groupBy and the same
+    deterministic struct-MIN argmax as the fuzzy join (max votes, ties to
+    the smallest label). Everything downstream of the ranking is integer,
+    so the oracle replays it exactly."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    items = emb.filter(F.col("vec_id") >= 10)
+    nb = cosine_topk(items, queries.select("query_id", "embedding"), k=5)
+    votes = (
+        nb.join(items.select("vec_id", "label"), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("__v"))
+    )
+    pred = votes.groupBy("query_id").agg(
+        F.min(F.struct((-F.col("__v")).alias("__nv"), F.col("label"))).alias("__b")
+    ).select("query_id", F.col("__b.label").alias("predicted"))
+    return pred.join(
+        queries.select("query_id", F.col("label").alias("true_label")),
+        "query_id",
+    ).select(
+        "query_id",
+        "predicted",
+        "true_label",
+        (F.col("predicted") == F.col("true_label")).alias("correct"),
+    )
+
+
+_KNN_EVAL_SQL = """
+WITH nb AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, i.vec_id AS vec_id,
+           row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(i.embedding AS DOUBLE[]),
+                                               CAST(q.embedding AS DOUBLE[])) DESC,
+                        i.vec_id) AS rn
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10) i
+    CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q) t
+  WHERE rn <= 5),
+votes AS (
+  SELECT nb.query_id, e.label, COUNT(*) AS v
+  FROM nb JOIN embeddings e ON nb.vec_id = e.vec_id
+  GROUP BY 1, 2),
+pred AS (
+  SELECT query_id, label AS predicted FROM (
+    SELECT query_id, label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY v DESC, label) AS rn
+    FROM votes) t WHERE rn = 1)
+SELECT p.query_id, p.predicted, e.label AS true_label,
+       p.predicted = e.label AS correct
+FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (point-in-time-correct lookup): for each event, the user's
     most recent order at-or-before the event time. One shuffle, no range
@@ -2947,8 +3007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_oracle_parity.py (which parametrizes all oracle_sql()).
     # r05 window: block 1 = the 30 entries last driver-witnessed in r01/r02
     # (rotated back in; their source — dedup.py et al. — changed since);
-    # block 2 = entries changed or added THIS round; block 3 = 11
-    # high-complexity r04-green keepers. Block 4 (36 r04-green entries)
+    # block 2 = entries changed or added THIS round; block 3 = 10
+    # high-complexity r04-green keepers. Block 4 (37 r04-green entries)
     # rotates out and is due back in the r06 window.
     return {
         # -- block 1: last witnessed r01/r02 — rotated back in-window -----
@@ -2990,6 +3050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,        # new: interval-join batch twin
         "frame_sample": q_frame_sample,      # new: multimodal frame explode
         "quantized_ann": q_quantized_ann,    # new: int8 recall replay
+        "knn_eval": q_knn_eval,              # new: kNN label majority vote
         "fuzzy_match": q_fuzzy_match,        # cartesian guard + override
         "semantic_dedup": q_semantic_dedup,  # caching-contract touch
         # -- block 3: high-complexity r04-green keepers -------------------
@@ -3003,9 +3064,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "minhash_pairs": q_minhash_pairs,
         "embedding_dups": q_embedding_dups,
-        "multimodal_features": q_multimodal_features,
         # ---- 50-key window boundary -------------------------------------
         # -- block 4: r04-green, rotated out; due back in the r06 window --
+        "multimodal_features": q_multimodal_features,
         "sessionize": q_sessionize,
         "windowed_counts": q_windowed_counts,
         "sql_entry": q_sql_entry,
@@ -3137,4 +3198,5 @@ def oracle_sql() -> dict[str, str]:
         "attribution": _ATTRIBUTION_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
         "quantized_ann": _QUANTIZED_ANN_SQL,
+        "knn_eval": _KNN_EVAL_SQL,
     }
