@@ -1274,7 +1274,7 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS vmax FROM e),
 d AS (SELECT vec_id,
         CASE WHEN vmax = 0 THEN list_transform(v, x -> 0.0)
-             ELSE list_transform(v, x -> floor(x * 127 / vmax) * vmax / 127)
+             ELSE list_transform(v, x -> greatest(-127, least(127, floor(x * 127 / vmax))) * vmax / 127)
         END AS dv
       FROM s),
 xt AS (

@@ -2,13 +2,30 @@
 
 from __future__ import annotations
 
+import importlib
 import json
 import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+_REPO_ROOT = Path(__file__).resolve().parent.parent
 
-from benchdiff import diff, load_timings  # noqa: E402
+
+def _import_from(directory: Path, name: str):
+    """Import ``name`` with ``directory`` on sys.path only for the duration
+    of the import — the path entry never leaks into the rest of the pytest
+    session (it could shadow installed modules for unrelated tests)."""
+    if name in sys.modules:
+        return sys.modules[name]
+    entry = str(directory)
+    sys.path.insert(0, entry)
+    try:
+        return importlib.import_module(name)
+    finally:
+        sys.path.remove(entry)
+
+
+_benchdiff = _import_from(_REPO_ROOT / "tools", "benchdiff")
+diff, load_timings = _benchdiff.diff, _benchdiff.load_timings
 
 
 def _write(tmp_path, name, obj):
@@ -71,8 +88,7 @@ def test_diff_separates_stable_regressions_from_steal_noise(tmp_path):
 def test_bench_compact_line_fits_driver_tail():
     """The driver keeps a 2,000-char stdout tail; the bench line must always
     parse from it — with per-query detail when it fits, without when not."""
-    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-    from bench import compact_line
+    compact_line = _import_from(_REPO_ROOT, "bench").compact_line
 
     few = {f"q{i}": 1.234 for i in range(10)}
     line = compact_line(12.3, few, 0.1)
@@ -96,9 +112,8 @@ def test_bench_line_keeps_detail_at_current_query_count():
     CURRENT registered query set and worst-case timing widths, the compact
     line must still fit the driver's 2,000-char tail WITH per-query detail
     (detail silently dropping is the next failure mode after truncation)."""
-    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-    import __spark_entry__ as entry_mod
-    from bench import compact_line
+    entry_mod = _import_from(_REPO_ROOT, "__spark_entry__")
+    compact_line = _import_from(_REPO_ROOT, "bench").compact_line
 
     worst = {name: 999.99 for name in entry_mod.queries()}
     line = compact_line(99999.999, worst, 0.1)

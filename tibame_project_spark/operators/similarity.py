@@ -264,9 +264,14 @@ def quantize_dequantize(df: DataFrame, vec_col: str, *, bits: int = 8) -> DataFr
     (4× smaller vectors, one extra multiply on read) made measurable: run
     the same top-k on the round-tripped vectors and compare recall.
 
-    Per vector: ``q_j = floor(v_j · L / vmax)``, ``dq_j = q_j · vmax / L``
-    with ``L = 2^(bits−1) − 1`` and ``vmax = max|v_j|`` (zero vectors pass
-    through as zeros). Every step is IEEE-exact or correctly rounded and
+    Per vector: ``q_j = clamp(floor(v_j · L / vmax), −L, L)``,
+    ``dq_j = q_j · vmax / L`` with ``L = 2^(bits−1) − 1`` and
+    ``vmax = max|v_j|`` (zero vectors pass through as zeros). The clamp is
+    load-bearing at the negative edge: for ``v_j = −vmax`` the product
+    ``v_j · L / vmax`` can round to just below ``−L``, and an unclamped
+    floor would emit ``−(L+1)`` — a dequantized value OUTSIDE
+    ``[−vmax, vmax]`` (caught by the Hypothesis round-trip bound test).
+    Every step is IEEE-exact or correctly rounded and
     spelled identically in the DuckDB oracle, so dequantized values — and
     therefore downstream cosine scores and rankings — are bit-identical
     cross-engine. vmax is staged in its own projection (interpreted-HOF
@@ -289,7 +294,10 @@ def quantize_dequantize(df: DataFrame, vec_col: str, *, bits: int = 8) -> DataFr
     ).otherwise(
         F.transform(
             F.col("__v"),
-            lambda x: F.floor(x * levels / F.col("__vmax"))
+            lambda x: F.greatest(
+                F.lit(-levels),
+                F.least(F.lit(levels), F.floor(x * levels / F.col("__vmax"))),
+            )
             * F.col("__vmax")
             / levels,
         )
