@@ -73,6 +73,7 @@ from tibame_project_spark.operators.reshape import melt
 from tibame_project_spark.partitioning import ensure_parallelism
 from tibame_project_spark.operators.similarity import (
     cosine_topk,
+    diverse_topk,
     embedding_dedup_pairs,
     ivf_cosine_topk,
     lsh_cosine_topk,
@@ -1226,6 +1227,37 @@ SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, score FROM (
          ROUND(list_cosine_similarity(CAST(i.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score
   FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10) i
   CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q) t
+WHERE rank <= 5
+"""
+
+
+def q_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified similarity search: cosine top-5 with at most 2 results
+    per label — the retrieval-diversification step (cap each cluster/source
+    and fill the list from distinct groups). Same scoring and tie-break as
+    cosine_topk; the label cap is a second, finer-partitioned window."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    items = emb.filter(F.col("vec_id") >= 10)
+    return diverse_topk(items, queries, k=5, per_label_cap=2)
+
+
+_DIVERSE_SQL = """
+SELECT query_id, vec_id, label, CAST(rank AS INTEGER) AS rank, score FROM (
+  SELECT query_id, vec_id, label,
+         row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rank,
+         ROUND(s, 4) AS score
+  FROM (
+    SELECT q.vec_id AS query_id, i.vec_id AS vec_id, i.label AS label,
+           list_cosine_similarity(CAST(i.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS s,
+           row_number() OVER (PARTITION BY q.vec_id, i.label
+                              ORDER BY list_cosine_similarity(CAST(i.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+                                       i.vec_id) AS lr
+    FROM (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 10) i
+    CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q) t
+  WHERE lr <= 2) t2
 WHERE rank <= 5
 """
 
@@ -2475,6 +2507,35 @@ WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS STRING)), 1, 15) AS BIGINT) % 104
 """
 
 
+def q_alpha_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain resampling (alpha = 0.5): flatten the
+    corpus's source mixture toward p^alpha with no hand-written weight
+    table — keep rate (n_min/n_c)^0.5 per source, spelled sqrt() so the
+    threshold is IEEE-correctly-rounded and bit-identical in any engine."""
+    from tibame_project_spark.partitioning import temperature_mix_sample
+
+    docs = load(spark, sf_dir, "documents")
+    out = temperature_mix_sample(
+        docs,
+        domain_col="source",
+        alpha=0.5,
+        id_col="doc_id",
+        base_hash=md5_base_hash,
+    )
+    return out.select("doc_id", "source")
+
+
+_ALPHA_MIX_SQL = """
+WITH n AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+r AS (SELECT source, sqrt((SELECT MIN(cnt) FROM n) / CAST(cnt AS DOUBLE)) AS rate
+      FROM n)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r ON d.source = r.source
+WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS STRING)), 1, 15) AS BIGINT) % 1048576
+      < r.rate * 1048576
+"""
+
+
 def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day moving aggregate per event type — the RANGE-frame window
     surface (trend smoothing over the daily rollup). The frame ranges over
@@ -3051,6 +3112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,      # new: multimodal frame explode
         "quantized_ann": q_quantized_ann,    # new: int8 recall replay
         "knn_eval": q_knn_eval,              # new: kNN label majority vote
+        "alpha_mix": q_alpha_mix,            # new: temperature resampling
+        "diverse_topk": q_diverse_topk,      # new: per-label-capped top-k
         "fuzzy_match": q_fuzzy_match,        # cartesian guard + override
         "semantic_dedup": q_semantic_dedup,  # caching-contract touch
         # -- block 3: high-complexity r04-green keepers -------------------
@@ -3062,9 +3125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
+        # ---- 50-key window boundary (alpha_mix/diverse_topk displaced the
+        # two r04-green entries below; due back in the r06 window) --------
         "minhash_pairs": q_minhash_pairs,
         "embedding_dups": q_embedding_dups,
-        # ---- 50-key window boundary -------------------------------------
         # -- block 4: r04-green, rotated out; due back in the r06 window --
         "multimodal_features": q_multimodal_features,
         "sessionize": q_sessionize,
@@ -3198,5 +3262,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution": _ATTRIBUTION_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
         "quantized_ann": _QUANTIZED_ANN_SQL,
+        "alpha_mix": _ALPHA_MIX_SQL,
+        "diverse_topk": _DIVERSE_SQL,
         "knn_eval": _KNN_EVAL_SQL,
     }

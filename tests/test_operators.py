@@ -1066,6 +1066,68 @@ def test_domain_mix_sample_hits_targets(spark):
     }
 
 
+def test_temperature_mix_flattens_toward_sqrt(spark):
+    """alpha=0.5 resampling keeps the smallest domain whole and cuts larger
+    domains to ~sqrt(n_c * n_min) rows, deterministically."""
+    import math
+
+    from pyspark.sql import functions as F
+    from tibame_project_spark.partitioning import temperature_mix_sample
+
+    # 3 domains with counts 400 / 1600 / 6400 (16x head-to-tail spread)
+    df = spark.range(8400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 400, "tail")
+        .when(F.col("id") < 2000, "mid")
+        .otherwise("head")
+        .alias("src"),
+    )
+    out = temperature_mix_sample(df, domain_col="src", id_col="doc_id")
+    got = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert got["tail"] == 400  # rate 1: smallest domain keeps every row
+    # expected sqrt(n_c * n_min): mid = sqrt(1600*400) = 800, head = 1600
+    assert abs(got["mid"] - math.sqrt(1600 * 400)) < 90
+    assert abs(got["head"] - math.sqrt(6400 * 400)) < 130
+    # deterministic hash selection: identical rows on re-run
+    again = temperature_mix_sample(df, domain_col="src", id_col="doc_id")
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+
+
+def test_diverse_topk_caps_labels_and_ranks_by_score(spark):
+    """diverse_topk returns the global top-k among per-label-capped
+    candidates, matching a brute-force python model with the same
+    (score desc, id) tie-break."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from tibame_project_spark.operators.similarity import diverse_topk
+
+    # 1-D embeddings: cosine vs query [1.0] is sign(v), so score ties are
+    # plentiful and the (score, id) tie-break is what's under test; use 2-D
+    # instead to get distinct scores per item.
+    items = [
+        (10, [1.0, 0.0], 0),   # score 1.0, label 0
+        (11, [0.9, 0.1], 0),   # label 0
+        (12, [0.8, 0.2], 0),   # label 0 — capped out at cap=2
+        (13, [0.5, 0.5], 1),   # label 1
+        (14, [0.0, 1.0], 1),   # label 1
+        (15, [-1.0, 0.0], 2),  # label 2, negative score
+    ]
+    idf = spark.createDataFrame(
+        items, "vec_id int, embedding array<double>, label int"
+    )
+    qdf = spark.createDataFrame([(0, [1.0, 0.0])], "query_id int, embedding array<double>")
+    out = diverse_topk(idf, qdf, k=4, per_label_cap=2).collect()
+    assert [(r.vec_id, r.label, r.rank) for r in sorted(out, key=lambda r: r.rank)] == [
+        (10, 0, 1),  # 1.000
+        (11, 0, 2),  # ~0.994
+        (13, 1, 3),  # ~0.707 — 12 (0.970, label 0) excluded by the cap
+        (14, 1, 4),  # 0.0
+    ]
+    from collections import Counter
+
+    label_counts = Counter(r.label for r in out)
+    assert all(v <= 2 for v in label_counts.values())
+
+
 def test_c4_line_filter_rules(spark):
     from tibame_project_spark.functions.textstats import c4_line_filter
 

@@ -90,6 +90,71 @@ def cosine_topk(
     )
 
 
+def diverse_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    per_label_cap: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Diversified cosine top-k: at most ``per_label_cap`` results per
+    ``label_col`` value, then the overall top ``k`` by score — the standard
+    result-diversification step of retrieval (don't hand back k
+    near-identical members of one cluster/source/domain; cap each and fill
+    the list from distinct groups).
+
+    Physical shape: the same broadcast-queries single-pass scoring as
+    ``cosine_topk``, then TWO stacked windows — first per
+    (query, label), which caps every label group at ``per_label_cap``, then
+    per query over the survivors for the global rank. The first window
+    partitions on (query_id, label), a strictly finer key than
+    ``cosine_topk``'s query-only window, so the full scored relation
+    spreads over |queries|×|labels| reducers instead of |queries| — at
+    100 TB of items the cap is applied at that wider parallelism and the
+    final query-only window sees only ≤ cap×|labels| rows per query.
+
+    Returns (query_id, id, label, rank, score) with the same deterministic
+    (score DESC, id) tie-break as ``cosine_topk``.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    scored = (
+        ensure_parallelism(items)
+        .select(F.col(id_col), F.col(label_col), F.col(vec_col).alias("__iv"))
+        .withColumn("__in", l2_norm(F.col("__iv")))
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "score",
+            dot(F.col("__iv"), F.col("__qv")) / (F.col("__in") * F.col("__qn")),
+        )
+    )
+    w_label = Window.partitionBy(query_id_col, label_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    w_query = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__lr", F.row_number().over(w_label))
+        .filter(F.col("__lr") <= per_label_cap)
+        .withColumn("rank", F.row_number().over(w_query))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            label_col,
+            "rank",
+            F.round("score", round_to).alias("score"),
+        )
+    )
+
+
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: one bit per random hyperplane (sign of dot
     product), packed into a bigint. ``planes`` is a small, deterministic

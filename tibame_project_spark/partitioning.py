@@ -162,6 +162,56 @@ def domain_mix_sample(
     return df.join(F.broadcast(rates), domain_col).filter(keep).drop("__rate")
 
 
+def temperature_mix_sample(
+    df: DataFrame,
+    *,
+    domain_col: str,
+    alpha: float = 0.5,
+    id_col: str,
+    base_hash=None,
+) -> DataFrame:
+    """Temperature-scaled domain resampling: downsample so the output domain
+    distribution follows p_c^alpha (renormalized) instead of the natural
+    p_c — the alpha-smoothing used for multilingual / multi-source corpus
+    mixing (Conneau & Lample 2019, arXiv:1901.07291 §3.1; mC4 follows the
+    same scheme). alpha < 1 flattens the mixture: head domains are cut,
+    tail domains are kept whole. Unlike ``domain_mix_sample`` there is no
+    hand-written weight table — the target mixture is derived from the
+    observed counts.
+
+    Downsampling-only (no upsampling), at the maximal feasible size: the
+    per-domain keep rate reduces to ``(n_min / n_c)^(1-alpha)`` where
+    ``n_min`` is the smallest domain count — the smallest domain keeps
+    every row (rate 1) and output counts are proportional to ``n_c^alpha``.
+    Selection is the same pure hash-threshold on ``id_col`` as the other
+    samplers (rand()-free: retries, re-runs, and an external oracle agree).
+
+    Cross-engine bit-parity: for the default alpha=0.5 the rate is spelled
+    ``sqrt(n_min / n_c)`` — int→double conversion is exact, division and
+    sqrt are IEEE correctly rounded, so ANY engine computes the identical
+    threshold. Other alphas go through ``pow``, which is NOT guaranteed
+    correctly rounded and may differ from an external oracle in the last
+    ulp (only relevant to rows whose hash lands exactly on the boundary).
+
+    One count aggregation (map-side combined), whose tiny per-domain result
+    is broadcast back; the filter itself is map-side — same 100 TB shape as
+    ``domain_mix_sample``.
+    """
+    from tibame_project_spark.operators.dedup import xxhash_base_hash
+
+    bh = base_hash or xxhash_base_hash
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    gmin = counts.agg(F.min("__n").alias("__min"))
+    ratio = F.col("__min") / F.col("__n")
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    rates = counts.crossJoin(F.broadcast(gmin)).select(
+        domain_col, rate.alias("__rate")
+    )
+    scale = 1 << 20
+    keep = (bh(F.col(id_col).cast("string")) % scale) < F.col("__rate") * scale
+    return df.join(F.broadcast(rates), domain_col).filter(keep).drop("__rate")
+
+
 def leakage_safe_split(
     df: DataFrame,
     *,
