@@ -2536,6 +2536,31 @@ WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS STRING)), 1, 15) AS BIGINT) % 104
 """
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle index: every doc's 1-based position in
+    the pseudo-random (md5-hash, id) total order — epoch ordering / shard
+    assignment for training. The oracle's single ORDER BY row_number is
+    replayed distributed: order-preserving high-bit buckets, per-bucket
+    windows, broadcast cumulative offsets (no single-reducer sort)."""
+    from tibame_project_spark.partitioning import global_sort_index
+
+    docs = load(spark, sf_dir, "documents")
+    out = global_sort_index(
+        docs.select("doc_id"), id_col="doc_id", base_hash=md5_base_hash
+    )
+    return out.select("doc_id", F.col("pos").cast("long").alias("pos"))
+
+
+_CORPUS_SHUFFLE_SQL = """
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 15) AS BIGINT),
+                  doc_id
+       ) AS pos
+FROM documents
+"""
+
+
 def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day moving aggregate per event type — the RANGE-frame window
     surface (trend smoothing over the daily rollup). The frame ranges over
@@ -3114,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_eval": q_knn_eval,              # new: kNN label majority vote
         "alpha_mix": q_alpha_mix,            # new: temperature resampling
         "diverse_topk": q_diverse_topk,      # new: per-label-capped top-k
+        "corpus_shuffle": q_corpus_shuffle,  # new: distributed global index
         "fuzzy_match": q_fuzzy_match,        # cartesian guard + override
         "semantic_dedup": q_semantic_dedup,  # caching-contract touch
         # -- block 3: high-complexity r04-green keepers -------------------
@@ -3125,8 +3151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
-        # ---- 50-key window boundary (alpha_mix/diverse_topk displaced the
-        # two r04-green entries below; due back in the r06 window) --------
+        # ---- 50-key window boundary (alpha_mix/diverse_topk/corpus_shuffle
+        # displaced the three r04-green entries below; due back in r06) ---
         "minhash_pairs": q_minhash_pairs,
         "embedding_dups": q_embedding_dups,
         # -- block 4: r04-green, rotated out; due back in the r06 window --
@@ -3264,5 +3290,6 @@ def oracle_sql() -> dict[str, str]:
         "quantized_ann": _QUANTIZED_ANN_SQL,
         "alpha_mix": _ALPHA_MIX_SQL,
         "diverse_topk": _DIVERSE_SQL,
+        "corpus_shuffle": _CORPUS_SHUFFLE_SQL,
         "knn_eval": _KNN_EVAL_SQL,
     }

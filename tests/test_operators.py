@@ -1128,6 +1128,38 @@ def test_diverse_topk_caps_labels_and_ranks_by_score(spark):
     assert all(v <= 2 for v in label_counts.values())
 
 
+def test_global_sort_index_is_the_naive_global_order(spark):
+    """The bucketed three-step enumeration assigns exactly the positions a
+    naive single-reducer row_number() over (hash, id) would — a contiguous
+    1..n permutation — including across bucket boundaries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from tibame_project_spark.operators.dedup import md5_base_hash
+    from tibame_project_spark.partitioning import global_sort_index
+
+    df = spark.range(997).select(F.col("id").alias("doc_id"))  # prime: no
+    # alignment with the 2^bucket_bits bucket count
+    got = {
+        r.doc_id: r.pos
+        for r in global_sort_index(
+            df, id_col="doc_id", base_hash=md5_base_hash, bucket_bits=4
+        ).collect()
+    }
+    naive = {
+        r.doc_id: r.pos
+        for r in df.withColumn(
+            "pos",
+            F.row_number().over(
+                Window.orderBy(
+                    md5_base_hash(F.col("doc_id").cast("string")), "doc_id"
+                )
+            ),
+        ).collect()
+    }
+    assert got == naive
+    assert sorted(got.values()) == list(range(1, 998))
+
+
 def test_c4_line_filter_rules(spark):
     from tibame_project_spark.functions.textstats import c4_line_filter
 

@@ -292,6 +292,39 @@ def test_domain_mix_broadcasts_rates_and_keeps_filter_mapside(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_alpha_mix_broadcasts_rates_and_keeps_filter_mapside(spark):
+    """Temperature resampling has the same shape contract as domain_mix:
+    the tiny derived-rate relation broadcasts, the corpus itself is only
+    scanned and filtered — never shuffled."""
+    plan = _plan(entry.q_alpha_mix(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_diverse_topk_broadcasts_queries(spark):
+    """The query batch broadcasts (BroadcastNestedLoopJoin: one pass over
+    the items, no item-side join shuffle); the only exchanges are the two
+    ranking windows, the first on the finer (query, label) key."""
+    plan = _plan(entry.q_diverse_topk(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    first_window = plan.index("hashpartitioning(query_id")
+    assert "label" in plan[first_window:first_window + 120] or \
+        plan.count("hashpartitioning(query_id") >= 2
+
+
+def test_corpus_shuffle_no_global_sort(spark):
+    """Global enumeration must not round-trip the table through a single
+    reducer: no singlepartition exchange on the corpus relation — offsets
+    broadcast back, positions assigned in per-bucket windows."""
+    plan = _plan(entry.q_corpus_shuffle(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan  # offsets join, not SMJ
+    assert "SortMergeJoin" not in plan
+    # the ONLY SinglePartition exchange allowed is the tiny |buckets|-row
+    # offsets cumsum; the corpus window partitions by bucket
+    assert "hashpartitioning(__bkt" in plan
+
+
 def test_c4_filter_single_reassembly_shuffle(spark):
     """Line filtering is per-row; the only exchange is the doc-id
     reassembly groupBy (partial_count runs map-side before it)."""

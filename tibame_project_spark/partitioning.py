@@ -162,6 +162,59 @@ def domain_mix_sample(
     return df.join(F.broadcast(rates), domain_col).filter(keep).drop("__rate")
 
 
+def global_sort_index(
+    df: DataFrame,
+    *,
+    id_col: str,
+    base_hash=None,
+    hash_bits: int = 60,
+    bucket_bits: int = 10,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic corpus shuffle: assign every row its 1-based position
+    in the pseudo-random total order (hash(id), id) — the "shuffle the
+    training corpus once, reproducibly" step (epoch ordering, contiguous
+    shard assignment, resumable data loaders) — WITHOUT a global
+    single-reducer sort.
+
+    A naive ``row_number() OVER (ORDER BY hash)`` funnels the whole table
+    through one reducer. Instead: the hash's TOP ``bucket_bits`` bits form
+    an order-preserving coarse bucket (bucket-major order == hash order,
+    which a mod-bucket would break), positions are assigned per bucket by a
+    window at full parallelism, and each bucket's starting offset is the
+    cumulative row count of the buckets before it — a |buckets|-row
+    relation, cumulated in one tiny single-partition window and broadcast
+    back. Total: one count aggregation, one broadcast join, one
+    per-bucket window — the same three-step shape at any scale, with
+    2^bucket_bits tunable to the cluster's parallelism.
+
+    ``hash_bits`` must match the base hash's range (60 for
+    ``md5_base_hash``, 63 for the default ``xxhash_base_hash``) or the top
+    bits are constant and every row lands in one bucket.
+    """
+    from pyspark.sql import Window
+
+    from tibame_project_spark.operators.dedup import xxhash_base_hash
+
+    if base_hash is None:
+        base_hash, hash_bits = xxhash_base_hash, 63
+    h = base_hash(F.col(id_col).cast("string"))
+    d = df.withColumn("__h", h).withColumn(
+        "__bkt", F.shiftright(F.col("__h"), hash_bits - bucket_bits)
+    )
+    counts = d.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__bkt", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = Window.partitionBy("__bkt").orderBy("__h", id_col)
+    return (
+        d.join(F.broadcast(offsets), "__bkt")
+        .withColumn(pos_col, F.col("__off") + F.row_number().over(w_in))
+        .drop("__h", "__bkt", "__off")
+    )
+
+
 def temperature_mix_sample(
     df: DataFrame,
     *,
