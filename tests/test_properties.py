@@ -369,3 +369,111 @@ def test_quantize_dequantize_error_bound_holds(spark_global, vecs):
             else:
                 assert abs(dq) <= vmax * (1 + 1e-12)
                 assert abs(orig - dq) <= vmax / 127 * (1 + 1e-9)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.integers(min_value=1, max_value=120),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_temperature_mix_matches_python_model(spark_global, domain_counts):
+    """temperature_mix_sample (alpha=0.5, md5 base hash) selects EXACTLY the
+    rows a pure-Python replay selects: md5-prefix hash, rate
+    sqrt(n_min/n_c), threshold compare — every step IEEE correctly rounded,
+    so the keep set is bit-identical, not just statistically close."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+    from tibame_project_spark.operators.dedup import md5_base_hash
+    from tibame_project_spark.partitioning import temperature_mix_sample
+
+    rows, doc_id = [], 0
+    for dom in sorted(domain_counts):
+        for _ in range(domain_counts[dom]):
+            rows.append((doc_id, dom))
+            doc_id += 1
+    df = spark_global.createDataFrame(rows, "doc_id long, src string")
+    got = {
+        r.doc_id
+        for r in temperature_mix_sample(
+            df, domain_col="src", id_col="doc_id", base_hash=md5_base_hash
+        ).collect()
+    }
+    n_min = min(domain_counts.values())
+    scale = 1 << 20
+    expected = set()
+    for did, dom in rows:
+        h = int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16)
+        rate = math.sqrt(n_min / domain_counts[dom])
+        if h % scale < rate * scale:
+            expected.add(did)
+    assert got == expected
+
+
+def _fold_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _fold_norm(a):
+    acc = 0.0
+    for x in a:
+        acc += x * x
+    return acc ** 0.5
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-4, max_value=4, allow_nan=False),
+            min_size=3,
+            max_size=3,
+        ).filter(lambda v: sum(x * x for x in v) > 0.01),
+        min_size=2,
+        max_size=10,
+    ),
+    st.lists(
+        st.floats(min_value=-4, max_value=4, allow_nan=False),
+        min_size=3,
+        max_size=3,
+    ).filter(lambda v: sum(x * x for x in v) > 0.01),
+)
+def test_diverse_topk_matches_python_model(spark_global, item_vecs, query_vec):
+    """diverse_topk's (ids, labels, ranks) equal a pure-Python replay: same
+    left-fold dot/norm accumulation order as the HOF aggregates, (score
+    desc, id) tie-break, walk-the-sorted-list per-label cap, global top-k."""
+    from tibame_project_spark.operators.similarity import diverse_topk
+
+    items = [(10 + i, v, i % 3) for i, v in enumerate(item_vecs)]
+    idf = spark_global.createDataFrame(
+        items, "vec_id int, embedding array<double>, label int"
+    )
+    qdf = spark_global.createDataFrame(
+        [(0, query_vec)], "query_id int, embedding array<double>"
+    )
+    got = sorted(
+        (r.rank, r.vec_id, r.label)
+        for r in diverse_topk(idf, qdf, k=4, per_label_cap=2).collect()
+    )
+    qn = _fold_norm(query_vec)
+    scored = sorted(
+        (-(_fold_dot(v, query_vec) / (_fold_norm(v) * qn)), vid, lab)
+        for vid, v, lab in items
+    )
+    from collections import Counter
+
+    capped, seen = [], Counter()
+    for s, vid, lab in scored:
+        if seen[lab] < 2:
+            seen[lab] += 1
+            capped.append((vid, lab))
+    expected = sorted((i + 1, vid, lab) for i, (vid, lab) in enumerate(capped[:4]))
+    assert got == expected

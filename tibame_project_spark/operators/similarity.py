@@ -106,7 +106,11 @@ def diverse_topk(
     ``label_col`` value, then the overall top ``k`` by score — the standard
     result-diversification step of retrieval (don't hand back k
     near-identical members of one cluster/source/domain; cap each and fill
-    the list from distinct groups).
+    the list from distinct groups). The set-valued, oracle-replayable
+    cousin of MMR re-ranking (Carbonell & Goldstein, SIGIR 1998): MMR's
+    greedy relevance-vs-redundancy trade is sequential and
+    similarity-pair-valued; a per-group cap expresses the same intent as
+    two windows, fully relational.
 
     Physical shape: the same broadcast-queries single-pass scoring as
     ``cosine_topk``, then TWO stacked windows — first per
