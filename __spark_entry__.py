@@ -2536,6 +2536,68 @@ WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS STRING)), 1, 15) AS BIGINT) % 104
 """
 
 
+def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted soft sampling: keep each document with probability
+    equal to its quality score (deterministic content-hash coin, no
+    rand()) — the soft-filter step of corpus building, where rows survive
+    proportionally to their weight instead of being cut at a threshold."""
+    from tibame_project_spark.partitioning import weighted_sample
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "quality", quality_score(F.col("text"))
+    )
+    return weighted_sample(
+        docs, rate_col="quality", id_col="doc_id", base_hash=md5_base_hash
+    ).select("doc_id", "quality")
+
+
+_QUALITY_SAMPLE_SQL = r"""
+WITH d AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, text,
+         len(toks) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         len(list_filter(toks, x -> list_contains(['the','and','of','to','in'], lower(x)))) AS n_stop
+  FROM d),
+q AS (
+  SELECT doc_id,
+         ((CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN (CASE WHEN length(text) > 0 THEN CAST(n_punct AS DOUBLE)/length(text) ELSE 0.0 END) < 0.1 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN n_stop > 0 THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality
+  FROM s)
+SELECT doc_id, quality FROM q
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 15) AS BIGINT) % 1048576
+      < quality * 1048576
+"""
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of BPE merge training: corpus-wide adjacent pre-token
+    pair counts, top 20 by (count desc, pair) — the most frequent pair is
+    the next merge rule a tokenizer trainer would learn."""
+    from tibame_project_spark.functions.textstats import bpe_pair_counts
+
+    docs = ensure_parallelism(load(spark, sf_dir, "documents"))
+    return bpe_pair_counts(docs, "text", k=20)
+
+
+_BPE_PAIRS_SQL = r"""
+WITH t AS (
+  SELECT regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+') AS toks
+  FROM documents),
+p AS (
+  SELECT toks[g.i] || chr(1) || toks[g.i + 1] AS pair
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS g(i))
+SELECT pair, COUNT(*) AS n
+FROM p GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
 def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus shuffle index: every doc's 1-based position in
     the pseudo-random (md5-hash, id) total order — epoch ordering / shard
@@ -3140,6 +3202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alpha_mix": q_alpha_mix,            # new: temperature resampling
         "diverse_topk": q_diverse_topk,      # new: per-label-capped top-k
         "corpus_shuffle": q_corpus_shuffle,  # new: distributed global index
+        "quality_sample": q_quality_sample,  # new: per-row soft sampling
+        "bpe_pairs": q_bpe_pairs,            # new: BPE merge-pair counting
         "fuzzy_match": q_fuzzy_match,        # cartesian guard + override
         "semantic_dedup": q_semantic_dedup,  # caching-contract touch
         # -- block 3: high-complexity r04-green keepers -------------------
@@ -3148,11 +3212,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "release_pipeline": q_release_pipeline,
         "dedup_groups": q_dedup_groups,
         "decontaminate": q_decontaminate,
+        # ---- 50-key window boundary (the five r05 additions displaced the
+        # five r04-green entries below; due back in the r06 window) -------
         "substring_dedup": q_substring_dedup,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
-        # ---- 50-key window boundary (alpha_mix/diverse_topk/corpus_shuffle
-        # displaced the three r04-green entries below; due back in r06) ---
         "minhash_pairs": q_minhash_pairs,
         "embedding_dups": q_embedding_dups,
         # -- block 4: r04-green, rotated out; due back in the r06 window --
@@ -3291,5 +3355,7 @@ def oracle_sql() -> dict[str, str]:
         "alpha_mix": _ALPHA_MIX_SQL,
         "diverse_topk": _DIVERSE_SQL,
         "corpus_shuffle": _CORPUS_SHUFFLE_SQL,
+        "quality_sample": _QUALITY_SAMPLE_SQL,
+        "bpe_pairs": _BPE_PAIRS_SQL,
         "knn_eval": _KNN_EVAL_SQL,
     }

@@ -1128,6 +1128,53 @@ def test_diverse_topk_caps_labels_and_ranks_by_score(spark):
     assert all(v <= 2 for v in label_counts.values())
 
 
+def test_weighted_sample_respects_rates(spark):
+    """rate 0 keeps nothing, rate 1 keeps everything, fractional rates keep
+    roughly that share — and selection is deterministic."""
+    from pyspark.sql import functions as F
+    from tibame_project_spark.partitioning import weighted_sample
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, 0.0)
+        .when(F.col("id") % 3 == 1, 1.0)
+        .otherwise(0.5)
+        .alias("rate"),
+    )
+    out = weighted_sample(df, rate_col="rate", id_col="doc_id")
+    got = {r.rate: r.n for r in out.groupBy("rate").agg(F.count("*").alias("n")).collect()}
+    assert 0.0 not in got                      # rate 0 → dropped
+    assert got[1.0] == 1000                    # rate 1 → all kept
+    assert abs(got[0.5] - 500) < 80            # fractional → ~share
+    again = weighted_sample(df, rate_col="rate", id_col="doc_id")
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+
+
+def test_bpe_pair_counts_matches_manual_model(spark):
+    """Adjacent-pair counting over the BPE pre-tokens equals a hand-computed
+    model, including the (count desc, pair) top-k cut and the single-token
+    / empty-doc edge cases."""
+    import re
+
+    from tibame_project_spark.functions.textstats import BPE_RE, bpe_pair_counts
+
+    texts = ["the cat, the cat", "the cat sat", "x", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    from collections import Counter
+
+    model = Counter()
+    for t in texts:
+        toks = re.findall(BPE_RE, t)
+        for a, b in zip(toks, toks[1:]):
+            model[a + "\u0001" + b] += 1
+    expect = sorted(model.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = [(r.pair, r.n) for r in bpe_pair_counts(docs, "text", k=3).collect()]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == expect
+    assert model  # the fixture genuinely produced pairs
+
+
 def test_global_sort_index_is_the_naive_global_order(spark):
     """The bucketed three-step enumeration assigns exactly the positions a
     naive single-reducer row_number() over (hash, id) would — a contiguous

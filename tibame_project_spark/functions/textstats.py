@@ -108,6 +108,44 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(bpe_tokens(text))
 
 
+def bpe_pair_counts(df, text_col: str, *, k: int = 20):
+    """Corpus-wide adjacent pre-token pair frequencies, top ``k`` — ONE
+    iteration of BPE merge training (Sennrich et al. 2016,
+    arXiv:1508.07909): the most frequent pair is the next merge rule. Kept
+    single-iteration on purpose — each merge rewrites the corpus, so a full
+    trainer is a driver loop over this primitive with the merge applied
+    between rounds.
+
+    Shape: pre-tokens are staged in their own projection (HOF discipline:
+    the regex runs once per doc, not once per pair), pairs are built by an
+    index-aware transform reading the staged array, and the count is an
+    ordinary explode → groupBy — partial map-side aggregation, pair-key
+    shuffle bounded by distinct pairs, final (count desc, pair) top-k.
+    Returns (pair, n) with the two tokens joined by U+0001. Caveat: a
+    pathological document containing U+0001 itself (the punctuation-run
+    alternative of BPE_RE keeps control characters) can make two distinct
+    token pairs render — and therefore count — as one; strip control
+    characters upstream if the corpus can contain them.
+    """
+    staged = df.select(bpe_tokens(F.col(text_col)).alias("__toks"))
+    pairs = F.when(
+        F.size("__toks") >= 2,
+        F.transform(
+            F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+            lambda x, i: F.concat(
+                x, F.lit("\u0001"), F.element_at(F.col("__toks"), i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        staged.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(k)
+    )
+
+
 #: Rolling-hash parameters: base 31, modulus 2^56 — acc*31+cp < 2^62 stays
 #: inside a 64-bit long with no overflow under ANSI arithmetic.
 _RH_MOD = 1 << 56

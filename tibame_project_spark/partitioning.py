@@ -162,6 +162,30 @@ def domain_mix_sample(
     return df.join(F.broadcast(rates), domain_col).filter(keep).drop("__rate")
 
 
+def weighted_sample(
+    df: DataFrame,
+    *,
+    rate_col: str,
+    id_col: str,
+    base_hash=None,
+) -> DataFrame:
+    """Per-row soft sampling: keep each row with probability ``rate_col``
+    (a column in [0,1] — a quality score, an importance weight, a
+    perplexity bucket rate), decided by a deterministic hash of ``id_col``
+    instead of rand(). The soft-filter step of corpus building: rows
+    aren't hard-dropped at a threshold, they survive proportionally to
+    their weight — and because the coin is a content hash, retries,
+    re-runs, incremental rebuilds, and an external oracle all keep exactly
+    the same rows. Zero shuffle: the filter is a stateless per-row
+    predicate wherever the rate column is already computed."""
+    from tibame_project_spark.operators.dedup import xxhash_base_hash
+
+    bh = base_hash or xxhash_base_hash
+    scale = 1 << 20
+    keep = (bh(F.col(id_col).cast("string")) % scale) < F.col(rate_col) * scale
+    return df.filter(keep)
+
+
 def global_sort_index(
     df: DataFrame,
     *,
