@@ -1175,6 +1175,57 @@ def test_bpe_pair_counts_matches_manual_model(spark):
     assert model  # the fixture genuinely produced pairs
 
 
+def test_train_bpe_merges_matches_python_trainer(spark):
+    """The driver-loop BPE trainer learns the same merge rules, in the same
+    order, as a pure-Python reference trainer (greedy left-to-right merge
+    application, (count desc, pair) tie-break)."""
+    import re
+    from collections import Counter
+
+    from tibame_project_spark.functions.textstats import BPE_RE, train_bpe_merges
+
+    texts = [
+        "the cat the cat the cat",
+        "the cat sat on the mat",
+        "a aa a aa a aa a",
+        "",
+        "x",
+    ]
+
+    def py_trainer(texts, n_merges):
+        corpora = [re.findall(BPE_RE, t) for t in texts]
+        merges = []
+        for _ in range(n_merges):
+            c = Counter()
+            for toks in corpora:
+                for a, b in zip(toks, toks[1:]):
+                    c[(a, b)] += 1
+            if not c:
+                break
+            (a, b), _n = min(
+                c.items(), key=lambda kv: (-kv[1], kv[0][0] + "\u0001" + kv[0][1])
+            )
+            merges.append((a, b))
+            nxt = []
+            for toks in corpora:
+                out = []
+                for x in toks:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                nxt.append(out)
+            corpora = nxt
+        return merges
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = train_bpe_merges(docs, "text", n_merges=4)
+    assert got == py_trainer(texts, 4)
+    assert len(got) == 4  # the fixture genuinely sustains 4 rounds
+
+
 def test_global_sort_index_is_the_naive_global_order(spark):
     """The bucketed three-step enumeration assigns exactly the positions a
     naive single-reducer row_number() over (hash, id) would — a contiguous
