@@ -477,3 +477,41 @@ def test_diverse_topk_matches_python_model(spark_global, item_vecs, query_vec):
             capped.append((vid, lab))
     expected = sorted((i + 1, vid, lab) for i, (vid, lab) in enumerate(capped[:4]))
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.sets(st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=80),
+    st.integers(min_value=1, max_value=6),
+)
+def test_global_sort_index_permutation_for_arbitrary_ids(
+    spark_global, ids, bucket_bits
+):
+    """For arbitrary (possibly negative, gappy) unique ids and any bucket
+    count, global_sort_index equals the naive single-window global order and
+    is a contiguous 1..n permutation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from tibame_project_spark.operators.dedup import md5_base_hash
+    from tibame_project_spark.partitioning import global_sort_index
+
+    df = spark_global.createDataFrame([(i,) for i in sorted(ids)], "doc_id long")
+    got = {
+        r.doc_id: r.pos
+        for r in global_sort_index(
+            df, id_col="doc_id", base_hash=md5_base_hash, bucket_bits=bucket_bits
+        ).collect()
+    }
+    naive = {
+        r.doc_id: r.pos
+        for r in df.withColumn(
+            "pos",
+            F.row_number().over(
+                Window.orderBy(
+                    md5_base_hash(F.col("doc_id").cast("string")), "doc_id"
+                )
+            ),
+        ).collect()
+    }
+    assert got == naive
+    assert sorted(got.values()) == list(range(1, len(ids) + 1))
