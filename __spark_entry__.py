@@ -1262,6 +1262,34 @@ WHERE rank <= 5
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each anchor vector, the 3 most similar
+    items with a DIFFERENT label — the contrastive-training pair-mining
+    step; label mismatch is filtered before the ranking window."""
+    from tibame_project_spark.operators.similarity import hard_negative_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    items = emb.filter(F.col("vec_id") >= 10)
+    return hard_negative_topk(items, anchors, k=3)
+
+
+_HARD_NEG_SQL = """
+SELECT query_id, vec_id, label, CAST(rank AS INTEGER) AS rank, score FROM (
+  SELECT q.vec_id AS query_id, i.vec_id AS vec_id, i.label AS label,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(CAST(i.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+                                     i.vec_id) AS rank,
+         ROUND(list_cosine_similarity(CAST(i.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score
+  FROM (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 10) i
+  CROSS JOIN (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 10) q
+  WHERE i.label <> q.label) t
+WHERE rank <= 3
+"""
+
+
 def q_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding quantization with a measured recall contract: run the
     same brute-force cosine top-5 on exact vectors and on
@@ -3204,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,  # new: distributed global index
         "quality_sample": q_quality_sample,  # new: per-row soft sampling
         "bpe_pairs": q_bpe_pairs,            # new: BPE merge-pair counting
+        "hard_negatives": q_hard_negatives,  # new: contrastive pair mining
         "fuzzy_match": q_fuzzy_match,        # cartesian guard + override
         "semantic_dedup": q_semantic_dedup,  # caching-contract touch
         # -- block 3: high-complexity r04-green keepers -------------------
@@ -3211,9 +3240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_train": q_ivf_train,
         "release_pipeline": q_release_pipeline,
         "dedup_groups": q_dedup_groups,
+        # ---- 50-key window boundary (the six r05 additions displaced the
+        # six r04-green entries below; due back in the r06 window) --------
         "decontaminate": q_decontaminate,
-        # ---- 50-key window boundary (the five r05 additions displaced the
-        # five r04-green entries below; due back in the r06 window) -------
         "substring_dedup": q_substring_dedup,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
@@ -3357,5 +3386,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle": _CORPUS_SHUFFLE_SQL,
         "quality_sample": _QUALITY_SAMPLE_SQL,
         "bpe_pairs": _BPE_PAIRS_SQL,
+        "hard_negatives": _HARD_NEG_SQL,
         "knn_eval": _KNN_EVAL_SQL,
     }

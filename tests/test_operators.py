@@ -1175,6 +1175,33 @@ def test_bpe_pair_counts_matches_manual_model(spark):
     assert model  # the fixture genuinely produced pairs
 
 
+def test_hard_negative_topk_excludes_anchor_label(spark):
+    """Negatives are the most similar DIFFERENT-label items: the same-label
+    nearest item never appears, ranking follows similarity then id."""
+    from tibame_project_spark.operators.similarity import hard_negative_topk
+
+    items = [
+        (10, [1.0, 0.0], 0),   # same label as anchor — excluded despite top score
+        (11, [0.9, 0.1], 1),
+        (12, [0.8, 0.2], 2),
+        (13, [0.0, 1.0], 1),
+        (14, [-1.0, 0.0], 0),  # same label — excluded
+    ]
+    idf = spark.createDataFrame(items, "vec_id int, embedding array<double>, label int")
+    qdf = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0)], "query_id int, embedding array<double>, label int"
+    )
+    out = sorted(
+        hard_negative_topk(idf, qdf, k=3).collect(), key=lambda r: r.rank
+    )
+    assert [(r.vec_id, r.label, r.rank) for r in out] == [
+        (11, 1, 1),
+        (12, 2, 2),
+        (13, 1, 3),
+    ]
+    assert all(r.label != 0 for r in out)
+
+
 def test_train_bpe_merges_matches_python_trainer(spark):
     """The driver-loop BPE trainer learns the same merge rules, in the same
     order, as a pure-Python reference trainer (greedy left-to-right merge

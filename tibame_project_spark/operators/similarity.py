@@ -159,6 +159,62 @@ def diverse_topk(
     )
 
 
+def hard_negative_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    k: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    (anchor), the ``k`` most similar items whose label DIFFERS from the
+    anchor's — the negatives closest to the decision boundary, which carry
+    the most gradient signal (the standard triplet/InfoNCE mining step;
+    cf. Schroff et al. 2015, arXiv:1503.03832 §3.2's semi-hard selection).
+
+    Same single-pass physical shape as ``cosine_topk`` — broadcast the
+    anchor batch (with labels), stream the items past it — with the
+    label-mismatch predicate applied BEFORE the ranking window, so
+    same-label pairs never enter the shuffle. Returns
+    (query_id, id, label, rank, score), deterministic (score desc, id)
+    tie-break.
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(label_col).alias("__qlabel"),
+        F.col(vec_col).alias("__qv"),
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    scored = (
+        ensure_parallelism(items)
+        .select(F.col(id_col), F.col(label_col), F.col(vec_col).alias("__iv"))
+        .withColumn("__in", l2_norm(F.col("__iv")))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col(label_col) != F.col("__qlabel"))
+        .withColumn(
+            "score",
+            dot(F.col("__iv"), F.col("__qv")) / (F.col("__in") * F.col("__qn")),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            label_col,
+            "rank",
+            F.round("score", round_to).alias("score"),
+        )
+    )
+
+
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: one bit per random hyperplane (sign of dot
     product), packed into a bigint. ``planes`` is a small, deterministic
