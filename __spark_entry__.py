@@ -1231,6 +1231,55 @@ WHERE rank <= 5
 """
 
 
+def q_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse (bag-of-words) cosine top-5 via an inverted-index token join
+    with 50%-document-frequency stop-token pruning — the IR retrieval path
+    (no dense vectors, no cross product); candidates are exactly the docs
+    sharing a surviving token with the query."""
+    from tibame_project_spark.operators.similarity import sparse_cosine_topk
+
+    docs = load(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    items = docs.filter(F.col("doc_id") >= 10)
+    return sparse_cosine_topk(items, queries, k=5, df_frac_cap=0.5)
+
+
+_SPARSE_TOPK_SQL = r"""
+WITH ip AS (
+  SELECT did, token, CAST(count(*) AS INTEGER) AS tf FROM (
+    SELECT doc_id AS did,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS token
+    FROM documents WHERE doc_id >= 10) t
+  GROUP BY did, token),
+qp AS (
+  SELECT qid, token, CAST(count(*) AS INTEGER) AS tf FROM (
+    SELECT doc_id AS qid,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS token
+    FROM documents WHERE doc_id < 10) t
+  GROUP BY qid, token),
+kept AS (
+  SELECT token FROM (SELECT token, count(*) AS df FROM ip GROUP BY token) d
+  WHERE df <= 0.5 * (SELECT count(*) FROM documents WHERE doc_id >= 10)),
+ipk AS (SELECT ip.* FROM ip JOIN kept USING (token)),
+qpk AS (SELECT qp.* FROM qp JOIN kept USING (token)),
+inorm AS (SELECT did, sqrt(SUM(tf * tf)) AS dn FROM ipk GROUP BY did),
+qnorm AS (SELECT qid, sqrt(SUM(tf * tf)) AS qn FROM qpk GROUP BY qid),
+dots AS (
+  SELECT q.qid, i.did, SUM(i.tf * q.tf) AS dot
+  FROM ipk i JOIN qpk q USING (token) GROUP BY q.qid, i.did),
+scored AS (
+  SELECT d.qid, d.did, CAST(d.dot AS DOUBLE) / (n.dn * qn.qn) AS score
+  FROM dots d JOIN inorm n USING (did) JOIN qnorm qn USING (qid))
+SELECT qid AS query_id, did AS doc_id, CAST(rn AS INTEGER) AS rank,
+       ROUND(score, 4) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rn
+      FROM scored) x
+WHERE rn <= 5
+"""
+
+
 def q_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified similarity search: cosine top-5 with at most 2 results
     per label — the retrieval-diversification step (cap each cluster/source
@@ -3235,13 +3284,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,  # new: contrastive pair mining
         "fuzzy_match": q_fuzzy_match,        # cartesian guard + override
         "semantic_dedup": q_semantic_dedup,  # caching-contract touch
+        "sparse_topk": q_sparse_topk,        # new: inverted-index retrieval
         # -- block 3: high-complexity r04-green keepers -------------------
         "fuzzy_blocked": q_fuzzy_blocked,
         "ivf_train": q_ivf_train,
         "release_pipeline": q_release_pipeline,
+        # ---- 50-key window boundary (the seven r05 additions displaced
+        # the seven r04-green entries below; due back in the r06 window) --
         "dedup_groups": q_dedup_groups,
-        # ---- 50-key window boundary (the six r05 additions displaced the
-        # six r04-green entries below; due back in the r06 window) --------
         "decontaminate": q_decontaminate,
         "substring_dedup": q_substring_dedup,
         "lsh_ann": q_lsh_ann,
@@ -3325,6 +3375,7 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _SET_OPS_SQL,
         "json_extract": _JSON_SQL,
         "cosine_topk": _COSINE_SQL,
+        "sparse_topk": _SPARSE_TOPK_SQL,
         "sql_entry": _SQL_ENTRY_SQL,
         "asof_join": _ASOF_SQL,
         "percentiles": _PERCENTILES_SQL,

@@ -1518,3 +1518,61 @@ def test_pearson_stats_matches_closed_form(spark):
     # repartition-invariance: identical bits on a different layout
     r2 = pearson_stats(df.repartition(7), "x", "y").collect()[0]
     assert r2.corr_xy == r.corr_xy and r2.covar_xy == r.covar_xy
+
+
+# ---------------------------------------------------------------------------
+# sparse (bag-of-words) cosine via inverted-index join
+
+
+def test_sparse_cosine_topk_matches_hand_cosine(spark):
+    import math
+
+    from tibame_project_spark.operators.similarity import sparse_cosine_topk
+
+    docs = spark.createDataFrame(
+        [
+            (10, "apple banana apple"),          # tf: apple 2, banana 1
+            (11, "banana cherry"),
+            (12, "cherry cherry cherry date"),
+            (13, "unrelated words entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame(
+        [(1, "apple banana")], ["query_id", "text"]
+    )
+    out = sparse_cosine_topk(docs, queries, k=3, df_frac_cap=None)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 13 shares no token → no candidate row at all
+    assert set(rows) == {10, 11}
+    # cos(doc10, q) = (2*1 + 1*1) / (sqrt(5) * sqrt(2))
+    assert rows[10]["score"] == round(3 / (math.sqrt(5) * math.sqrt(2)), 4)
+    assert rows[10]["rank"] == 1
+    # cos(doc11, q) = 1 / (sqrt(2) * sqrt(2))
+    assert rows[11]["score"] == 0.5
+    assert rows[11]["rank"] == 2
+
+
+def test_sparse_cosine_df_cap_prunes_hot_tokens(spark):
+    from tibame_project_spark.operators.similarity import sparse_cosine_topk
+
+    # "the" appears in every doc; with df_frac_cap=0.5 it must not
+    # contribute — doc 22 then shares nothing with the query
+    docs = spark.createDataFrame(
+        [
+            (20, "the apple"),
+            (21, "the apple apple"),
+            (22, "the fence"),
+            (23, "the gate"),
+        ],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame([(1, "the apple")], ["query_id", "text"])
+    out = sparse_cosine_topk(docs, queries, k=4, df_frac_cap=0.5)
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} == {20, 21}
+    # pruned-space cosine: q = {apple:1}, doc20 = {apple:1} → 1.0
+    assert {r["doc_id"]: r["score"] for r in rows} == {20: 1.0, 21: 1.0}
+    # no cross product anywhere: candidate generation is the token equi-join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -597,3 +597,104 @@ def kmeans_centroids(
         F.col("__cv").alias("centroid"),
         F.coalesce("size", F.lit(0)).alias("size"),
     )
+
+
+def sparse_cosine_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    df_frac_cap: float | None = 0.5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Sparse (bag-of-words) cosine top-k via an inverted-index join — the
+    classic IR retrieval path, complementary to the dense-embedding tier:
+    no vectors are materialized, no cross product is planned. A document's
+    sparse vector is its whitespace-token term-frequency map (the same
+    tokenization as ``functions.textstats.top_terms``); cosine over those
+    vectors equals sum(tf_d·tf_q) over SHARED tokens divided by the norms,
+    so the token equi-join generates exactly the nonzero-dot candidates.
+
+    Physical plan (the inverted index, relationally):
+      1. postings(docs):  explode tokens → (id, token, tf) count agg
+      2. df prune: token document frequency from the SAME aggregate,
+         thresholded at ``df_frac_cap``·|docs| (impact pruning / stop-token
+         drop — the standard fix for the posting-list skew of "the": hot
+         tokens pair every doc with every query and their contribution is
+         near-constant noise). The doc-count scalar is a broadcast 1-row
+         aggregate, not a driver count. Cosine is then EXACT in the pruned
+         token space (norms are computed after the prune), which is what a
+         SQL oracle replays.
+      3. candidates: item postings ⋈ broadcast(query postings) on token →
+         (query, doc) dot = SUM(tf_i·tf_q) — integer-exact.
+      4. norms joined back (items on the id key, queries broadcast),
+         score = dot / (√Σtf_i² · √Σtf_q²) — exact ints through correctly
+         rounded IEEE sqrt/division, so bit-identical on any engine.
+      5. per-query top-k window, (score DESC, id) tie-break.
+
+    Shuffles: postings count agg, dot agg, norm join, final window — each
+    keyed on token / (query,doc) / id, all evenly hash-partitioned AFTER
+    the df prune removes the hot-token skew. At 100 TB the broadcast side
+    is only the query batch's postings (bounded by the batch), never the
+    corpus. Returns (query_id, id, rank, score).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+
+    def postings(df: DataFrame, out_id: str, src_id: str) -> DataFrame:
+        return (
+            df.select(F.col(src_id).alias(out_id), F.explode(toks).alias("token"))
+            .groupBy(out_id, "token")
+            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        )
+
+    item_post = postings(ensure_parallelism(docs), "__did", id_col)
+    query_post = postings(queries, "__qid", query_id_col)
+
+    if df_frac_cap is not None:
+        docfreq = item_post.groupBy("token").agg(
+            F.count(F.lit(1)).cast("int").alias("__df")
+        )
+        n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+        kept = docfreq.crossJoin(F.broadcast(n_docs)).filter(
+            F.col("__df") <= F.lit(df_frac_cap) * F.col("__n")
+        )
+        # co-partitioned: both sides of each join arrive hashed on token
+        item_post = item_post.join(kept.select("token"), "token")
+        query_post = query_post.join(kept.select("token"), "token")
+
+    item_norm = item_post.groupBy("__did").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("__dn")
+    )
+    query_norm = query_post.groupBy("__qid").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("__qn")
+    )
+
+    dots = (
+        item_post.join(
+            F.broadcast(query_post.select("__qid", "token", F.col("tf").alias("__qtf"))),
+            "token",
+        )
+        .groupBy("__qid", "__did")
+        .agg(F.sum(F.col("tf") * F.col("__qtf")).alias("__dot"))
+    )
+    scored = (
+        dots.join(item_norm, "__did")
+        .join(F.broadcast(query_norm), "__qid")
+        .withColumn("score", F.col("__dot") / (F.col("__dn") * F.col("__qn")))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("score").desc(), F.col("__did"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__did").alias(id_col),
+            "rank",
+            F.round("score", round_to).alias("score"),
+        )
+    )
