@@ -2000,6 +2000,39 @@ FROM events c JOIN events p
 """
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join, batch twin (§2.11): the event stream
+    decorated with the customer dimension's market segment (broadcast — the
+    static side is re-planned per micro-batch under readStream, so a
+    refreshed dimension is picked up without restart), then rolled up per
+    (segment, event_type). Left join: facts with no dimension row survive
+    with a null segment."""
+    from tibame_project_spark.streaming.incremental import stream_static_enrich
+
+    ev = load(spark, sf_dir, "events")
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream_static_enrich(
+        ev, dim, stream_key="user_id", dim_key="c_custkey"
+    )
+    return enriched.groupBy(
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+_STREAM_ENRICH_SQL = f"""
+SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment, e.event_type,
+       COUNT(*) AS n, {_DSUM("e.value")} AS total_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator surface: gap-based session windows per user
     (session_window — Spark-managed state store under streaming). Oracle is
@@ -3273,6 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_percentiles": q_approx_percentiles,  # new: GK certificate
         "top_ngram": q_top_ngram,            # new: Gopher top-2-gram signal
         "attribution": q_attribution,        # new: interval-join batch twin
+        "stream_enrich": q_stream_enrich,    # new: stream-static dim join
         "frame_sample": q_frame_sample,      # new: multimodal frame explode
         "quantized_ann": q_quantized_ann,    # new: int8 recall replay
         "knn_eval": q_knn_eval,              # new: kNN label majority vote
@@ -3288,9 +3322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block 3: high-complexity r04-green keepers -------------------
         "fuzzy_blocked": q_fuzzy_blocked,
         "ivf_train": q_ivf_train,
+        # ---- 50-key window boundary (the eight r05 additions displaced
+        # the eight r04-green entries below; due back in the r06 window) --
         "release_pipeline": q_release_pipeline,
-        # ---- 50-key window boundary (the seven r05 additions displaced
-        # the seven r04-green entries below; due back in the r06 window) --
         "dedup_groups": q_dedup_groups,
         "decontaminate": q_decontaminate,
         "substring_dedup": q_substring_dedup,
@@ -3430,6 +3464,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_percentiles": _APPROX_PERCENTILES_SQL,
         "top_ngram": _TOP_NGRAM_SQL,
         "attribution": _ATTRIBUTION_SQL,
+        "stream_enrich": _STREAM_ENRICH_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
         "quantized_ann": _QUANTIZED_ANN_SQL,
         "alpha_mix": _ALPHA_MIX_SQL,

@@ -431,3 +431,53 @@ def test_seen_keys_dedup_exactly_once_across_batches(spark, tmp_path):
 
     rows = [(r.user_id, r.event_id) for r in spark.read.parquet(out).collect()]
     assert sorted(rows) == [(1, 100), (1, 101), (1, 102), (2, 100), (2, 101)]
+
+
+# ---------------------------------------------------------------------------
+# stream-static enrichment join (§2.11): dimension lookup under readStream
+# ---------------------------------------------------------------------------
+
+
+def test_stream_static_enrich_batch_semantics(spark):
+    from tibame_project_spark.streaming.incremental import stream_static_enrich
+
+    ev = _ev(spark, [(1, "2024-01-01 01:00:00", 1.0, "click"),
+                     (2, "2024-01-01 02:00:00", 2.0, "view"),
+                     (9, "2024-01-01 03:00:00", 3.0, "click")])
+    dim = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY")], "cust_id long, segment string"
+    )
+    out = stream_static_enrich(
+        ev, dim, stream_key="user_id", dim_key="cust_id"
+    ).collect()
+    got = {r["user_id"]: r["segment"] for r in out}
+    # left join: the unmatched fact survives with a null dimension row
+    assert got == {1: "BUILDING", 2: "MACHINERY", 9: None}
+
+
+def test_stream_static_enrich_runs_as_stream(spark, tmp_path):
+    """The SAME operator code path under readStream: the static side is
+    joined per micro-batch (no stream state, no watermark needed)."""
+    from tibame_project_spark.streaming.incremental import stream_static_enrich
+
+    src, out, ckpt = str(tmp_path / "s"), str(tmp_path / "o"), str(tmp_path / "c")
+    ev = _ev(spark, [(1, "2024-01-01 01:00:00", 1.0, "click"),
+                     (2, "2024-01-01 02:00:00", 2.0, "view")])
+    ev.write.parquet(src)
+    dim = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY")], "cust_id long, segment string"
+    )
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    assert stream.isStreaming
+    q = (
+        stream_static_enrich(stream, dim, stream_key="user_id", dim_key="cust_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["user_id"]: r["segment"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: "BUILDING", 2: "MACHINERY"}

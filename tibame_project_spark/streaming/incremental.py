@@ -178,3 +178,35 @@ def sessionize(
             "session_value",
         )
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    stream_key: str,
+    dim_key: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    attributes to a streaming fact — the streaming form of the reference's
+    fact→dim lookup hop (``d_gmaps_reviews_ods_to_fact.py``'s join of
+    review facts onto the places dimension, there a scheduled batch).
+
+    Stream-static joins are stateless on the stream side: Spark re-plans
+    the STATIC side every micro-batch, so a dimension refreshed in place
+    (overwritten parquet, updated table) is picked up on the next batch
+    without restarting the query — the standard pattern for dimension
+    freshness under continuous ingest. No watermark is needed because no
+    stream state is buffered.
+
+    ``broadcast_dim`` hints the dimension broadcast-able (the usual case: a
+    dimension is KB–GB while the stream is unbounded); at 100 TB the fact
+    side never shuffles — each micro-batch maps past the broadcast copy.
+    Left join by default so facts with no dimension row survive with nulls
+    (the reference keeps unmatched reviews). Works identically on static
+    frames (same code path, batch join) — which is what the oracle replays.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, F.col(stream_key) == F.col(dim_key), how)
