@@ -1576,3 +1576,66 @@ def test_sparse_cosine_df_cap_prunes_hot_tokens(spark):
     # no cross product anywhere: candidate generation is the token equi-join
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# layout-optimized (sorted) parquet write → row-group data skipping
+
+
+def test_write_sorted_parquet_yields_skippable_row_groups(spark, tmp_path):
+    """After a range-repartition + within-partition sort, the clustered
+    column's row-group [min, max] ranges are disjoint — so a stats-aware
+    reader skips all but one row group for a point predicate. The unsorted
+    control write leaves (nearly) every row group spanning the full value
+    range, which is what makes min/max stats useless without the layout."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tibame_project_spark.sources.writers import write_sorted_parquet
+
+    df = (
+        spark.range(20000)
+        .withColumn("k", (F.col("id") * 7919) % 20000)  # shuffled values
+        .withColumn("payload", F.md5(F.col("id").cast("string")))
+    )
+
+    def rg_ranges(path):
+        out = []
+        for f in sorted(glob.glob(path + "/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for i in range(md.num_row_groups):
+                col = next(
+                    md.row_group(i).column(j)
+                    for j in range(md.row_group(i).num_columns)
+                    if md.row_group(i).column(j).path_in_schema == "k"
+                )
+                out.append((col.statistics.min, col.statistics.max))
+        return out
+
+    sorted_path = str(tmp_path / "sorted")
+    write_sorted_parquet(df, sorted_path, layout_cols="k", n_files=4)
+    ranges = sorted(rg_ranges(sorted_path))
+    assert len(ranges) >= 4
+    # disjoint: each row group's max is below the next one's min
+    assert all(a_max < b_min for (_, a_max), (b_min, _) in zip(ranges, ranges[1:]))
+
+    unsorted_path = str(tmp_path / "unsorted")
+    df.repartition(4).write.parquet(unsorted_path)
+    probe = 10000
+    overlapping = [r for r in rg_ranges(unsorted_path) if r[0] <= probe <= r[1]]
+    containing = [r for r in ranges if r[0] <= probe <= r[1]]
+    # the point predicate hits exactly one sorted row group but (almost)
+    # every unsorted one
+    assert len(containing) == 1
+    assert len(overlapping) >= 3
+
+    # and the predicate actually reaches the scan on read-back
+    plan = (
+        spark.read.parquet(sorted_path)
+        .filter(F.col("k") == probe)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(k), EqualTo(k," in plan
