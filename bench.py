@@ -75,7 +75,7 @@ def main() -> None:
 
 
 def compact_line(
-    total: float, timings: dict[str, float], sf: float, limit: int = 1900
+    total: float, timings: dict[str, float], sf: float, limit: int = 1950
 ) -> str:
     """The driver-facing JSON line: compact separators, no run_spread (that
     lives in BENCH_LOCAL.json), and guaranteed to fit the driver's capture
