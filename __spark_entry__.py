@@ -2067,6 +2067,55 @@ def _lsh_bucket_sql(planes: list[list[float]]) -> str:
     return f"({terms})"
 
 
+# ±1 JL sign matrix (Achlioptas 2003): 16 output dims over the 64-dim
+# embeddings — deterministic integer-hash parity, matched literally by the
+# oracle SQL, balanced enough that no two rows are sign-flips of each other
+_RP_SIGNS = [
+    [
+        1.0 if (((i * 73856093) ^ (j * 19349663)) % 83) % 2 == 0 else -1.0
+        for j in range(64)
+    ]
+    for i in range(16)
+]
+
+
+def q_rp_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection ANN: embeddings projected 64→16 dims with a ±1 JL
+    sign matrix (a single zero-shuffle map), then exact cosine top-5 in the
+    projected space — the project-once/search-many trade that cuts every
+    downstream dot product to k/d of its cost. Exact (and oracle-replayed)
+    in the projected space."""
+    from tibame_project_spark.operators.similarity import rp_cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    items = emb.filter(F.col("vec_id") >= 10)
+    return rp_cosine_topk(items, queries, _RP_SIGNS, k=5)
+
+
+def _rp_ann_sql() -> str:
+    proj = ", ".join(
+        f"list_dot_product(CAST(embedding AS DOUBLE[]), {p!r})"
+        for p in _RP_SIGNS
+    )
+    return f"""
+WITH it AS (
+  SELECT vec_id, list_value({proj}) AS p FROM embeddings WHERE vec_id >= 10),
+q AS (
+  SELECT vec_id AS query_id, list_value({proj}) AS p FROM embeddings WHERE vec_id < 10)
+SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank, score FROM (
+  SELECT q.query_id, it.vec_id,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(it.p, q.p) DESC,
+                                     it.vec_id) AS rank,
+         ROUND(list_cosine_similarity(it.p, q.p), 4) AS score
+  FROM it CROSS JOIN q) t
+WHERE rank <= 5
+"""
+
+
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbor (scale path): sign-LSH bucket join +
     exact cosine top-k inside the bucket — hash join instead of the
@@ -3307,6 +3356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram": q_top_ngram,            # new: Gopher top-2-gram signal
         "attribution": q_attribution,        # new: interval-join batch twin
         "stream_enrich": q_stream_enrich,    # new: stream-static dim join
+        "rp_ann": q_rp_ann,                  # new: JL-projected-space ANN
         "frame_sample": q_frame_sample,      # new: multimodal frame explode
         "quantized_ann": q_quantized_ann,    # new: int8 recall replay
         "knn_eval": q_knn_eval,              # new: kNN label majority vote
@@ -3321,9 +3371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_topk": q_sparse_topk,        # new: inverted-index retrieval
         # -- block 3: high-complexity r04-green keepers -------------------
         "fuzzy_blocked": q_fuzzy_blocked,
+        # ---- 50-key window boundary (the nine r05 additions displaced
+        # the nine r04-green entries below; due back in the r06 window) --
         "ivf_train": q_ivf_train,
-        # ---- 50-key window boundary (the eight r05 additions displaced
-        # the eight r04-green entries below; due back in the r06 window) --
         "release_pipeline": q_release_pipeline,
         "dedup_groups": q_dedup_groups,
         "decontaminate": q_decontaminate,
@@ -3465,6 +3515,7 @@ def oracle_sql() -> dict[str, str]:
         "top_ngram": _TOP_NGRAM_SQL,
         "attribution": _ATTRIBUTION_SQL,
         "stream_enrich": _STREAM_ENRICH_SQL,
+        "rp_ann": _rp_ann_sql(),
         "frame_sample": _FRAME_SAMPLE_SQL,
         "quantized_ann": _QUANTIZED_ANN_SQL,
         "alpha_mix": _ALPHA_MIX_SQL,

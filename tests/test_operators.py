@@ -1639,3 +1639,49 @@ def test_write_sorted_parquet_yields_skippable_row_groups(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(k), EqualTo(k," in plan
+
+
+# ---------------------------------------------------------------------------
+# random projection (Johnson-Lindenstrauss) + projected-space ANN
+
+
+def test_random_project_matches_sequential_fold(spark):
+    from tibame_project_spark.operators.similarity import random_project
+
+    planes = [[1.0, -1.0, 1.0], [0.5, 0.25, -1.0]]
+    vecs = [(1, [0.3, -1.7, 2.9]), (2, [0.0, 0.1, -0.2])]
+    df = spark.createDataFrame(vecs, "id long, embedding array<double>")
+    out = {
+        r["id"]: r["p"]
+        for r in df.select(
+            "id", random_project(F.col("embedding"), planes).alias("p")
+        ).collect()
+    }
+
+    def fold_dot(p, v):
+        acc = 0.0
+        for x, w in zip(v, p):
+            acc = acc + w * x
+        return acc
+
+    for i, v in vecs:
+        assert out[i] == [fold_dot(p, v) for p in planes]
+
+
+def test_rp_cosine_topk_ranks_in_projected_space(spark):
+    from tibame_project_spark.operators.similarity import rp_cosine_topk
+
+    # identity-ish planes: projection keeps the first two coordinates, so
+    # projected-space cosine is hand-computable
+    planes = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    items = spark.createDataFrame(
+        [(10, [1.0, 0.0, 9.0]), (11, [0.0, 1.0, 9.0]), (12, [1.0, 1.0, 9.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [2.0, 0.0, -5.0])], "query_id long, embedding array<double>"
+    )
+    rows = rp_cosine_topk(items, queries, planes, k=3).collect()
+    got = [(r["vec_id"], r["rank"], r["score"]) for r in rows]
+    # projected: q=(2,0); item10=(1,0) cos=1; item12=(1,1) cos=.7071; item11=(0,1) cos=0
+    assert got == [(10, 1, 1.0), (12, 2, 0.7071), (11, 3, 0.0)]

@@ -215,6 +215,72 @@ def hard_negative_topk(
     )
 
 
+def random_project(vec: Column, planes: list[list[float]]) -> Column:
+    """Random linear projection: maps a d-dim vector to the |planes|-dim
+    array of its dot products with the plane rows — the Johnson-
+    Lindenstrauss dimensionality reduction (with ±1 rows this is
+    Achlioptas's database-friendly construction, JCSS 2003: pairwise
+    geometry is preserved within (1±ε) at k = O(log n / ε²) output dims,
+    using no transcendental math). At 100 TB this is the cheap-vector
+    trade complementary to int8 quantization: a k/d-fraction of the
+    per-pair dot-product work for every downstream ANN/dedup pass, with
+    the projection itself a zero-shuffle map.
+
+    Single pass over the vector: the planes matrix is embedded TRANSPOSED
+    as a literal, and one aggregate accumulates all |planes| partial dot
+    sums at once (one-dot-per-plane would re-traverse the vector |planes|
+    times in interpreted HOF eval). Per-plane accumulation order over j is
+    the ascending left fold, so each output coordinate is bit-identical to
+    the per-plane spelling and to a SQL list_dot_product oracle."""
+    n_planes = len(planes)
+    dim = len(planes[0])
+    transposed = F.array(
+        *[
+            F.array(*[F.lit(float(planes[i][j])) for i in range(n_planes)])
+            for j in range(dim)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            _as_double(vec), transposed, lambda x, col: F.transform(col, lambda p: p * x)
+        ),
+        F.array_repeat(F.lit(0.0), n_planes),
+        lambda acc, contrib: F.zip_with(acc, contrib, lambda a, c: a + c),
+    )
+
+
+def rp_cosine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    **kw,
+) -> DataFrame:
+    """Cosine top-k in a random-projection space: project both sides to
+    |planes| dims, then the exact broadcast-queries single-pass top-k of
+    ``cosine_topk`` over the SHORT vectors. Approximate in the original
+    space (JL distortion), exact — and oracle-replayable — in the
+    projected space; the standard recipe when vectors dominate ANN cost
+    (project once, search many)."""
+    vec_col = kw.get("vec_col", "embedding")
+    id_col = kw.get("id_col", "vec_id")
+    query_id_col = kw.get("query_id_col", "query_id")
+    it = items.select(
+        F.col(id_col), random_project(F.col(vec_col), planes).alias("__p")
+    )
+    q = queries.select(
+        F.col(query_id_col), random_project(F.col(vec_col), planes).alias("__p")
+    )
+    return cosine_topk(
+        it,
+        q,
+        vec_col="__p",
+        id_col=id_col,
+        query_id_col=query_id_col,
+        k=kw.get("k", 5),
+        round_to=kw.get("round_to", 4),
+    )
+
+
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: one bit per random hyperplane (sign of dot
     product), packed into a bigint. ``planes`` is a small, deterministic
@@ -228,20 +294,7 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     bits — are bit-identical to the per-plane spelling and to a SQL
     list_dot_product oracle."""
     n_planes = len(planes)
-    dim = len(planes[0])
-    transposed = F.array(
-        *[
-            F.array(*[F.lit(float(planes[i][j])) for i in range(n_planes)])
-            for j in range(dim)
-        ]
-    )
-    dots = F.aggregate(
-        F.zip_with(
-            _as_double(vec), transposed, lambda x, col: F.transform(col, lambda p: p * x)
-        ),
-        F.array_repeat(F.lit(0.0), n_planes),
-        lambda acc, contrib: F.zip_with(acc, contrib, lambda a, c: a + c),
-    )
+    dots = random_project(vec, planes)
     bits = F.zip_with(
         dots,
         F.array(*[F.lit(1 << i).cast("long") for i in range(n_planes)]),
