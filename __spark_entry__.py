@@ -2146,6 +2146,62 @@ WHERE rank <= 5
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative join-aggregate workload: 3-round integer-exact PageRank
+    over the symmetrized customer↔supplier trade graph (an edge per
+    distinct (customer, supplier) pair that traded, via orders⋈lineitem).
+    Ranks are BIGINTs in units of 1e-12 with truncating division, so every
+    round is bit-reproducible on any engine — the oracle unrolls the same
+    recurrence. Output: top-25 hubs; the ranking window's input is one row
+    per NODE (already reduced), not the edge relation."""
+    from tibame_project_spark.operators.graph import pagerank_integer
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("a"),
+        (F.col("l_suppkey") * 2 + 1).alias("b"),
+    )
+    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    ranks = pagerank_integer(edges, "a", "b", iterations=3)
+    w = Window.orderBy(F.col("rank").desc(), F.col("node"))
+    return (
+        ranks.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 25)
+        .select("node", "rank", F.col("pos").cast("int").alias("pos"))
+    )
+
+
+_PAGERANK_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+deg AS (SELECT a, COUNT(*) AS od FROM e GROUP BY a),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, 1000000000000 // n AS rank FROM nodes, nn),
+c1 AS (SELECT e.b AS node, SUM(r0.rank // deg.od) AS csum
+       FROM e JOIN deg USING (a) JOIN r0 ON r0.node = e.a GROUP BY e.b),
+r1 AS (SELECT nodes.node,
+              15000000000000 // (100 * n) + (85 * COALESCE(csum, 0)) // 100 AS rank
+       FROM nodes LEFT JOIN c1 USING (node), nn),
+c2 AS (SELECT e.b AS node, SUM(r1.rank // deg.od) AS csum
+       FROM e JOIN deg USING (a) JOIN r1 ON r1.node = e.a GROUP BY e.b),
+r2 AS (SELECT nodes.node,
+              15000000000000 // (100 * n) + (85 * COALESCE(csum, 0)) // 100 AS rank
+       FROM nodes LEFT JOIN c2 USING (node), nn),
+c3 AS (SELECT e.b AS node, SUM(r2.rank // deg.od) AS csum
+       FROM e JOIN deg USING (a) JOIN r2 ON r2.node = e.a GROUP BY e.b),
+r3 AS (SELECT nodes.node,
+              15000000000000 // (100 * n) + (85 * COALESCE(csum, 0)) // 100 AS rank
+       FROM nodes LEFT JOIN c3 USING (node), nn)
+SELECT node, rank, CAST(pos AS INTEGER) AS pos FROM (
+  SELECT node, rank, row_number() OVER (ORDER BY rank DESC, node) AS pos FROM r3) t
+WHERE pos <= 25
+"""
+
+
 def q_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE aggregation (beyond the reference's plain GROUP BY — subtotal
     lattice over (event_type, month) with exact decimal sums)."""
@@ -3357,6 +3413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,        # new: interval-join batch twin
         "stream_enrich": q_stream_enrich,    # new: stream-static dim join
         "rp_ann": q_rp_ann,                  # new: JL-projected-space ANN
+        "pagerank": q_pagerank,              # new: integer-exact iterative
         "frame_sample": q_frame_sample,      # new: multimodal frame explode
         "quantized_ann": q_quantized_ann,    # new: int8 recall replay
         "knn_eval": q_knn_eval,              # new: kNN label majority vote
@@ -3369,10 +3426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": q_fuzzy_match,        # cartesian guard + override
         "semantic_dedup": q_semantic_dedup,  # caching-contract touch
         "sparse_topk": q_sparse_topk,        # new: inverted-index retrieval
-        # -- block 3: high-complexity r04-green keepers -------------------
+        # ---- 50-key window boundary (the ten r05 additions displaced the
+        # ten r04-green entries below; due back in the r06 window) --------
         "fuzzy_blocked": q_fuzzy_blocked,
-        # ---- 50-key window boundary (the nine r05 additions displaced
-        # the nine r04-green entries below; due back in the r06 window) --
         "ivf_train": q_ivf_train,
         "release_pipeline": q_release_pipeline,
         "dedup_groups": q_dedup_groups,
@@ -3516,6 +3572,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution": _ATTRIBUTION_SQL,
         "stream_enrich": _STREAM_ENRICH_SQL,
         "rp_ann": _rp_ann_sql(),
+        "pagerank": _PAGERANK_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
         "quantized_ann": _QUANTIZED_ANN_SQL,
         "alpha_mix": _ALPHA_MIX_SQL,
