@@ -2838,6 +2838,64 @@ FROM documents
 """
 
 
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum epoch schedule: docs ordered highest-quality-tier first
+    (tier = integer count of passed quality rules, 0-3), pseudo-randomly
+    shuffled within a tier — tier-major generalization of corpus_shuffle's
+    distributed index (no single-reducer sort; the oracle's one ORDER BY
+    row_number is replayed via per-(tier, bucket) windows + broadcast
+    cumulative offsets)."""
+    from tibame_project_spark.functions.textstats import (
+        punct_count,
+        stopword_ratio,
+        token_count,
+    )
+    from tibame_project_spark.partitioning import curriculum_index
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = token_count(t)
+    len_ok = ((n_tok >= 5) & (n_tok <= 5000)).cast("int")
+    punct_ratio = F.when(F.length(t) > 0, punct_count(t) / F.length(t)).otherwise(
+        F.lit(0.0)
+    )
+    punct_ok = (punct_ratio < 0.1).cast("int")
+    stop_ok = (stopword_ratio(t) > 0.0).cast("int")
+    tiered = docs.select(
+        "doc_id", (len_ok + punct_ok + stop_ok).alias("tier")
+    )
+    out = curriculum_index(
+        tiered, tier_col="tier", id_col="doc_id", base_hash=md5_base_hash
+    )
+    return out.select(
+        "doc_id", F.col("tier").cast("int").alias("tier"), F.col("pos").cast("long").alias("pos")
+    )
+
+
+_CURRICULUM_SQL = r"""
+WITH d AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         (CASE WHEN len(toks) BETWEEN 5 AND 5000 THEN 1 ELSE 0 END)
+         + (CASE WHEN (CASE WHEN length(text) > 0
+                       THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
+                       ELSE 0.0 END) < 0.1 THEN 1 ELSE 0 END)
+         + (CASE WHEN len(list_filter(toks, x -> list_contains(['the','and','of','to','in'], lower(x)))) > 0
+                 THEN 1 ELSE 0 END) AS tier
+  FROM d)
+SELECT doc_id, CAST(tier AS INTEGER) AS tier,
+       row_number() OVER (
+         ORDER BY tier DESC,
+                  CAST('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 15) AS BIGINT),
+                  doc_id
+       ) AS pos
+FROM s
+"""
+
+
 def q_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day moving aggregate per event type — the RANGE-frame window
     surface (trend smoothing over the daily rollup). The frame ranges over
@@ -3414,6 +3472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enrich": q_stream_enrich,    # new: stream-static dim join
         "rp_ann": q_rp_ann,                  # new: JL-projected-space ANN
         "pagerank": q_pagerank,              # new: integer-exact iterative
+        "curriculum": q_curriculum,          # new: tier-major epoch order
         "frame_sample": q_frame_sample,      # new: multimodal frame explode
         "quantized_ann": q_quantized_ann,    # new: int8 recall replay
         "knn_eval": q_knn_eval,              # new: kNN label majority vote
@@ -3426,8 +3485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": q_fuzzy_match,        # cartesian guard + override
         "semantic_dedup": q_semantic_dedup,  # caching-contract touch
         "sparse_topk": q_sparse_topk,        # new: inverted-index retrieval
-        # ---- 50-key window boundary (the ten r05 additions displaced the
-        # ten r04-green entries below; due back in the r06 window) --------
+        # ---- 50-key window boundary (the eleven r05 additions displaced
+        # the eleven r04-green entries below; due back in the r06 window) -
         "fuzzy_blocked": q_fuzzy_blocked,
         "ivf_train": q_ivf_train,
         "release_pipeline": q_release_pipeline,
@@ -3573,6 +3632,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_enrich": _STREAM_ENRICH_SQL,
         "rp_ann": _rp_ann_sql(),
         "pagerank": _PAGERANK_SQL,
+        "curriculum": _CURRICULUM_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
         "quantized_ann": _QUANTIZED_ANN_SQL,
         "alpha_mix": _ALPHA_MIX_SQL,

@@ -1685,3 +1685,38 @@ def test_rp_cosine_topk_ranks_in_projected_space(spark):
     got = [(r["vec_id"], r["rank"], r["score"]) for r in rows]
     # projected: q=(2,0); item10=(1,0) cos=1; item12=(1,1) cos=.7071; item11=(0,1) cos=0
     assert got == [(10, 1, 1.0), (12, 2, 0.7071), (11, 3, 0.0)]
+
+
+# ---------------------------------------------------------------------------
+# curriculum ordering (tier-major deterministic shuffle)
+
+
+def test_curriculum_index_orders_tiers_then_hash(spark):
+    from tibame_project_spark.operators.dedup import md5_base_hash
+    from tibame_project_spark.partitioning import curriculum_index
+
+    rows = [(i, i % 3) for i in range(60)]  # tiers 0,1,2
+    df = spark.createDataFrame(rows, "id long, tier int")
+    out = curriculum_index(
+        df, tier_col="tier", id_col="id", base_hash=md5_base_hash
+    ).collect()
+    assert sorted(r["pos"] for r in out) == list(range(1, 61))
+    # tier-major: every tier-2 position precedes every tier-1, etc.
+    by_tier = {}
+    for r in out:
+        by_tier.setdefault(r["tier"], []).append(r["pos"])
+    assert max(by_tier[2]) < min(by_tier[1]) < max(by_tier[1]) < min(by_tier[0])
+    # within a tier the order is exactly (hash, id) — replay in python
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    want = sorted((r["id"] for r in out if r["tier"] == 2), key=lambda i: (h(i), i))
+    got = [
+        r["id"]
+        for r in sorted(
+            (r for r in out if r["tier"] == 2), key=lambda r: r["pos"]
+        )
+    ]
+    assert got == want

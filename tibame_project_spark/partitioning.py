@@ -321,3 +321,60 @@ def leakage_safe_split(
         F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
     )
     return df.withColumn("split", expr)
+
+
+def curriculum_index(
+    df: DataFrame,
+    *,
+    tier_col: str,
+    id_col: str,
+    base_hash=None,
+    hash_bits: int = 60,
+    bucket_bits: int = 10,
+    pos_col: str = "pos",
+    descending: bool = True,
+) -> DataFrame:
+    """Curriculum ordering: every row's 1-based position in the
+    (tier, hash(id), id) total order — higher tiers first by default, rows
+    pseudo-randomly shuffled WITHIN a tier. The epoch schedule of
+    curriculum learning (Bengio et al., ICML 2009): train on the
+    highest-quality slice first, anneal downward, while keeping
+    within-tier order deterministic and resumable.
+
+    Same three-step shape as ``global_sort_index`` (which this
+    generalizes: one tier == a plain shuffle) with the tier as the MAJOR
+    key of the composite bucket: per-(tier, bucket) counts → one tiny
+    |tiers|·2^bucket_bits-row cumulative-offset relation (single-partition
+    window over the bucket relation only, never the data) → broadcast
+    back, per-(tier, bucket) row_number at full parallelism. No
+    single-reducer sort of the corpus at any size.
+
+    ``tier_col`` must be integer-valued (quality-rule pass counts,
+    explicit stage labels) — float tiers invite boundary nondeterminism
+    between engines.
+    """
+    from pyspark.sql import Window
+
+    from tibame_project_spark.operators.dedup import xxhash_base_hash
+
+    if base_hash is None:
+        base_hash, hash_bits = xxhash_base_hash, 63
+    tier_sort = F.col("__t").desc() if descending else F.col("__t").asc()
+    d = (
+        df.withColumn("__t", F.col(tier_col).cast("long"))
+        .withColumn("__h", base_hash(F.col(id_col).cast("string")))
+        .withColumn("__bkt", F.shiftright(F.col("__h"), hash_bits - bucket_bits))
+    )
+    counts = d.groupBy("__t", "__bkt").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy(tier_sort, F.col("__bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__t", "__bkt", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = Window.partitionBy("__t", "__bkt").orderBy("__h", id_col)
+    return (
+        d.join(F.broadcast(offsets), ["__t", "__bkt"])
+        .withColumn(pos_col, F.col("__off") + F.row_number().over(w_in))
+        .drop("__t", "__h", "__bkt", "__off")
+    )
