@@ -1233,7 +1233,7 @@ WHERE rank <= 5
 
 def q_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse (bag-of-words) cosine top-5 via an inverted-index token join
-    with 50%-document-frequency stop-token pruning — the IR retrieval path
+    with 80%-document-frequency stop-token pruning — the IR retrieval path
     (no dense vectors, no cross product); candidates are exactly the docs
     sharing a surviving token with the query."""
     from tibame_project_spark.operators.similarity import sparse_cosine_topk
@@ -1243,7 +1243,7 @@ def q_sparse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"), "text"
     )
     items = docs.filter(F.col("doc_id") >= 10)
-    return sparse_cosine_topk(items, queries, k=5, df_frac_cap=0.5)
+    return sparse_cosine_topk(items, queries, k=5, df_frac_cap=0.8)
 
 
 _SPARSE_TOPK_SQL = r"""
@@ -1261,7 +1261,7 @@ qp AS (
   GROUP BY qid, token),
 kept AS (
   SELECT token FROM (SELECT token, count(*) AS df FROM ip GROUP BY token) d
-  WHERE df <= 0.5 * (SELECT count(*) FROM documents WHERE doc_id >= 10)),
+  WHERE df <= 0.8 * (SELECT count(*) FROM documents WHERE doc_id >= 10)),
 ipk AS (SELECT ip.* FROM ip JOIN kept USING (token)),
 qpk AS (SELECT qp.* FROM qp JOIN kept USING (token)),
 inorm AS (SELECT did, sqrt(SUM(tf * tf)) AS dn FROM ipk GROUP BY did),

