@@ -388,3 +388,35 @@ def test_pearson_stats_single_pass(spark):
     plan = _plan(entry.q_pearson_stats(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_sum" in plan
+
+
+def test_curriculum_tier_major_no_global_sort(spark):
+    """Curriculum ordering keeps corpus_shuffle's discipline with the tier
+    as the major key: positions come from per-(tier, bucket) windows plus a
+    broadcast offsets join — never a single-reducer sort of the docs."""
+    plan = _plan(entry.q_curriculum(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan  # offsets join
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(__t" in plan  # windows keyed by (tier, bucket)
+
+
+def test_sparse_topk_candidates_via_token_join(spark):
+    """The inverted index IS the join: candidate pairs come from a
+    broadcast hash join on the token, never a cross product, and the dot
+    aggregate partial-aggregates map-side before its (query, doc) exchange."""
+    plan = _plan(entry.q_sparse_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # (a BroadcastNestedLoopJoin IS present — the 1-row doc-count scalar of
+    # the df cap; the corpus-sized relations all join hash-partitioned)
+    import re
+
+    assert re.search(r"hashpartitioning\(__qid#\d+L?, __did#", plan)  # dot agg
+
+
+def test_pagerank_rank_join_broadcasts_not_cartesian(spark):
+    """Every PageRank round is rank ⋈ edges then a dst-key aggregate; the
+    rank relation (one row per node) must reach the join as a broadcast or
+    co-partitioned hash join, never a nested loop, and the only cross
+    product allowed is the 1-row node-count scalar."""
+    plan = _plan(entry.q_pagerank(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
