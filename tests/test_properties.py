@@ -515,3 +515,69 @@ def test_global_sort_index_permutation_for_arbitrary_ids(
     }
     assert got == naive
     assert sorted(got.values()) == list(range(1, len(ids) + 1))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["apple", "banana", "cherry", "Date", "fig", "kiwi"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(
+        st.lists(
+            st.sampled_from(["apple", "banana", "cherry", "Date", "fig"]),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    st.one_of(st.none(), st.floats(min_value=0.1, max_value=1.0)),
+)
+def test_sparse_cosine_topk_matches_python_replay(spark_global, docs, qs, cap):
+    """For arbitrary small corpora (including empty docs and repeated
+    tokens) and any df cap, the inverted-index plan equals a sequential
+    Python bag-of-words cosine: same candidate set, same (score desc, id)
+    ranking, same 4-decimal scores."""
+    import math
+    from collections import Counter
+
+    from tibame_project_spark.operators.similarity import sparse_cosine_topk
+
+    k = 4
+    doc_rows = [(i + 100, " ".join(toks)) for i, toks in enumerate(docs)]
+    q_rows = [(j + 1, " ".join(toks)) for j, toks in enumerate(qs)]
+    ddf = spark_global.createDataFrame(doc_rows, "doc_id long, text string")
+    qdf = spark_global.createDataFrame(q_rows, "query_id long, text string")
+    got = [
+        (r.query_id, r.doc_id, r.rank, r.score)
+        for r in sparse_cosine_topk(ddf, qdf, k=k, df_frac_cap=cap).collect()
+    ]
+
+    # python replay: lowercase whitespace tf maps, df prune, cosine
+    dtf = {i: Counter(t.lower() for t in toks) for (i, _), toks in zip(doc_rows, docs)}
+    qtf = {j: Counter(t.lower() for t in toks) for (j, _), toks in zip(q_rows, qs)}
+    if cap is not None:
+        df_counts = Counter(tok for c in dtf.values() for tok in c)
+        kept = {t for t, n in df_counts.items() if n <= cap * len(doc_rows)}
+        dtf = {i: Counter({t: n for t, n in c.items() if t in kept}) for i, c in dtf.items()}
+        qtf = {j: Counter({t: n for t, n in c.items() if t in kept}) for j, c in qtf.items()}
+    want = []
+    for j, qc in qtf.items():
+        qn = math.sqrt(sum(v * v for v in qc.values()))
+        scored = []
+        for i, dc in dtf.items():
+            dot = sum(dc[t] * qc[t] for t in dc.keys() & qc.keys())
+            if dot == 0:
+                continue
+            dn = math.sqrt(sum(v * v for v in dc.values()))
+            scored.append((i, dot / (dn * qn)))
+        scored.sort(key=lambda p: (-p[1], p[0]))
+        for rank, (i, s) in enumerate(scored[:k], 1):
+            want.append((j, i, rank, round(s, 4)))
+    assert sorted(got) == sorted(want)
