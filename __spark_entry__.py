@@ -3040,6 +3040,44 @@ GROUP BY occ.doc_id
 """
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram extension of lm_score: per-doc corpus-seen adjacent-pair
+    mass over left-context mass (rational conditional-frequency proxy for
+    a 2-gram perplexity filter) + once-seen pair ratio. Pair and context
+    vocabularies joined back on their own shuffle keys — never broadcast."""
+    from tibame_project_spark.functions.textstats import bigram_lm_score
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, "text", "doc_id")
+
+
+_BIGRAM_LM_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents),
+o AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(1, len(toks) - 1), i -> toks[i])
+                ELSE [] END) AS w1,
+         unnest(CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || chr(1) || toks[i + 1])
+                ELSE [] END) AS pr
+  FROM d),
+c2 AS (SELECT pr, COUNT(*) AS c2 FROM o GROUP BY pr),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM o GROUP BY w1)
+SELECT o.doc_id, CAST(COUNT(*) AS INTEGER) AS n_pairs,
+       CAST(SUM(c2) AS BIGINT) AS sum_pair_cnt,
+       CAST(SUM(c1) AS BIGINT) AS sum_ctx_cnt,
+       SUM(c2) / SUM(c1) AS cond_score,
+       SUM(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) / COUNT(*) AS novel_ratio
+FROM o JOIN c2 USING (pr) JOIN c1 USING (w1)
+GROUP BY o.doc_id
+"""
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus quality report — a second composition target
     (after release_pipeline): the quality gate, exact-dup detection and
@@ -3473,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_ann": q_rp_ann,                  # new: JL-projected-space ANN
         "pagerank": q_pagerank,              # new: integer-exact iterative
         "curriculum": q_curriculum,          # new: tier-major epoch order
+        "bigram_lm": q_bigram_lm,            # new: 2-gram LM quality proxy
         "frame_sample": q_frame_sample,      # new: multimodal frame explode
         "quantized_ann": q_quantized_ann,    # new: int8 recall replay
         "knn_eval": q_knn_eval,              # new: kNN label majority vote
@@ -3485,8 +3524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": q_fuzzy_match,        # cartesian guard + override
         "semantic_dedup": q_semantic_dedup,  # caching-contract touch
         "sparse_topk": q_sparse_topk,        # new: inverted-index retrieval
-        # ---- 50-key window boundary (the eleven r05 additions displaced
-        # the eleven r04-green entries below; due back in the r06 window) -
+        # ---- 50-key window boundary (the twelve r05 additions displaced
+        # the twelve r04-green entries below; due back in the r06 window) -
         "fuzzy_blocked": q_fuzzy_blocked,
         "ivf_train": q_ivf_train,
         "release_pipeline": q_release_pipeline,
@@ -3633,6 +3672,7 @@ def oracle_sql() -> dict[str, str]:
         "rp_ann": _rp_ann_sql(),
         "pagerank": _PAGERANK_SQL,
         "curriculum": _CURRICULUM_SQL,
+        "bigram_lm": _BIGRAM_LM_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
         "quantized_ann": _QUANTIZED_ANN_SQL,
         "alpha_mix": _ALPHA_MIX_SQL,

@@ -75,11 +75,12 @@ def main() -> None:
 
 
 def compact_line(
-    total: float, timings: dict[str, float], sf: float, limit: int = 1950
+    total: float, timings: dict[str, float], sf: float, limit: int = 1995
 ) -> str:
     """The driver-facing JSON line: compact separators, no run_spread (that
     lives in BENCH_LOCAL.json), and guaranteed to fit the driver's capture
-    tail. Degrades gracefully instead of all-or-nothing: 2-decimal full
+    tail (2,000 chars; this line is the LAST stdout write, so limit + the
+    trailing newline just needs to stay within it). Degrades gracefully instead of all-or-nothing: 2-decimal full
     detail when it fits, else 1-decimal, else the slowest queries that fit
     with a ``q_dropped`` count (the slowest are the ones regression triage
     needs; the fast tail is recoverable from BENCH_LOCAL.json) — so the

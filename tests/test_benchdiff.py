@@ -94,12 +94,12 @@ def test_bench_compact_line_fits_driver_tail():
     line = compact_line(12.3, few, 0.1)
     rec = json.loads(line)
     assert rec["queries"]["q0"] == 1.23 and rec["value"] == 12.3
-    assert len(line) <= 1950
+    assert len(line) <= 1995
 
     many = {f"very_long_query_name_{i:04d}": 123.456 for i in range(200)}
     line = compact_line(999.9, many, 0.1)
     rec = json.loads(line)  # still one parseable line...
-    assert len(line) <= 1950  # ...that fits the tail
+    assert len(line) <= 1995  # ...that fits the tail
     assert rec["value"] == 999.9
     # graceful degradation: the slowest entries that fit survive, with an
     # explicit marker for how many were cut
@@ -118,7 +118,7 @@ def test_bench_line_keeps_detail_at_current_query_count():
     worst = {name: 999.99 for name in entry_mod.queries()}
     line = compact_line(99999.999, worst, 0.1)
     rec = json.loads(line)
-    assert len(line) <= 1950
+    assert len(line) <= 1995
     kept = rec.get("queries", {})
     assert len(kept) + rec.get("q_dropped", 0) == len(worst)
     assert len(kept) >= 0.6 * len(worst), (

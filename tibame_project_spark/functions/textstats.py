@@ -690,3 +690,71 @@ def unigram_lm_score(df, text_col: str, id_col: str):
             "n_tokens", "sum_freq", "mean_freq", "rare_ratio",
         )
     )
+
+
+def bigram_lm_score(df, text_col: str, id_col: str):
+    """Bigram conditional-frequency quality proxy -- the 2-gram extension
+    of ``unigram_lm_score``: score each document by how much of its
+    adjacent-pair mass the corpus itself has seen (the shape of a
+    KenLM/CCNet perplexity filter, with the corpus as its own bigram LM
+    and every value rational, so any engine reproduces it bit-for-bit; a
+    real n-gram model would slot into the same plan as a broadcast table
+    or pandas UDF).
+
+    Returns (id, n_pairs, sum_pair_cnt, sum_ctx_cnt, cond_score,
+    novel_ratio): per pair occurrence the corpus-wide pair count and
+    left-context (first-token-as-context) count are summed exactly
+    (bigints); ``cond_score`` = sum_pair_cnt / sum_ctx_cnt divides ONCE at
+    the end -- an aggregate stand-in for the product of p(w2|w1) that
+    needs no logs -- and ``novel_ratio`` is the fraction of pairs seen
+    exactly once corpus-wide (gibberish flag). Documents with fewer than
+    2 tokens have no pairs and produce no row (same as the SQL oracle's
+    unnest). Pairs are keyed w1 + U+0001 + w2 -- same separator caveat as
+    ``bpe_pair_counts``.
+
+    Scale shape: staged token projection (HOF discipline -- the tokenizer
+    runs once per doc), index-aware pair transform, explode, then the pair
+    vocabulary and the context vocabulary are joined back ON THEIR OWN
+    shuffle keys -- co-partitioned, never broadcast, so web-scale bigram
+    vocabularies survive -- and one per-doc aggregate. 4 shuffles total.
+    """
+    staged = df.select(
+        F.col(id_col).alias("__id"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    pairs = F.when(
+        F.size("__toks") >= 2,
+        F.transform(
+            F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+            lambda x, i: F.struct(
+                x.alias("w1"),
+                F.concat(
+                    x, F.lit("\u0001"), F.element_at(F.col("__toks"), i + 2)
+                ).alias("pr"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,pr:string>>"))
+    occ = staged.select("__id", F.explode(pairs).alias("__p")).select(
+        "__id", F.col("__p.w1").alias("__w1"), F.col("__p.pr").alias("__pr")
+    )
+    pair_cnt = occ.groupBy("__pr").agg(F.count(F.lit(1)).alias("__c2"))
+    ctx_cnt = occ.groupBy("__w1").agg(F.count(F.lit(1)).alias("__c1"))
+    return (
+        occ.join(pair_cnt, "__pr")
+        .join(ctx_cnt, "__w1")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_pairs"),
+            F.sum("__c2").alias("sum_pair_cnt"),
+            F.sum("__c1").alias("sum_ctx_cnt"),
+            (F.sum("__c2") / F.sum("__c1")).alias("cond_score"),
+            (
+                F.sum(F.when(F.col("__c2") == 1, 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("novel_ratio"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_pairs", "sum_pair_cnt", "sum_ctx_cnt", "cond_score", "novel_ratio",
+        )
+    )
