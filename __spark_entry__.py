@@ -3492,8 +3492,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "lang_id": q_lang_id,
         "events_rollup": q_events_rollup,
-        "union_distinct": q_union_distinct,
-        "set_ops": q_set_ops,
         "json_extract": q_json_extract,
         "dedup_keep_first": q_dedup_keep_first,
         "insert_missing": q_insert_missing,
@@ -3525,7 +3523,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,  # caching-contract touch
         "sparse_topk": q_sparse_topk,        # new: inverted-index retrieval
         # ---- 50-key window boundary (the twelve r05 additions displaced
-        # the twelve r04-green entries below; due back in the r06 window) -
+        # the entries below; union_distinct / set_ops are the two block-1
+        # rotations that no longer fit — first in line for the r06 window,
+        # with the r04-green keepers after them) --------------------------
+        "union_distinct": q_union_distinct,
+        "set_ops": q_set_ops,
         "fuzzy_blocked": q_fuzzy_blocked,
         "ivf_train": q_ivf_train,
         "release_pipeline": q_release_pipeline,
