@@ -1720,3 +1720,61 @@ def test_curriculum_index_orders_tiers_then_hash(spark):
         )
     ]
     assert got == want
+
+
+def test_write_zorder_parquet_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order vs 1-D sort on a 256x256 grid: a box predicate must
+    intersect strictly fewer row groups in the Morton layout, and a
+    predicate on the SECOND dimension alone — which a linear x-sort cannot
+    prune at all — must skip most Z-ordered row groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from tibame_project_spark.sources.writers import (
+        write_sorted_parquet,
+        write_zorder_parquet,
+    )
+
+    df = (
+        spark.range(256 * 256)
+        .withColumn("x", (F.col("id") % 256).cast("long"))
+        .withColumn("y", (F.col("id") / 256).cast("long"))
+    )
+
+    def rg_ranges(path):
+        out = []
+        for f in sorted(glob.glob(path + "/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                stats = {}
+                for j in range(rg.num_columns):
+                    c = rg.column(j)
+                    stats[c.path_in_schema] = (c.statistics.min, c.statistics.max)
+                out.append(stats)
+        return out
+
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zorder_parquet(df, zpath, layout_cols=["x", "y"], bits=8, n_files=16)
+    write_sorted_parquet(df, spath, layout_cols="x", n_files=16)
+    zr, sr = rg_ranges(zpath), rg_ranges(spath)
+    assert len(zr) >= 16 and len(sr) >= 16
+
+    def hits(ranges, col, lo, hi):
+        return sum(1 for st in ranges if st[col][0] <= hi and lo <= st[col][1])
+
+    def box_hits(ranges, bx, by):
+        return sum(
+            1
+            for st in ranges
+            if st["x"][0] <= bx[1] and bx[0] <= st["x"][1]
+            and st["y"][0] <= by[1] and by[0] <= st["y"][1]
+        )
+
+    # box query: pruned in both layouts, but Z-order prunes strictly harder
+    assert box_hits(zr, (0, 63), (0, 63)) < box_hits(sr, (0, 63), (0, 63))
+    # y-only predicate: the x-sorted layout cannot prune AT ALL (every row
+    # group spans the full y range); Z-order skips most row groups
+    assert hits(sr, "y", 0, 15) == len(sr)
+    assert hits(zr, "y", 0, 15) <= len(zr) // 2

@@ -125,3 +125,67 @@ def write_sorted_parquet(
     else:
         ranged = df.repartitionByRange(*cols)
     ranged.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
+def zorder_key(cols, *, bits: int = 16):
+    """Z-order (Morton) key over 2+ integer columns already scaled into
+    [0, 2^bits): bit i of each column lands at interleaved position
+    i * n_cols + column_index, so points close in EVERY dimension are close
+    on the key. Built as a static expression tree (2 * bits * n_cols
+    shift/mask terms) — map-side, codegen-friendly, zero shuffle.
+
+    Callers normalize values into the bit range first (rank, epoch-day,
+    truncated hash, ...); keeping normalization out of this function keeps
+    the key exact and engine-independent.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    terms = []
+    for ci, c in enumerate(cols):
+        col = F.col(c) if isinstance(c, str) else c
+        for b in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(col.cast("long"), b).bitwiseAND(F.lit(1)),
+                    b * n + ci,
+                )
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    layout_cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional layout-optimized write: cluster on the Z-order
+    interleaving of ``layout_cols`` instead of a single column — the 2-D+
+    generalization of ``write_sorted_parquet``. A linear sort on column A
+    makes column B's row-group [min, max] span the whole value range (a
+    selective B predicate skips nothing); the Morton curve keeps each row
+    group a small hyper-rectangle in BOTH dimensions, so box predicates
+    (time range × key range, lat × lon, ...) prune row groups on every
+    clustered column at once. Same write shape as the 1-D case: one
+    range-repartition shuffle on the key, per-partition sort, stats do the
+    rest at read time.
+    """
+    zk = zorder_key(layout_cols, bits=bits)
+    keyed = df.withColumn("__zk", zk)
+    if n_files is not None:
+        ranged = keyed.repartitionByRange(n_files, "__zk")
+    else:
+        ranged = keyed.repartitionByRange("__zk")
+    (
+        ranged.sortWithinPartitions("__zk")
+        .drop("__zk")
+        .write.mode(mode)
+        .parquet(path)
+    )
