@@ -1778,3 +1778,47 @@ def test_write_zorder_parquet_prunes_on_both_dimensions(spark, tmp_path):
     # group spans the full y range); Z-order skips most row groups
     assert hits(sr, "y", 0, 15) == len(sr)
     assert hits(zr, "y", 0, 15) <= len(zr) // 2
+
+
+# ---------------------------------------------------------------------------
+# group-wise z-score normalization (decimal sufficient stats)
+
+
+def test_zscore_normalize_matches_closed_form(spark):
+    from tibame_project_spark.operators.analytics import zscore_normalize
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("b", 5.0), ("c", 9.0)],
+        "grp string, v double",
+    )
+    out = {
+        (r["grp"], r["v"]): r["z"]
+        for r in zscore_normalize(df, "v", ["grp"]).collect()
+    }
+    import math
+
+    std_a = math.sqrt((1 + 4 + 9) / 3 - 4.0)  # population std of {1,2,3}
+    assert out[("a", 1.0)] == (1.0 - 2.0) / std_a
+    assert out[("a", 2.0)] == 0.0
+    assert out[("a", 3.0)] == (3.0 - 2.0) / std_a
+    # constant group and singleton group: z = 0, never NaN
+    assert out[("b", 5.0)] == 0.0
+    assert out[("c", 9.0)] == 0.0
+
+
+def test_zscore_normalize_partitioning_invariant(spark):
+    """Same bits under 1 partition and 8 partitions — the decimal
+    sufficient-stats discipline (a Welford double stream would drift)."""
+    from tibame_project_spark.operators.analytics import zscore_normalize
+
+    rows = [("g%d" % (i % 3), float(i) * 0.37 + 0.005) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    a = {
+        (r["grp"], r["v"]): r["z"]
+        for r in zscore_normalize(df.coalesce(1), "v", ["grp"]).collect()
+    }
+    b = {
+        (r["grp"], r["v"]): r["z"]
+        for r in zscore_normalize(df.repartition(8), "v", ["grp"]).collect()
+    }
+    assert a == b

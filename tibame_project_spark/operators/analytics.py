@@ -261,3 +261,57 @@ def histogram_fixed(
             "n",
         )
     )
+
+
+def zscore_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    *,
+    scale: int = 2,
+    out_col: str = "z",
+) -> DataFrame:
+    """Per-group standardization: z = (x − mean) / stddev_pop — the feature
+    scaling step of a training pipeline (per-domain score normalization,
+    per-feature embedding whitening), with ``pearson_stats``' determinism
+    discipline: the sufficient statistics (n, Σx, Σx²) accumulate as EXACT
+    decimals in one map-side-partial aggregation pass, and only the final
+    closed-form ops run in IEEE doubles — so the same z values come back
+    under any partitioning, retry, or AQE re-plan (Spark's streaming-double
+    ``stddev`` cannot promise that).
+
+    Population stddev (ddof=0): normalization wants the moment of THIS
+    group, not an inference estimate. Groups with stddev 0 (constant value,
+    or a single row) get z = 0.0 rather than NaN — constant features
+    normalize to the origin.
+
+    Scale shape: the stats relation is one row per group (broadcast in the
+    join below); the normalization itself is a map-side expression. Two
+    scans of the input (stats + normalize) — at 100 TB either persist the
+    input upstream or reuse an already-materialized stats table; the stats
+    pass reads only (group, value) columns either way.
+    """
+    gc = group_cols or []
+    xd = F.col(value_col).cast(f"decimal(18,{scale})")
+    stats = df.groupBy(*gc).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(xd).cast("double").alias("__sx"),
+        F.sum(xd * xd).cast("double").alias("__sxx"),
+    )
+    n, sx, sxx = F.col("__n"), F.col("__sx"), F.col("__sxx")
+    stats = stats.select(
+        *gc,
+        (sx / n).alias("__mean"),
+        F.sqrt(F.greatest(sxx / n - (sx / n) * (sx / n), F.lit(0.0))).alias("__std"),
+    )
+    joined = (
+        df.join(F.broadcast(stats), gc, "left")
+        if gc
+        else df.crossJoin(F.broadcast(stats))
+    )
+    z = F.when(
+        F.col("__std") > 0.0,
+        (F.col(value_col).cast(f"decimal(18,{scale})").cast("double") - F.col("__mean"))
+        / F.col("__std"),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn(out_col, z).drop("__mean", "__std")
