@@ -1822,3 +1822,51 @@ def test_zscore_normalize_partitioning_invariant(spark):
         for r in zscore_normalize(df.repartition(8), "v", ["grp"]).collect()
     }
     assert a == b
+
+
+def test_minhash_incremental_signature_reuse(spark, tmp_path):
+    """The sketch-once contract end-to-end: the old corpus's signature
+    table is materialized ONCE; when a delta batch arrives only the delta
+    is sketched, and pair generation over the unioned signature relations
+    equals the full recompute — old TEXT is never re-read."""
+    from tibame_project_spark.operators.dedup import (
+        md5_base_hash,
+        minhash_dedup_pairs,
+        minhash_pairs_from_signatures,
+        minhash_signature_table,
+    )
+
+    old_docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely different text about parquet row groups"),
+    ]
+    delta_docs = [
+        (4, "the quick brown fox jumps over the lazy dog today"),  # dup of 1
+        (5, "unrelated delta document with fresh content"),
+    ]
+    kw = dict(n=3, num_perm=32, base_hash=md5_base_hash)
+    old = spark.createDataFrame(old_docs, "doc_id long, text string")
+    sig_path = str(tmp_path / "signatures")
+    minhash_signature_table(old, "text", "doc_id", **kw).write.parquet(sig_path)
+
+    delta = spark.createDataFrame(delta_docs, "doc_id long, text string")
+    unioned = spark.read.parquet(sig_path).unionByName(
+        minhash_signature_table(delta, "text", "doc_id", **kw)
+    )
+    incremental = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_pairs_from_signatures(unioned, threshold=0.5).collect()
+    }
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_dedup_pairs(
+            spark.createDataFrame(old_docs + delta_docs, "doc_id long, text string"),
+            "text",
+            "doc_id",
+            threshold=0.5,
+            **kw,
+        ).collect()
+    }
+    assert incremental == full
+    assert (1, 4, 1.0) in incremental or any(a == 1 and b == 4 for a, b, _ in incremental)

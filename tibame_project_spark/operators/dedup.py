@@ -187,37 +187,41 @@ def minhash_signature(
     return F.when(F.size(shingle_col) > 0, sig)
 
 
-def minhash_dedup_pairs(
+def minhash_signature_table(
     df: DataFrame,
     text_col: str,
     id_col: str,
     *,
     n: int = 3,
     num_perm: int = 32,
-    bands: int = 8,
-    threshold: float = 0.8,
     base_hash=xxhash_base_hash,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash + banded LSH + exact-Jaccard verify.
+    """The (``__id``, ``__sh`` shingles, ``__sig`` signature) relation —
+    the materialization point of the sketch-once contract: compute it per
+    ingest batch, write it beside the corpus, and run pair generation over
+    unioned signature tables without ever re-reading old TEXT
+    (``minhash_pairs_from_signatures``). Incremental dedup of a 100 TB
+    corpus then costs one sketch pass over the DELTA plus a band join of
+    signature relations."""
+    return _shingled(df, text_col, id_col, n).withColumn(
+        "__sig", minhash_signature(F.col("__sh"), num_perm, base_hash=base_hash)
+    )
 
+
+def minhash_pairs_from_signatures(
+    base: DataFrame,
+    *,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Banded-LSH pair generation + exact-Jaccard verify over a
+    precomputed signature relation (``minhash_signature_table``, possibly
+    a union of per-batch tables). Plan shape: explode bands (rows × bands)
+    → band-bucket equi-join → exact-Jaccard verify on the shingle arrays.
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
-
-    Plan shape: shingle+sign (narrow) → explode bands (rows × bands) →
-    groupBy band bucket (shuffle on 16-byte band hash) → pair-join inside
-    buckets → verify with exact shingle Jaccard. At 100 TB the only wide ops
-    are the band groupBy and the candidate self-join, both on hashed keys.
-    ``base`` feeds three plan branches (banding + both verify sides); it is
-    persisted so sketching runs once — at very large scale materialize it to
-    a table instead (same idea, spill-backed here via MEMORY_AND_DISK).
     """
     rows = num_perm // bands
-    base = (
-        _shingled(df, text_col, id_col, n)
-        .withColumn(
-            "__sig", minhash_signature(F.col("__sh"), num_perm, base_hash=base_hash)
-        )
-        .persist()
-    )
     banded = base.select(
         "__id",
         F.explode(
@@ -257,6 +261,39 @@ def minhash_dedup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    base_hash=xxhash_base_hash,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH + exact-Jaccard verify.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+
+    Plan shape: shingle+sign (narrow) → explode bands (rows × bands) →
+    groupBy band bucket (shuffle on 16-byte band hash) → pair-join inside
+    buckets → verify with exact shingle Jaccard. At 100 TB the only wide ops
+    are the band groupBy and the candidate self-join, both on hashed keys.
+    ``base`` feeds three plan branches (banding + both verify sides); it is
+    persisted so sketching runs once — at very large scale materialize it
+    with ``minhash_signature_table`` instead (same idea, spill-backed here
+    via MEMORY_AND_DISK) and feed deltas through
+    ``minhash_pairs_from_signatures``.
+    """
+    base = minhash_signature_table(
+        df, text_col, id_col, n=n, num_perm=num_perm, base_hash=base_hash
+    ).persist()
+    return minhash_pairs_from_signatures(
+        base, num_perm=num_perm, bands=bands, threshold=threshold
     )
 
 
