@@ -481,3 +481,37 @@ def test_stream_static_enrich_runs_as_stream(spark, tmp_path):
     q.awaitTermination()
     got = {r["user_id"]: r["segment"] for r in spark.read.parquet(out).collect()}
     assert got == {1: "BUILDING", 2: "MACHINERY"}
+
+
+def test_stream_checkpoint_makes_reruns_idempotent(spark, tmp_path):
+    """The scheduled-batch operating mode (availableNow + checkpoint): a
+    re-run over an unchanged source discovers nothing new and appends
+    nothing — the property that lets the daily hop retry safely; a new
+    file arriving later is picked up by the NEXT run from checkpointed
+    progress, without reprocessing the old one."""
+    from tibame_project_spark.streaming.incremental import stream_src_to_ods
+
+    src, ods, ckpt = str(tmp_path / "src"), str(tmp_path / "ods"), str(tmp_path / "ck")
+    df = _ev(spark, [(1, "2024-01-01 01:00:00", 1.0, "click")])
+    df.withColumn("day", F.to_date("ts")).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        stream_src_to_ods(
+            spark, src, schema, lambda s: s, ods, ckpt, partition_by="day"
+        )
+
+    run()
+    n1 = spark.read.parquet(ods).count()
+    run()  # identical source: the checkpoint must suppress reprocessing
+    n2 = spark.read.parquet(ods).count()
+    assert n1 == n2 == 1
+
+    # a NEW file is incremental: only the delta lands on the third run
+    _ev(spark, [(2, "2024-01-02 01:00:00", 2.0, "view")]).withColumn(
+        "day", F.to_date("ts")
+    ).write.mode("append").parquet(src)
+    run()
+    out = spark.read.parquet(ods)
+    assert out.count() == 2
+    assert {r["user_id"] for r in out.collect()} == {1, 2}
