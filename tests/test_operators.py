@@ -1870,3 +1870,19 @@ def test_minhash_incremental_signature_reuse(spark, tmp_path):
     }
     assert incremental == full
     assert (1, 4, 1.0) in incremental or any(a == 1 and b == 4 for a, b, _ in incremental)
+
+
+def test_resize_media_deterministic_subsample(spark):
+    """The resize stage's plumbing: binary in → smaller binary out, exact
+    byte-subsample semantics, nulls and small payloads passed through."""
+    from tibame_project_spark.sources.multimodal import resize_media
+
+    big = bytes(range(256)) * 4  # 1024 bytes
+    small = b"tiny"
+    rows = [("a", "image", big), ("b", "image", small), ("c", "image", None)]
+    df = spark.createDataFrame(rows, "media_id string, kind string, content binary")
+    out = {r["media_id"]: r for r in resize_media(df, target_bytes=256).collect()}
+    assert out["a"]["n_bytes_in"] == 1024 and out["a"]["n_bytes_out"] == 256
+    assert bytes(out["a"]["content"]) == big[::4]  # ceil(1024/256) = 4
+    assert bytes(out["b"]["content"]) == small  # under target: unchanged
+    assert out["c"]["content"] is None and out["c"]["n_bytes_out"] == 0

@@ -103,3 +103,68 @@ def sample_frames(
         .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
         .select("media_id", "frame_idx", "frame_ts_ms", "meta")
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes_in", T.LongType()),
+        T.StructField("n_bytes_out", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, target_bytes: int) -> bytes:
+    """Deterministic stand-in for a real resize/transcode: nearest-neighbor
+    byte subsampling — every ceil(n/target)-th byte, the 1-D analogue of
+    image downsampling. Replaces (not approximates) PIL.thumbnail/ffmpeg
+    scale in this container."""
+    if not payload or len(payload) <= target_bytes:
+        return payload
+    step = -(-len(payload) // target_bytes)  # ceil division
+    return payload[::step]
+
+
+def resize_media(
+    media: DataFrame,
+    *,
+    target_bytes: int = 256,
+    resize_fn: Callable[[bytes], bytes] | None = None,
+) -> DataFrame:
+    """mapInPandas resize/transcode over a MEDIA-schema DataFrame — the
+    payload-shrinking stage a media pipeline runs before shipping bytes
+    anywhere (thumbnail, audio downsample, frame transcode). binary in →
+    binary out WITH the payload retained, so unlike ``extract_features``
+    this stage's output still pays payload width — run it early, write the
+    resized table, and let every downstream stage read the small payloads.
+
+    Arrow-batched like the other multimodal stages; the real resizer
+    (PIL thumbnail / ffmpeg scale) plugs in as ``resize_fn``, the default
+    is the deterministic fake (byte subsampling)."""
+    from tibame_project_spark.partitioning import ensure_parallelism
+
+    media = ensure_parallelism(media)
+    fn = resize_fn or (lambda b: _fake_resize(b, target_bytes))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["content"].map(
+                lambda b: fn(bytes(b)) if b is not None else None
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes_in": pdf["content"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "n_bytes_out": resized.map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "content": resized,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
