@@ -260,7 +260,14 @@ def rp_cosine_topk(
     ``cosine_topk`` over the SHORT vectors. Approximate in the original
     space (JL distortion), exact — and oracle-replayable — in the
     projected space; the standard recipe when vectors dominate ANN cost
-    (project once, search many)."""
+    (project once, search many).
+
+    Fidelity is a DATA property: JL preserves well-separated geometry
+    (cluster membership survives — tested on planted clusters), but on
+    isotropic near-random vectors, or among near-tie neighbors, rankings
+    decorrelate at k ≪ d (distortion ε ~ sqrt(ln n / k) exceeds the score
+    gaps). For faithful top-k on unstructured data keep the full vectors
+    (``quantized_ann`` trades bytes instead of dimensions)."""
     vec_col = kw.get("vec_col", "embedding")
     id_col = kw.get("id_col", "vec_id")
     query_id_col = kw.get("query_id_col", "query_id")
