@@ -581,3 +581,51 @@ def test_sparse_cosine_topk_matches_python_replay(spark_global, docs, qs, cap):
         for rank, (i, s) in enumerate(scored[:k], 1):
             want.append((j, i, rank, round(s, 4)))
     assert sorted(got) == sorted(want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        st.integers(min_value=-3, max_value=3),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_curriculum_index_equals_naive_order(spark_global, id_tiers, bucket_bits):
+    """For arbitrary ids and arbitrary (possibly negative) integer tiers,
+    curriculum_index equals the naive single-window (tier DESC, hash, id)
+    order and is a contiguous 1..n permutation."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from tibame_project_spark.operators.dedup import md5_base_hash
+    from tibame_project_spark.partitioning import curriculum_index
+
+    rows = sorted(id_tiers.items())
+    df = spark_global.createDataFrame(rows, "doc_id long, tier long")
+    got = {
+        r.doc_id: r.pos
+        for r in curriculum_index(
+            df,
+            tier_col="tier",
+            id_col="doc_id",
+            base_hash=md5_base_hash,
+            bucket_bits=bucket_bits,
+        ).collect()
+    }
+    naive = {
+        r.doc_id: r.pos
+        for r in df.withColumn(
+            "pos",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("tier").desc(),
+                    md5_base_hash(F.col("doc_id").cast("string")),
+                    "doc_id",
+                )
+            ),
+        ).collect()
+    }
+    assert got == naive
+    assert sorted(got.values()) == list(range(1, len(rows) + 1))
