@@ -1280,6 +1280,71 @@ WHERE rn <= 5
 """
 
 
+def q_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval: sparse inverted-index candidates
+    (top-20 lexical) → dense cosine re-rank of just those candidates →
+    top-5. The dense stage joins the embedding table on its key for the
+    candidate set only, so its cost is independent of corpus size."""
+    from tibame_project_spark.operators.similarity import hybrid_rerank
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    queries_text = docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return hybrid_rerank(
+        docs.filter(F.col("doc_id") >= 10),
+        queries_text,
+        emb.filter(F.col("vec_id") >= 10),
+        emb.filter(F.col("vec_id") < 10),
+    )
+
+
+_HYBRID_SQL = r"""
+WITH ip AS (
+  SELECT did, token, CAST(count(*) AS INTEGER) AS tf FROM (
+    SELECT doc_id AS did,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS token
+    FROM documents WHERE doc_id >= 10) t
+  GROUP BY did, token),
+qp AS (
+  SELECT qid, token, CAST(count(*) AS INTEGER) AS tf FROM (
+    SELECT doc_id AS qid,
+           unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS token
+    FROM documents WHERE doc_id < 10) t
+  GROUP BY qid, token),
+kept AS (
+  SELECT token FROM (SELECT token, count(*) AS df FROM ip GROUP BY token) d
+  WHERE df <= 0.8 * (SELECT count(*) FROM documents WHERE doc_id >= 10)),
+ipk AS (SELECT ip.* FROM ip JOIN kept USING (token)),
+qpk AS (SELECT qp.* FROM qp JOIN kept USING (token)),
+inorm AS (SELECT did, sqrt(SUM(tf * tf)) AS dn FROM ipk GROUP BY did),
+qnorm AS (SELECT qid, sqrt(SUM(tf * tf)) AS qn FROM qpk GROUP BY qid),
+dots AS (
+  SELECT q.qid, i.did, SUM(i.tf * q.tf) AS dot
+  FROM ipk i JOIN qpk q USING (token) GROUP BY q.qid, i.did),
+sparse AS (
+  SELECT d.qid, d.did, CAST(d.dot AS DOUBLE) / (n.dn * qn.qn) AS score
+  FROM dots d JOIN inorm n USING (did) JOIN qnorm qn USING (qid)),
+cand AS (
+  SELECT qid, did, ROUND(score, 4) AS sparse_score
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rn
+        FROM sparse) x
+  WHERE rn <= 20),
+dense AS (
+  SELECT c.qid, c.did, c.sparse_score,
+         list_cosine_similarity(CAST(ie.embedding AS DOUBLE[]),
+                                CAST(qe.embedding AS DOUBLE[])) AS ds
+  FROM cand c JOIN embeddings ie ON ie.vec_id = c.did
+              JOIN embeddings qe ON qe.vec_id = c.qid)
+SELECT qid AS query_id, did AS doc_id, CAST(rn AS INTEGER) AS rank,
+       sparse_score, ROUND(ds, 4) AS dense_score
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY ds DESC, did) AS rn
+      FROM dense) t
+WHERE rn <= 5
+"""
+
+
 def q_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversified similarity search: cosine top-5 with at most 2 results
     per label — the retrieval-diversification step (cap each cluster/source
@@ -3492,7 +3557,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "lang_id": q_lang_id,
         "events_rollup": q_events_rollup,
-        "json_extract": q_json_extract,
         "dedup_keep_first": q_dedup_keep_first,
         "insert_missing": q_insert_missing,
         "left_join_chain": q_left_join_chain,
@@ -3510,6 +3574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,              # new: integer-exact iterative
         "curriculum": q_curriculum,          # new: tier-major epoch order
         "bigram_lm": q_bigram_lm,            # new: 2-gram LM quality proxy
+        "hybrid_rerank": q_hybrid_rerank,    # new: sparse->dense two-stage
         "frame_sample": q_frame_sample,      # new: multimodal frame explode
         "quantized_ann": q_quantized_ann,    # new: int8 recall replay
         "knn_eval": q_knn_eval,              # new: kNN label majority vote
@@ -3522,10 +3587,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": q_fuzzy_match,        # cartesian guard + override
         "semantic_dedup": q_semantic_dedup,  # caching-contract touch
         "sparse_topk": q_sparse_topk,        # new: inverted-index retrieval
-        # ---- 50-key window boundary (the twelve r05 additions displaced
-        # the entries below; union_distinct / set_ops are the two block-1
-        # rotations that no longer fit — first in line for the r06 window,
-        # with the r04-green keepers after them) --------------------------
+        # ---- 50-key window boundary (the thirteen r05 additions displaced
+        # the entries below; json_extract / union_distinct / set_ops are
+        # the three block-1 rotations that no longer fit — first in line
+        # for the r06 window, with the r04-green keepers after them) ------
+        "json_extract": q_json_extract,
         "union_distinct": q_union_distinct,
         "set_ops": q_set_ops,
         "fuzzy_blocked": q_fuzzy_blocked,
@@ -3675,6 +3741,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _PAGERANK_SQL,
         "curriculum": _CURRICULUM_SQL,
         "bigram_lm": _BIGRAM_LM_SQL,
+        "hybrid_rerank": _HYBRID_SQL,
         "frame_sample": _FRAME_SAMPLE_SQL,
         "quantized_ann": _QUANTIZED_ANN_SQL,
         "alpha_mix": _ALPHA_MIX_SQL,

@@ -772,3 +772,77 @@ def sparse_cosine_topk(
             F.round("score", round_to).alias("score"),
         )
     )
+
+
+def hybrid_rerank(
+    docs: DataFrame,
+    queries_text: DataFrame,
+    item_vecs: DataFrame,
+    query_vecs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    n_candidates: int = 20,
+    k: int = 5,
+    df_frac_cap: float | None = 0.8,
+    round_to: int = 4,
+) -> DataFrame:
+    """Two-stage hybrid retrieval: sparse lexical candidate generation
+    (``sparse_cosine_topk``'s inverted index, top ``n_candidates``) →
+    dense cosine re-rank of just those candidates → top ``k``. The
+    standard lexical+semantic pipeline: the sparse stage is cheap and
+    high-recall at corpus scale (token equi-join, no vectors), the dense
+    stage is exact but only ever touches ``n_candidates`` rows per query.
+
+    Physical shape: stage-1 output is (query, candidate) — tiny: bounded
+    by |queries| × n_candidates — so the embedding joins that follow are
+    lookups against it: candidates ⋈ item vectors on the id key (the big
+    embedding table is joined ON ITS KEY, touched once, no scan of
+    non-candidates survives the join), query vectors broadcast. At 100 TB
+    the dense re-rank cost is independent of corpus size — that is the
+    entire point of the architecture.
+
+    Returns (query_id, id, rank, sparse_score, dense_score) ranked by
+    (dense_score DESC, id).
+    """
+    cand = sparse_cosine_topk(
+        docs,
+        queries_text,
+        text_col=text_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        k=n_candidates,
+        df_frac_cap=df_frac_cap,
+        round_to=round_to,
+    ).select(query_id_col, id_col, F.col("score").alias("sparse_score"))
+    iv = item_vecs.select(
+        F.col(vec_id_col).alias(id_col), F.col(vec_col).alias("__iv")
+    ).withColumn("__in", l2_norm(F.col("__iv")))
+    qv = query_vecs.select(
+        F.col(vec_id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    scored = (
+        cand.join(iv, id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .withColumn(
+            "dense_score",
+            dot(F.col("__iv"), F.col("__qv")) / (F.col("__in") * F.col("__qn")),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dense_score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "rank",
+            "sparse_score",
+            F.round("dense_score", round_to).alias("dense_score"),
+        )
+    )
