@@ -515,3 +515,35 @@ def test_stream_checkpoint_makes_reruns_idempotent(spark, tmp_path):
     out = spark.read.parquet(ods)
     assert out.count() == 2
     assert {r["user_id"] for r in out.collect()} == {1, 2}
+
+
+def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    """PERMISSIVE quarantine: bad lines land verbatim in _corrupt_record
+    with declared fields NULL, good lines parse with it NULL — one filter
+    splits the feed, nothing dies, nothing vanishes."""
+    import pytest as _pytest
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from tibame_project_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": 3, "name": TRUNCATED\n'
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    df = read_jsonl(spark, str(p), schema, keep_corrupt=True).cache()
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    quarantine = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {r["id"] for r in clean.collect()} == {1, 2}
+    qrows = quarantine.collect()
+    assert len(qrows) == 1
+    assert qrows[0]["id"] is None and "TRUNCATED" in qrows[0]["_corrupt_record"]
+    df.unpersist()
+
+    with _pytest.raises(ValueError):
+        read_jsonl(spark, str(p), None, keep_corrupt=True)

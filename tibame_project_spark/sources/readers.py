@@ -47,11 +47,40 @@ def read_csv(
     return r.csv(path)
 
 
-def read_jsonl(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    *,
+    keep_corrupt: bool = False,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
     """S3. JSON-lines with the full declared StructType (the deep gmaps
     places schema) — inference on 3-level nested arrays-of-structs is exactly
-    where pandas/BQ autodetect went wrong; we declare."""
+    where pandas/BQ autodetect went wrong; we declare.
+
+    ``keep_corrupt=True`` is the quarantine path for scraped/third-party
+    feeds (the reference's crawlers regularly emit truncated lines): the
+    declared schema gains a ``corrupt_col`` string column, malformed lines
+    land there verbatim with every declared field NULL (PERMISSIVE mode),
+    and valid lines leave it NULL — so one filter splits the feed into
+    clean rows and a quarantine relation to re-scrape, instead of a whole
+    task dying on one bad byte (FAILFAST) or rows vanishing silently
+    (DROPMALFORMED). Requires a declared schema: quarantine semantics on
+    an inferred schema would shift with the sample."""
     r = spark.read
+    if keep_corrupt:
+        if schema is None:
+            raise ValueError("keep_corrupt requires a declared schema")
+        from pyspark.sql.types import StringType, StructField
+
+        q = StructType(schema.fields + [StructField(corrupt_col, StringType())])
+        return (
+            r.schema(q)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+            .json(path)
+        )
     if schema is not None:
         r = r.schema(schema)
     return r.json(path)
