@@ -1925,3 +1925,29 @@ def test_rp_ann_recall_on_clustered_vectors(spark):
             assert (r["vec_id"] - 100) % 5 == r["query_id"], (
                 f"{label} search left cluster {r['query_id']}: {r['vec_id']}"
             )
+
+
+def test_key_skew_report_flags_hot_key(spark):
+    from tibame_project_spark.partitioning import key_skew_report
+
+    rows = [("hot",)] * 90 + [("a",), ("b",), ("c",), ("d",), ("e",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_report(df, ["k"], top=2).collect()
+    assert out[0]["k"] == "hot" and out[0]["n_rows"] == 90
+    assert out[0]["share"] == 0.9
+    assert out[0]["uniform_share"] == 1.0 / 6
+    assert abs(out[0]["skew_ratio"] - 5.4) < 1e-12  # 0.9 / (1/6)
+    assert len(out) == 2 and out[1]["n_rows"] == 2
+
+
+def test_dedup_keep_best_survivor_by_score(spark):
+    """Keep-best cluster dedup: the transitive cluster {1,2,3} keeps only
+    its highest-quality member, the singleton 9 survives untouched."""
+    from tibame_project_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (9, 0.1)], "doc_id long, quality double"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r["doc_id"] for r in dedup_keep_best(docs, pairs, "doc_id", "quality").collect()}
+    assert out == {2, 9}

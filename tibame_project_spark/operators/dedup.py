@@ -797,3 +797,38 @@ def ngram_jaccard_pairs(
             F.round("jaccard", 4).alias("jaccard"),
         )
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Exactly one survivor per transitive near-duplicate cluster, keeping
+    the BEST row by ``score_col`` (quality, length, recency) instead of
+    ``minhash_dedup``'s any-survivor/smallest-id semantics — the corpus-
+    curation refinement: when a cluster holds a clean original and a
+    boilerplate-wrapped copy, keep the clean one.
+
+    Composition, not new machinery: ``pairs`` (from any pair generator —
+    MinHash, SimHash, embedding, n-gram) → ``connected_components`` →
+    per-component argmax window with a deterministic (score DESC, id)
+    tie-break. Rows in no pair form their own singleton cluster
+    (coalesce to their own id). Shuffles: CC's rounds + one component
+    window — the window's input is one row per DOC, grouped by component,
+    and AQE splits pathological mega-clusters."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    labeled = df.join(comp, id_col, "left").withColumn(
+        "__comp", F.coalesce("component", F.col(id_col))
+    )
+    w = Window.partitionBy("__comp").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return (
+        labeled.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "__comp", "component")
+    )

@@ -378,3 +378,44 @@ def curriculum_index(
         .withColumn(pos_col, F.col("__off") + F.row_number().over(w_in))
         .drop("__t", "__h", "__bkt", "__off")
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    top: int = 5,
+) -> DataFrame:
+    """Shuffle-key skew diagnostic: per hot key its row share of the table,
+    plus the uniform-share baseline — the number that decides whether a
+    groupBy/join on ``keys`` needs ``salted_count_sum``/AQE-skew handling
+    (a key holding a large multiple of the uniform share funnels its whole
+    group through one reducer).
+
+    One count aggregation (map-side partials, the same shuffle the real
+    query would pay) + a top-N over the (already tiny) key-count relation;
+    the total is a broadcast 1-row aggregate, not a driver count. Returns
+    (keys..., n_rows, share, uniform_share, skew_ratio) for the ``top``
+    hottest keys, skew_ratio = share / uniform_share.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), *keys)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= top)
+        .select(
+            *keys,
+            "n_rows",
+            (F.col("n_rows") / F.col("__total")).alias("share"),
+            (F.lit(1.0) / F.col("__nkeys")).alias("uniform_share"),
+            (
+                F.col("n_rows") * F.col("__nkeys") / F.col("__total")
+            ).alias("skew_ratio"),
+        )
+    )
