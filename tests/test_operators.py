@@ -1951,3 +1951,25 @@ def test_dedup_keep_best_survivor_by_score(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     out = {r["doc_id"] for r in dedup_keep_best(docs, pairs, "doc_id", "quality").collect()}
     assert out == {2, 9}
+
+
+def test_compact_parquet_collapses_small_files(spark, tmp_path):
+    import glob
+
+    from tibame_project_spark.sources.writers import compact_parquet
+
+    src, out = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.range(10000).withColumn("v", F.md5(F.col("id").cast("string")))
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    assert len(glob.glob(src + "/part-*.parquet")) == 64
+    n = compact_parquet(spark, src, out, target_file_mb=128)
+    assert n == 1  # well under one target file of data
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 10000
+    # content identical (order-insensitive)
+    csum = lambda d: d.agg(
+        F.sum(F.xxhash64("id", "v").cast("decimal(38,0)"))
+    ).first()[0]
+    assert csum(back) == csum(df)

@@ -189,3 +189,42 @@ def write_zorder_parquet(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    out_path: str,
+    *,
+    target_file_mb: int = 128,
+    layout_cols: str | list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet table into
+    ceil(total_bytes / target) files — the maintenance pass every
+    incremental sink eventually needs (daily availableNow appends and
+    per-partition micro-batch writes accumulate KB-scale files whose
+    per-file open/footer/task overhead dominates scans long before data
+    size does).
+
+    Sizing comes from the filesystem (Hadoop FileSystem API, so HDFS/S3A
+    paths size identically to local), not a data scan. Plain compaction is
+    a round-robin ``repartition`` (one shuffle, even output sizes); pass
+    ``layout_cols`` to spend the same shuffle on a range-repartition +
+    in-partition sort and come out of maintenance with the data-skipping
+    layout of ``write_sorted_parquet`` for free. Writes to ``out_path``
+    (swap is the caller's transaction: point readers at the new path, or
+    rename over the old one in one FS op) — compaction never overwrites
+    the table it is reading. Returns the output file count.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, -(-int(total) // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if layout_cols is not None:
+        write_sorted_parquet(df, out_path, layout_cols=layout_cols, n_files=n_files)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
