@@ -1973,3 +1973,37 @@ def test_compact_parquet_collapses_small_files(spark, tmp_path):
         F.sum(F.xxhash64("id", "v").cast("decimal(38,0)"))
     ).first()[0]
     assert csum(back) == csum(df)
+
+
+def test_assign_training_shards_contiguous_and_balanced(spark, tmp_path):
+    from tibame_project_spark.operators.dedup import md5_base_hash
+    from tibame_project_spark.partitioning import assign_training_shards
+
+    df = spark.createDataFrame([(i,) for i in range(103)], "doc_id long")
+    out = assign_training_shards(
+        df, id_col="doc_id", n_shards=4, base_hash=md5_base_hash
+    ).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # balanced within one row, contiguous in the global order
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert set(by_shard) == {0, 1, 2, 3} and max(sizes) - min(sizes) <= 1
+    for s in range(3):
+        assert max(by_shard[s]) < min(by_shard[s + 1])
+    # reproducible: a second run assigns identical shards
+    again = {
+        r["doc_id"]: r["shard"]
+        for r in assign_training_shards(
+            df, id_col="doc_id", n_shards=4, base_hash=md5_base_hash
+        ).collect()
+    }
+    assert again == {r["doc_id"]: r["shard"] for r in out}
+    # and shards land as partition directories on write
+    p = str(tmp_path / "shards")
+    assign_training_shards(
+        df, id_col="doc_id", n_shards=4, base_hash=md5_base_hash
+    ).write.partitionBy("shard").parquet(p)
+    import glob
+
+    assert len(glob.glob(p + "/shard=*")) == 4

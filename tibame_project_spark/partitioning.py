@@ -419,3 +419,41 @@ def key_skew_report(
             ).alias("skew_ratio"),
         )
     )
+
+
+def assign_training_shards(
+    df: DataFrame,
+    *,
+    id_col: str,
+    n_shards: int,
+    base_hash=None,
+    bucket_bits: int = 10,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Contiguous, size-balanced shard assignment over the deterministic
+    corpus shuffle: shard = floor((pos − 1) · n_shards / N) on
+    ``global_sort_index``'s pseudo-random total order — the export step of
+    a training run (each data-loader rank reads its shard as one
+    contiguous slice of a reproducible epoch order; resharding to a
+    different ``n_shards`` re-slices the SAME order, so runs remain
+    comparable across cluster sizes).
+
+    Shard sizes differ by at most one row (the floor partition of a
+    contiguous range). The corpus row count enters as a broadcast 1-row
+    aggregate, not a driver count; everything else is the three-step
+    shuffle-index shape (per-bucket windows, no single-reducer sort).
+    Write with ``partitionBy(shard_col)`` and each shard lands as its own
+    partition directory.
+    """
+    idx = global_sort_index(
+        df, id_col=id_col, base_hash=base_hash, bucket_bits=bucket_bits
+    )
+    total = idx.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        idx.crossJoin(F.broadcast(total))
+        .withColumn(
+            shard_col,
+            F.floor((F.col("pos") - 1) * n_shards / F.col("__total")).cast("int"),
+        )
+        .drop("__total")
+    )
