@@ -420,3 +420,22 @@ def test_pagerank_rank_join_broadcasts_not_cartesian(spark):
     product allowed is the 1-row node-count scalar."""
     plan = _plan(entry.q_pagerank(spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_or_row_python_anywhere(spark):
+    """Repo-wide plan hygiene across EVERY registered query: no
+    CartesianProduct (the 100 TB scale-killer; even fuzzy_match's guarded
+    baseline plans a broadcast nested loop, never a cartesian shuffle) and
+    no BatchEvalPython (row-at-a-time Python UDF — the only sanctioned
+    Python surfaces are Arrow-batched: ArrowEvalPython / MapInPandas)."""
+    offenders = {}
+    for name, fn in entry.queries().items():
+        plan = _plan(fn(spark, SF_DIR))
+        bad = [
+            marker
+            for marker in ("CartesianProduct", "BatchEvalPython")
+            if marker in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"plan hygiene violations: {offenders}"
