@@ -547,3 +547,25 @@ def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_jsonl(spark, str(p), None, keep_corrupt=True)
+
+
+def test_read_binary_files_feeds_multimodal_tier(spark, tmp_path):
+    """binaryFile ingest → resize → features: the whole media path from a
+    directory of raw blobs, glob-filtered at the source."""
+    from tibame_project_spark.sources.multimodal import extract_features, resize_media
+    from tibame_project_spark.sources.readers import read_binary_files
+
+    (tmp_path / "a.img").write_bytes(bytes(range(200)))
+    (tmp_path / "b.img").write_bytes(b"\x10" * 50)
+    (tmp_path / "ignore.txt").write_text("not media")
+    media = read_binary_files(spark, str(tmp_path), glob="*.img")
+    rows = {r["media_id"].rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert rows["a.img"]["n_bytes"] == 200 and rows["a.img"]["kind"] == "image"
+    assert bytes(rows["b.img"]["content"]) == b"\x10" * 50
+
+    resized = resize_media(media.select("media_id", "kind", "content"), target_bytes=64)
+    feats = extract_features(media.select("media_id", "kind", "content"))
+    # a.img: ceil(200/64)=4 → 200[::4] = 50 bytes; b.img under target: 50
+    assert {r["n_bytes_out"] for r in resized.collect()} == {50}
+    assert all(len(r["feature"]) == 8 for r in feats.collect())

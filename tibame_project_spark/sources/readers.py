@@ -101,3 +101,34 @@ def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -
     if schema is not None:
         r = r.schema(schema)
     return r.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None = None,
+    kind: str = "image",
+) -> DataFrame:
+    """Raw-media ingest via Spark's ``binaryFile`` source: one row per file
+    with (media_id = file path, kind, content, n_bytes, modified) — the
+    entry point of the multimodal tier (``sources.multimodal``): feed the
+    result straight to ``resize_media`` / ``extract_features``.
+
+    The source is split-aware at the FILE level (a file never splits, so a
+    payload always arrives whole in one task) and pushes down
+    ``pathGlobFilter``, so a ``*.jpg`` glob never lists/reads other blobs.
+    Partition sizing note from the multimodal module applies: budget
+    ``maxPartitionBytes`` for payload width.
+    """
+    r = spark.read.format("binaryFile")
+    if glob is not None:
+        r = r.option("pathGlobFilter", glob)
+    df = r.load(path)
+    return df.select(
+        F.col("path").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content"),
+        F.col("length").alias("n_bytes"),
+        F.col("modificationTime").alias("modified"),
+    )
