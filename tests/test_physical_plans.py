@@ -439,3 +439,24 @@ def test_no_cartesian_or_row_python_anywhere(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"plan hygiene violations: {offenders}"
+
+
+def test_float_queries_invariant_to_shuffle_partitioning(spark):
+    """SCALE.md's determinism claim, executed: the float-bearing queries
+    (decimal sufficient stats, corpus LM scores, iterative k-means) return
+    bit-identical rows at 2 and at 32 shuffle partitions — a Welford-style
+    double stream would not."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n in ("2", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            spark.catalog.clearCache()
+            results[n] = {
+                name: {tuple(r) for r in entry.queries()[name](spark, SF_DIR).collect()}
+                for name in ("pearson_stats", "lm_score", "ivf_train", "rolling_avg")
+            }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    for name in results["2"]:
+        assert results["2"][name] == results["32"][name], name
