@@ -460,3 +460,46 @@ def test_float_queries_invariant_to_shuffle_partitioning(spark):
         spark.conf.set("spark.sql.shuffle.partitions", before)
     for name in results["2"]:
         assert results["2"][name] == results["32"][name], name
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's skew-join split is the runtime half of the skew story
+    (salted_count_sum is the write-time half): with a 98%-hot join key,
+    the finalized plan must mark the sort-merge join skew=true and read
+    the hot partition as split AQEShuffleRead chunks — no single reducer
+    owns the hot key. Thresholds are pinned to local scale; the assertion
+    is that the rewrite fires, same as the bloom-filter test."""
+    knobs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in knobs}
+    try:
+        for k, v in knobs.items():
+            spark.conf.set(k, v)
+        left = (
+            spark.range(200000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 100 < 98, F.lit("hot")).otherwise(
+                    (F.col("id") % 7).cast("string")
+                ),
+            )
+            .withColumn("pay", F.md5(F.col("id").cast("string")))
+        )
+        right = spark.createDataFrame(
+            [("hot", 1)] + [(str(i), i) for i in range(7)], "k string, v int"
+        )
+        plan = _plan(left.join(right, "k"), execute=True)
+        assert "skew=true" in plan
+        assert "skewed" in plan  # AQEShuffleRead marks the split read
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
