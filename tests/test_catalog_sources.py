@@ -569,3 +569,28 @@ def test_read_binary_files_feeds_multimodal_tier(spark, tmp_path):
     # a.img: ceil(200/64)=4 → 200[::4] = 50 bytes; b.img under target: 50
     assert {r["n_bytes_out"] for r in resized.collect()} == {50}
     assert all(len(r["feature"]) == 8 for r in feats.collect())
+
+
+def test_analyze_table_feeds_cbo_stats(spark):
+    """ANALYZE TABLE lands row counts in the catalog and per-column NDV/
+    min/max via DESCRIBE — the input Catalyst's cost-based join decisions
+    read instead of guessing from file sizes."""
+    from tibame_project_spark.catalog import analyze_table, drop_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ods")
+    t = "ods.stats_probe"
+    drop_table(spark, t)
+    spark.range(1234).withColumn(
+        "grp", (F.col("id") % 7).cast("int")
+    ).write.saveAsTable(t)
+    try:
+        stats = analyze_table(spark, t, columns=["grp"])
+        assert "1234 rows" in stats["statistics"]
+        desc = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t} grp").collect()
+        }
+        assert desc["distinct_count"] == "7"
+        assert desc["min"] == "0" and desc["max"] == "6"
+    finally:
+        drop_table(spark, t)
