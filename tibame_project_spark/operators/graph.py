@@ -51,6 +51,13 @@ def pagerank_integer(
     The truncating ``div`` makes the recurrence exactly reproducible in
     any engine with 64-bit integers; the mass lost to truncation is
     < N·iterations/scale — irrelevant for ranking, decisive for parity.
+
+    Caching contract (same as ``similarity.semantic_dedup``): the edge,
+    node and node-count relations are ``persist()``-ed because every round
+    references them; the returned ranks still depend on them, so they live
+    until ``spark.catalog.clearCache()`` or session end. At 100 TB the
+    equivalent move is materializing the degree-annotated edge table once
+    and reading it per round.
     """
     e = (
         edges.select(
