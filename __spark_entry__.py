@@ -2910,24 +2910,12 @@ def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed index (no single-reducer sort; the oracle's one ORDER BY
     row_number is replayed via per-(tier, bucket) windows + broadcast
     cumulative offsets)."""
-    from tibame_project_spark.functions.textstats import (
-        punct_count,
-        stopword_ratio,
-        token_count,
-    )
+    from tibame_project_spark.functions.textstats import quality_rules_passed
     from tibame_project_spark.partitioning import curriculum_index
 
     docs = load(spark, sf_dir, "documents")
-    t = F.col("text")
-    n_tok = token_count(t)
-    len_ok = ((n_tok >= 5) & (n_tok <= 5000)).cast("int")
-    punct_ratio = F.when(F.length(t) > 0, punct_count(t) / F.length(t)).otherwise(
-        F.lit(0.0)
-    )
-    punct_ok = (punct_ratio < 0.1).cast("int")
-    stop_ok = (stopword_ratio(t) > 0.0).cast("int")
     tiered = docs.select(
-        "doc_id", (len_ok + punct_ok + stop_ok).alias("tier")
+        "doc_id", quality_rules_passed(F.col("text")).alias("tier")
     )
     out = curriculum_index(
         tiered, tier_col="tier", id_col="doc_id", base_hash=md5_base_hash

@@ -586,6 +586,7 @@ def test_analyze_table_feeds_cbo_stats(spark):
     try:
         stats = analyze_table(spark, t, columns=["grp"])
         assert "1234 rows" in stats["statistics"]
+        assert stats["rowCount"] == 1234 and stats["sizeInBytes"] > 0
         desc = {
             r["info_name"]: r["info_value"]
             for r in spark.sql(f"DESCRIBE TABLE EXTENDED {t} grp").collect()

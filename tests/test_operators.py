@@ -2007,3 +2007,31 @@ def test_assign_training_shards_contiguous_and_balanced(spark, tmp_path):
     import glob
 
     assert len(glob.glob(p + "/shard=*")) == 4
+
+
+def test_zscore_normalize_null_values_and_null_group_keys(spark):
+    """NULL values must not bias the group stats (count matches the sums'
+    null-skipping) and NULL group keys must still meet their own stats row
+    (null-safe join), not silently normalize to 0."""
+    from tibame_project_spark.operators.analytics import zscore_normalize
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), (None, 10.0), (None, 20.0)],
+        "grp string, v double",
+    )
+    out = zscore_normalize(df, "v", ["grp"]).collect()
+    byrow = {(r["grp"], r["v"]): r["z"] for r in out}
+    # group a: mean 2, pop std 1 over the two non-null values
+    assert byrow[("a", 1.0)] == -1.0 and byrow[("a", 3.0)] == 1.0
+    assert byrow[("a", None)] is None  # null value stays null, not fake 0
+    # NULL-keyed group: mean 15, pop std 5 — nonzero z, not stranded
+    assert byrow[(None, 10.0)] == -1.0 and byrow[(None, 20.0)] == 1.0
+
+
+def test_zorder_key_rejects_sign_bit_overflow(spark):
+    import pytest as _pytest
+
+    from tibame_project_spark.sources.writers import zorder_key
+
+    with _pytest.raises(ValueError, match="sign bit"):
+        zorder_key(["a", "b", "c", "d"], bits=16)  # 64 interleaved bits

@@ -183,9 +183,13 @@ def analyze_table(
     to compaction; a dimension that LOOKS big on disk but has few rows
     only broadcasts if the catalog knows its row count.
 
-    Returns the collected table stats as a small dict (sizeInBytes,
-    rowCount when available) for logging/monitoring.
+    Returns {"statistics": <raw catalog string>, "sizeInBytes": int,
+    "rowCount": int | None} parsed from DESCRIBE EXTENDED (rowCount is
+    None until a COMPUTE STATISTICS has recorded it; the dict is empty if
+    the catalog exposes no Statistics row at all).
     """
+    import re
+
     spark.sql(f"ANALYZE TABLE {qualified} COMPUTE STATISTICS")
     if columns:
         cols = ", ".join(columns)
@@ -193,5 +197,10 @@ def analyze_table(
     out: dict = {}
     for r in spark.sql(f"DESCRIBE TABLE EXTENDED {qualified}").collect():
         if r["col_name"] == "Statistics":
-            out["statistics"] = r["data_type"]
+            raw = r["data_type"]
+            out["statistics"] = raw
+            m = re.search(r"(\d+)\s+bytes", raw)
+            out["sizeInBytes"] = int(m.group(1)) if m else None
+            m = re.search(r"(\d+)\s+rows", raw)
+            out["rowCount"] = int(m.group(1)) if m else None
     return out

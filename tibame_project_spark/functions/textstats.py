@@ -59,19 +59,26 @@ def stopword_ratio(text: Column) -> Column:
     return F.when(F.size(toks) > 0, _marker_hits(toks, STOPWORDS) / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def quality_score(text: Column) -> Column:
-    """Composite quality heuristic in [0,1]: length band + punctuation
-    restraint + stopword presence. Left unrounded — a single IEEE division
-    of exact operands is deterministic across engines, whereas round()
-    half-modes are not."""
+def quality_rules_passed(text: Column) -> Column:
+    """Integer count (0-3) of passed quality rules: length band 5-5000
+    tokens, punctuation ratio < 0.1, stopword presence. The single source
+    of the rule thresholds — ``quality_score`` and the curriculum tiering
+    both derive from it, so a threshold change cannot silently diverge."""
     n_tok = token_count(text)
-    len_ok = F.when((n_tok >= 5) & (n_tok <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    len_ok = ((n_tok >= 5) & (n_tok <= 5000)).cast("int")
     punct_ratio = F.when(
         F.length(text) > 0, punct_count(text) / F.length(text)
     ).otherwise(F.lit(0.0))
-    punct_ok = F.when(punct_ratio < 0.1, F.lit(1.0)).otherwise(F.lit(0.0))
-    stop_ok = F.when(stopword_ratio(text) > 0.0, F.lit(1.0)).otherwise(F.lit(0.0))
-    return (len_ok + punct_ok + stop_ok) / F.lit(3.0)
+    punct_ok = (punct_ratio < 0.1).cast("int")
+    stop_ok = (stopword_ratio(text) > 0.0).cast("int")
+    return len_ok + punct_ok + stop_ok
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: rules passed / 3. Left
+    unrounded — a single IEEE division of exact operands is deterministic
+    across engines, whereas round() half-modes are not."""
+    return quality_rules_passed(text).cast("double") / F.lit(3.0)
 
 
 def lang_id(text: Column) -> Column:

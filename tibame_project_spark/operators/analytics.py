@@ -293,8 +293,11 @@ def zscore_normalize(
     """
     gc = group_cols or []
     xd = F.col(value_col).cast(f"decimal(18,{scale})")
+    # count NON-NULL values (matching the sums' null-skipping), so a NULL
+    # value — or a magnitude overflowing decimal(18,scale) — cannot bias
+    # the group's mean/std
     stats = df.groupBy(*gc).agg(
-        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.count(xd).cast("double").alias("__n"),
         F.sum(xd).cast("double").alias("__sx"),
         F.sum(xd * xd).cast("double").alias("__sxx"),
     )
@@ -304,11 +307,19 @@ def zscore_normalize(
         (sx / n).alias("__mean"),
         F.sqrt(F.greatest(sxx / n - (sx / n) * (sx / n), F.lit(0.0))).alias("__std"),
     )
-    joined = (
-        df.join(F.broadcast(stats), gc, "left")
-        if gc
-        else df.crossJoin(F.broadcast(stats))
-    )
+    if gc:
+        # null-safe equi-join: groupBy puts NULL-keyed rows in a real
+        # group, and a plain column-name join would silently strand them
+        # (NULL != NULL) at z = 0
+        st = stats
+        for c in gc:
+            st = st.withColumnRenamed(c, f"__g_{c}")
+        cond = [F.col(c).eqNullSafe(F.col(f"__g_{c}")) for c in gc]
+        joined = df.join(F.broadcast(st), cond, "left").drop(
+            *[f"__g_{c}" for c in gc]
+        )
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
     z = F.when(
         F.col("__std") > 0.0,
         (F.col(value_col).cast(f"decimal(18,{scale})").cast("double") - F.col("__mean"))

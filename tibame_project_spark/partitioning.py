@@ -222,7 +222,11 @@ def global_sort_index(
 
     if base_hash is None:
         base_hash, hash_bits = xxhash_base_hash, 63
-    h = base_hash(F.col(id_col).cast("string"))
+    # a NULL id would hash to NULL → NULL bucket → silently dropped by the
+    # offsets equi-join; hash the empty string instead so every row keeps
+    # a position (NULL ids then sort together, before non-null ids in the
+    # per-bucket window's null-first order — deterministic either way)
+    h = base_hash(F.coalesce(F.col(id_col).cast("string"), F.lit("")))
     d = df.withColumn("__h", h).withColumn(
         "__bkt", F.shiftright(F.col("__h"), hash_bits - bucket_bits)
     )
@@ -360,9 +364,18 @@ def curriculum_index(
     if base_hash is None:
         base_hash, hash_bits = xxhash_base_hash, 63
     tier_sort = F.col("__t").desc() if descending else F.col("__t").asc()
+    # NULL tiers / ids would vanish through the non-null-safe offsets join;
+    # map NULL tier to the lowest priority (trains last under descending)
+    # and hash NULL ids as the empty string — every row keeps a position
     d = (
-        df.withColumn("__t", F.col(tier_col).cast("long"))
-        .withColumn("__h", base_hash(F.col(id_col).cast("string")))
+        df.withColumn(
+            "__t",
+            F.coalesce(F.col(tier_col).cast("long"), F.lit(-(2**63))),
+        )
+        .withColumn(
+            "__h",
+            base_hash(F.coalesce(F.col(id_col).cast("string"), F.lit(""))),
+        )
         .withColumn("__bkt", F.shiftright(F.col("__h"), hash_bits - bucket_bits))
     )
     counts = d.groupBy("__t", "__bkt").agg(F.count(F.lit(1)).alias("__n"))
@@ -398,26 +411,21 @@ def key_skew_report(
     (keys..., n_rows, share, uniform_share, skew_ratio) for the ``top``
     hottest keys, skew_ratio = share / uniform_share.
     """
-    from pyspark.sql import Window
-
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
     totals = counts.agg(
         F.sum("n_rows").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
     )
-    w = Window.orderBy(F.col("n_rows").desc(), *keys)
-    return (
-        counts.crossJoin(F.broadcast(totals))
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= top)
-        .select(
-            *keys,
-            "n_rows",
-            (F.col("n_rows") / F.col("__total")).alias("share"),
-            (F.lit(1.0) / F.col("__nkeys")).alias("uniform_share"),
-            (
-                F.col("n_rows") * F.col("__nkeys") / F.col("__total")
-            ).alias("skew_ratio"),
-        )
+    # top-N via orderBy().limit(): TakeOrderedAndProject keeps the per-key
+    # relation distributed (a global row_number window would funnel every
+    # distinct key through one reducer — the exact failure this function
+    # diagnoses); the totals cross-join lands on <= top rows
+    hot = counts.orderBy(F.col("n_rows").desc(), *keys).limit(top)
+    return hot.crossJoin(F.broadcast(totals)).select(
+        *keys,
+        "n_rows",
+        (F.col("n_rows") / F.col("__total")).alias("share"),
+        (F.lit(1.0) / F.col("__nkeys")).alias("uniform_share"),
+        (F.col("n_rows") * F.col("__nkeys") / F.col("__total")).alias("skew_ratio"),
     )
 
 

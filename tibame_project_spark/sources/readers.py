@@ -67,7 +67,13 @@ def read_jsonl(
     clean rows and a quarantine relation to re-scrape, instead of a whole
     task dying on one bad byte (FAILFAST) or rows vanishing silently
     (DROPMALFORMED). Requires a declared schema: quarantine semantics on
-    an inferred schema would shift with the sample."""
+    an inferred schema would shift with the sample.
+
+    Spark restriction (since 2.3): a query referencing ONLY the corrupt
+    column (e.g. ``df.filter(corrupt.isNotNull()).count()``) raises
+    AnalysisException on the raw JSON relation — ``cache()`` the returned
+    frame (what a quarantine split wants anyway: one parse, two consumers)
+    or write it out before splitting."""
     r = spark.read
     if keep_corrupt:
         if schema is None:

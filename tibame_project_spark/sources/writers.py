@@ -141,6 +141,12 @@ def zorder_key(cols, *, bits: int = 16):
     from pyspark.sql import functions as F
 
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"bits * n_cols = {bits * n} exceeds 63: the top interleaved bit "
+            "would land on the long's sign bit and invert the Morton order "
+            "for large values — lower bits (e.g. 63 // n_cols) or drop a column"
+        )
     terms = []
     for ci, c in enumerate(cols):
         col = F.col(c) if isinstance(c, str) else c
