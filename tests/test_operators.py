@@ -2035,3 +2035,27 @@ def test_zorder_key_rejects_sign_bit_overflow(spark):
 
     with _pytest.raises(ValueError, match="sign bit"):
         zorder_key(["a", "b", "c", "d"], bits=16)  # 64 interleaved bits
+
+
+def test_rolling_distinct_merges_sketches_not_events(spark):
+    """Sliding distinct users from merged per-day HLL sketches: equal to
+    the exact sliding COUNT(DISTINCT) at these cardinalities (sparse-mode
+    HLL is exact when small), with a RANGE frame that honors calendar
+    gaps."""
+    from tibame_project_spark.operators.analytics import rolling_distinct
+
+    rows = []
+    for day, users in [(1, [1, 2]), (2, [2, 3]), (4, [9])]:
+        for u in users:
+            rows.append((f"2024-01-0{day} 10:00:00", u, "click"))
+    df = spark.createDataFrame(
+        rows, "ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["day"].day: r["users_est"]
+        for r in rolling_distinct(
+            df, group_cols=["event_type"], window_days=2
+        ).collect()
+    }
+    # day1: {1,2}=2; day2: union {1,2,3}=3; day4: day3 out of range → {9}=1
+    assert out == {1: 2, 2: 3, 4: 1}

@@ -326,3 +326,43 @@ def zscore_normalize(
         / F.col("__std"),
     ).otherwise(F.lit(0.0))
     return joined.withColumn(out_col, z).drop("__mean", "__std")
+
+
+def rolling_distinct(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    group_cols: list[str] | None = None,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling N-day distinct-user estimate via HLL sketch MERGE — the
+    100 TB form of a sliding COUNT(DISTINCT): raw events aggregate ONCE
+    into per-day sketches (KB each, map-side partial merge), and the
+    rolling frame unions sketches instead of re-scanning events — a day
+    entering or leaving the window costs one KB-sketch merge, not a pass
+    over that day's users. An exact sliding distinct would have to carry
+    the full per-day user SETS through every frame (memory and shuffle
+    proportional to users, re-deduplicated per frame).
+
+    The ROWS frame is over the (already reduced) per-day relation, one
+    row per day per group — the month_over_month discipline: the window
+    never sees raw events. Returns (group_cols..., day, users_est) with
+    the estimate's standard HLL error (~1.6% at the default lgConfigK=12;
+    exact at small cardinalities via the sparse representation).
+    """
+    from pyspark.sql import Window
+
+    gc = group_cols or []
+    daily = df.groupBy(
+        *gc, F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.hll_sketch_agg(user_col).alias("__sk"))
+    w = (
+        Window.partitionBy(*gc) if gc else Window.partitionBy()
+    ).orderBy(F.unix_date(F.col("day").cast("date"))).rangeBetween(
+        -(window_days - 1), 0
+    )
+    return daily.withColumn(
+        "users_est",
+        F.hll_sketch_estimate(F.hll_union_agg("__sk").over(w)),
+    ).select(*gc, "day", "users_est")
