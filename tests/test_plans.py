@@ -452,3 +452,56 @@ def test_release_pipeline_stage_interactions(spark):
     assert ids == {1, 5}          # 2 deduped, 3 quality-failed, 4 contaminated
     assert "<EMAIL>" in chunks[(5, 0)] and "a@b.com" not in chunks[(5, 0)]
     assert chunks[(1, 0)].split() == ["the", "quick", "brown", "fox", "jumps", "over"]
+
+
+# ---------------------------------------------------------------------------
+# end-to-end train-ready export: release -> pack -> shard -> partitioned write
+
+
+def test_release_to_shards_export_chain(spark, tmp_path):
+    """The full corpus-to-trainer chain composed: release_corpus (quality
+    gate, scrub, both dedups, decontaminate, chunk) → pack_chunks →
+    assign_training_shards → partitioned parquet. Invariants: every
+    released chunk lands in exactly one sequence, every sequence in
+    exactly one shard, shards balanced within one sequence, and the
+    written layout has one directory per shard."""
+    import glob
+
+    from tibame_project_spark.catalog import load
+    from tibame_project_spark.functions.textstats import pack_chunks
+    from tibame_project_spark.operators.dedup import md5_base_hash
+    from tibame_project_spark.partitioning import assign_training_shards
+    from tibame_project_spark.plans.release import release_corpus
+
+    sf = "/root/testdata/sf0.001"
+    docs = load(spark, sf, "documents")
+    bench = docs.limit(3).select(F.col("text").alias("bench_text"))
+    chunks = release_corpus(docs, bench, base_hash=md5_base_hash)
+    n_chunks = chunks.count()
+    assert n_chunks > 0
+
+    packed = pack_chunks(chunks, base_hash=md5_base_hash)
+    # each chunk appears exactly once across sequences
+    assert packed.count() == n_chunks
+    assert (
+        packed.groupBy("doc_id", "chunk_idx").count().filter("count > 1").count()
+        == 0
+    )
+
+    seqs = packed.select("seq_id").distinct()
+    sharded = assign_training_shards(
+        seqs, id_col="seq_id", n_shards=4, base_hash=md5_base_hash
+    )
+    sizes = [
+        r["n"]
+        for r in sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert len(sizes) == 4 and max(sizes) - min(sizes) <= 1
+
+    out = str(tmp_path / "export")
+    packed.join(sharded.select("seq_id", "shard"), "seq_id").write.partitionBy(
+        "shard"
+    ).parquet(out)
+    assert len(glob.glob(out + "/shard=*")) == 4
+    back = spark.read.parquet(out)
+    assert back.count() == n_chunks
