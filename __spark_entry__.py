@@ -3517,6 +3517,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # latest driver-green row stays <= 2 rounds old, and every entry is
     # oracle-protected every run regardless of position by
     # tests/test_oracle_parity.py (which parametrizes all oracle_sql()).
+    # CAPACITY NOTE (r05): at 100 queries the 1-decimal compact bench line
+    # is ~1986 of the 1995-char budget — the registry is effectively FULL.
+    # New operators should be pytest-covered (see README crosswalk rows
+    # without a query key) unless a key is retired or the format shrinks.
     # r05 window: block 1 = the 30 entries last driver-witnessed in r01/r02
     # (rotated back in; their source — dedup.py et al. — changed since);
     # block 2 = entries changed or added THIS round; block 3 = 10

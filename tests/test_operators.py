@@ -2059,3 +2059,30 @@ def test_rolling_distinct_merges_sketches_not_events(spark):
     }
     # day1: {1,2}=2; day2: union {1,2,3}=3; day4: day3 out of range → {9}=1
     assert out == {1: 2, 2: 3, 4: 1}
+
+
+def test_hybrid_rerank_inline_semantics(spark):
+    """Debuggable inline check (the sf parity test proves scale): the
+    lexical stage nominates shared-token docs, the dense stage reorders
+    them by embedding cosine — a doc lexically similar but semantically
+    orthogonal must rank below a lexically weaker, semantically identical
+    one."""
+    from tibame_project_spark.operators.similarity import hybrid_rerank
+
+    docs = spark.createDataFrame(
+        [(10, "apple banana cherry"), (11, "apple banana date"), (12, "unrelated words")],
+        "doc_id long, text string",
+    )
+    qtext = spark.createDataFrame([(1, "apple banana")], "query_id long, text string")
+    ivecs = spark.createDataFrame(
+        [(10, [0.0, 1.0]), (11, [1.0, 0.0]), (12, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    qvecs = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    rows = hybrid_rerank(
+        docs, qtext, ivecs, qvecs, n_candidates=5, k=3, df_frac_cap=None
+    ).collect()
+    got = [(r["doc_id"], r["rank"], r["dense_score"]) for r in rows]
+    # doc 12 shares no token → never a candidate; doc 11 (dense cos 1.0)
+    # outranks doc 10 (dense cos 0.0) despite identical lexical overlap
+    assert got == [(11, 1, 1.0), (10, 2, 0.0)]
