@@ -595,3 +595,52 @@ def test_analyze_table_feeds_cbo_stats(spark):
         assert desc["min"] == "0" and desc["max"] == "6"
     finally:
         drop_table(spark, t)
+
+
+def test_watermark_closes_windows_and_drops_late_across_runs(spark, tmp_path):
+    """Watermark semantics across checkpointed availableNow runs: the
+    append-mode sink emits a window only once its watermark closes, the
+    watermark persists in the checkpoint between runs, and a late event
+    for an already-closed window is DROPPED — never a duplicate or
+    mutated window row."""
+    from tibame_project_spark.streaming.incremental import windowed_event_counts
+
+    src, out, ckpt = str(tmp_path / "s"), str(tmp_path / "o"), str(tmp_path / "c")
+
+    def run():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        (
+            windowed_event_counts(stream, watermark="1 day")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    # run 1: two day-1 clicks + a day-3 event; watermark reaches day-2
+    # 00:30, past day-1's window end → the day-1 window is emitted closed
+    _ev(spark, [(1, "2024-01-01 01:00:00", 1.0, "click"),
+                (2, "2024-01-01 02:00:00", 2.0, "click"),
+                (3, "2024-01-03 00:30:00", 4.0, "click")]).write.parquet(src)
+    run()
+    first = {(r["window_start"].day, r["n"]) for r in spark.read.parquet(out).collect()}
+    assert first == {(1, 2)}
+
+    # run 2: a LATE day-1 event (behind the checkpointed watermark —
+    # must be dropped) + a day-5 event that closes day-3's window
+    _ev(spark, [(9, "2024-01-01 03:00:00", 8.0, "click"),
+                (4, "2024-01-05 00:00:00", 1.0, "click")]).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    rows = spark.read.parquet(out).collect()
+    got = {(r["window_start"].day, r["n"]) for r in rows}
+    # day-1 still counts 2 (late event dropped, no duplicate row), day-3
+    # closed with its single event, day-5 still open
+    assert got == {(1, 2), (3, 1)}
+    assert len(rows) == 2
