@@ -2086,3 +2086,55 @@ def test_hybrid_rerank_inline_semantics(spark):
     # doc 12 shares no token → never a candidate; doc 11 (dense cos 1.0)
     # outranks doc 10 (dense cos 0.0) despite identical lexical overlap
     assert got == [(11, 1, 1.0), (10, 2, 0.0)]
+
+
+# ---------------------------------------------------------------------------
+# spatial radius join (grid-blocked, haversine-verified)
+
+
+def test_radius_join_matches_brute_force(spark):
+    """Grid blocking must lose nothing: the blocked join equals the
+    brute-force cross-product + haversine filter on scattered points
+    including pairs that straddle cell boundaries, and plans no cartesian
+    product between the real relations."""
+    import itertools
+    import math
+
+    from tibame_project_spark.operators.joins import radius_join
+
+    import random
+
+    rng = random.Random(11)
+    hotels = [(i, 25.0 + rng.uniform(-0.5, 0.5), 121.5 + rng.uniform(-0.5, 0.5)) for i in range(40)]
+    sights = [(100 + i, 25.0 + rng.uniform(-0.5, 0.5), 121.5 + rng.uniform(-0.5, 0.5)) for i in range(40)]
+    ldf = spark.createDataFrame(hotels, "hotel_id long, lat double, lon double")
+    rdf = spark.createDataFrame(sights, "sight_id long, lat double, lon double")
+    got = {
+        (r["hotel_id"], r["sight_id"])
+        for r in radius_join(
+            ldf, rdf, left_id="hotel_id", right_id="sight_id", radius_km=5.0
+        ).collect()
+    }
+
+    def hav(a, b):
+        la1, lo1, la2, lo2 = map(math.radians, [a[1], a[2], b[1], b[2]])
+        x = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * 6371.0088 * math.atan2(math.sqrt(x), math.sqrt(1 - x))
+
+    want = {
+        (h[0], s[0])
+        for h, s in itertools.product(hotels, sights)
+        if hav(h, s) <= 5.0
+    }
+    assert got == want and len(want) > 0
+
+    plan = (
+        radius_join(ldf, rdf, left_id="hotel_id", right_id="sight_id", radius_km=5.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan

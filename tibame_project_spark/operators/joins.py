@@ -355,3 +355,96 @@ def fuzzy_top1_join_blocked(
     return best.select(
         *df.columns, F.col("__b.__d").alias("distance"), F.col("__b.__p.*")
     )
+
+
+def radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str,
+    right_id: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    radius_km: float,
+) -> DataFrame:
+    """Spatial radius join: all (left, right) pairs within ``radius_km``
+    great-circle distance — the "attractions near this hotel" lookup, as a
+    blocked equi-join instead of an O(n·m) cross product.
+
+    Blocking: the plane is cut into a lat/lon grid whose cell edge is at
+    least the radius (lon edge sized at the worst-case — highest usable —
+    latitude so east-west cell width never falls under the radius; the
+    method degrades near the poles, cap |lat| ≤ 85°). A match within r of
+    a point can then only lie in the point's own cell or one of its 8
+    neighbors, so the LEFT side replicates 9× onto the neighbor cells
+    (narrow explode of 9 literal offsets) and joins the RIGHT side's
+    single cell id — candidates are cell-local, shuffled on the cell key,
+    and the exact haversine predicate verifies each candidate. Same
+    bucket-join-then-verify shape as the MinHash/LSH tier; at 100 TB the
+    pair space is bounded by cell co-location, never |L|×|R|.
+
+    Returns (left_id, right_id, distance_km) with distance rounded to 6
+    decimals. Haversine is transcendental (sin/cos/atan2), so this
+    operator is pytest-tier: distances are deterministic within Spark but
+    not bit-promised against a foreign engine's libm.
+    """
+    import math
+
+    # grid sized so one cell always covers the radius: 1° lat ≈ 111.32 km;
+    # 1° lon ≈ 111.32·cos(lat) km — use the 85° worst case
+    lat_step = radius_km / 111.32
+    lon_step = radius_km / (111.32 * math.cos(math.radians(85.0)))
+
+    def cell(lat, lon):
+        return F.struct(
+            F.floor(lat / F.lit(lat_step)).cast("long").alias("cy"),
+            F.floor(lon / F.lit(lon_step)).cast("long").alias("cx"),
+        )
+
+    l = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(lat_col).alias("__llat"),
+        F.col(lon_col).alias("__llon"),
+    ).withColumn("__c", cell(F.col("__llat"), F.col("__llon")))
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    l9 = l.withColumn("__o", F.explode(offsets)).select(
+        "__lid",
+        "__llat",
+        "__llon",
+        F.struct(
+            (F.col("__c.cy") + F.col("__o.dy")).alias("cy"),
+            (F.col("__c.cx") + F.col("__o.dx")).alias("cx"),
+        ).alias("__cell"),
+    )
+    r = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(lat_col).alias("__rlat"),
+        F.col(lon_col).alias("__rlon"),
+    ).withColumn("__cell", cell(F.col("__rlat"), F.col("__rlon")))
+
+    rad = F.lit(math.pi / 180.0)
+    dlat = (F.col("__rlat") - F.col("__llat")) * rad / 2
+    dlon = (F.col("__rlon") - F.col("__llon")) * rad / 2
+    a = F.sin(dlat) * F.sin(dlat) + F.cos(F.col("__llat") * rad) * F.cos(
+        F.col("__rlat") * rad
+    ) * F.sin(dlon) * F.sin(dlon)
+    dist = F.lit(2 * 6371.0088) * F.atan2(F.sqrt(a), F.sqrt(1 - a))
+    return (
+        l9.join(r, "__cell")
+        .withColumn("distance_km", dist)
+        .filter(F.col("distance_km") <= radius_km)
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            # no distinct needed: the right side carries ONE cell id and
+            # the left replica set contains that cell exactly once, so a
+            # pair can only be produced by a single join row
+            F.round("distance_km", 6).alias("distance_km"),
+        )
+    )
