@@ -141,3 +141,15 @@ def test_char_count_matches_length(spark):
     df = spark.createDataFrame([("héllo",), ("",)], ["t"])
     got = [r.n for r in df.select(char_count(F.col("t")).alias("n")).collect()]
     assert got == [5, 0]
+
+
+def test_triangle_count_known_graphs(spark):
+    from tibame_project_spark.operators.graph import triangle_count
+
+    # K4 has C(4,3)=4 triangles; edges given unordered/duplicated/self-loop
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b] + [(2, 2)]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    assert triangle_count(df, "src", "dst").first()["n_triangles"] == 4
+    # a path graph has none
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    assert triangle_count(path, "src", "dst").first()["n_triangles"] == 0
