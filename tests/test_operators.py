@@ -2138,3 +2138,69 @@ def test_radius_join_matches_brute_force(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_semi_join_exact_and_no_false_negatives(spark):
+    """bloom_semi_join must be bit-identical to a plain LEFT SEMI join
+    (false positives removed by the real join), and the Bloom probe alone
+    must never drop a true match (no false negatives by construction)."""
+    from tibame_project_spark.operators.joins import (
+        bloom_filter_table,
+        bloom_prune,
+        bloom_semi_join,
+    )
+
+    big = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(2000)], "key string, v int"
+    )
+    # 1% of the big side's keys, plus keys absent from big entirely
+    small = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 2000, 100)] + [("nope",)], "key string"
+    )
+
+    expected = sorted(
+        big.join(small, "key", "left_semi").collect(), key=lambda r: r.v
+    )
+    got = sorted(
+        bloom_semi_join(big, small, "key", num_bits=4096, num_hashes=5).collect(),
+        key=lambda r: r.v,
+    )
+    assert got == expected and len(got) == 20
+
+    # no false negatives: every build key passes the probe
+    bitmap = bloom_filter_table(small, "key", num_bits=4096, num_hashes=5)
+    survivors = bloom_prune(
+        small, "key", bitmap, num_bits=4096, num_hashes=5
+    ).count()
+    assert survivors == small.count()
+    spark.catalog.clearCache()
+
+
+def test_bloom_prune_removes_nonmatching_majority(spark):
+    """The point of the filter: with 10+ bits/key the pre-shuffle probe
+    removes (nearly) all non-matching rows. n=21 keys, m=4096, k=5 →
+    theoretical FPR ~2e-5, so the pruned side must collapse to ~the 20
+    true matches out of 2000 rows."""
+    from tibame_project_spark.operators.joins import bloom_filter_table, bloom_prune
+
+    big = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(2000)], "key string, v int"
+    )
+    small = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 2000, 100)] + [("nope",)], "key string"
+    )
+    bitmap = bloom_filter_table(small, "key", num_bits=4096, num_hashes=5)
+    pruned = bloom_prune(big, "key", bitmap, num_bits=4096, num_hashes=5)
+    # 20 true matches; allow a handful of false positives, no more
+    assert 20 <= pruned.count() <= 30
+
+    # bitmap relation is bounded by m/64 words no matter the build size
+    assert bitmap.count() <= 4096 // 64
+
+
+def test_bloom_filter_table_rejects_unaligned_bits(spark):
+    from tibame_project_spark.operators.joins import bloom_filter_table
+
+    df = spark.createDataFrame([("a",)], "key string")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_filter_table(df, "key", num_bits=100)

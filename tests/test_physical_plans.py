@@ -503,3 +503,26 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_prune_probes_without_shuffling_probed_side(spark):
+    """The Bloom probe's whole value is pre-shuffle pruning: every bitmap
+    lookup must plan as a BroadcastHashJoin and the probed side must reach
+    the final semi-join's exchange already filtered — if any probe join
+    plans as SortMergeJoin the probed side shuffled and the operator is a
+    100 TB regression even though results stay correct."""
+    from tibame_project_spark.operators.joins import bloom_filter_table, bloom_prune
+
+    big = spark.range(0, 100_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key"), F.col("id").alias("v")
+    )
+    small = spark.range(0, 100_000, 1000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    bitmap = bloom_filter_table(small, "key", num_bits=1 << 14, num_hashes=5)
+    plan = _plan(bloom_prune(big, "key", bitmap, num_bits=1 << 14, num_hashes=5))
+    assert plan.count("BroadcastHashJoin") == 5  # one per hash seed
+    assert "SortMergeJoin" not in plan
+    # the only exchanges are the bitmap build's tiny word aggregation and
+    # the broadcast itself — the probed side never appears under one
+    assert "ShuffledHashJoin" not in plan

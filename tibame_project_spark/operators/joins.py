@@ -448,3 +448,130 @@ def radius_join(
             F.round("distance_km", 6).alias("distance_km"),
         )
     )
+
+
+def bloom_filter_table(
+    df: DataFrame,
+    key_col: str,
+    *,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Build a Bloom filter over ``df[key_col]`` as a **bitmap relation**
+    ``(word_idx: long, bits: long)`` — one row per 64-bit word that has at
+    least one bit set.
+
+    This is the build side of runtime row-level filtering (what Spark's
+    ``spark.sql.optimizer.runtime.bloomFilter`` injects for shuffle joins),
+    hand-expressed so it composes with any probe and stays inspectable.
+    Each key sets ``num_hashes`` bits at ``pmod(xxhash64(key, seed), m)``;
+    the build is one narrow explode (k rows per key) plus one tiny
+    aggregation whose output is bounded by ``m/64`` rows regardless of
+    build cardinality — the shuffle carries (word, partial-bits) pairs,
+    never keys.
+
+    Sizing: for ``n`` distinct keys, false-positive rate
+    ≈ ``(1 - e^(-k·n/m))^k`` — 10 bits/key with k=5 gives ~1%. The bitmap
+    is at most ``m/8`` bytes (m=2^30 → 128 MB), so it stays broadcastable
+    long after the key set itself (100 M strings) has stopped being so —
+    that regime, "dim too big to broadcast, its bloom is not", is exactly
+    where :func:`bloom_semi_join` pays.
+    """
+    if num_bits % 64 != 0:
+        raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
+    positions = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+    )
+    # F.shiftleft takes a Python-int shift amount; a column-valued shift
+    # needs the SQL form (still whole-stage-codegen, not a UDF)
+    return (
+        df.select(F.explode(positions).alias("__pos"))
+        .groupBy(F.expr("shiftright(__pos, 6)").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))")
+            ).alias("bits")
+        )
+    )
+
+
+def bloom_prune(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    *,
+    num_bits: int,
+    num_hashes: int,
+) -> DataFrame:
+    """Drop rows of ``df`` whose ``key_col`` is definitely absent from the
+    Bloom filter built by :func:`bloom_filter_table` (same ``num_bits`` /
+    ``num_hashes`` — the seeds are positional, so the parameters must
+    match the build).
+
+    Probe shape: ``num_hashes`` broadcast-hash left joins against the
+    bitmap relation on the word index, each followed by a map-side
+    bit-test filter — the probed side never shuffles, and a missing word
+    row (NULL after the left join) reads as an all-zero word. No false
+    negatives ever; false positives survive and must be removed by a
+    real join downstream (:func:`bloom_semi_join` does).
+    """
+    out = df
+    for i in range(num_hashes):
+        p, w, b, m = (f"__bloom_{x}{i}" for x in "pwbm")
+        side = F.broadcast(
+            bloom.select(F.col("word_idx").alias(w), F.col("bits").alias(b))
+        )
+        out = (
+            out.withColumn(
+                p, F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(num_bits))
+            )
+            .withColumn(w, F.expr(f"shiftright({p}, 6)"))
+            .withColumn(
+                m,
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({p}, 64) AS INT))"),
+            )
+            .join(side, w, "left")
+            .filter(F.coalesce(F.col(b), F.lit(0)).bitwiseAND(F.col(m)) != 0)
+            .drop(p, w, b, m)
+        )
+    return out
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    *,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Exact ``LEFT SEMI`` join of ``big`` against ``small``'s keys, with a
+    Bloom pre-filter so the join's shuffle only ever sees rows that can
+    match.
+
+    At 100 TB this is the shape that saves the day when the key side is
+    too large to broadcast (so the semi-join must shuffle BOTH sides):
+    the bitmap costs one tiny aggregation, broadcasts at m/8 bytes, and
+    the map-side probe removes the (typically vast) non-matching majority
+    of ``big`` BEFORE the exchange — the shuffle then carries only
+    candidates. False positives from the filter are eliminated by the
+    real semi-join, so the result is bit-identical to ``big.join(small,
+    key, "left_semi")``.
+
+    Caching contract: the bitmap relation is ``persist()``-ed here because
+    the probe references it ``num_hashes`` times; it is MEMORY_AND_DISK
+    and at most ``num_bits/8`` bytes per executor. Callers running in a
+    long-lived session can release it by materializing the result and
+    calling ``spark.catalog.clearCache()``, same contract as
+    ``similarity.semantic_dedup``.
+    """
+    bitmap = bloom_filter_table(
+        small, key_col, num_bits=num_bits, num_hashes=num_hashes
+    ).persist()
+    pruned = bloom_prune(
+        big, key_col, bitmap, num_bits=num_bits, num_hashes=num_hashes
+    )
+    return pruned.join(small.select(key_col).distinct(), key_col, "left_semi")
