@@ -644,3 +644,60 @@ def test_watermark_closes_windows_and_drops_late_across_runs(spark, tmp_path):
     # closed with its single event, day-5 still open
     assert got == {(1, 2), (3, 1)}
     assert len(rows) == 2
+
+
+def test_read_parquet_evolving_merges_drifted_batches(spark, tmp_path):
+    """Batches written months apart under drifted schemas must read as one
+    relation: later columns NULL-fill for earlier files."""
+    from tibame_project_spark.sources.readers import read_parquet_evolving
+
+    p = str(tmp_path / "feed")
+    spark.createDataFrame([(1, "a")], "id int, x string").write.parquet(f"{p}/b1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id int, x string, score double"
+    ).write.parquet(f"{p}/b2")
+
+    df = read_parquet_evolving(spark, [f"{p}/b1", f"{p}/b2"])
+    assert set(df.columns) == {"id", "x", "score"}
+    rows = {(r.id, r.x, r.score) for r in df.collect()}
+    assert rows == {(1, "a", None), (2, "b", 9.5)}
+
+
+def test_evolve_union_widens_and_null_fills(spark):
+    from tibame_project_spark.sources.readers import evolve_union
+
+    b1 = spark.createDataFrame([(1, 2.0)], "id int, score float")
+    b2 = spark.createDataFrame([(2**40, 3.5, "en")], "id long, score double, lang string")
+    out = evolve_union([b1, b2])
+    assert dict((f.name, f.dataType.simpleString()) for f in out.schema.fields) == {
+        "id": "bigint",
+        "score": "double",
+        "lang": "string",
+    }
+    rows = {(r.id, r.score, r.lang) for r in out.collect()}
+    assert rows == {(1, 2.0, None), (2**40, 3.5, "en")}
+
+
+def test_evolve_union_refuses_incompatible_drift(spark):
+    from tibame_project_spark.sources.readers import evolve_union
+
+    b1 = spark.createDataFrame([(1,)], "id int")
+    b2 = spark.createDataFrame([("x",)], "id string")
+    with pytest.raises(ValueError, match="incompatible schema drift on column 'id'"):
+        evolve_union([b1, b2])
+    # integral→floating is NOT implicit (exactness above 2^53)
+    b3 = spark.createDataFrame([(1.5,)], "id double")
+    with pytest.raises(ValueError, match="id"):
+        evolve_union([b1, b3])
+
+
+def test_schema_drift_report_names_every_change(spark):
+    from tibame_project_spark.sources.readers import schema_drift_report
+
+    old = spark.createDataFrame([(1, "a", 2.0)], "id int, x string, gone double")
+    new = spark.createDataFrame([(2**40, "b", True)], "id long, x string, flag boolean")
+    assert schema_drift_report(old, new) == [
+        ("flag", "added", None, "boolean"),
+        ("gone", "removed", "double", None),
+        ("id", "retyped", "int", "bigint"),
+    ]

@@ -138,3 +138,107 @@ def read_binary_files(
         F.col("length").alias("n_bytes"),
         F.col("modificationTime").alias("modified"),
     )
+
+
+def read_parquet_evolving(
+    spark: SparkSession, path: str | list[str]
+) -> DataFrame:
+    """Read a parquet corpus whose batches were written under DRIFTED
+    schemas (columns added over time) as one relation — ``mergeSchema``
+    reconciles the per-file footers and absent columns read as NULL.
+
+    This is the rolling-corpus ingest reality at 100 TB: a feed adds a
+    column in March and the reader must still see January's files. Merge
+    cost is footer-only (one extra driver-side pass over file metadata,
+    no data read), so keep it ON for evolving feeds and OFF (the Spark
+    default) for frozen snapshot tables where the single-footer fast
+    path is measurable.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(
+        *(path if isinstance(path, list) else [path])
+    )
+
+
+#: numeric widening lattice for evolve_union — each integral type widens to
+#: any later one (all exact); float widens to double. Deliberately NO
+#: integral→floating edge: long→double silently loses exactness above 2^53,
+#: which is a correctness bug in key/count columns, so it must be an
+#: explicit cast by the caller, never an implicit evolution.
+_WIDENING_ORDER = ["byte", "short", "int", "integer", "long", "bigint"]
+_FLOAT_ORDER = ["float", "double"]
+
+
+def _widen(a: str, b: str) -> str | None:
+    if a == b:
+        return a
+    for order in (_WIDENING_ORDER, _FLOAT_ORDER):
+        if a in order and b in order:
+            return order[max(order.index(a), order.index(b))]
+    return None
+
+
+def evolve_union(dfs: list[DataFrame]) -> DataFrame:
+    """Union batches under schema evolution: columns are matched BY NAME,
+    columns missing from a batch fill with NULL, and numeric types widen
+    along the safe lattice (integral→wider integral, float→double).
+    Incompatible drift (e.g. a column flipping int→string) raises with
+    the column and both types named — silent coercion at ingest is how a
+    corpus rots.
+
+    Pure plan surgery: per-batch ``select`` casts + ``unionByName``; no
+    shuffle, no data pass beyond what downstream consumes.
+    """
+    if not dfs:
+        raise ValueError("evolve_union needs at least one DataFrame")
+    # resolve the unified type per column name, first-seen column order
+    unified: dict[str, str] = {}
+    for df in dfs:
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if f.name not in unified:
+                unified[f.name] = t
+                continue
+            w = _widen(unified[f.name], t)
+            if w is None:
+                raise ValueError(
+                    f"incompatible schema drift on column {f.name!r}: "
+                    f"{unified[f.name]} vs {t} — not on the safe widening "
+                    "lattice; cast explicitly before evolve_union"
+                )
+            unified[f.name] = w
+    out = None
+    for df in dfs:
+        have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        cast_df = df.select(
+            *[
+                (
+                    F.col(c).cast(t) if have[c] != t else F.col(c)
+                )
+                for c, t in unified.items()
+                if c in have
+            ]
+        )
+        out = (
+            cast_df
+            if out is None
+            else out.unionByName(cast_df, allowMissingColumns=True)
+        )
+    return out
+
+
+def schema_drift_report(old: DataFrame, new: DataFrame) -> list[tuple[str, str, str | None, str | None]]:
+    """Diff two batch schemas: sorted ``(column, status, old_type,
+    new_type)`` rows with status in {added, removed, retyped} — the
+    pre-ingest gate a feed owner reads before :func:`evolve_union` is
+    allowed to widen anything. Driver-side only (schemas, not data)."""
+    a = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    b = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    report = []
+    for c in sorted(a.keys() | b.keys()):
+        if c not in b:
+            report.append((c, "removed", a[c], None))
+        elif c not in a:
+            report.append((c, "added", None, b[c]))
+        elif a[c] != b[c]:
+            report.append((c, "retyped", a[c], b[c]))
+    return report
