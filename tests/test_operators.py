@@ -2204,3 +2204,159 @@ def test_bloom_filter_table_rejects_unaligned_bits(spark):
     df = spark.createDataFrame([("a",)], "key string")
     with pytest.raises(ValueError, match="multiple of 64"):
         bloom_filter_table(df, "key", num_bits=100)
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark):
+    """Count-min's one-sided guarantee: est >= exact for EVERY key, and
+    with width >> distinct keys the over-count is ~0. Also: the counter
+    relation is bounded by depth*width rows regardless of input size."""
+    from tibame_project_spark.operators.analytics import cms_estimate, cms_table
+
+    # zipf-ish: key k_i appears i times, 1 <= i <= 40 (N = 820)
+    rows = [(f"k{i}",) for i in range(1, 41) for _ in range(i)]
+    df = spark.createDataFrame(rows, "key string")
+    cms = cms_table(df, "key", width=1 << 12, depth=4)
+    assert cms.count() <= 4 * (1 << 12)
+
+    keys = df.distinct()
+    est = {
+        r.key: r.est_count
+        for r in cms_estimate(keys, "key", cms, width=1 << 12, depth=4).collect()
+    }
+    exact = {f"k{i}": i for i in range(1, 41)}
+    assert all(est[k] >= v for k, v in exact.items())
+    # 160 cells set in 4096 buckets/row -> collisions are rare; total
+    # over-count across all 40 keys stays a sliver of N=820
+    assert sum(est[k] - v for k, v in exact.items()) <= 20
+
+
+def test_cms_weighted_and_top_talkers(spark):
+    """weight_col aggregates weight sums, and a CMS top-k readout must
+    contain every true heavy hitter (one-sided error can only promote)."""
+    from tibame_project_spark.operators.analytics import cms_estimate, cms_table
+
+    rows = [("heavy1", 500), ("heavy2", 300)] + [(f"light{i}", 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "domain string, tokens int")
+    cms = cms_table(df, "domain", width=1 << 10, depth=4, weight_col="tokens")
+    est = cms_estimate(df.select("domain").distinct(), "domain", cms, width=1 << 10, depth=4)
+    top2 = {r.domain for r in est.orderBy(F.desc("est_count"), "domain").limit(2).collect()}
+    assert top2 == {"heavy1", "heavy2"}
+    # a key never inserted reads (near) zero, never negative
+    ghost = spark.createDataFrame([("never-seen-xyz",)], "domain string")
+    g = cms_estimate(ghost, "domain", cms, width=1 << 10, depth=4).collect()[0]
+    assert 0 <= g.est_count <= 5
+
+
+def test_lsh_recall_report_matches_replayed_operators(spark):
+    """The report's counts must equal re-running both pair generators, and
+    with r=1 banding (bands == num_perm) recall is ~1 on planted dups."""
+    from tibame_project_spark.operators.dedup import (
+        lsh_recall_report,
+        minhash_dedup_pairs,
+        ngram_jaccard_exact_pairs,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "pyspark catalyst optimizes declarative dataframe plans into stages",
+        "a completely different sentence about weather patterns in taiwan",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((f"d{i}a", t))
+        rows.append((f"d{i}b", t + " extra"))  # planted near-dup per base
+    rows += [(f"u{i}", f"unique filler text number {i} with its own words {i*7}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    kw = dict(n=3, num_perm=16, bands=16, threshold=0.5)
+    rep = lsh_recall_report(df, "text", "doc_id", **kw).collect()[0]
+    n_true = ngram_jaccard_exact_pairs(df, "text", "doc_id", n=3, threshold=0.5).count()
+    n_lsh = minhash_dedup_pairs(df, "text", "doc_id", **kw).count()
+    assert (rep.n_true, rep.n_lsh, rep.n_hit) == (n_true, n_lsh, n_lsh)
+    assert n_true >= 3  # all planted pairs are ground truth
+    # bands == num_perm -> single-row bands: any shared minhash slot is a
+    # candidate, so every planted pair must be recalled
+    assert rep.recall == 1.0
+
+
+def test_lsh_recall_report_empty_corpus_reads_one(spark):
+    from tibame_project_spark.operators.dedup import lsh_recall_report
+
+    df = spark.createDataFrame(
+        [("a", "completely unrelated alpha words"), ("b", "different beta text entirely")],
+        "doc_id string, text string",
+    )
+    rep = lsh_recall_report(df, "text", "doc_id", threshold=0.9).collect()[0]
+    assert (rep.n_true, rep.n_lsh, rep.recall) == (0, 0, 1.0)
+
+
+def test_validate_expectations_counts_each_rule(spark):
+    from tibame_project_spark.operators.expectations import (
+        custom,
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        unique,
+        validate_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a@x.io", 10, "train"),
+            (2, None, 150, "test"),
+            (2, "bad-email", -5, "dev"),
+            (3, "c@y.org", 50, "train"),
+            (None, "d@z.net", None, "train"),
+        ],
+        "id int, email string, score int, split string",
+    )
+    rep = {
+        r.rule: r
+        for r in validate_expectations(
+            df,
+            [
+                not_null("id"),
+                unique("id"),
+                in_range("score", 0, 100),
+                matches("email", r"^[^@\s]+@[^@\s]+$"),
+                in_set("split", ["train", "test"]),
+                custom("even_id", "id", F.col("id") % 2 == 1),
+            ],
+        ).collect()
+    }
+    assert (rep["not_null(id)"].n_violations, rep["not_null(id)"].passed) == (1, False)
+    # ids 1,2,2,3 -> one surplus copy of 2; the NULL id is not an identity
+    assert rep["unique(id)"].n_violations == 1
+    assert rep["in_range(score,0,100)"].n_violations == 2   # 150 and -5; NULL exempt
+    assert rep["matches(email)"].n_violations == 1          # bad-email; NULL exempt
+    assert rep["in_set(split)"].n_violations == 1           # dev
+    assert rep["even_id"].n_violations == 2                 # ids 1 and 3
+    assert all(r.n_rows == 5 for r in rep.values())
+    assert rep["in_set(split)"].column == "split"
+
+
+def test_validate_expectations_is_one_scan_and_gates(spark):
+    """N row-wise rules must compile into ONE aggregate over ONE scan —
+    the property that lets the gate run on every ingest batch."""
+    from tibame_project_spark.operators.expectations import (
+        in_range,
+        not_null,
+        validate_expectations,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 100).alias("v")
+    )
+    agg = df.agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(F.col("id").isNull(), 1).otherwise(0)),
+        F.sum(F.when(F.col("v") > 1000, 1).otherwise(0)),
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range") == 1  # the input is read once
+
+    rep = validate_expectations(df, [not_null("id"), in_range("v", 0, 99)])
+    assert [(r.passed) for r in rep.collect()] == [True, True]
+    with pytest.raises(ValueError, match="at least one rule"):
+        validate_expectations(df, [])

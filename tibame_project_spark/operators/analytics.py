@@ -366,3 +366,92 @@ def rolling_distinct(
         "users_est",
         F.hll_sketch_estimate(F.hll_union_agg("__sk").over(w)),
     ).select(*gc, "day", "users_est")
+
+
+def cms_table(
+    df: DataFrame,
+    key_col: str,
+    *,
+    width: int = 1 << 12,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch over ``df[key_col]`` as a **counter relation**
+    ``(depth_idx: int, bucket: long, cnt: long)`` — the frequency-counting
+    sibling of the HLL tier (``rolling_distinct``) and the Bloom bitmap
+    (``joins.bloom_filter_table``): a fixed ``depth × width`` summary that
+    keeps answering "how often did key X occur" after the key universe
+    itself has stopped fitting anywhere.
+
+    Build is one narrow explode (``depth`` rows per input row) and one
+    aggregation whose output is bounded by ``depth·width`` rows no matter
+    the input cardinality — the shuffle carries (cell, partial-count)
+    pairs, never keys, so a 10^11-key stream costs the same summary as a
+    10^3-key one. ``weight_col`` switches the cells from row counts to
+    weight sums (e.g. token counts per domain).
+
+    Guarantees (Cormode & Muthukrishnan 2005): estimates never
+    UNDER-count, and over-count by at most ``e/width · N`` (N = total
+    weight) with probability ``1 − e^(−depth)`` — one-sided error, so a
+    "top talkers" readout can only mistakenly promote, never drop, a
+    genuinely heavy key.
+    """
+    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("depth_idx"),
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("__cell"), w.alias("__w"))
+        .groupBy(F.col("__cell.depth_idx").alias("depth_idx"), F.col("__cell.bucket").alias("bucket"))
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    key_col: str,
+    cms: DataFrame,
+    *,
+    width: int,
+    depth: int,
+) -> DataFrame:
+    """Point-query a count-min sketch built by :func:`cms_table` (same
+    ``width``/``depth`` — seeds are positional): returns ``keys`` with an
+    ``est_count`` column, ``min`` over the ``depth`` counter rows.
+
+    Probe shape mirrors the Bloom probe: explode each key onto its
+    ``depth`` cells, ONE broadcast equi-join against the counter relation
+    (≤ depth·width rows — KBs to MBs), and a per-key min aggregation.
+    A key that was never inserted can still read > 0 (collisions), but a
+    cell with NO row means zero — ``coalesce`` keeps the min honest.
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("depth_idx"),
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+    probed = (
+        keys.select(F.col(key_col), F.explode(cells).alias("__cell"))
+        .join(
+            F.broadcast(cms),
+            (F.col("__cell.depth_idx") == F.col("depth_idx"))
+            & (F.col("__cell.bucket") == F.col("bucket")),
+            "left",
+        )
+        .select(key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("__c"))
+    )
+    return probed.groupBy(key_col).agg(F.min("__c").alias("est_count"))

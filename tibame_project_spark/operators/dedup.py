@@ -832,3 +832,55 @@ def dedup_keep_best(
         .filter(F.col("__rk") == 1)
         .drop("__rk", "__comp", "component")
     )
+
+
+def lsh_recall_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Measure the MinHash-LSH tier's candidate recall against exact
+    ground truth: run ``minhash_dedup_pairs`` (probabilistic candidates,
+    exact-Jaccard verified) and ``ngram_jaccard_exact_pairs`` (exact
+    all-pairs via prefix filtering) on the SAME corpus/threshold and
+    report one row ``(n_true, n_lsh, n_hit, recall)``.
+
+    This is the tuning loop for (num_perm, bands): theoretical per-pair
+    recall at similarity s is ``1 − (1 − s^(num_perm/bands))^bands``, but
+    the number that matters is measured on YOUR corpus's similarity
+    distribution. Run it on a sampled slice (the exact generator is the
+    expensive side), pick the cheapest banding whose recall clears the
+    bar, then ship that banding against the full corpus. Both generators
+    are bucketed (no cross product), so the report itself scales with
+    the slice; the join underneath is on (id_a, id_b) pair keys.
+
+    LSH-verified pairs are a subset of true pairs (same exact-Jaccard
+    verify), so precision is 1 by construction and n_hit counts the
+    overlap anyway as a self-check (n_hit == n_lsh unless a bug).
+    """
+    true_pairs = ngram_jaccard_exact_pairs(
+        df, text_col, id_col, n=n, threshold=threshold
+    ).select("id_a", "id_b")
+    lsh_pairs = minhash_dedup_pairs(
+        df, text_col, id_col, n=n, num_perm=num_perm, bands=bands, threshold=threshold
+    ).select("id_a", "id_b")
+    hit = lsh_pairs.join(true_pairs, ["id_a", "id_b"], "left_semi")
+    counts = (
+        true_pairs.agg(F.count("*").alias("c")).select(F.lit("true").alias("k"), "c")
+        .unionByName(lsh_pairs.agg(F.count("*").alias("c")).select(F.lit("lsh").alias("k"), "c"))
+        .unionByName(hit.agg(F.count("*").alias("c")).select(F.lit("hit").alias("k"), "c"))
+    )
+    pivoted = counts.groupBy().pivot("k", ["true", "lsh", "hit"]).sum("c")
+    return pivoted.select(
+        F.col("true").alias("n_true"),
+        F.col("lsh").alias("n_lsh"),
+        F.col("hit").alias("n_hit"),
+        F.when(F.col("true") == 0, F.lit(1.0))
+        .otherwise(F.col("hit") / F.col("true"))
+        .alias("recall"),
+    )
