@@ -1,0 +1,111 @@
+"""Data-quality expectations: declarative constraints validated in ONE scan.
+
+The reference enforces quality by hand — BQ SQL patches for known-bad rows
+(``airflow/dags/gmaps/d_gmaps_correct_data.py``) and schema declarations at
+ingest. This module is the general form (the public pattern is AWS Deequ /
+Great Expectations): declare constraints, get back a violations report, gate
+the load on it. At 100 TB the design constraint is that N rules must cost
+ONE pass over the table — every row-wise rule compiles to a conditional
+count inside a single aggregate, so adding a rule adds a column to the agg,
+never a job.
+
+``unique()`` rules additionally need distinct counting; they ride the same
+scan but each distinct column makes Catalyst plan an Expand (standard
+multi-distinct rewrite) — fine for a handful, and the report docstring says
+so instead of letting the cost surprise anyone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# a rule is (rule_name, column_label, kind, payload):
+#   kind "row":    payload = violation predicate (Column, true == violation)
+#   kind "unique": payload = column name
+
+
+def not_null(col: str) -> tuple:
+    return (f"not_null({col})", col, "row", F.col(col).isNull())
+
+
+def in_range(col: str, lo, hi) -> tuple:
+    """Violation when outside [lo, hi]; NULLs do not violate (compose with
+    not_null to forbid them — one rule, one meaning)."""
+    c = F.col(col)
+    return (
+        f"in_range({col},{lo},{hi})",
+        col,
+        "row",
+        c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))),
+    )
+
+
+def matches(col: str, pattern: str) -> tuple:
+    c = F.col(col)
+    return (
+        f"matches({col})",
+        col,
+        "row",
+        c.isNotNull() & ~c.rlike(pattern),
+    )
+
+
+def in_set(col: str, values: list) -> tuple:
+    c = F.col(col)
+    return (
+        f"in_set({col})",
+        col,
+        "row",
+        c.isNotNull() & ~c.isin(values),
+    )
+
+
+def custom(name: str, col: str, violation: Column) -> tuple:
+    """Escape hatch: any boolean Column, true == violation."""
+    return (name, col, "row", violation)
+
+
+def unique(col: str) -> tuple:
+    """Violations = surplus copies: count(col NOT NULL) − count(DISTINCT
+    col). NULLs are not identities and never collide here."""
+    return (f"unique({col})", col, "unique", col)
+
+
+def validate_expectations(df: DataFrame, rules: list[tuple]) -> DataFrame:
+    """Evaluate every rule in one aggregate over one scan of ``df``;
+    returns the report relation ``(rule, column, n_violations, n_rows,
+    passed)`` — |rules| rows, built driver-side from the single summary
+    row (a report is a summary; it never needs a cluster).
+
+    Gate pattern: ``assert validate_expectations(df, rules).filter(
+    "NOT passed").isEmpty()`` before the write, or join the report into
+    an audit table — either way the cost was one scan, so the gate can
+    run on every ingest batch, not just when someone is suspicious.
+    """
+    if not rules:
+        raise ValueError("validate_expectations needs at least one rule")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (name, col, kind, payload) in enumerate(rules):
+        if kind == "row":
+            aggs.append(
+                F.sum(F.when(payload, 1).otherwise(0)).cast("long").alias(f"__v{i}")
+            )
+        elif kind == "unique":
+            aggs.append(
+                (F.count(F.col(payload)) - F.count_distinct(F.col(payload)))
+                .cast("long")
+                .alias(f"__v{i}")
+            )
+        else:
+            raise ValueError(f"unknown rule kind {kind!r} in rule {name!r}")
+    summary = df.agg(*aggs).collect()[0]
+    n = summary["__n"]
+    report = [
+        (name, col, int(summary[f"__v{i}"]), int(n), summary[f"__v{i}"] == 0)
+        for i, (name, col, _, _) in enumerate(rules)
+    ]
+    return df.sparkSession.createDataFrame(
+        report,
+        "rule string, column string, n_violations long, n_rows long, passed boolean",
+    )
