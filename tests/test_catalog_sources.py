@@ -701,3 +701,53 @@ def test_schema_drift_report_names_every_change(spark):
         ("gone", "removed", "double", None),
         ("id", "retyped", "int", "bigint"),
     ]
+
+
+def test_windowed_distinct_users_stream_equals_batch(spark, tmp_path):
+    """The streaming uniques estimate must agree EXACTLY with the batch
+    replay of the same expression: HLL register-max merging is commutative
+    across micro-batches, so availableNow and batch see identical
+    sketches. State stays a fixed register array per open window."""
+    from tibame_project_spark.streaming.incremental import windowed_distinct_users
+
+    rows = [
+        (u, "2024-01-01 01:00:00", 1.0, "click") for u in range(1, 40)
+    ] + [
+        (u, "2024-01-01 02:00:00", 1.0, "click") for u in range(20, 60)  # overlap
+    ] + [
+        (7, "2024-01-02 01:00:00", 1.0, "view"),
+        # far-future flush: advances the watermark past the test windows so
+        # append mode EMITS them in the availableNow run (its own window
+        # stays open and is the only batch/stream difference)
+        (8, "2024-01-10 00:00:00", 1.0, "flush"),
+    ]
+    df = _ev(spark, rows)
+    batch = {
+        (str(r.window_start), r.event_type, r.approx_users)
+        for r in windowed_distinct_users(df).collect()
+    }
+    # day-1 clicks: 59 distinct users (1..59), day-2 views: exactly 1
+    by_key = {(w, e): n for w, e, n in batch}
+    assert by_key[("2024-01-02 00:00:00", "view")] == 1
+    d1 = by_key[("2024-01-01 00:00:00", "click")]
+    assert abs(d1 - 59) / 59 <= 0.05  # 2% rsd sketch, generous bound
+
+    src, out, ckpt = str(tmp_path / "du_src"), str(tmp_path / "du_out"), str(tmp_path / "du_ck")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        windowed_distinct_users(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (str(r.window_start), r.event_type, r.approx_users)
+        for r in spark.read.parquet(out).collect()
+    }
+    closed = {row for row in batch if row[0] < "2024-01-09"}
+    assert streamed == closed and len(closed) == 2
