@@ -751,3 +751,22 @@ def test_windowed_distinct_users_stream_equals_batch(spark, tmp_path):
     }
     closed = {row for row in batch if row[0] < "2024-01-09"}
     assert streamed == closed and len(closed) == 2
+
+
+def test_evolve_union_widens_small_integrals(spark):
+    """tinyint/smallint must ride the integral widening lattice — Spark's
+    simpleString() names, not the typeName() spellings."""
+    from pyspark.sql.types import ByteType, ShortType, StructField, StructType
+
+    from tibame_project_spark.sources.readers import evolve_union
+
+    b1 = spark.createDataFrame(
+        [(1,)], StructType([StructField("id", ByteType())])
+    )
+    b2 = spark.createDataFrame(
+        [(300,)], StructType([StructField("id", ShortType())])
+    )
+    b3 = spark.createDataFrame([(70000,)], "id int")
+    out = evolve_union([b1, b2, b3])
+    assert out.schema.fields[0].dataType.simpleString() == "int"
+    assert {r.id for r in out.collect()} == {1, 300, 70000}

@@ -2360,3 +2360,66 @@ def test_validate_expectations_is_one_scan_and_gates(spark):
     assert [(r.passed) for r in rep.collect()] == [True, True]
     with pytest.raises(ValueError, match="at least one rule"):
         validate_expectations(df, [])
+
+
+def test_validate_expectations_empty_batch_passes(spark):
+    """An empty ingest batch has zero violations — the gate must pass it,
+    not crash on NULL aggregate sums (sum over zero rows is NULL)."""
+    from tibame_project_spark.operators.expectations import (
+        in_range,
+        not_null,
+        unique,
+        validate_expectations,
+    )
+
+    empty = spark.createDataFrame([], "id int, v int")
+    rep = validate_expectations(
+        empty, [not_null("id"), unique("id"), in_range("v", 0, 10)]
+    ).collect()
+    assert all(r.passed and r.n_violations == 0 and r.n_rows == 0 for r in rep)
+
+
+def test_cms_estimate_carries_metadata_columns(spark):
+    from tibame_project_spark.operators.analytics import cms_estimate, cms_table
+
+    df = spark.createDataFrame(
+        [("a", "hot"), ("a", "hot"), ("b", "cold")], "key string, tier string"
+    )
+    cms = cms_table(df, "key", width=1 << 10, depth=4)
+    est = {
+        (r.key, r.tier): r.est_count
+        for r in cms_estimate(
+            df.distinct(), "key", cms, width=1 << 10, depth=4
+        ).collect()
+    }
+    assert est == {("a", "hot"): 2, ("b", "cold"): 1}
+
+
+def test_bloom_anti_join_matches_plain_left_anti(spark):
+    """bloom_anti_join must be bit-identical to big.join(small, key,
+    'left_anti'): definite-absent rows keep without a join, bloom-positive
+    candidates (true matches AND false positives) settle in the real
+    anti-join."""
+    from tibame_project_spark.operators.joins import bloom_anti_join
+
+    big = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(2000)], "key string, v int"
+    )
+    small = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 2000, 100)] + [("nope",)], "key string"
+    )
+    expected = sorted(
+        big.join(small, "key", "left_anti").collect(), key=lambda r: r.v
+    )
+    got = sorted(
+        bloom_anti_join(big, small, "key", num_bits=4096, num_hashes=5).collect(),
+        key=lambda r: r.v,
+    )
+    assert got == expected and len(got) == 1980
+    # tiny filter (forces false positives): result must STILL be exact
+    got_fp = sorted(
+        bloom_anti_join(big, small, "key", num_bits=64, num_hashes=2).collect(),
+        key=lambda r: r.v,
+    )
+    assert got_fp == expected
+    spark.catalog.clearCache()

@@ -368,6 +368,22 @@ def rolling_distinct(
     ).select(*gc, "day", "users_est")
 
 
+def _cms_cells(key_col: str, width: int, depth: int) -> Column:
+    """The (depth_idx, bucket) cell array for one key — ONE definition so
+    build and probe can never desynchronize (seeds are positional)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("depth_idx"),
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
 def cms_table(
     df: DataFrame,
     key_col: str,
@@ -397,19 +413,8 @@ def cms_table(
     genuinely heavy key.
     """
     w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("int").alias("depth_idx"),
-                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(width)).alias(
-                    "bucket"
-                ),
-            )
-            for i in range(depth)
-        ]
-    )
     return (
-        df.select(F.explode(cells).alias("__cell"), w.alias("__w"))
+        df.select(F.explode(_cms_cells(key_col, width, depth)).alias("__cell"), w.alias("__w"))
         .groupBy(F.col("__cell.depth_idx").alias("depth_idx"), F.col("__cell.bucket").alias("bucket"))
         .agg(F.sum("__w").alias("cnt"))
     )
@@ -432,26 +437,19 @@ def cms_estimate(
     (≤ depth·width rows — KBs to MBs), and a per-key min aggregation.
     A key that was never inserted can still read > 0 (collisions), but a
     cell with NO row means zero — ``coalesce`` keeps the min honest.
+    Non-key columns of ``keys`` (labels, metadata riding with the
+    candidate list) are carried through unchanged (grouped alongside the
+    key, so duplicate input rows collapse per distinct row).
     """
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("int").alias("depth_idx"),
-                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(width)).alias(
-                    "bucket"
-                ),
-            )
-            for i in range(depth)
-        ]
-    )
+    carry = list(keys.columns)
     probed = (
-        keys.select(F.col(key_col), F.explode(cells).alias("__cell"))
+        keys.select(*carry, F.explode(_cms_cells(key_col, width, depth)).alias("__cell"))
         .join(
             F.broadcast(cms),
             (F.col("__cell.depth_idx") == F.col("depth_idx"))
             & (F.col("__cell.bucket") == F.col("bucket")),
             "left",
         )
-        .select(key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("__c"))
+        .select(*carry, F.coalesce(F.col("cnt"), F.lit(0)).alias("__c"))
     )
-    return probed.groupBy(key_col).agg(F.min("__c").alias("est_count"))
+    return probed.groupBy(*carry).agg(F.min("__c").alias("est_count"))

@@ -863,24 +863,31 @@ def lsh_recall_report(
     verify), so precision is 1 by construction and n_hit counts the
     overlap anyway as a self-check (n_hit == n_lsh unless a bug).
     """
-    true_pairs = ngram_jaccard_exact_pairs(
-        df, text_col, id_col, n=n, threshold=threshold
-    ).select("id_a", "id_b")
-    lsh_pairs = minhash_dedup_pairs(
-        df, text_col, id_col, n=n, num_perm=num_perm, bands=bands, threshold=threshold
-    ).select("id_a", "id_b")
-    hit = lsh_pairs.join(true_pairs, ["id_a", "id_b"], "left_semi")
-    counts = (
-        true_pairs.agg(F.count("*").alias("c")).select(F.lit("true").alias("k"), "c")
-        .unionByName(lsh_pairs.agg(F.count("*").alias("c")).select(F.lit("lsh").alias("k"), "c"))
-        .unionByName(hit.agg(F.count("*").alias("c")).select(F.lit("hit").alias("k"), "c"))
+    # each generator feeds its own count AND the hit semi-join; persist so
+    # the exact all-pairs join (the dominant cost) runs ONCE, compute the
+    # three scalars eagerly, and release the cache — a report never needs
+    # to stay lazy, and this leaves no caching contract on the caller
+    true_pairs = (
+        ngram_jaccard_exact_pairs(df, text_col, id_col, n=n, threshold=threshold)
+        .select("id_a", "id_b")
+        .persist()
     )
-    pivoted = counts.groupBy().pivot("k", ["true", "lsh", "hit"]).sum("c")
-    return pivoted.select(
-        F.col("true").alias("n_true"),
-        F.col("lsh").alias("n_lsh"),
-        F.col("hit").alias("n_hit"),
-        F.when(F.col("true") == 0, F.lit(1.0))
-        .otherwise(F.col("hit") / F.col("true"))
-        .alias("recall"),
+    lsh_pairs = (
+        minhash_dedup_pairs(
+            df, text_col, id_col, n=n, num_perm=num_perm, bands=bands, threshold=threshold
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
+    try:
+        n_true = true_pairs.count()
+        n_lsh = lsh_pairs.count()
+        n_hit = lsh_pairs.join(true_pairs, ["id_a", "id_b"], "left_semi").count()
+    finally:
+        true_pairs.unpersist()
+        lsh_pairs.unpersist()
+    recall = 1.0 if n_true == 0 else n_hit / n_true
+    return df.sparkSession.createDataFrame(
+        [(n_true, n_lsh, n_hit, recall)],
+        "n_true long, n_lsh long, n_hit long, recall double",
     )

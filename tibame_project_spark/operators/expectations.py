@@ -88,8 +88,12 @@ def validate_expectations(df: DataFrame, rules: list[tuple]) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, (name, col, kind, payload) in enumerate(rules):
         if kind == "row":
+            # sum over ZERO rows is NULL — an empty batch must read as zero
+            # violations, not crash the gate
             aggs.append(
-                F.sum(F.when(payload, 1).otherwise(0)).cast("long").alias(f"__v{i}")
+                F.coalesce(F.sum(F.when(payload, 1).otherwise(0)), F.lit(0))
+                .cast("long")
+                .alias(f"__v{i}")
             )
         elif kind == "unique":
             aggs.append(

@@ -164,7 +164,7 @@ def read_parquet_evolving(
 #: integral→floating edge: long→double silently loses exactness above 2^53,
 #: which is a correctness bug in key/count columns, so it must be an
 #: explicit cast by the caller, never an implicit evolution.
-_WIDENING_ORDER = ["byte", "short", "int", "integer", "long", "bigint"]
+_WIDENING_ORDER = ["tinyint", "smallint", "int", "bigint"]  # simpleString() names
 _FLOAT_ORDER = ["float", "double"]
 
 
