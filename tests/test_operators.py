@@ -2423,3 +2423,36 @@ def test_bloom_anti_join_matches_plain_left_anti(spark):
     )
     assert got_fp == expected
     spark.catalog.clearCache()
+
+
+def test_observe_expectations_rides_the_write_job(spark, tmp_path):
+    """The observed gate must report the same violations as the scan-based
+    gate while the ONLY job run is the parquet write itself."""
+    from tibame_project_spark.operators.expectations import (
+        in_range,
+        not_null,
+        observe_expectations,
+        unique,
+        validate_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 150), (None, 50), (4, -5)], "id int, score int"
+    )
+    rules = [not_null("id"), in_range("score", 0, 100)]
+    observed, report_fn = observe_expectations(df, rules)
+    observed.write.parquet(str(tmp_path / "gated"))  # the one and only action
+    rep = {r.rule: r for r in report_fn().collect()}
+    assert rep["not_null(id)"].n_violations == 1
+    assert rep["in_range(score,0,100)"].n_violations == 2
+    assert all(r.n_rows == 4 for r in rep.values())
+    # the written data is the input, untouched by the gate
+    assert spark.read.parquet(str(tmp_path / "gated")).count() == 4
+
+    # same report as the scan-based gate
+    scan = {r.rule: r.n_violations for r in validate_expectations(df, rules).collect()}
+    assert scan == {k: r.n_violations for k, r in rep.items()}
+
+    # unique() cannot ride observe — refused upfront, not at job time
+    with pytest.raises(ValueError, match="unique"):
+        observe_expectations(df, [unique("id")])

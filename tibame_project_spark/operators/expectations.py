@@ -83,6 +83,11 @@ def validate_expectations(df: DataFrame, rules: list[tuple]) -> DataFrame:
     an audit table — either way the cost was one scan, so the gate can
     run on every ingest batch, not just when someone is suspicious.
     """
+    summary = df.agg(*_rule_aggs(rules)).collect()[0]
+    return _build_report(df.sparkSession, rules, dict(summary.asDict()))
+
+
+def _rule_aggs(rules: list[tuple], *, allow_distinct: bool = True) -> list[Column]:
     if not rules:
         raise ValueError("validate_expectations needs at least one rule")
     aggs = [F.count(F.lit(1)).alias("__n")]
@@ -96,6 +101,12 @@ def validate_expectations(df: DataFrame, rules: list[tuple]) -> DataFrame:
                 .alias(f"__v{i}")
             )
         elif kind == "unique":
+            if not allow_distinct:
+                raise ValueError(
+                    f"rule {name!r}: unique() needs a distinct aggregate, which "
+                    "observed metrics do not support — check it with "
+                    "validate_expectations (its own scan) instead"
+                )
             aggs.append(
                 (F.count(F.col(payload)) - F.count_distinct(F.col(payload)))
                 .cast("long")
@@ -103,13 +114,45 @@ def validate_expectations(df: DataFrame, rules: list[tuple]) -> DataFrame:
             )
         else:
             raise ValueError(f"unknown rule kind {kind!r} in rule {name!r}")
-    summary = df.agg(*aggs).collect()[0]
+    return aggs
+
+
+def _build_report(spark, rules: list[tuple], summary: dict) -> DataFrame:
     n = summary["__n"]
     report = [
         (name, col, int(summary[f"__v{i}"]), int(n), summary[f"__v{i}"] == 0)
         for i, (name, col, _, _) in enumerate(rules)
     ]
-    return df.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         report,
         "rule string, column string, n_violations long, n_rows long, passed boolean",
     )
+
+
+def observe_expectations(df: DataFrame, rules: list[tuple], *, name: str = "expectations"):
+    """Attach the expectation metrics to ``df`` as OBSERVED metrics
+    (``Dataset.observe``) so the gate rides whatever job consumes the
+    frame — typically the ingest WRITE — for ZERO extra scans: the
+    violation counters accumulate on the executors while the rows stream
+    to parquet, instead of :func:`validate_expectations`'s own pass.
+
+    Returns ``(observed_df, report_fn)``: run an action on
+    ``observed_df`` (write it, count it), then call ``report_fn()`` for
+    the same report relation ``validate_expectations`` builds. Calling
+    ``report_fn()`` before any action blocks — Spark's Observation.get
+    waits for the first action to finish.
+
+    Only row-wise rules are supported here: observed metrics cannot
+    contain distinct aggregates, so ``unique()`` rules raise upfront with
+    a pointer to the scan-based gate. Batch frames only (streaming
+    queries surface observations through the listener API instead).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(obs, *_rule_aggs(rules, allow_distinct=False))
+
+    def report_fn() -> DataFrame:
+        return _build_report(df.sparkSession, rules, dict(obs.get))
+
+    return observed, report_fn
