@@ -153,3 +153,47 @@ def test_triangle_count_known_graphs(spark):
     # a path graph has none
     path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
     assert triangle_count(path, "src", "dst").first()["n_triangles"] == 0
+
+
+def test_triangle_count_degree_order_same_count(spark):
+    """Any total order generates each triangle exactly once from its least
+    vertex — id order and degree order must agree on every graph."""
+    import random
+
+    from tibame_project_spark.operators.graph import triangle_count
+
+    rng = random.Random(5)
+    edges = list({(rng.randrange(25), rng.randrange(25)) for _ in range(150)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    by_id = triangle_count(df, "src", "dst", order_by="id").first()["n_triangles"]
+    by_deg = triangle_count(df, "src", "dst", order_by="degree").first()["n_triangles"]
+    assert by_id == by_deg and by_id > 0
+    with __import__("pytest").raises(ValueError, match="order_by"):
+        triangle_count(df, "src", "dst", order_by="random")
+
+
+def test_triangle_degree_order_bounds_hub_wedges(spark):
+    """On a star graph (one celebrity hub), id order can hand the hub an
+    O(n²) wedge set; degree order orients every edge INTO the hub, so no
+    node has out-degree > 1 and the wedge stage has nothing hot to do —
+    the skew bound, asserted on the oriented out-degrees themselves."""
+    from pyspark.sql import functions as F
+
+    from tibame_project_spark.operators.graph import _oriented_edges
+
+    # hub id 0 < all leaf ids: worst case for id order
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 51)], "src long, dst long"
+    ).select(F.col("src").alias("lo"), F.col("dst").alias("hi"))
+    max_out_id = (
+        _oriented_edges(star, "id").groupBy("u").count().agg(F.max("count")).first()[0]
+    )
+    max_out_deg = (
+        _oriented_edges(star, "degree")
+        .groupBy("u")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert max_out_id == 50  # hub owns every wedge pair: C(50,2) wedges
+    assert max_out_deg == 1  # leaves (degree 1) point at the hub: 0 wedges

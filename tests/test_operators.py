@@ -2140,6 +2140,37 @@ def test_radius_join_matches_brute_force(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_radius_join_grid_matches_brute_force(spark):
+    """The integer-grid twin must be bit-exact vs the brute-force integer
+    predicate — including boundary pairs exactly AT radius² and pairs that
+    straddle cell edges — and must not plan a cartesian product."""
+    import itertools
+    import random
+
+    from tibame_project_spark.operators.joins import radius_join_grid
+
+    rng = random.Random(7)
+    left = [(i, rng.randrange(0, 3000), rng.randrange(0, 3000)) for i in range(60)]
+    # include exact-boundary geometry: (2000,2000) vs (2300,2400) is dist²=250000
+    left += [(900, 2000, 2000)]
+    right = [(100 + i, rng.randrange(0, 3000), rng.randrange(0, 3000)) for i in range(60)]
+    right += [(901, 2300, 2400), (902, 2300, 2401)]
+    ldf = spark.createDataFrame(left, "cust long, x long, y long")
+    rdf = spark.createDataFrame(right, "supp long, x long, y long")
+    res = radius_join_grid(ldf, rdf, left_id="cust", right_id="supp", radius=500)
+    got = {(r["cust"], r["supp"], r["dist2"]) for r in res.collect()}
+    want = {
+        (l[0], r[0], (l[1] - r[1]) ** 2 + (l[2] - r[2]) ** 2)
+        for l, r in itertools.product(left, right)
+        if (l[1] - r[1]) ** 2 + (l[2] - r[2]) ** 2 <= 250000
+    }
+    assert got == want and len(want) > 0
+    assert (900, 901, 250000) in got  # exactly at the boundary: included
+    assert (900, 902, 250801) not in got  # one unit past the boundary
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_bloom_semi_join_exact_and_no_false_negatives(spark):
     """bloom_semi_join must be bit-identical to a plain LEFT SEMI join
     (false positives removed by the real join), and the Bloom probe alone
@@ -2423,6 +2454,67 @@ def test_bloom_anti_join_matches_plain_left_anti(spark):
     )
     assert got_fp == expected
     spark.catalog.clearCache()
+
+
+def test_bloom_joins_caller_owned_bitmap_releases_cleanly(spark):
+    """Passing a pre-built bitmap via bloom= must (a) give bit-identical
+    results, (b) let ONE bitmap serve both the semi and the anti join, and
+    (c) leave no lingering cached RDD after the caller unpersists it — the
+    release path ADVICE asked for, without a global clearCache."""
+    from tibame_project_spark.operators.joins import (
+        bloom_anti_join,
+        bloom_filter_table,
+        bloom_semi_join,
+    )
+
+    big = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(1000)], "key string, v int"
+    )
+    small = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 1000, 50)], "key string"
+    )
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    bitmap = bloom_filter_table(small, "key", num_bits=4096, num_hashes=5).persist()
+    semi = sorted(
+        bloom_semi_join(
+            big, small, "key", num_bits=4096, num_hashes=5, bloom=bitmap
+        ).collect(),
+        key=lambda r: r.v,
+    )
+    anti = sorted(
+        bloom_anti_join(
+            big, small, "key", num_bits=4096, num_hashes=5, bloom=bitmap
+        ).collect(),
+        key=lambda r: r.v,
+    )
+    bitmap.unpersist(blocking=True)
+    assert semi == sorted(
+        big.join(small, "key", "left_semi").collect(), key=lambda r: r.v
+    )
+    assert anti == sorted(
+        big.join(small, "key", "left_anti").collect(), key=lambda r: r.v
+    )
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set()
+
+
+def test_cms_estimate_carry_columns_may_shadow_sketch_names(spark):
+    """Carry columns named depth_idx/bucket/cnt must not collide with the
+    sketch relation (ADVICE: the cms side is aliased to __cms_* names)."""
+    from tibame_project_spark.operators.analytics import cms_estimate, cms_table
+
+    df = spark.createDataFrame(
+        [("a", 9, 7, 5), ("a", 9, 7, 5), ("b", 1, 2, 3)],
+        "key string, depth_idx int, bucket long, cnt long",
+    )
+    cms = cms_table(df, "key", width=1 << 10, depth=4)
+    est = {
+        (r.key, r.depth_idx, r.bucket, r.cnt): r.est_count
+        for r in cms_estimate(
+            df.distinct(), "key", cms, width=1 << 10, depth=4
+        ).collect()
+    }
+    assert est == {("a", 9, 7, 5): 2, ("b", 1, 2, 3): 1}
 
 
 def test_observe_expectations_rides_the_write_job(spark, tmp_path):

@@ -439,17 +439,27 @@ def cms_estimate(
     cell with NO row means zero — ``coalesce`` keeps the min honest.
     Non-key columns of ``keys`` (labels, metadata riding with the
     candidate list) are carried through unchanged (grouped alongside the
-    key, so duplicate input rows collapse per distinct row).
+    key, so duplicate input rows collapse per distinct row). Carry
+    columns must therefore be groupable (no maps); the sketch side is
+    aliased to reserved ``__cms_*`` names before the join, so carry
+    columns named ``depth_idx``/``bucket``/``cnt`` are fine.
     """
     carry = list(keys.columns)
+    sketch = F.broadcast(
+        cms.select(
+            F.col("depth_idx").alias("__cms_d"),
+            F.col("bucket").alias("__cms_b"),
+            F.col("cnt").alias("__cms_cnt"),
+        )
+    )
     probed = (
         keys.select(*carry, F.explode(_cms_cells(key_col, width, depth)).alias("__cell"))
         .join(
-            F.broadcast(cms),
-            (F.col("__cell.depth_idx") == F.col("depth_idx"))
-            & (F.col("__cell.bucket") == F.col("bucket")),
+            sketch,
+            (F.col("__cell.depth_idx") == F.col("__cms_d"))
+            & (F.col("__cell.bucket") == F.col("__cms_b")),
             "left",
         )
-        .select(*carry, F.coalesce(F.col("cnt"), F.lit(0)).alias("__c"))
+        .select(*carry, F.coalesce(F.col("__cms_cnt"), F.lit(0)).alias("__c"))
     )
     return probed.groupBy(*carry).agg(F.min("__c").alias("est_count"))

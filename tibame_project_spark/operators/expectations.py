@@ -89,7 +89,7 @@ def validate_expectations(df: DataFrame, rules: list[tuple]) -> DataFrame:
 
 def _rule_aggs(rules: list[tuple], *, allow_distinct: bool = True) -> list[Column]:
     if not rules:
-        raise ValueError("validate_expectations needs at least one rule")
+        raise ValueError("expectations need at least one rule")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, (name, col, kind, payload) in enumerate(rules):
         if kind == "row":

@@ -450,6 +450,85 @@ def radius_join(
     )
 
 
+def radius_join_grid(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str,
+    right_id: str,
+    x_col: str = "x",
+    y_col: str = "y",
+    radius: int,
+) -> DataFrame:
+    """Integer-exact planar radius join: all (left, right) pairs with
+    squared Euclidean distance ≤ ``radius``² on integer coordinates — the
+    bit-exact, oracle-checkable twin of :func:`radius_join` (whose haversine
+    is transcendental and therefore pytest-tier only).
+
+    Same bucket-join-then-verify shape: the plane is cut into cells of edge
+    ``radius`` (so any match lies in the point's own cell or one of its 8
+    neighbors), the LEFT side replicates onto the 9 neighbor cells via a
+    narrow literal explode, the join key is the cell id, and the exact
+    integer predicate ``dx² + dy² ≤ r²`` verifies each candidate. All
+    arithmetic is 64-bit integer, so results are identical on any engine
+    and any partitioning — at 100 TB the pair space is bounded by cell
+    co-location, never |L|×|R|.
+
+    Returns (left_id, right_id, dist2) with dist2 the exact squared
+    distance as BIGINT.
+    """
+    r2 = int(radius) * int(radius)
+    cell = int(radius)
+
+    def cell_of(x, y):
+        return F.struct(
+            F.floor(F.col(x).cast("long") / F.lit(cell)).cast("long").alias("cx"),
+            F.floor(F.col(y).cast("long") / F.lit(cell)).cast("long").alias("cy"),
+        )
+
+    l = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(x_col).cast("long").alias("__lx"),
+        F.col(y_col).cast("long").alias("__ly"),
+    ).withColumn("__c", cell_of("__lx", "__ly"))
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    l9 = l.withColumn("__o", F.explode(offsets)).select(
+        "__lid",
+        "__lx",
+        "__ly",
+        F.struct(
+            (F.col("__c.cx") + F.col("__o.dx")).alias("cx"),
+            (F.col("__c.cy") + F.col("__o.dy")).alias("cy"),
+        ).alias("__cell"),
+    )
+    r = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(x_col).cast("long").alias("__rx"),
+        F.col(y_col).cast("long").alias("__ry"),
+    ).withColumn("__cell", cell_of("__rx", "__ry"))
+    dx = F.col("__lx") - F.col("__rx")
+    dy = F.col("__ly") - F.col("__ry")
+    dist2 = dx * dx + dy * dy
+    return (
+        l9.join(r, "__cell")
+        .withColumn("dist2", dist2)
+        .filter(F.col("dist2") <= F.lit(r2))
+        .select(
+            F.col("__lid").alias(left_id),
+            F.col("__rid").alias(right_id),
+            # one cell id per right row + distinct left replica cells ⇒
+            # each qualifying pair is produced exactly once, no DISTINCT
+            F.col("dist2").cast("long").alias("dist2"),
+        )
+    )
+
+
 def bloom_filter_table(
     df: DataFrame,
     key_col: str,
@@ -517,6 +596,13 @@ def bloom_prune(
     row (NULL after the left join) reads as an all-zero word. No false
     negatives ever; false positives survive and must be removed by a
     real join downstream (:func:`bloom_semi_join` does).
+
+    Caching expectation: each of the ``num_hashes`` probe joins references
+    ``bloom`` independently, so hand this function a ``persist()``-ed
+    bitmap (as the in-module callers do) — an unpersisted bitmap re-runs
+    the build aggregation once per seed. Not persisted defensively here
+    because the caller owns the unpersist point (see
+    :func:`bloom_semi_join`'s two lifecycles).
     """
     out = df
     for i in range(num_hashes):
@@ -562,6 +648,7 @@ def bloom_semi_join(
     *,
     num_bits: int = 1 << 16,
     num_hashes: int = 5,
+    bloom: DataFrame | None = None,
 ) -> DataFrame:
     """Exact ``LEFT SEMI`` join of ``big`` against ``small``'s keys, with a
     Bloom pre-filter so the join's shuffle only ever sees rows that can
@@ -576,16 +663,26 @@ def bloom_semi_join(
     real semi-join, so the result is bit-identical to ``big.join(small,
     key, "left_semi")``.
 
-    Caching contract: the bitmap relation is ``persist()``-ed here because
-    the probe references it ``num_hashes`` times; it is MEMORY_AND_DISK
-    and at most ``num_bits/8`` bytes per executor. Callers running in a
-    long-lived session can release it by materializing the result and
-    calling ``spark.catalog.clearCache()``, same contract as
-    ``similarity.semantic_dedup``.
+    Caching contract: the probe references the bitmap ``num_hashes``
+    times, so it must be cached (it is MEMORY_AND_DISK and at most
+    ``num_bits/8`` bytes per executor). Two lifecycles:
+
+    * ``bloom=None`` (default): the bitmap is built and ``persist()``-ed
+      here; a long-lived session releases it by materializing the result
+      and calling ``spark.catalog.clearCache()``.
+    * ``bloom=`` a :func:`bloom_filter_table` result built with the SAME
+      ``num_bits``/``num_hashes`` and persisted by the caller: this
+      function takes no ownership, so the caller can ``unpersist()`` just
+      that bitmap once the result has materialized — no global
+      ``clearCache`` needed, and one bitmap can serve several joins.
     """
-    bitmap = bloom_filter_table(
-        small, key_col, num_bits=num_bits, num_hashes=num_hashes
-    ).persist()
+    bitmap = (
+        bloom_filter_table(
+            small, key_col, num_bits=num_bits, num_hashes=num_hashes
+        ).persist()
+        if bloom is None
+        else bloom
+    )
     pruned = bloom_prune(
         big, key_col, bitmap, num_bits=num_bits, num_hashes=num_hashes
     )
@@ -599,6 +696,7 @@ def bloom_anti_join(
     *,
     num_bits: int = 1 << 16,
     num_hashes: int = 5,
+    bloom: DataFrame | None = None,
 ) -> DataFrame:
     """Exact ``LEFT ANTI`` join (``NOT IN`` — the upsert/decontamination
     shape, J7) with a Bloom shortcut: a key the filter reports ABSENT is
@@ -618,11 +716,16 @@ def bloom_anti_join(
     The probe here computes the full k-test conjunction as a flag (no
     early filter — BOTH branches need every row classified), then splits:
     flag=false → keep, flag=true → real anti-join, union back. Same
-    bitmap caching contract as :func:`bloom_semi_join`.
+    bitmap caching contract as :func:`bloom_semi_join`, including the
+    caller-owned ``bloom=`` lifecycle.
     """
-    bitmap = bloom_filter_table(
-        small, key_col, num_bits=num_bits, num_hashes=num_hashes
-    ).persist()
+    bitmap = (
+        bloom_filter_table(
+            small, key_col, num_bits=num_bits, num_hashes=num_hashes
+        ).persist()
+        if bloom is None
+        else bloom
+    )
     flagged, scratch = big, []
     tests = []
     for i in range(num_hashes):

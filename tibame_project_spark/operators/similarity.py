@@ -659,6 +659,31 @@ def kmeans_centroids(
     )
 
 
+def sparse_postings(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Raw term-frequency postings — the inverted-index relation
+    ``(id_col, token, tf)`` over whitespace-lowercase tokens (the same
+    tokenization as ``functions.textstats.top_terms``). This is the
+    build-once artifact of the sparse retrieval tier: at 100 TB it is a
+    materialized table reused across query batches; in a long-lived
+    session, ``localCheckpoint`` it and hand it to
+    :func:`sparse_cosine_topk` / :func:`hybrid_rerank` via
+    ``item_postings=`` so consecutive retrievals share one
+    tokenize+explode+count pass."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(toks).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+
+
 def sparse_cosine_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -669,6 +694,7 @@ def sparse_cosine_topk(
     k: int = 5,
     df_frac_cap: float | None = 0.5,
     round_to: int = 4,
+    item_postings: DataFrame | None = None,
 ) -> DataFrame:
     """Sparse (bag-of-words) cosine top-k via an inverted-index join — the
     classic IR retrieval path, complementary to the dense-embedding tier:
@@ -701,33 +727,37 @@ def sparse_cosine_topk(
     is only the query batch's postings (bounded by the batch), never the
     corpus. Returns (query_id, id, rank, score).
 
-    Caching contract: the raw item-postings relation is ``persist()``-ed
-    — it feeds the df aggregate and (through the prune join) the norm and
-    dot consumers, and recomputing it re-runs the tokenize+explode+count
-    over the full corpus per consumer (a
-    measured ~3× of this operator's cost). The returned DataFrame keeps
-    referencing it, so it lives until ``spark.catalog.clearCache()`` or
-    session end (``bench.py`` clears between queries). At 100 TB the
-    postings become a materialized inverted-index table — built once,
-    reused across query batches — as ``plans/release.py`` documents for
-    its barriers.
+    Caching contract: the raw item-postings relation feeds the df
+    aggregate and (through the prune join) the norm and dot consumers;
+    recomputing it re-runs the tokenize+explode+count over the full
+    corpus per consumer (a measured ~3× of this operator's cost). Two
+    lifecycles:
+
+    * ``item_postings=None`` (default): the postings are built and
+      ``persist()``-ed here; the returned DataFrame keeps referencing
+      them, so they live until ``spark.catalog.clearCache()`` or session
+      end (``bench.py`` clears between queries).
+    * ``item_postings=`` a :func:`sparse_postings` result over the SAME
+      corpus (caller-cached — ``persist`` or ``localCheckpoint``): no
+      ownership taken, so one build can serve several retrievals (e.g.
+      ``sparse_topk`` + ``hybrid_rerank`` share one inverted index). At
+      100 TB this is the normal path: the postings are a materialized
+      inverted-index table, built once, reused across query batches.
     """
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    if item_postings is None:
+        # persist the RAW postings: without the cache the tokenize+
+        # explode+count pass over the corpus re-runs per consumer
+        item_post = sparse_postings(
+            ensure_parallelism(docs), text_col=text_col, id_col=id_col
+        ).persist()
+    else:
+        item_post = item_postings
+    item_post = item_post.select(
+        F.col(id_col).alias("__did"), "token", "tf"
     )
-
-    def postings(df: DataFrame, out_id: str, src_id: str) -> DataFrame:
-        return (
-            df.select(F.col(src_id).alias(out_id), F.explode(toks).alias("token"))
-            .groupBy(out_id, "token")
-            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
-        )
-
-    # persist the RAW postings: they feed the df aggregate AND (via the
-    # prune join) the norm/dot consumers — without the cache the
-    # tokenize+explode+count pass over the corpus re-runs per consumer
-    item_post = postings(ensure_parallelism(docs), "__did", id_col).persist()
-    query_post = postings(queries, "__qid", query_id_col)
+    query_post = sparse_postings(
+        queries, text_col=text_col, id_col=query_id_col
+    ).select(F.col(query_id_col).alias("__qid"), "token", "tf")
 
     if df_frac_cap is not None:
         docfreq = item_post.groupBy("token").agg(
@@ -789,6 +819,7 @@ def hybrid_rerank(
     k: int = 5,
     df_frac_cap: float | None = 0.8,
     round_to: int = 4,
+    item_postings: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage hybrid retrieval: sparse lexical candidate generation
     (``sparse_cosine_topk``'s inverted index, top ``n_candidates``) →
@@ -806,7 +837,10 @@ def hybrid_rerank(
     entire point of the architecture.
 
     Returns (query_id, id, rank, sparse_score, dense_score) ranked by
-    (dense_score DESC, id).
+    (dense_score DESC, id). ``item_postings`` forwards to
+    :func:`sparse_cosine_topk` so the stage-1 inverted index can be a
+    caller-cached :func:`sparse_postings` build shared with other
+    retrievals.
     """
     cand = sparse_cosine_topk(
         docs,
@@ -817,6 +851,7 @@ def hybrid_rerank(
         k=n_candidates,
         df_frac_cap=df_frac_cap,
         round_to=round_to,
+        item_postings=item_postings,
     ).select(query_id_col, id_col, F.col("score").alias("sparse_score"))
     iv = item_vecs.select(
         F.col(vec_id_col).alias(id_col), F.col(vec_col).alias("__iv")
