@@ -197,3 +197,17 @@ def test_triangle_degree_order_bounds_hub_wedges(spark):
     )
     assert max_out_id == 50  # hub owns every wedge pair: C(50,2) wedges
     assert max_out_deg == 1  # leaves (degree 1) point at the hub: 0 wedges
+
+
+def test_shared_item_postings_memoizes_per_session_and_sf(spark):
+    """sparse_topk and hybrid_rerank must reference the SAME postings build
+    (that is the shared-inverted-index contract); switching corpora must
+    rebuild, and the memo must not grow without bound."""
+    import __spark_entry__ as entry
+
+    a1 = entry._shared_item_postings(spark, "/root/testdata/sf0.001")
+    a2 = entry._shared_item_postings(spark, "/root/testdata/sf0.001")
+    assert a1 is a2
+    b = entry._shared_item_postings(spark, "/root/testdata/sf0.01")
+    assert b is not a1
+    assert len(entry._POSTINGS_MEMO) == 1  # one corpus at a time

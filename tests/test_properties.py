@@ -629,3 +629,43 @@ def test_curriculum_index_equals_naive_order(spark_global, id_tiers, bucket_bits
     }
     assert got == naive
     assert sorted(got.values()) == list(range(1, len(rows) + 1))
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(-2000, 2000), st.integers(-2000, 2000)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(
+        st.tuples(st.integers(-2000, 2000), st.integers(-2000, 2000)),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sampled_from([1, 7, 64, 500, 1500]),
+)
+def test_radius_join_grid_matches_model(spark_global, lpts, rpts, radius):
+    """Grid blocking must equal the brute-force integer predicate for ANY
+    point set (negative coordinates exercise floor-division cells) and any
+    radius, including radii larger than the point spread (every pair) and
+    radius 1 (almost no pair)."""
+    from tibame_project_spark.operators.joins import radius_join_grid
+
+    left = [(i, x, y) for i, (x, y) in enumerate(lpts)]
+    right = [(100_000 + i, x, y) for i, (x, y) in enumerate(rpts)]
+    ldf = spark_global.createDataFrame(left, "lid long, x long, y long")
+    rdf = spark_global.createDataFrame(right, "rid long, x long, y long")
+    got = {
+        (r.lid, r.rid, r.dist2)
+        for r in radius_join_grid(
+            ldf, rdf, left_id="lid", right_id="rid", radius=radius
+        ).collect()
+    }
+    want = {
+        (l[0], r[0], (l[1] - r[1]) ** 2 + (l[2] - r[2]) ** 2)
+        for l in left
+        for r in right
+        if (l[1] - r[1]) ** 2 + (l[2] - r[2]) ** 2 <= radius * radius
+    }
+    assert got == want
