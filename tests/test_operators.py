@@ -2548,3 +2548,50 @@ def test_observe_expectations_rides_the_write_job(spark, tmp_path):
     # unique() cannot ride observe — refused upfront, not at job time
     with pytest.raises(ValueError, match="unique"):
         observe_expectations(df, [unique("id")])
+
+
+def test_merge_upsert_one_pass_matches_sequential_composition(spark):
+    """merge_upsert must equal the three-step composition (update matched,
+    delete tombstoned, insert new) while planning a single full-outer join;
+    a tombstone for an absent key must be a no-op, not an insert."""
+    from tibame_project_spark.operators.corrections import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long"
+    )
+    source = spark.createDataFrame(
+        [
+            (2, "B", 200, False),   # matched -> update (full row)
+            (3, "c", 30, True),     # matched + tombstone -> delete
+            (4, "d", 40, False),    # new -> insert
+            (9, "x", 99, True),     # tombstone for absent key -> no-op
+        ],
+        "id long, name string, v long, dead boolean",
+    )
+    got = sorted(
+        tuple(r)
+        for r in merge_upsert(target, source, "id", delete_col="dead").collect()
+    )
+    assert got == [(1, "a", 10), (2, "B", 200), (4, "d", 40)]
+    # without a tombstone column: pure upsert
+    got2 = sorted(
+        tuple(r)
+        for r in merge_upsert(
+            target, source.drop("dead"), "id"
+        ).collect()
+    )
+    assert got2 == [(1, "a", 10), (2, "B", 200), (3, "c", 30), (4, "d", 40), (9, "x", 99)]
+    # column contract: a source missing target columns is rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing"):
+        merge_upsert(target, source.drop("v"), "id")
+    # one pass: exactly one join in the plan, and it is the full-outer
+    plan = (
+        merge_upsert(target, source, "id", delete_col="dead")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FullOuter" in plan
+    assert sum(line.count("Join") for line in plan.splitlines()) == 1

@@ -182,14 +182,15 @@ def test_bucketed_tables_join_without_shuffle(spark):
     bucketed the same way plans zero Exchange — at 100 TB this removes the
     dominant cost of repeated fact-to-fact joins."""
     from tibame_project_spark.catalog import ensure_layers
+    from tibame_project_spark.sources.writers import write_bucketed_table
 
     ensure_layers(spark)
     a = spark.range(0, 1000).withColumn("v", F.col("id") % 7)
     b = spark.range(0, 1000).withColumn("w", F.col("id") % 11)
     spark.sql("DROP TABLE IF EXISTS ods.bkt_a")
     spark.sql("DROP TABLE IF EXISTS ods.bkt_b")
-    a.write.bucketBy(8, "id").sortBy("id").saveAsTable("ods.bkt_a")
-    b.write.bucketBy(8, "id").sortBy("id").saveAsTable("ods.bkt_b")
+    write_bucketed_table(a, "ods.bkt_a", bucket_by="id", num_buckets=8)
+    write_bucketed_table(b, "ods.bkt_b", bucket_by="id", num_buckets=8)
     # force the (bucketed) sort-merge path: at 100 TB neither fact side is
     # broadcastable, which is exactly the case bucketing exists for
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

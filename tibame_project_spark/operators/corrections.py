@@ -46,6 +46,67 @@ def insert_missing(existing: DataFrame, incoming: DataFrame, key: str | list[str
     return existing.unionByName(new_rows, allowMissingColumns=False)
 
 
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str | list[str],
+    *,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """One-pass MERGE (the ``MERGE INTO`` shape, M1+M2+M3 fused): rows
+    present only in ``target`` pass through, matched keys take the
+    source's values (WHEN MATCHED THEN UPDATE), source-only keys are
+    inserted (WHEN NOT MATCHED THEN INSERT), and — when ``delete_col``
+    names a boolean tombstone column in ``source`` — matched rows whose
+    tombstone is true are dropped (WHEN MATCHED AND tombstone THEN
+    DELETE).
+
+    Why it exists next to ``apply_updates``/``apply_deletes``/
+    ``insert_missing``: composing those three scans the target THREE
+    times and shuffles per step; at 100 TB the nightly upsert batch is
+    applied in ONE full-outer join on the key — one shuffle of each side
+    (or none for the target if both relations are bucketed on the key —
+    see ``sources.writers.write_bucketed_table``). This is Delta/Iceberg
+    MERGE re-expressed on plain relations: the result overwrites the
+    table, no mutable storage needed.
+
+    ``source`` must carry every ``target`` column (an upsert batch is a
+    full-row payload, unlike ``apply_updates``'s sparse patches) plus
+    optionally ``delete_col``.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    tcols = target.columns
+    missing = set(tcols) - set(source.columns)
+    if missing:
+        raise ValueError(
+            f"merge_upsert source must carry every target column; missing {sorted(missing)}"
+        )
+    s = source.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__s_{c}") for c in tcols if c not in keys],
+        *( [F.col(delete_col).alias("__tomb")] if delete_col else [] ),
+        F.lit(True).alias("__in_s"),
+    )
+    t = target.withColumn("__in_t", F.lit(True))
+    j = t.join(s, keys, "full_outer")
+    if delete_col:
+        # matched + tombstone → DELETE; source-only tombstone → no-op
+        # (a delete for an absent key inserts nothing); either way the
+        # row leaves the result, so one predicate covers both
+        j = j.filter(~F.coalesce(F.col("__tomb"), F.lit(False)))
+    # matched or source-only → source values; target-only → target values
+    take_source = F.col("__in_s").isNotNull()
+    out = j.select(
+        *[F.col(k) for k in keys],
+        *[
+            F.when(take_source, F.col(f"__s_{c}")).otherwise(F.col(c)).alias(c)
+            for c in tcols
+            if c not in keys
+        ],
+    )
+    return out.select(*tcols)
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -60,6 +60,42 @@ def save_table(
     w.saveAsTable(qualified_name)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    qualified_name: str,
+    *,
+    bucket_by: str | list[str],
+    num_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-bucketed managed table: rows are hash-clustered into
+    ``num_buckets`` files per partition on ``bucket_by`` (and sorted
+    within each bucket when ``sort=True``).
+
+    This is the storage-level half of the co-located-join story: two
+    tables bucketed on the same key into the same bucket count join (or
+    aggregate) with NO exchange on either side — the scan's output
+    partitioning already satisfies the join's distribution requirement,
+    so the shuffle that dominates a fact⋈fact join at 100 TB simply
+    disappears from the plan (asserted in
+    ``tests/test_physical_plans.py::test_bucketed_tables_join_without_shuffle``).
+    The price is paid ONCE at write time (the clustering shuffle) and
+    amortized over every downstream join/agg on that key — the batch
+    analogue of the streaming tier's state-store keying, and the table
+    form of ``partitioning.ensure_parallelism``'s advice that the layout
+    you write is the shuffle you don't re-run.
+
+    Bucketed tables must be managed (``saveAsTable``) — path-based
+    ``parquet(path)`` writes cannot carry bucket metadata.
+    """
+    cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    w = df.write.mode(mode).bucketBy(num_buckets, *cols)
+    if sort:
+        w = w.sortBy(*cols)
+    w.saveAsTable(qualified_name)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
