@@ -2595,3 +2595,48 @@ def test_merge_upsert_one_pass_matches_sequential_composition(spark):
     )
     assert "FullOuter" in plan
     assert sum(line.count("Join") for line in plan.splitlines()) == 1
+
+
+def test_stream_cdc_apply_merges_each_batch(spark, tmp_path):
+    """CDC apply: first batch bootstraps the table (tombstones skipped),
+    the second batch — processed incrementally off the checkpoint —
+    updates, inserts, and deletes in one merge; a re-run with no new files
+    is a no-op (idempotence of the availableNow drain)."""
+    import os
+
+    from tibame_project_spark.streaming.incremental import stream_cdc_apply
+
+    src = tmp_path / "cdc"
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, name string, v long, dead boolean"
+    spark.sql("DROP TABLE IF EXISTS cdc_applied")
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        stream_cdc_apply(
+            stream, "cdc_applied", "id", checkpoint=ckpt, delete_col="dead"
+        )
+        # foreachBatch merges in a cloned session; this session's cached
+        # file listing is stale after the overwrite (documented contract)
+        spark.catalog.refreshTable("cdc_applied")
+
+    land([(1, "a", 10, False), (2, "b", 20, False), (9, "x", 99, True)])
+    run()
+    assert sorted(tuple(r) for r in spark.table("cdc_applied").collect()) == [
+        (1, "a", 10),
+        (2, "b", 20),
+    ]
+
+    land([(2, "B", 200, False), (3, "c", 30, False), (1, "a", 10, True)])
+    run()
+    expected = [(2, "B", 200), (3, "c", 30)]
+    assert sorted(tuple(r) for r in spark.table("cdc_applied").collect()) == expected
+
+    run()  # no new files: checkpointed progress makes this a no-op
+    assert sorted(tuple(r) for r in spark.table("cdc_applied").collect()) == expected
+    spark.sql("DROP TABLE cdc_applied")

@@ -70,6 +70,72 @@ def stream_to_serving(
     )
 
 
+def stream_cdc_apply(
+    stream: DataFrame,
+    qualified_table: str,
+    key: str | list[str],
+    *,
+    checkpoint: str,
+    delete_col: str | None = None,
+) -> None:
+    """CDC apply: treat the stream as a change feed of full-row upsert
+    payloads (optionally carrying a boolean tombstone in ``delete_col``)
+    and MERGE each micro-batch into the managed table in one pass via
+    ``operators.corrections.merge_upsert`` — matched keys update, new keys
+    insert, tombstoned keys delete. The concrete form of
+    ``stream_to_serving``'s "MERGE on a key" idempotence contract.
+
+    Idempotence under at-least-once redelivery: re-merging an identical
+    batch is a fixpoint (matched rows re-take the same values, tombstones
+    find nothing left to delete, would-be inserts are now matched updates
+    with equal values), so a replayed epoch cannot corrupt the table.
+    Within a batch, ``availableNow`` + checkpoint give the scheduled-CDC
+    operating mode: each run drains the backlog then stops.
+
+    The merged result is ``localCheckpoint``-ed (eager) before the
+    overwrite — the merge reads the same table it replaces, and cutting
+    lineage to materialized partitions is what makes read-then-overwrite
+    safe. At 100 TB the equivalent move is MERGE INTO on a table format
+    with snapshot isolation (Delta/Iceberg); call sites don't change.
+
+    Precondition: at most one change per key per micro-batch (a multi-
+    change feed should be collapsed to the latest change first — compose
+    with ``operators.dedup.dedup_keep_last`` on an event-time column);
+    duplicate source keys would fan out in the merge join.
+    """
+    from tibame_project_spark.operators.corrections import merge_upsert
+
+    def apply_batch(batch: DataFrame, _epoch: int) -> None:
+        spark = batch.sparkSession
+        if spark.catalog.tableExists(qualified_table):
+            target = spark.table(qualified_table)
+            merged = merge_upsert(target, batch, key, delete_col=delete_col)
+        else:
+            merged = batch
+            if delete_col is not None:
+                merged = merged.filter(
+                    ~F.coalesce(F.col(delete_col), F.lit(False))
+                ).drop(delete_col)
+        merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(
+            qualified_table
+        )
+        # the overwrite replaced the table's files; drop the cached file
+        # listing so the next batch's merge doesn't chase deleted parquet
+        # parts. foreachBatch runs in a CLONED session, so sibling
+        # sessions that already read the table must refreshTable on their
+        # side after a drain — the usual contract for overwritten tables
+        # (a snapshot-isolated table format removes the need).
+        spark.catalog.refreshTable(qualified_table)
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     keys: list[str],
