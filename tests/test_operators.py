@@ -2640,3 +2640,80 @@ def test_stream_cdc_apply_merges_each_batch(spark, tmp_path):
     run()  # no new files: checkpointed progress makes this a no-op
     assert sorted(tuple(r) for r in spark.table("cdc_applied").collect()) == expected
     spark.sql("DROP TABLE cdc_applied")
+
+
+def test_bloom_joins_reject_mismatched_bitmap_params(spark):
+    """A bitmap built with different num_bits/num_hashes than the probe
+    would silently drop true matches; the stamped build parameters must be
+    rejected loudly, schema-side, before any job runs."""
+    from tibame_project_spark.operators.joins import (
+        bloom_anti_join,
+        bloom_filter_table,
+        bloom_semi_join,
+    )
+
+    big = spark.createDataFrame([("k1", 1)], "key string, v int")
+    small = spark.createDataFrame([("k1",)], "key string")
+    bitmap = bloom_filter_table(small, "key", num_bits=8192, num_hashes=5)
+    with pytest.raises(ValueError, match="num_bits"):
+        bloom_semi_join(big, small, "key", num_bits=4096, num_hashes=5, bloom=bitmap)
+    with pytest.raises(ValueError, match="num_bits"):
+        bloom_anti_join(big, small, "key", num_bits=8192, num_hashes=3, bloom=bitmap)
+
+
+def test_radius_join_grid_guards_and_huge_coordinates(spark):
+    """radius <= 0 is rejected (cell width 0 would NULL every cell id and
+    silently return nothing); coordinates beyond 2^53 — where double
+    division would misassign cells — still match brute force exactly
+    because cell ids use pure long arithmetic."""
+    from tibame_project_spark.operators.joins import radius_join_grid
+
+    ldf = spark.createDataFrame([(1, 0, 0)], "lid long, x long, y long")
+    with pytest.raises(ValueError, match="radius"):
+        radius_join_grid(ldf, ldf, left_id="lid", right_id="lid", radius=0)
+
+    base = 1 << 60
+    left = [(1, base, base), (2, base + 499, base), (3, -base, -base)]
+    right = [(11, base + 300, base + 400), (12, -base + 5, -base - 5), (13, base + 10**6, base)]
+    l = spark.createDataFrame(left, "cust long, x long, y long")
+    r = spark.createDataFrame(right, "supp long, x long, y long")
+    got = {
+        (row.cust, row.supp, row.dist2)
+        for row in radius_join_grid(
+            l, r, left_id="cust", right_id="supp", radius=500
+        ).collect()
+    }
+    want = {
+        (a[0], b[0], (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2)
+        for a in left
+        for b in right
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= 250000
+    }
+    assert got == want and len(want) >= 2
+
+
+def test_stream_cdc_apply_refuses_bootstrap_after_table_loss(spark, tmp_path):
+    """If the checkpoint has committed epochs but the table is gone (a
+    mid-overwrite crash), re-bootstrapping from one batch would silently
+    drop every earlier key — the sink must fail loudly instead."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from tibame_project_spark.streaming.incremental import stream_cdc_apply
+
+    src = tmp_path / "cdc2"
+    ckpt = str(tmp_path / "ckpt2")
+    schema = "id long, v long"
+    spark.sql("DROP TABLE IF EXISTS cdc_lost")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        stream_cdc_apply(stream, "cdc_lost", "id", checkpoint=ckpt)
+
+    spark.createDataFrame([(1, 10)], schema).coalesce(1).write.mode("append").parquet(str(src))
+    run()
+    assert spark.table("cdc_lost").count() == 1
+
+    spark.sql("DROP TABLE cdc_lost")  # simulate the mid-overwrite loss
+    spark.createDataFrame([(2, 20)], schema).coalesce(1).write.mode("append").parquet(str(src))
+    with pytest.raises(StreamingQueryException, match="refusing to bootstrap"):
+        run()

@@ -87,8 +87,7 @@ def merge_upsert(
         *( [F.col(delete_col).alias("__tomb")] if delete_col else [] ),
         F.lit(True).alias("__in_s"),
     )
-    t = target.withColumn("__in_t", F.lit(True))
-    j = t.join(s, keys, "full_outer")
+    j = target.join(s, keys, "full_outer")
     if delete_col:
         # matched + tombstone → DELETE; source-only tombstone → no-op
         # (a delete for an absent key inserts nothing); either way the

@@ -477,13 +477,23 @@ def radius_join_grid(
     Returns (left_id, right_id, dist2) with dist2 the exact squared
     distance as BIGINT.
     """
+    if int(radius) <= 0:
+        raise ValueError(f"radius must be a positive integer, got {radius}")
     r2 = int(radius) * int(radius)
     cell = int(radius)
 
+    def _floor_div(col: str) -> Column:
+        # pure long arithmetic: (x - pmod(x, c)) is exactly divisible by c,
+        # so `div` equals floor for any sign — no double division, which
+        # would misassign cells for coordinates beyond 2^53
+        return F.expr(
+            f"(CAST({col} AS BIGINT) - pmod(CAST({col} AS BIGINT), {cell})) div {cell}"
+        )
+
     def cell_of(x, y):
         return F.struct(
-            F.floor(F.col(x).cast("long") / F.lit(cell)).cast("long").alias("cx"),
-            F.floor(F.col(y).cast("long") / F.lit(cell)).cast("long").alias("cy"),
+            _floor_div(x).alias("cx"),
+            _floor_div(y).alias("cy"),
         )
 
     l = left.select(
@@ -572,9 +582,34 @@ def bloom_filter_table(
         .agg(
             F.bit_or(
                 F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))")
-            ).alias("bits")
+            )
+            # stamp the build parameters into the column metadata so a
+            # probe built with DIFFERENT parameters can be rejected
+            # driver-side (schema-only — no job) instead of silently
+            # returning wrong membership (see _check_bloom_params)
+            .alias("bits", metadata={"num_bits": num_bits, "num_hashes": num_hashes})
         )
     )
+
+
+def _check_bloom_params(bloom: DataFrame, num_bits: int, num_hashes: int) -> None:
+    """Reject a caller-supplied bitmap whose build parameters disagree with
+    the probe's — hashing mod a different m (or a different seed count)
+    produces false NEGATIVES, which no downstream join can repair."""
+    meta = {}
+    for f in bloom.schema.fields:
+        if f.name == "bits":
+            meta = dict(f.metadata or {})
+    if not meta:
+        return  # hand-built relation without the stamp: caller's contract
+    if meta.get("num_bits") != num_bits or meta.get("num_hashes") != num_hashes:
+        raise ValueError(
+            "bloom bitmap was built with num_bits="
+            f"{meta.get('num_bits')}, num_hashes={meta.get('num_hashes')} "
+            f"but the probe was asked for num_bits={num_bits}, "
+            f"num_hashes={num_hashes} — a mismatched probe silently drops "
+            "true matches; rebuild or pass matching parameters"
+        )
 
 
 def bloom_prune(
@@ -676,13 +711,13 @@ def bloom_semi_join(
       that bitmap once the result has materialized — no global
       ``clearCache`` needed, and one bitmap can serve several joins.
     """
-    bitmap = (
-        bloom_filter_table(
+    if bloom is None:
+        bitmap = bloom_filter_table(
             small, key_col, num_bits=num_bits, num_hashes=num_hashes
         ).persist()
-        if bloom is None
-        else bloom
-    )
+    else:
+        _check_bloom_params(bloom, num_bits, num_hashes)
+        bitmap = bloom
     pruned = bloom_prune(
         big, key_col, bitmap, num_bits=num_bits, num_hashes=num_hashes
     )
@@ -719,13 +754,13 @@ def bloom_anti_join(
     bitmap caching contract as :func:`bloom_semi_join`, including the
     caller-owned ``bloom=`` lifecycle.
     """
-    bitmap = (
-        bloom_filter_table(
+    if bloom is None:
+        bitmap = bloom_filter_table(
             small, key_col, num_bits=num_bits, num_hashes=num_hashes
         ).persist()
-        if bloom is None
-        else bloom
-    )
+    else:
+        _check_bloom_params(bloom, num_bits, num_hashes)
+        bitmap = bloom
     flagged, scratch = big, []
     tests = []
     for i in range(num_hashes):

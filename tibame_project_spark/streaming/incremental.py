@@ -95,8 +95,13 @@ def stream_cdc_apply(
     The merged result is ``localCheckpoint``-ed (eager) before the
     overwrite — the merge reads the same table it replaces, and cutting
     lineage to materialized partitions is what makes read-then-overwrite
-    safe. At 100 TB the equivalent move is MERGE INTO on a table format
-    with snapshot isolation (Delta/Iceberg); call sites don't change.
+    possible in one batch. The overwrite itself is NOT atomic on a plain
+    managed table: a crash between the delete and the commit can destroy
+    the table, which is why a later epoch finding no table refuses to
+    re-bootstrap (prior rows would silently vanish) and fails loudly for
+    operator recovery. At 100 TB the real fix is MERGE INTO on a table
+    format with snapshot isolation (Delta/Iceberg); call sites don't
+    change.
 
     Precondition: at most one change per key per micro-batch (a multi-
     change feed should be collapsed to the latest change first — compose
@@ -105,12 +110,25 @@ def stream_cdc_apply(
     """
     from tibame_project_spark.operators.corrections import merge_upsert
 
-    def apply_batch(batch: DataFrame, _epoch: int) -> None:
+    def apply_batch(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
         if spark.catalog.tableExists(qualified_table):
             target = spark.table(qualified_table)
             merged = merge_upsert(target, batch, key, delete_col=delete_col)
         else:
+            if epoch > 0:
+                # the checkpoint says earlier epochs committed, but their
+                # table is gone (e.g. a mid-overwrite crash destroyed it).
+                # Bootstrapping from THIS batch alone would silently
+                # commit a table missing every earlier key — fail loudly
+                # instead; the operator recovers from a table backup or a
+                # reset checkpoint, not from data loss papered over.
+                raise RuntimeError(
+                    f"stream_cdc_apply: checkpoint is at epoch {epoch} but "
+                    f"table {qualified_table} does not exist — refusing to "
+                    "bootstrap from a partial change feed (prior epochs' "
+                    "rows would be silently lost)"
+                )
             merged = batch
             if delete_col is not None:
                 merged = merged.filter(
