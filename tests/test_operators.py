@@ -2717,3 +2717,69 @@ def test_stream_cdc_apply_refuses_bootstrap_after_table_loss(spark, tmp_path):
     spark.createDataFrame([(2, 20)], schema).coalesce(1).write.mode("append").parquet(str(src))
     with pytest.raises(StreamingQueryException, match="refusing to bootstrap"):
         run()
+
+
+def test_write_snapshot_atomic_publish_and_prune(spark, tmp_path):
+    """Snapshot writes publish via an atomic pointer swap: a 'crashed'
+    write (data directory present, pointer never swapped) is invisible to
+    readers; version pruning keeps the newest `keep` only."""
+    from tibame_project_spark.sources.writers import (
+        read_snapshot,
+        read_snapshot_version,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "snap")
+    assert read_snapshot_version(spark, base) is None
+    v0 = write_snapshot(spark, spark.createDataFrame([(1, "a")], "id long, v string"), base)
+    assert v0 == 0 and read_snapshot_version(spark, base) == 0
+
+    # simulate a crash mid-write of v=1: data lands, pointer never swaps
+    spark.createDataFrame([(2, "b")], "id long, v string").write.parquet(f"{base}/v=1")
+    assert read_snapshot_version(spark, base) == 0
+    assert [tuple(r) for r in read_snapshot(spark, base).collect()] == [(1, "a")]
+
+    # the next committed write overwrites and supersedes the orphaned dir
+    v1 = write_snapshot(spark, spark.createDataFrame([(3, "c")], "id long, v string"), base)
+    assert v1 == 1 and read_snapshot_version(spark, base) == 1
+    assert [tuple(r) for r in read_snapshot(spark, base).collect()] == [(3, "c")]
+
+    write_snapshot(spark, spark.createDataFrame([(4, "d")], "id long, v string"), base, keep=2)
+    import os
+
+    dirs = sorted(d for d in os.listdir(base) if d.startswith("v="))
+    assert dirs == ["v=1", "v=2"]  # older versions pruned, current kept
+
+
+def test_stream_cdc_apply_snapshot_merges_and_survives_replay(spark, tmp_path):
+    """The snapshot-backed CDC apply: bootstrap, then merge
+    update/insert/delete into a NEW version per batch; the previous
+    version stays on disk during the merge (no read-then-overwrite
+    hazard) and a no-new-files re-run changes nothing."""
+    from tibame_project_spark.sources.writers import read_snapshot
+    from tibame_project_spark.streaming.incremental import stream_cdc_apply_snapshot
+
+    src = tmp_path / "feed"
+    base = str(tmp_path / "snaptab")
+    ckpt = str(tmp_path / "ckpt3")
+    schema = "id long, name string, v long, dead boolean"
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        stream_cdc_apply_snapshot(stream, base, "id", checkpoint=ckpt, delete_col="dead")
+
+    land([(1, "a", 10, False), (2, "b", 20, False)])
+    run()
+    assert sorted(tuple(r) for r in read_snapshot(spark, base).collect()) == [
+        (1, "a", 10),
+        (2, "b", 20),
+    ]
+    land([(2, "B", 200, False), (3, "c", 30, False), (1, "a", 10, True)])
+    run()
+    expected = [(2, "B", 200), (3, "c", 30)]
+    assert sorted(tuple(r) for r in read_snapshot(spark, base).collect()) == expected
+    run()  # checkpointed: no new files, no new version content
+    assert sorted(tuple(r) for r in read_snapshot(spark, base).collect()) == expected

@@ -270,3 +270,72 @@ def compact_parquet(
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def write_snapshot(spark, df: DataFrame, base_path: str, *, keep: int = 2) -> int:
+    """Versioned atomic overwrite on a plain filesystem — the minimal
+    snapshot-isolation pattern that table formats (Delta/Iceberg)
+    industrialize: each write lands in a fresh ``v=<n>/`` subdirectory of
+    ``base_path`` and is published by atomically creating an empty
+    ``_COMMIT_v<n>`` marker (create-new, never rename/replace — the
+    append-only-log commit, which works the same on HDFS/S3A as locally);
+    the current version is simply the highest committed marker.
+
+    Crash safety, by construction: a failure anywhere before the marker
+    creation leaves the previous version current and the new ``v=<n>/``
+    directory an invisible orphan (the next write overwrites and
+    supersedes it) — readers (:func:`read_snapshot`) never observe a
+    partial table, and the read-then-overwrite hazard of in-place
+    ``mode("overwrite")`` (documented on
+    ``streaming.incremental.stream_cdc_apply``) disappears: the new
+    version is derived FROM the old one while the old one stays on disk.
+    ``keep`` bounds disk growth by pruning versions older than the newest
+    ``keep`` (marker first, then data, so a half-pruned version can never
+    read as current). Single-writer per table, like every file-log format
+    without a lock service.
+
+    Returns the committed version number.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    base = jvm.org.apache.hadoop.fs.Path(base_path)
+    fs = base.getFileSystem(conf)
+    current = read_snapshot_version(spark, base_path)
+    version = (current if current is not None else -1) + 1
+    df.write.mode("overwrite").parquet(f"{base_path}/v={version}")
+    marker = jvm.org.apache.hadoop.fs.Path(f"{base_path}/_COMMIT_v{version}")
+    fs.create(marker, False).close()  # atomic create-new = the commit
+    for status in fs.listStatus(base):
+        name = status.getPath().getName()
+        if name.startswith("_COMMIT_v") and int(name[9:]) <= version - keep:
+            old = int(name[9:])
+            fs.delete(status.getPath(), False)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base_path}/v={old}"), True)
+    return version
+
+
+def read_snapshot_version(spark, base_path: str) -> int | None:
+    """The committed version number of a :func:`write_snapshot` table
+    (highest ``_COMMIT_v<n>`` marker), or None if nothing has been
+    published yet."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    base = jvm.org.apache.hadoop.fs.Path(base_path)
+    fs = base.getFileSystem(conf)
+    if not fs.exists(base):
+        return None
+    versions = [
+        int(status.getPath().getName()[9:])
+        for status in fs.listStatus(base)
+        if status.getPath().getName().startswith("_COMMIT_v")
+    ]
+    return max(versions) if versions else None
+
+
+def read_snapshot(spark, base_path: str) -> DataFrame:
+    """Read the current committed version of a :func:`write_snapshot`
+    table. Raises if nothing has been published."""
+    version = read_snapshot_version(spark, base_path)
+    if version is None:
+        raise FileNotFoundError(f"no committed snapshot under {base_path}")
+    return spark.read.parquet(f"{base_path}/v={version}")

@@ -154,6 +154,56 @@ def stream_cdc_apply(
     )
 
 
+def stream_cdc_apply_snapshot(
+    stream: DataFrame,
+    base_path: str,
+    key: str | list[str],
+    *,
+    checkpoint: str,
+    delete_col: str | None = None,
+    keep: int = 2,
+) -> None:
+    """:func:`stream_cdc_apply` on a snapshot-versioned table
+    (``sources.writers.write_snapshot``) instead of an in-place managed
+    table — the variant WITHOUT the non-atomic-overwrite window: each
+    micro-batch merges against the current committed version and
+    publishes a new ``v=<n>/`` directory with an atomic commit marker, so
+    a crash at any point leaves the previous complete version current and
+    the refuse-to-bootstrap guard becomes unnecessary (there is no state
+    in which prior rows are lost). A replayed epoch re-merges against a
+    version that already contains it — a fixpoint — and publishes an
+    identical next version. This is the plain-filesystem rehearsal of
+    MERGE INTO on a snapshot-isolated table format.
+    """
+    from tibame_project_spark.operators.corrections import merge_upsert
+    from tibame_project_spark.sources.writers import (
+        read_snapshot,
+        read_snapshot_version,
+        write_snapshot,
+    )
+
+    def apply_batch(batch: DataFrame, _epoch: int) -> None:
+        spark = batch.sparkSession
+        if read_snapshot_version(spark, base_path) is None:
+            merged = batch
+            if delete_col is not None:
+                merged = merged.filter(
+                    ~F.coalesce(F.col(delete_col), F.lit(False))
+                ).drop(delete_col)
+        else:
+            target = read_snapshot(spark, base_path)
+            merged = merge_upsert(target, batch, key, delete_col=delete_col)
+        write_snapshot(spark, merged, base_path, keep=keep)
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     keys: list[str],
