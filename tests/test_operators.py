@@ -2783,3 +2783,69 @@ def test_stream_cdc_apply_snapshot_merges_and_survives_replay(spark, tmp_path):
     assert sorted(tuple(r) for r in read_snapshot(spark, base).collect()) == expected
     run()  # checkpointed: no new files, no new version content
     assert sorted(tuple(r) for r in read_snapshot(spark, base).collect()) == expected
+
+
+def test_write_snapshot_guards_and_mid_prune_crash_sweep(spark, tmp_path):
+    """keep < 1 would delete the version just committed — rejected; a
+    mid-prune crash (marker deleted, data dir left) must be swept by the
+    next write's prune instead of leaking a table copy forever."""
+    import os
+
+    from tibame_project_spark.sources.writers import (
+        read_snapshot_version,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "snapg")
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="keep"):
+        write_snapshot(spark, df, base, keep=0)
+
+    for _ in range(3):  # v0, v1, v2 with keep=3: nothing pruned yet
+        write_snapshot(spark, df, base, keep=3)
+    # simulate a crashed prune of v=0: marker gone, data dir remains
+    os.remove(os.path.join(base, "_COMMIT_v0"))
+    assert read_snapshot_version(spark, base) == 2
+    write_snapshot(spark, df, base, keep=2)  # commits v3, floor=1
+    dirs = sorted(d for d in os.listdir(base) if d.startswith("v="))
+    assert dirs == ["v=2", "v=3"]  # markerless v=0 AND v=1 both swept
+
+
+def test_bloom_prune_rejects_mismatched_bitmap_params(spark):
+    """bloom_prune is a public entry point with no downstream join to
+    repair false negatives — a mismatched bitmap must be rejected there
+    too, not only in the semi/anti wrappers."""
+    from tibame_project_spark.operators.joins import bloom_filter_table, bloom_prune
+
+    df = spark.createDataFrame([("k1", 1)], "key string, v int")
+    small = spark.createDataFrame([("k1",)], "key string")
+    bitmap = bloom_filter_table(small, "key", num_bits=8192, num_hashes=5)
+    with pytest.raises(ValueError, match="num_bits"):
+        bloom_prune(df, "key", bitmap, num_bits=4096, num_hashes=5)
+
+
+def test_stream_cdc_apply_snapshot_refuses_bootstrap_after_external_loss(spark, tmp_path):
+    """A committed epoch finding no snapshot table means external deletion
+    (no crash state can lose one) — refuse to re-bootstrap, same contract
+    as the managed-table sink."""
+    import shutil
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from tibame_project_spark.streaming.incremental import stream_cdc_apply_snapshot
+
+    src = tmp_path / "feed2"
+    base = str(tmp_path / "snaplost")
+    ckpt = str(tmp_path / "ckpt4")
+    schema = "id long, v long"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        stream_cdc_apply_snapshot(stream, base, "id", checkpoint=ckpt)
+
+    spark.createDataFrame([(1, 10)], schema).coalesce(1).write.mode("append").parquet(str(src))
+    run()
+    shutil.rmtree(base)  # external loss
+    spark.createDataFrame([(2, 20)], schema).coalesce(1).write.mode("append").parquet(str(src))
+    with pytest.raises(StreamingQueryException, match="refusing to bootstrap"):
+        run()

@@ -639,6 +639,7 @@ def bloom_prune(
     because the caller owns the unpersist point (see
     :func:`bloom_semi_join`'s two lifecycles).
     """
+    _check_bloom_params(bloom, num_bits, num_hashes)
     out = df
     for i in range(num_hashes):
         out, test, scratch = _bloom_probe_step(out, key_col, bloom, i, num_bits)

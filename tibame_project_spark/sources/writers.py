@@ -272,14 +272,25 @@ def compact_parquet(
     return n_files
 
 
-def write_snapshot(spark, df: DataFrame, base_path: str, *, keep: int = 2) -> int:
+def write_snapshot(
+    spark,
+    df: DataFrame,
+    base_path: str,
+    *,
+    keep: int = 2,
+    base_version: int | None = None,
+) -> int:
     """Versioned atomic overwrite on a plain filesystem — the minimal
     snapshot-isolation pattern that table formats (Delta/Iceberg)
     industrialize: each write lands in a fresh ``v=<n>/`` subdirectory of
     ``base_path`` and is published by atomically creating an empty
     ``_COMMIT_v<n>`` marker (create-new, never rename/replace — the
-    append-only-log commit, which works the same on HDFS/S3A as locally);
-    the current version is simply the highest committed marker.
+    append-only-log commit; atomic on local/HDFS semantics. Object
+    stores without conditional PUT make create-new a check-then-write,
+    which is why the single-writer contract below is load-bearing there,
+    exactly as it is for every file-log table format without a lock
+    service); the current version is simply the highest committed
+    marker.
 
     Crash safety, by construction: a failure anywhere before the marker
     creation leaves the previous version current and the new ``v=<n>/``
@@ -289,28 +300,43 @@ def write_snapshot(spark, df: DataFrame, base_path: str, *, keep: int = 2) -> in
     ``mode("overwrite")`` (documented on
     ``streaming.incremental.stream_cdc_apply``) disappears: the new
     version is derived FROM the old one while the old one stays on disk.
-    ``keep`` bounds disk growth by pruning versions older than the newest
-    ``keep`` (marker first, then data, so a half-pruned version can never
-    read as current). Single-writer per table, like every file-log format
-    without a lock service.
+    ``keep`` (>= 1) bounds disk growth by pruning versions older than the
+    newest ``keep`` (marker first, then data, so a half-pruned version can
+    never read as current; the sweep also collects markerless data dirs
+    below the retention floor, so a crash BETWEEN the two deletes leaks
+    nothing permanently). Single-writer per table, like every file-log
+    format without a lock service.
 
-    Returns the committed version number.
+    ``base_version`` lets a caller that already resolved the current
+    committed version (e.g. a CDC loop that just read it) skip the extra
+    listing. Returns the committed version number.
     """
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1 (the current version), got {keep}")
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     base = jvm.org.apache.hadoop.fs.Path(base_path)
     fs = base.getFileSystem(conf)
-    current = read_snapshot_version(spark, base_path)
+    current = (
+        base_version
+        if base_version is not None
+        else read_snapshot_version(spark, base_path)
+    )
     version = (current if current is not None else -1) + 1
     df.write.mode("overwrite").parquet(f"{base_path}/v={version}")
     marker = jvm.org.apache.hadoop.fs.Path(f"{base_path}/_COMMIT_v{version}")
-    fs.create(marker, False).close()  # atomic create-new = the commit
+    fs.create(marker, False).close()  # create-new = the commit
+    floor = version - keep
     for status in fs.listStatus(base):
         name = status.getPath().getName()
-        if name.startswith("_COMMIT_v") and int(name[9:]) <= version - keep:
-            old = int(name[9:])
+        if name.startswith("_COMMIT_v") and int(name[9:]) <= floor:
             fs.delete(status.getPath(), False)
-            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base_path}/v={old}"), True)
+    for status in fs.listStatus(base):
+        # second pass: data dirs at/below the floor, markerless ones
+        # included (a prior mid-prune crash deleted the marker only)
+        name = status.getPath().getName()
+        if name.startswith("v=") and int(name[2:]) <= floor:
+            fs.delete(status.getPath(), True)
     return version
 
 
@@ -332,10 +358,13 @@ def read_snapshot_version(spark, base_path: str) -> int | None:
     return max(versions) if versions else None
 
 
-def read_snapshot(spark, base_path: str) -> DataFrame:
+def read_snapshot(spark, base_path: str, *, version: int | None = None) -> DataFrame:
     """Read the current committed version of a :func:`write_snapshot`
-    table. Raises if nothing has been published."""
-    version = read_snapshot_version(spark, base_path)
+    table (or an explicit ``version`` a caller already resolved — time
+    travel within the retention window). Raises if nothing has been
+    published."""
+    if version is None:
+        version = read_snapshot_version(spark, base_path)
     if version is None:
         raise FileNotFoundError(f"no committed snapshot under {base_path}")
     return spark.read.parquet(f"{base_path}/v={version}")

@@ -168,9 +168,10 @@ def stream_cdc_apply_snapshot(
     table — the variant WITHOUT the non-atomic-overwrite window: each
     micro-batch merges against the current committed version and
     publishes a new ``v=<n>/`` directory with an atomic commit marker, so
-    a crash at any point leaves the previous complete version current and
-    the refuse-to-bootstrap guard becomes unnecessary (there is no state
-    in which prior rows are lost). A replayed epoch re-merges against a
+    a crash at any point leaves the previous complete version current —
+    no crash state loses prior rows. (The refuse-to-bootstrap guard is
+    still applied for EXTERNAL loss: a committed epoch finding no
+    snapshot means someone deleted the table.) A replayed epoch re-merges against a
     version that already contains it — a fixpoint — and publishes an
     identical next version. This is the plain-filesystem rehearsal of
     MERGE INTO on a snapshot-isolated table format.
@@ -182,18 +183,33 @@ def stream_cdc_apply_snapshot(
         write_snapshot,
     )
 
-    def apply_batch(batch: DataFrame, _epoch: int) -> None:
+    def apply_batch(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
-        if read_snapshot_version(spark, base_path) is None:
+        # resolve the committed version ONCE per batch (one listing, not
+        # three) and thread it through the read and the write
+        version = read_snapshot_version(spark, base_path)
+        if version is None:
+            if epoch > 0:
+                # crash states can't lose a snapshot table, so a missing
+                # table at a committed epoch means EXTERNAL loss (retention
+                # script, rm -rf, moved mount) — same refusal as
+                # stream_cdc_apply: re-bootstrapping from one batch would
+                # silently drop every earlier key
+                raise RuntimeError(
+                    f"stream_cdc_apply_snapshot: checkpoint is at epoch "
+                    f"{epoch} but no committed snapshot exists under "
+                    f"{base_path} — refusing to bootstrap from a partial "
+                    "change feed (prior epochs' rows would be silently lost)"
+                )
             merged = batch
             if delete_col is not None:
                 merged = merged.filter(
                     ~F.coalesce(F.col(delete_col), F.lit(False))
                 ).drop(delete_col)
         else:
-            target = read_snapshot(spark, base_path)
+            target = read_snapshot(spark, base_path, version=version)
             merged = merge_upsert(target, batch, key, delete_col=delete_col)
-        write_snapshot(spark, merged, base_path, keep=keep)
+        write_snapshot(spark, merged, base_path, keep=keep, base_version=version)
 
     (
         stream.writeStream.foreachBatch(apply_batch)
