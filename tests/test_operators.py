@@ -2849,3 +2849,33 @@ def test_stream_cdc_apply_snapshot_refuses_bootstrap_after_external_loss(spark, 
     spark.createDataFrame([(2, 20)], schema).coalesce(1).write.mode("append").parquet(str(src))
     with pytest.raises(StreamingQueryException, match="refusing to bootstrap"):
         run()
+
+
+def test_snapshot_changes_feed_between_versions(spark, tmp_path):
+    """The derived change feed between two snapshot versions tags exactly
+    the inserted / deleted / updated keys."""
+    from tibame_project_spark.sources.writers import snapshot_changes, write_snapshot
+
+    base = str(tmp_path / "cdfeed")
+    write_snapshot(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id long, v long"),
+        base,
+        keep=5,
+    )
+    write_snapshot(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 200), (4, 40)], "id long, v long"),
+        base,
+        keep=5,
+    )
+    got = {
+        r.id: (r.op, r.old_v, r.new_v)
+        for r in snapshot_changes(spark, base, "id", from_version=0).collect()
+    }
+    assert got == {
+        1: ("same", 10, 10),
+        2: ("update", 20, 200),
+        3: ("delete", 30, None),
+        4: ("insert", None, 40),
+    }

@@ -368,3 +368,33 @@ def read_snapshot(spark, base_path: str, *, version: int | None = None) -> DataF
     if version is None:
         raise FileNotFoundError(f"no committed snapshot under {base_path}")
     return spark.read.parquet(f"{base_path}/v={version}")
+
+
+def snapshot_changes(
+    spark,
+    base_path: str,
+    key: str | list[str],
+    *,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed between two committed versions of a
+    :func:`write_snapshot` table: every key inserted / deleted / updated
+    between ``from_version`` and ``to_version`` (default: current),
+    tagged and carrying old/new values — ``operators.corrections.
+    snapshot_diff`` applied to the version directories that
+    snapshot-versioning keeps on disk anyway. This is the read side of
+    the CDC story: ``stream_cdc_apply_snapshot`` applies a change feed,
+    this derives one, so a downstream table can subscribe to increments
+    instead of re-reading the 100 TB table per refresh. Both versions
+    must still be within the retention window (``keep``).
+    """
+    from tibame_project_spark.operators.corrections import snapshot_diff
+
+    if to_version is None:
+        to_version = read_snapshot_version(spark, base_path)
+        if to_version is None:
+            raise FileNotFoundError(f"no committed snapshot under {base_path}")
+    old = read_snapshot(spark, base_path, version=from_version)
+    new = read_snapshot(spark, base_path, version=to_version)
+    return snapshot_diff(old, new, key)
