@@ -669,3 +669,80 @@ def test_radius_join_grid_matches_model(spark_global, lpts, rpts, radius):
         if (l[1] - r[1]) ** 2 + (l[2] - r[2]) ** 2 <= radius * radius
     }
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 100)),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 100), st.booleans()),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_upsert_matches_dict_model(spark_global, target_rows, source_rows):
+    """merge_upsert against a plain dict replay of MERGE semantics, for
+    arbitrary overlapping key sets and tombstone placements — including
+    re-applying the same batch (fixpoint, the CDC idempotence claim)."""
+    from tibame_project_spark.operators.corrections import merge_upsert
+
+    target = spark_global.createDataFrame(
+        target_rows or [(99999, 0)], "id long, v long"
+    )
+    if not target_rows:
+        target = target.filter("id < 0")  # empty target with schema
+    source = spark_global.createDataFrame(source_rows, "id long, v long, dead boolean")
+
+    model = {k: v for k, v in (target_rows or [])}
+    for k, v, dead in source_rows:
+        if dead:
+            model.pop(k, None)
+        else:
+            model[k] = v
+
+    merged = merge_upsert(target, source, "id", delete_col="dead")
+    got = {r.id: r.v for r in merged.collect()}
+    assert got == model
+
+    # fixpoint: applying the same batch to the merged state changes nothing
+    again = merge_upsert(merged, source, "id", delete_col="dead")
+    assert {r.id: r.v for r in again.collect()} == model
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 50), min_size=1, max_size=5, unique=True),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(1, 3),
+)
+def test_write_snapshot_sequence_matches_model(spark_global, tmp_path_factory, batches, keep):
+    """Any sequence of snapshot writes: the reader always sees exactly the
+    last committed content, version numbers are dense, and retained data
+    dirs never exceed `keep`."""
+    import os
+
+    from tibame_project_spark.sources.writers import (
+        read_snapshot,
+        read_snapshot_version,
+        write_snapshot,
+    )
+
+    base = str(tmp_path_factory.mktemp("snapseq") / "t")
+    for i, ids in enumerate(batches):
+        df = spark_global.createDataFrame([(x,) for x in ids], "id long")
+        v = write_snapshot(spark_global, df, base, keep=keep)
+        assert v == i
+    assert read_snapshot_version(spark_global, base) == len(batches) - 1
+    got = sorted(r.id for r in read_snapshot(spark_global, base).collect())
+    assert got == sorted(batches[-1])
+    dirs = [d for d in os.listdir(base) if d.startswith("v=")]
+    assert len(dirs) <= keep
