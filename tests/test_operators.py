@@ -2879,3 +2879,24 @@ def test_snapshot_changes_feed_between_versions(spark, tmp_path):
         3: ("delete", 30, None),
         4: ("insert", None, 40),
     }
+
+
+def test_write_snapshot_stale_base_version_fails_before_data_write(spark, tmp_path):
+    """A stale base_version (overlapping writers, cached value) must fail
+    BEFORE touching the committed version's data, and explicit-version
+    reads must refuse uncommitted (crash-orphan) directories."""
+    from tibame_project_spark.sources.writers import read_snapshot, write_snapshot
+
+    base = str(tmp_path / "snapstale")
+    df1 = spark.createDataFrame([(1,)], "id long")
+    df2 = spark.createDataFrame([(2,)], "id long")
+    write_snapshot(spark, df1, base)          # v0
+    write_snapshot(spark, df2, base)          # v1 (current)
+    with pytest.raises(RuntimeError, match="already committed"):
+        write_snapshot(spark, df1, base, base_version=0)  # stale: targets v1
+    # committed v1 data untouched by the refused write
+    assert [r.id for r in read_snapshot(spark, base).collect()] == [2]
+    # explicit version must be committed: orphan dirs are refused
+    spark.createDataFrame([(9,)], "id long").write.parquet(f"{base}/v=7")
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        read_snapshot(spark, base, version=7)

@@ -717,8 +717,7 @@ def bloom_semi_join(
             small, key_col, num_bits=num_bits, num_hashes=num_hashes
         ).persist()
     else:
-        _check_bloom_params(bloom, num_bits, num_hashes)
-        bitmap = bloom
+        bitmap = bloom  # bloom_prune below validates the stamped params
     pruned = bloom_prune(
         big, key_col, bitmap, num_bits=num_bits, num_hashes=num_hashes
     )

@@ -323,17 +323,30 @@ def write_snapshot(
         else read_snapshot_version(spark, base_path)
     )
     version = (current if current is not None else -1) + 1
-    df.write.mode("overwrite").parquet(f"{base_path}/v={version}")
     marker = jvm.org.apache.hadoop.fs.Path(f"{base_path}/_COMMIT_v{version}")
+    if fs.exists(marker):
+        # a stale base_version (overlapping drains, cached value) must
+        # fail BEFORE the data write — mode("overwrite") would destroy
+        # the committed version's data and only then hit the create-new
+        raise RuntimeError(
+            f"snapshot version {version} under {base_path} is already "
+            "committed — base_version is stale (concurrent writer or "
+            "cached value); re-resolve with read_snapshot_version"
+        )
+    df.write.mode("overwrite").parquet(f"{base_path}/v={version}")
     fs.create(marker, False).close()  # create-new = the commit
     floor = version - keep
-    for status in fs.listStatus(base):
+    # ONE listing serves both prune passes (deleting a marker cannot
+    # change which v=<n> dirs exist) — object-store LISTs are the
+    # expensive metadata op here
+    listing = list(fs.listStatus(base))
+    for status in listing:
         name = status.getPath().getName()
         if name.startswith("_COMMIT_v") and int(name[9:]) <= floor:
             fs.delete(status.getPath(), False)
-    for status in fs.listStatus(base):
-        # second pass: data dirs at/below the floor, markerless ones
-        # included (a prior mid-prune crash deleted the marker only)
+    for status in listing:
+        # data dirs at/below the floor, markerless ones included (a
+        # prior mid-prune crash deleted the marker only)
         name = status.getPath().getName()
         if name.startswith("v=") and int(name[2:]) <= floor:
             fs.delete(status.getPath(), True)
@@ -365,8 +378,20 @@ def read_snapshot(spark, base_path: str, *, version: int | None = None) -> DataF
     published."""
     if version is None:
         version = read_snapshot_version(spark, base_path)
-    if version is None:
-        raise FileNotFoundError(f"no committed snapshot under {base_path}")
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot under {base_path}")
+    else:
+        # an explicit version must be a COMMITTED one: a crashed write can
+        # leave a partial marker-less v=<n>/ dir, and reading it silently
+        # would break the "never observe a partial table" invariant
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        marker = jvm.org.apache.hadoop.fs.Path(f"{base_path}/_COMMIT_v{version}")
+        if not marker.getFileSystem(conf).exists(marker):
+            raise FileNotFoundError(
+                f"snapshot version {version} under {base_path} is not "
+                "committed (crash orphan, pruned, or never written)"
+            )
     return spark.read.parquet(f"{base_path}/v={version}")
 
 
