@@ -2892,7 +2892,7 @@ def test_write_snapshot_stale_base_version_fails_before_data_write(spark, tmp_pa
     df2 = spark.createDataFrame([(2,)], "id long")
     write_snapshot(spark, df1, base)          # v0
     write_snapshot(spark, df2, base)          # v1 (current)
-    with pytest.raises(RuntimeError, match="already committed"):
+    with pytest.raises(RuntimeError, match="not ahead"):
         write_snapshot(spark, df1, base, base_version=0)  # stale: targets v1
     # committed v1 data untouched by the refused write
     assert [r.id for r in read_snapshot(spark, base).collect()] == [2]
@@ -2900,3 +2900,46 @@ def test_write_snapshot_stale_base_version_fails_before_data_write(spark, tmp_pa
     spark.createDataFrame([(9,)], "id long").write.parquet(f"{base}/v=7")
     with pytest.raises(FileNotFoundError, match="not committed"):
         read_snapshot(spark, base, version=7)
+
+
+def test_merge_upsert_null_keys_are_null_safe(spark):
+    """A NULL-key change row must MATCH the NULL-key target row (update or
+    delete), not re-insert a duplicate on every application — the re-apply
+    fixpoint the CDC sinks rely on."""
+    from tibame_project_spark.operators.corrections import merge_upsert
+
+    target = spark.createDataFrame([(None, 1), (7, 70)], "id integer, v long")
+    src = spark.createDataFrame([(None, 2, False)], "id integer, v long, dead boolean")
+    merged = merge_upsert(target, src, "id", delete_col="dead")
+    got = sorted(((r.id, r.v) for r in merged.collect()), key=str)
+    assert got == [(7, 70), (None, 2)]
+    # fixpoint under redelivery: no duplicate NULL-key rows accumulate
+    again = merge_upsert(merged, src, "id", delete_col="dead")
+    assert sorted(((r.id, r.v) for r in again.collect()), key=str) == got
+    # NULL-key tombstone deletes the NULL-key row
+    tomb = spark.createDataFrame([(None, 2, True)], "id integer, v long, dead boolean")
+    assert [(r.id, r.v) for r in merge_upsert(merged, tomb, "id", delete_col="dead").collect()] == [(7, 70)]
+
+
+def test_write_snapshot_stale_guard_holds_beyond_retention(spark, tmp_path):
+    """The staleness guard must stay closed even when the collided
+    version's own marker was already pruned: validation compares against
+    the committed HEAD, not one marker file."""
+    from tibame_project_spark.sources.writers import write_snapshot
+
+    base = str(tmp_path / "snapstale2")
+    df = spark.createDataFrame([(1,)], "id long")
+    for _ in range(6):  # v0..v5, keep=2 → markers v0..v3 pruned
+        write_snapshot(spark, df, base, keep=2)
+    with pytest.raises(RuntimeError, match="not ahead"):
+        write_snapshot(spark, df, base, base_version=2)  # targets pruned v3
+
+
+def test_radius_join_grid_rejects_float_radius(spark):
+    from tibame_project_spark.operators.joins import radius_join_grid
+
+    ldf = spark.createDataFrame([(1, 0, 0)], "lid long, x long, y long")
+    with pytest.raises(ValueError, match="integer"):
+        radius_join_grid(ldf, ldf, left_id="lid", right_id="lid", radius=2.5)
+    # an integral float is fine (2.0 == int(2.0))
+    assert radius_join_grid(ldf, ldf, left_id="lid", right_id="lid", radius=2.0).count() == 1

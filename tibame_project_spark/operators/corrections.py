@@ -12,7 +12,7 @@ call sites).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -72,7 +72,11 @@ def merge_upsert(
 
     ``source`` must carry every ``target`` column (an upsert batch is a
     full-row payload, unlike ``apply_updates``'s sparse patches) plus
-    optionally ``delete_col``.
+    optionally ``delete_col``. Keys match NULL-safely (``eqNullSafe``): a
+    NULL-key change row updates/deletes the NULL-key target row instead
+    of silently re-inserting a duplicate on every application — without
+    that, the re-apply fixpoint the CDC sinks rely on breaks for bad
+    upstream extracts.
     """
     keys = [key] if isinstance(key, str) else list(key)
     tcols = target.columns
@@ -86,24 +90,37 @@ def merge_upsert(
         *[F.col(c).alias(f"__s_{c}") for c in tcols if c not in keys],
         *( [F.col(delete_col).alias("__tomb")] if delete_col else [] ),
         F.lit(True).alias("__in_s"),
-    )
-    j = target.join(s, keys, "full_outer")
+    ).alias("s")
+    t = target.alias("t")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    j = t.join(s, _all(cond), "full_outer")
     if delete_col:
         # matched + tombstone → DELETE; source-only tombstone → no-op
         # (a delete for an absent key inserts nothing); either way the
         # row leaves the result, so one predicate covers both
         j = j.filter(~F.coalesce(F.col("__tomb"), F.lit(False)))
     # matched or source-only → source values; target-only → target values
+    # (presence marker, not key-null checks — NULL keys are legitimate)
     take_source = F.col("__in_s").isNotNull()
     out = j.select(
-        *[F.col(k) for k in keys],
         *[
-            F.when(take_source, F.col(f"__s_{c}")).otherwise(F.col(c)).alias(c)
+            F.when(take_source, F.col(f"s.{k}")).otherwise(F.col(f"t.{k}")).alias(k)
+            for k in keys
+        ],
+        *[
+            F.when(take_source, F.col(f"__s_{c}")).otherwise(F.col(f"t.{c}")).alias(c)
             for c in tcols
             if c not in keys
         ],
     )
     return out.select(*tcols)
+
+
+def _all(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
 
 
 def snapshot_diff(

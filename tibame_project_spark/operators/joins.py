@@ -477,8 +477,10 @@ def radius_join_grid(
     Returns (left_id, right_id, dist2) with dist2 the exact squared
     distance as BIGINT.
     """
-    if int(radius) <= 0:
-        raise ValueError(f"radius must be a positive integer, got {radius}")
+    if radius != int(radius) or int(radius) <= 0:
+        # a truncated float radius would silently return a SMALLER match
+        # set than asked for — reject instead of guessing
+        raise ValueError(f"radius must be a positive integer, got {radius!r}")
     r2 = int(radius) * int(radius)
     cell = int(radius)
 

@@ -317,29 +317,38 @@ def write_snapshot(
     conf = spark._jsc.hadoopConfiguration()
     base = jvm.org.apache.hadoop.fs.Path(base_path)
     fs = base.getFileSystem(conf)
+    # ONE pre-write listing serves version resolution, staleness
+    # validation AND both prune passes (everything the prune deletes
+    # predates this write; deleting a marker cannot change which v=<n>
+    # dirs exist) — object-store LISTs are the expensive metadata op here
+    listing = list(fs.listStatus(base)) if fs.exists(base) else []
+    committed = [
+        int(st.getPath().getName()[9:])
+        for st in listing
+        if st.getPath().getName().startswith("_COMMIT_v")
+    ]
     current = (
         base_version
         if base_version is not None
-        else read_snapshot_version(spark, base_path)
+        else (max(committed) if committed else None)
     )
     version = (current if current is not None else -1) + 1
-    marker = jvm.org.apache.hadoop.fs.Path(f"{base_path}/_COMMIT_v{version}")
-    if fs.exists(marker):
+    if committed and version <= max(committed):
         # a stale base_version (overlapping drains, cached value) must
-        # fail BEFORE the data write — mode("overwrite") would destroy
-        # the committed version's data and only then hit the create-new
+        # fail BEFORE the data write — mode("overwrite") would destroy a
+        # committed version's data. Comparing against the max COMMITTED
+        # marker (not just this version's marker) keeps the guard closed
+        # even when the collided version's own marker was already pruned
         raise RuntimeError(
-            f"snapshot version {version} under {base_path} is already "
-            "committed — base_version is stale (concurrent writer or "
-            "cached value); re-resolve with read_snapshot_version"
+            f"snapshot version {version} under {base_path} is not ahead "
+            f"of the committed head v{max(committed)} — base_version is "
+            "stale (concurrent writer or cached value); re-resolve with "
+            "read_snapshot_version"
         )
     df.write.mode("overwrite").parquet(f"{base_path}/v={version}")
+    marker = jvm.org.apache.hadoop.fs.Path(f"{base_path}/_COMMIT_v{version}")
     fs.create(marker, False).close()  # create-new = the commit
     floor = version - keep
-    # ONE listing serves both prune passes (deleting a marker cannot
-    # change which v=<n> dirs exist) — object-store LISTs are the
-    # expensive metadata op here
-    listing = list(fs.listStatus(base))
     for status in listing:
         name = status.getPath().getName()
         if name.startswith("_COMMIT_v") and int(name[9:]) <= floor:

@@ -70,6 +70,24 @@ def stream_to_serving(
     )
 
 
+def _cdc_bootstrap(batch: DataFrame, epoch: int, delete_col: str | None, where: str) -> DataFrame:
+    """Shared first-epoch bootstrap for the CDC sinks: refuse when the
+    checkpoint says earlier epochs committed but the target is gone
+    (re-bootstrapping from one batch silently drops every earlier key),
+    otherwise strip tombstoned rows (a delete in the very first batch
+    inserts nothing) and drop the tombstone column."""
+    if epoch > 0:
+        raise RuntimeError(
+            f"{where}: checkpoint is at epoch {epoch} but the target does "
+            "not exist — refusing to bootstrap from a partial change feed "
+            "(prior epochs' rows would be silently lost)"
+        )
+    out = batch
+    if delete_col is not None:
+        out = out.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
+    return out
+
+
 def stream_cdc_apply(
     stream: DataFrame,
     qualified_table: str,
@@ -116,24 +134,12 @@ def stream_cdc_apply(
             target = spark.table(qualified_table)
             merged = merge_upsert(target, batch, key, delete_col=delete_col)
         else:
-            if epoch > 0:
-                # the checkpoint says earlier epochs committed, but their
-                # table is gone (e.g. a mid-overwrite crash destroyed it).
-                # Bootstrapping from THIS batch alone would silently
-                # commit a table missing every earlier key — fail loudly
-                # instead; the operator recovers from a table backup or a
-                # reset checkpoint, not from data loss papered over.
-                raise RuntimeError(
-                    f"stream_cdc_apply: checkpoint is at epoch {epoch} but "
-                    f"table {qualified_table} does not exist — refusing to "
-                    "bootstrap from a partial change feed (prior epochs' "
-                    "rows would be silently lost)"
-                )
-            merged = batch
-            if delete_col is not None:
-                merged = merged.filter(
-                    ~F.coalesce(F.col(delete_col), F.lit(False))
-                ).drop(delete_col)
+            # a committed epoch with no table means a mid-overwrite crash
+            # destroyed it; the shared bootstrap refuses rather than
+            # papering over the loss (recover from backup / reset ckpt)
+            merged = _cdc_bootstrap(
+                batch, epoch, delete_col, f"stream_cdc_apply({qualified_table})"
+            )
         merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(
             qualified_table
         )
@@ -189,23 +195,12 @@ def stream_cdc_apply_snapshot(
         # three) and thread it through the read and the write
         version = read_snapshot_version(spark, base_path)
         if version is None:
-            if epoch > 0:
-                # crash states can't lose a snapshot table, so a missing
-                # table at a committed epoch means EXTERNAL loss (retention
-                # script, rm -rf, moved mount) — same refusal as
-                # stream_cdc_apply: re-bootstrapping from one batch would
-                # silently drop every earlier key
-                raise RuntimeError(
-                    f"stream_cdc_apply_snapshot: checkpoint is at epoch "
-                    f"{epoch} but no committed snapshot exists under "
-                    f"{base_path} — refusing to bootstrap from a partial "
-                    "change feed (prior epochs' rows would be silently lost)"
-                )
-            merged = batch
-            if delete_col is not None:
-                merged = merged.filter(
-                    ~F.coalesce(F.col(delete_col), F.lit(False))
-                ).drop(delete_col)
+            # crash states can't lose a snapshot table, so a missing table
+            # at a committed epoch means EXTERNAL loss (retention script,
+            # rm -rf, moved mount) — the shared bootstrap refuses
+            merged = _cdc_bootstrap(
+                batch, epoch, delete_col, f"stream_cdc_apply_snapshot({base_path})"
+            )
         else:
             target = read_snapshot(spark, base_path, version=version)
             merged = merge_upsert(target, batch, key, delete_col=delete_col)
