@@ -2943,3 +2943,31 @@ def test_radius_join_grid_rejects_float_radius(spark):
         radius_join_grid(ldf, ldf, left_id="lid", right_id="lid", radius=2.5)
     # an integral float is fine (2.0 == int(2.0))
     assert radius_join_grid(ldf, ldf, left_id="lid", right_id="lid", radius=2.0).count() == 1
+
+
+def test_write_snapshot_rejects_base_version_ahead_of_head(spark, tmp_path):
+    """A cached base_version AHEAD of the committed head is as destructive
+    as one behind it (its prune floor would sweep the real head) — only
+    exactly head+1 may write."""
+    from tibame_project_spark.sources.writers import read_snapshot, write_snapshot
+
+    base = str(tmp_path / "snapahead")
+    df = spark.createDataFrame([(1,)], "id long")
+    write_snapshot(spark, df, base)  # head = v0
+    with pytest.raises(RuntimeError, match="not ahead"):
+        write_snapshot(spark, df, base, base_version=9, keep=2)
+    # head untouched and still readable
+    assert read_snapshot(spark, base).count() == 1
+
+
+def test_merge_upsert_key_guards_and_nonfinite_radius(spark):
+    from tibame_project_spark.operators.corrections import merge_upsert
+    from tibame_project_spark.operators.joins import radius_join_grid
+
+    df = spark.createDataFrame([(1, 2)], "id long, v long")
+    with pytest.raises(ValueError, match="at least one key"):
+        merge_upsert(df, df, [])
+    ldf = spark.createDataFrame([(1, 0, 0)], "lid long, x long, y long")
+    for bad in (float("inf"), float("nan")):
+        with pytest.raises(ValueError, match="positive integer"):
+            radius_join_grid(ldf, ldf, left_id="lid", right_id="lid", radius=bad)

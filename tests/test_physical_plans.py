@@ -527,3 +527,37 @@ def test_bloom_prune_probes_without_shuffling_probed_side(spark):
     # the only exchanges are the bitmap build's tiny word aggregation and
     # the broadcast itself — the probed side never appears under one
     assert "ShuffledHashJoin" not in plan
+
+
+def test_bucketed_merge_upsert_no_exchange_with_plain_keys(spark):
+    """merge_upsert(null_safe_keys=False) over two tables bucketed on the
+    key must plan zero hash-partitioning exchanges (the documented 100 TB
+    nightly-upsert path); the default null-safe keys extract as
+    coalesce/isnull pairs, which raw-key bucketing cannot satisfy — so the
+    flag is what buys the exchange-free plan."""
+    from tibame_project_spark.catalog import ensure_layers
+    from tibame_project_spark.operators.corrections import merge_upsert
+    from tibame_project_spark.sources.writers import write_bucketed_table
+
+    ensure_layers(spark)
+    t = spark.range(0, 1000).withColumn("v", F.col("id") % 7)
+    src = spark.range(500, 1500).withColumn("v", F.col("id") % 11)
+    spark.sql("DROP TABLE IF EXISTS ods.mrg_t")
+    spark.sql("DROP TABLE IF EXISTS ods.mrg_s")
+    write_bucketed_table(t, "ods.mrg_t", bucket_by="id", num_buckets=8)
+    write_bucketed_table(src, "ods.mrg_s", bucket_by="id", num_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        merged = merge_upsert(
+            spark.table("ods.mrg_t"),
+            spark.table("ods.mrg_s"),
+            "id",
+            null_safe_keys=False,
+        )
+        plan = _plan(merged)
+        assert "Exchange hashpartitioning" not in plan
+        assert merged.count() == 1500  # 0..1499, overlap updated not duplicated
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

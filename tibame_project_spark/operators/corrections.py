@@ -12,7 +12,7 @@ call sites).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -52,6 +52,7 @@ def merge_upsert(
     key: str | list[str],
     *,
     delete_col: str | None = None,
+    null_safe_keys: bool = True,
 ) -> DataFrame:
     """One-pass MERGE (the ``MERGE INTO`` shape, M1+M2+M3 fused): rows
     present only in ``target`` pass through, matched keys take the
@@ -64,21 +65,26 @@ def merge_upsert(
     Why it exists next to ``apply_updates``/``apply_deletes``/
     ``insert_missing``: composing those three scans the target THREE
     times and shuffles per step; at 100 TB the nightly upsert batch is
-    applied in ONE full-outer join on the key — one shuffle of each side
-    (or none for the target if both relations are bucketed on the key —
-    see ``sources.writers.write_bucketed_table``). This is Delta/Iceberg
-    MERGE re-expressed on plain relations: the result overwrites the
-    table, no mutable storage needed.
+    applied in ONE full-outer join on the key — one shuffle of each side.
+    This is Delta/Iceberg MERGE re-expressed on plain relations: the
+    result overwrites the table, no mutable storage needed.
 
     ``source`` must carry every ``target`` column (an upsert batch is a
     full-row payload, unlike ``apply_updates``'s sparse patches) plus
-    optionally ``delete_col``. Keys match NULL-safely (``eqNullSafe``): a
-    NULL-key change row updates/deletes the NULL-key target row instead
-    of silently re-inserting a duplicate on every application — without
-    that, the re-apply fixpoint the CDC sinks rely on breaks for bad
-    upstream extracts.
+    optionally ``delete_col``. By default keys match NULL-safely
+    (``eqNullSafe``): a NULL-key change row updates/deletes the NULL-key
+    target row instead of silently re-inserting a duplicate on every
+    application — without that, the re-apply fixpoint the CDC sinks rely
+    on breaks for bad upstream extracts. Trade-off: Catalyst extracts
+    null-safe keys as ``(coalesce(k, default), isnull(k))`` pairs, which
+    a table bucketed on the raw key no longer satisfies — so the
+    exchange-free bucketed-table path (``write_bucketed_table``) needs
+    ``null_safe_keys=False``, correct whenever the key is guaranteed
+    non-null (enforce upstream with an expectations rule).
     """
     keys = [key] if isinstance(key, str) else list(key)
+    if not keys:
+        raise ValueError("merge_upsert needs at least one key column")
     tcols = target.columns
     missing = set(tcols) - set(source.columns)
     if missing:
@@ -92,8 +98,9 @@ def merge_upsert(
         F.lit(True).alias("__in_s"),
     ).alias("s")
     t = target.alias("t")
-    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
-    j = t.join(s, _all(cond), "full_outer")
+    cmp = (lambda a, b: a.eqNullSafe(b)) if null_safe_keys else (lambda a, b: a == b)
+    cond = [cmp(F.col(f"t.{k}"), F.col(f"s.{k}")) for k in keys]
+    j = t.join(s, cond, "full_outer")
     if delete_col:
         # matched + tombstone → DELETE; source-only tombstone → no-op
         # (a delete for an absent key inserts nothing); either way the
@@ -114,13 +121,6 @@ def merge_upsert(
         ],
     )
     return out.select(*tcols)
-
-
-def _all(conds: list[Column]) -> Column:
-    out = conds[0]
-    for c in conds[1:]:
-        out = out & c
-    return out
 
 
 def snapshot_diff(

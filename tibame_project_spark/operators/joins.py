@@ -477,7 +477,11 @@ def radius_join_grid(
     Returns (left_id, right_id, dist2) with dist2 the exact squared
     distance as BIGINT.
     """
-    if radius != int(radius) or int(radius) <= 0:
+    try:
+        ok = radius == int(radius) and int(radius) > 0
+    except (OverflowError, ValueError):  # inf / nan
+        ok = False
+    if not ok:
         # a truncated float radius would silently return a SMALLER match
         # set than asked for — reject instead of guessing
         raise ValueError(f"radius must be a positive integer, got {radius!r}")

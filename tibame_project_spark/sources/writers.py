@@ -272,6 +272,21 @@ def compact_parquet(
     return n_files
 
 
+#: Commit-marker filename prefix for snapshot-versioned tables; version n
+#: commits as f"{_COMMIT_PREFIX}{n}". ONE definition shared by the writer,
+#: the prune, and the reader so parsing can never desynchronize.
+_COMMIT_PREFIX = "_COMMIT_v"
+
+
+def _committed_versions(listing) -> list[int]:
+    """Version numbers of all commit markers in a base-dir listing."""
+    return [
+        int(st.getPath().getName()[len(_COMMIT_PREFIX):])
+        for st in listing
+        if st.getPath().getName().startswith(_COMMIT_PREFIX)
+    ]
+
+
 def write_snapshot(
     spark,
     df: DataFrame,
@@ -322,36 +337,34 @@ def write_snapshot(
     # predates this write; deleting a marker cannot change which v=<n>
     # dirs exist) — object-store LISTs are the expensive metadata op here
     listing = list(fs.listStatus(base)) if fs.exists(base) else []
-    committed = [
-        int(st.getPath().getName()[9:])
-        for st in listing
-        if st.getPath().getName().startswith("_COMMIT_v")
-    ]
+    committed = _committed_versions(listing)
     current = (
         base_version
         if base_version is not None
         else (max(committed) if committed else None)
     )
     version = (current if current is not None else -1) + 1
-    if committed and version <= max(committed):
+    if committed and version != max(committed) + 1:
         # a stale base_version (overlapping drains, cached value) must
         # fail BEFORE the data write — mode("overwrite") would destroy a
-        # committed version's data. Comparing against the max COMMITTED
-        # marker (not just this version's marker) keeps the guard closed
-        # even when the collided version's own marker was already pruned
+        # committed version's data, and a version AHEAD of the head is
+        # just as destructive: its prune floor would sweep the real
+        # head's marker and data. Exactly head+1 is the only valid write
         raise RuntimeError(
             f"snapshot version {version} under {base_path} is not ahead "
-            f"of the committed head v{max(committed)} — base_version is "
-            "stale (concurrent writer or cached value); re-resolve with "
-            "read_snapshot_version"
+            f"of the committed head v{max(committed)} by exactly one — "
+            "base_version is stale (concurrent writer or cached value); "
+            "re-resolve with read_snapshot_version"
         )
     df.write.mode("overwrite").parquet(f"{base_path}/v={version}")
-    marker = jvm.org.apache.hadoop.fs.Path(f"{base_path}/_COMMIT_v{version}")
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{base_path}/{_COMMIT_PREFIX}{version}"
+    )
     fs.create(marker, False).close()  # create-new = the commit
     floor = version - keep
     for status in listing:
         name = status.getPath().getName()
-        if name.startswith("_COMMIT_v") and int(name[9:]) <= floor:
+        if name.startswith(_COMMIT_PREFIX) and int(name[len(_COMMIT_PREFIX):]) <= floor:
             fs.delete(status.getPath(), False)
     for status in listing:
         # data dirs at/below the floor, markerless ones included (a
@@ -372,11 +385,7 @@ def read_snapshot_version(spark, base_path: str) -> int | None:
     fs = base.getFileSystem(conf)
     if not fs.exists(base):
         return None
-    versions = [
-        int(status.getPath().getName()[9:])
-        for status in fs.listStatus(base)
-        if status.getPath().getName().startswith("_COMMIT_v")
-    ]
+    versions = _committed_versions(list(fs.listStatus(base)))
     return max(versions) if versions else None
 
 
@@ -395,7 +404,9 @@ def read_snapshot(spark, base_path: str, *, version: int | None = None) -> DataF
         # would break the "never observe a partial table" invariant
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
-        marker = jvm.org.apache.hadoop.fs.Path(f"{base_path}/_COMMIT_v{version}")
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{base_path}/{_COMMIT_PREFIX}{version}"
+        )
         if not marker.getFileSystem(conf).exists(marker):
             raise FileNotFoundError(
                 f"snapshot version {version} under {base_path} is not "
