@@ -49,6 +49,7 @@ from tibame_project_spark.operators.corrections import (
     apply_deletes,
     apply_updates,
     insert_missing,
+    merge_upsert,
 )
 from tibame_project_spark.operators.dedup import (
     _perm_params,
@@ -258,13 +259,61 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 """
 
 
-def q_md5_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F7 md5 surrogate keys (airflow/utils/common.py:8-19) on part names."""
-    part = load(spark, sf_dir, "part")
-    return part.select("p_partkey", md5_id(F.col("p_name")).alias("part_uid"))
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass MERGE upsert (M1+M2+M3 fused — the reference's whole DML
+    surface: UPDATE/INSERT create_dim_attraction_hashtag.py:134-191, DELETE
+    create_dim_attraction_detail.py:123-199) applied to ``customer`` with a
+    synthesized full-row upsert batch: every 10th key is an update (renamed
+    + segment overwrite), every 20th of those carries a delete tombstone,
+    and every 37th key is re-keyed +1,000,000 into a not-matched insert.
+    ONE full-outer shuffle replaces the 3-scan update→delete→insert chain
+    (`operators/corrections.py:49`); the oracle is the literal FULL OUTER
+    JOIN + CASE twin. Replaced the retired ``md5_surrogate`` key (its
+    ``md5()`` surface stays oracle-exercised via ``dedup_exact_text`` and
+    ``fingerprints``)."""
+    customer = load(spark, sf_dir, "customer")
+    upd = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("upd-"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        F.lit("MERGED").alias("c_mktsegment"),
+        (F.col("c_custkey") % 20 == 0).alias("is_deleted"),
+    )
+    new = customer.filter(F.col("c_custkey") % 37 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit(False).alias("is_deleted"),
+    )
+    src = upd.unionByName(new)
+    # keys are synthesized non-null → the plain-equality path (the one the
+    # bucketed exchange-free plan uses) is the honest thing to gate here
+    return merge_upsert(
+        customer, src, "c_custkey", delete_col="is_deleted", null_safe_keys=False
+    )
 
 
-_MD5_SQL = "SELECT p_partkey, md5(p_name) AS part_uid FROM part"
+_MERGE_SQL = """
+WITH src AS (
+  SELECT c_custkey, 'upd-' || c_name AS c_name, c_nationkey, c_acctbal,
+         'MERGED' AS c_mktsegment, (c_custkey % 20 = 0) AS is_deleted
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'new-' || c_name, c_nationkey, c_acctbal,
+         c_mktsegment, FALSE
+  FROM customer WHERE c_custkey % 37 = 0
+)
+SELECT CASE WHEN s.c_custkey IS NOT NULL THEN s.c_custkey ELSE t.c_custkey END AS c_custkey,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+WHERE NOT COALESCE(s.is_deleted, FALSE)
+"""
 
 
 def q_relative_date(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1266,7 +1315,7 @@ WHERE rank <= 5
 """
 
 
-_POSTINGS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_POSTINGS_MEMO: dict[tuple[str, int, str], DataFrame] = {}
 
 
 def _shared_item_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1279,7 +1328,11 @@ def _shared_item_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench entries genuinely share one tokenize+explode+count pass."""
     from tibame_project_spark.operators.similarity import sparse_postings
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # id(spark) in the key: a DataFrame is bound to the SESSION that built
+    # it, not just the SparkContext — a sibling session (spark.newSession(),
+    # a foreachBatch clone) must not receive a DataFrame owned by another
+    # session, so each gets its own build (r06 ADVICE).
+    key = (spark.sparkContext.applicationId, id(spark), sf_dir)
     if key not in _POSTINGS_MEMO:
         _POSTINGS_MEMO.clear()  # bound storage: one corpus at a time
         docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") >= 10)
@@ -3589,78 +3642,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is ~1986 of the 1995-char budget — the registry is effectively FULL.
     # New operators should be pytest-covered (see README crosswalk rows
     # without a query key) unless a key is retired or the format shrinks.
-    # r06 window: block 1 = this round's changes (pagerank oracle-type fix —
-    # the r05 red row; set_ops now folding in the retired union_distinct's
-    # U1 surface; radius_grid new in the freed slot) plus json_extract, the
-    # last r03-witnessed entry; block 2 = 9 of the 10 high-complexity
-    # keepers last driver-witnessed in r04 (fuzzy_blocked defers to r07 —
-    # exactly 2 rounds old, unchanged, locally parity-proven every run);
-    # block 3 = the 37 r04-green entries rotated out in r05, all due back.
-    # Out-of-window: the 49 r05-green entries + fuzzy_blocked.
+    # r07 window: block 1 = this round's changes — merge_upsert is NEW
+    # (the r06 storage tier's entry into the hard gate; it took the slot
+    # freed by retiring md5_surrogate, a 1-expression query whose md5()
+    # surface dedup_exact_text and fingerprints already gate) — plus
+    # fuzzy_blocked, the only key whose witness would otherwise reach 3
+    # rounds old; block 2 = the 48 remaining r05-green entries, all due
+    # back (includes sparse_topk/hybrid_rerank, whose r06 reroute through
+    # the shared postings build the driver gate has not yet witnessed —
+    # the r06 ADVICE item). Out-of-window: the 50 r06-green entries.
     return {
-        # -- block 1: changed this round / stalest witness ----------------
-        "pagerank": q_pagerank,          # r05 red: oracle HUGEINT→BIGINT cast
-        "set_ops": q_set_ops,            # + union_distinct's U1 surface
-        "radius_grid": q_radius_grid,    # new: integer-grid radius join
-        "json_extract": q_json_extract,  # last witnessed r03
-        # -- block 2: r04-green high-complexity keepers -------------------
-        "ivf_train": q_ivf_train,
-        "release_pipeline": q_release_pipeline,
-        "dedup_groups": q_dedup_groups,
-        "decontaminate": q_decontaminate,
-        "substring_dedup": q_substring_dedup,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
-        "minhash_pairs": q_minhash_pairs,
-        "embedding_dups": q_embedding_dups,
-        # -- block 3: r04-green, rotated out in r05, due back -------------
-        "multimodal_features": q_multimodal_features,
-        "sessionize": q_sessionize,
-        "windowed_counts": q_windowed_counts,
-        "sql_entry": q_sql_entry,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "simhash_pairs": q_simhash_pairs,
-        "pack_sequences": q_pack_sequences,
-        "scd2_priority": q_scd2_priority,
-        "domain_mix": q_domain_mix,
-        "grouping_sets": q_grouping_sets,
-        "c4_filter": q_c4_filter,
-        "lm_score": q_lm_score,
-        "rolling_avg": q_rolling_avg,
-        "rank_functions": q_rank_functions,
-        "snapshot_diff": q_snapshot_diff,
-        "profile_table": q_profile_table,
-        "train_split": q_train_split,
-        "incremental_mart": q_incremental_mart,
-        "corpus_report": q_corpus_report,
-        "gap_fill": q_gap_fill,
-        "cohort_retention": q_cohort_retention,
-        "funnel": q_funnel,
-        "pearson_stats": q_pearson_stats,
-        "histogram": q_histogram,
-        "cube_rollup": q_cube_rollup,
-        "distinct_users": q_distinct_users,
-        "hash_sample": q_hash_sample,
-        "mart_star_trends": q_mart_star_trends,
-        "dedup_exact_text": q_dedup_exact_text,
-        "line_dedup": q_line_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "cosine_topk": q_cosine_topk,
-        "multimodal_meta": q_multimodal_meta,
-        "percentiles": q_percentiles,
-        "pivot_event_types": q_pivot_event_types,
-        "month_over_month": q_month_over_month,
-        # ---- 50-key window boundary; below: 49 r05-green entries +
-        # fuzzy_blocked (first in line for the r07 window) ----------------
-        "fuzzy_blocked": q_fuzzy_blocked,
+        # -- block 1: new / stalest witness -------------------------------
+        "merge_upsert": q_merge_upsert,  # new: one-pass MERGE (M1+M2+M3)
+        "fuzzy_blocked": q_fuzzy_blocked,  # last witnessed r04
+        # -- block 2: r05-green entries, due back -------------------------
         "corrections": q_corrections,
         "stratified_sample": q_stratified_sample,
         "pricing_summary": q_pricing_summary,
         "dim_time": q_dim_time,
         "dedup_keep_last": q_dedup_keep_last,
         "customers_without_orders": q_customers_without_orders,
-        "md5_surrogate": q_md5_surrogate,
         "relative_date": q_relative_date,
         "window_topk": q_window_topk,
         "semi_join": q_semi_join,
@@ -3703,6 +3704,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": q_fuzzy_match,
         "semantic_dedup": q_semantic_dedup,
         "sparse_topk": q_sparse_topk,
+        # ---- 50-key window boundary; below: the 50 r06-green entries ----
+        "pagerank": q_pagerank,
+        "set_ops": q_set_ops,
+        "radius_grid": q_radius_grid,
+        "json_extract": q_json_extract,
+        "ivf_train": q_ivf_train,
+        "release_pipeline": q_release_pipeline,
+        "dedup_groups": q_dedup_groups,
+        "decontaminate": q_decontaminate,
+        "substring_dedup": q_substring_dedup,
+        "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "minhash_pairs": q_minhash_pairs,
+        "embedding_dups": q_embedding_dups,
+        "multimodal_features": q_multimodal_features,
+        "sessionize": q_sessionize,
+        "windowed_counts": q_windowed_counts,
+        "sql_entry": q_sql_entry,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "simhash_pairs": q_simhash_pairs,
+        "pack_sequences": q_pack_sequences,
+        "scd2_priority": q_scd2_priority,
+        "domain_mix": q_domain_mix,
+        "grouping_sets": q_grouping_sets,
+        "c4_filter": q_c4_filter,
+        "lm_score": q_lm_score,
+        "rolling_avg": q_rolling_avg,
+        "rank_functions": q_rank_functions,
+        "snapshot_diff": q_snapshot_diff,
+        "profile_table": q_profile_table,
+        "train_split": q_train_split,
+        "incremental_mart": q_incremental_mart,
+        "corpus_report": q_corpus_report,
+        "gap_fill": q_gap_fill,
+        "cohort_retention": q_cohort_retention,
+        "funnel": q_funnel,
+        "pearson_stats": q_pearson_stats,
+        "histogram": q_histogram,
+        "cube_rollup": q_cube_rollup,
+        "distinct_users": q_distinct_users,
+        "hash_sample": q_hash_sample,
+        "mart_star_trends": q_mart_star_trends,
+        "dedup_exact_text": q_dedup_exact_text,
+        "line_dedup": q_line_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "multimodal_meta": q_multimodal_meta,
+        "percentiles": q_percentiles,
+        "pivot_event_types": q_pivot_event_types,
+        "month_over_month": q_month_over_month,
     }
 
 
@@ -3714,7 +3766,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_last": _KEEP_LAST_SQL,
         "dedup_exact_text": _EXACT_TEXT_SQL,
         "customers_without_orders": _ANTI_SQL,
-        "md5_surrogate": _MD5_SQL,
+        "merge_upsert": _MERGE_SQL,
         "relative_date": _RELDATE_SQL,
         "fuzzy_match": _FUZZY_SQL,
         "fuzzy_blocked": _fuzzy_blocked_sql(),

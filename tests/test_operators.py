@@ -2971,3 +2971,46 @@ def test_merge_upsert_key_guards_and_nonfinite_radius(spark):
     for bad in (float("inf"), float("nan")):
         with pytest.raises(ValueError, match="positive integer"):
             radius_join_grid(ldf, ldf, left_id="lid", right_id="lid", radius=bad)
+
+
+def test_radius_join_grid_rejects_nonintegral_coordinate_columns(spark):
+    """r06 ADVICE: .cast('long') on float coordinates would TRUNCATE and
+    silently shrink the match set — reject loudly like the radius guard."""
+    from tibame_project_spark.operators.joins import radius_join_grid
+
+    fdf = spark.createDataFrame([(1, 0.5, 0.0)], "lid long, x double, y double")
+    with pytest.raises(ValueError, match="integral coordinate"):
+        radius_join_grid(fdf, fdf, left_id="lid", right_id="lid", radius=2)
+    idf = spark.createDataFrame([(1, 0, 0)], "lid long, x int, y int")
+    assert (
+        radius_join_grid(idf, idf, left_id="lid", right_id="lid", radius=2).count()
+        == 1
+    )
+
+
+def test_snapshot_table_ignores_foreign_files(spark, tmp_path):
+    """r06 ADVICE: a stray non-numeric entry matching the _COMMIT_v / v=
+    prefixes (editor backup, tmp dir) must be IGNORED, not raise ValueError
+    out of every reader and writer on the table."""
+    import os
+
+    from tibame_project_spark.sources.writers import (
+        read_snapshot,
+        read_snapshot_version,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "snapforeign")
+    df = spark.createDataFrame([(1,)], "id long")
+    write_snapshot(spark, df, base)  # v0
+    open(os.path.join(base, "_COMMIT_v1.bak"), "w").close()
+    os.makedirs(os.path.join(base, "v=tmp"))
+    assert read_snapshot_version(spark, base) == 0
+    assert read_snapshot(spark, base).count() == 1
+    # writes (incl. the prune loops over the polluted listing) still work
+    for _ in range(3):
+        write_snapshot(spark, df, base, keep=1)
+    assert read_snapshot_version(spark, base) == 3
+    # the foreign entries survived untouched
+    assert os.path.exists(os.path.join(base, "_COMMIT_v1.bak"))
+    assert os.path.isdir(os.path.join(base, "v=tmp"))

@@ -487,6 +487,18 @@ def radius_join_grid(
         raise ValueError(f"radius must be a positive integer, got {radius!r}")
     r2 = int(radius) * int(radius)
     cell = int(radius)
+    # same loud-rejection contract as the radius guard: .cast('long') on a
+    # float/decimal coordinate column would TRUNCATE and silently shrink
+    # the match set, so only integral column types are accepted
+    integral = ("byte", "short", "int", "integer", "long", "bigint", "smallint", "tinyint")
+    for df, col in ((left, x_col), (left, y_col), (right, x_col), (right, y_col)):
+        typ = dict(df.dtypes).get(col)
+        if typ is None or typ not in integral:
+            raise ValueError(
+                f"radius_join_grid needs integral coordinate columns; "
+                f"{col!r} is {typ!r} — cast explicitly (and deliberately) "
+                "upstream if truncation is really intended"
+            )
 
     def _floor_div(col: str) -> Column:
         # pure long arithmetic: (x - pmod(x, c)) is exactly divisible by c,

@@ -278,12 +278,23 @@ def compact_parquet(
 _COMMIT_PREFIX = "_COMMIT_v"
 
 
+def _version_suffix(name: str, prefix: str) -> int | None:
+    """``int(suffix)`` of a versioned entry name, or None when the name
+    doesn't carry an all-digits suffix (``_COMMIT_v1.bak``, ``v=tmp``…).
+    Foreign files in a snapshot base dir are thereby IGNORED instead of
+    raising ValueError out of every read/write on the table."""
+    if not name.startswith(prefix):
+        return None
+    suffix = name[len(prefix):]
+    return int(suffix) if suffix.isdigit() else None
+
+
 def _committed_versions(listing) -> list[int]:
     """Version numbers of all commit markers in a base-dir listing."""
     return [
-        int(st.getPath().getName()[len(_COMMIT_PREFIX):])
+        v
         for st in listing
-        if st.getPath().getName().startswith(_COMMIT_PREFIX)
+        if (v := _version_suffix(st.getPath().getName(), _COMMIT_PREFIX)) is not None
     ]
 
 
@@ -363,14 +374,14 @@ def write_snapshot(
     fs.create(marker, False).close()  # create-new = the commit
     floor = version - keep
     for status in listing:
-        name = status.getPath().getName()
-        if name.startswith(_COMMIT_PREFIX) and int(name[len(_COMMIT_PREFIX):]) <= floor:
+        mv = _version_suffix(status.getPath().getName(), _COMMIT_PREFIX)
+        if mv is not None and mv <= floor:
             fs.delete(status.getPath(), False)
     for status in listing:
         # data dirs at/below the floor, markerless ones included (a
         # prior mid-prune crash deleted the marker only)
-        name = status.getPath().getName()
-        if name.startswith("v=") and int(name[2:]) <= floor:
+        dv = _version_suffix(status.getPath().getName(), "v=")
+        if dv is not None and dv <= floor:
             fs.delete(status.getPath(), True)
     return version
 
