@@ -561,3 +561,66 @@ def test_bucketed_merge_upsert_no_exchange_with_plain_keys(spark):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_warehouse_refresh_join_is_exchange_free(spark, tmp_path):
+    """plans/warehouse end-to-end: the nightly refresh's MERGE join over the
+    bucketed target + bucketed staged batch plans ZERO hash-partitioning
+    exchanges (the synthetic test_bucketed_merge_upsert_no_exchange_with_
+    plain_keys assertion graduated to a real pipeline), the atomic-rename
+    publish lands the right rows, and the published snapshot is readable
+    through catalog.load_snapshot/register_snapshot."""
+    from tibame_project_spark.catalog import load, load_snapshot, register_snapshot
+    from tibame_project_spark.plans.warehouse import (
+        bootstrap_warehouse,
+        merge_plan,
+        refresh_warehouse,
+        stage_upsert_batch,
+    )
+
+    customer = load(spark, SF_DIR, "customer")
+    bootstrap_warehouse(spark, customer, table="fact.wh_cust_t", buckets=4)
+    batch = (
+        customer.filter(F.col("c_custkey") % 5 == 0)
+        .withColumn("c_mktsegment", F.lit("REFRESHED"))
+        .withColumn("is_deleted", F.col("c_custkey") % 25 == 0)
+    )
+    stage_upsert_batch(spark, batch, table="ods.wh_cust_b", buckets=4)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(merge_plan(spark, target="fact.wh_cust_t", batch="ods.wh_cust_b"))
+        assert "Exchange hashpartitioning" not in plan
+        snap = str(tmp_path / "wh_snapshot")
+        out = refresh_warehouse(
+            spark,
+            target="fact.wh_cust_t",
+            batch="ods.wh_cust_b",
+            buckets=4,
+            snapshot_path=snap,
+        )
+        n_cust = customer.count()
+        n_del = customer.filter(F.col("c_custkey") % 25 == 0).count()
+        assert out.count() == n_cust - n_del
+        assert (
+            out.filter(F.col("c_mktsegment") == "REFRESHED").count()
+            == customer.filter(F.col("c_custkey") % 5 == 0).count() - n_del
+        )
+        # published table kept its bucketed layout → NEXT refresh is also
+        # exchange-free (the amortization claim, not just the first join)
+        stage_upsert_batch(spark, batch, table="ods.wh_cust_b", buckets=4)
+        plan2 = _plan(merge_plan(spark, target="fact.wh_cust_t", batch="ods.wh_cust_b"))
+        assert "Exchange hashpartitioning" not in plan2
+        # snapshot artifact readable through the catalog
+        assert load_snapshot(spark, snap).count() == n_cust - n_del
+        register_snapshot(spark, snap, "wh_cust_published")
+        assert (
+            spark.sql("SELECT count(*) AS n FROM wh_cust_published").first()["n"]
+            == n_cust - n_del
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS fact.wh_cust_t")
+        spark.sql("DROP TABLE IF EXISTS ods.wh_cust_b")

@@ -746,3 +746,77 @@ def test_write_snapshot_sequence_matches_model(spark_global, tmp_path_factory, b
     assert got == sorted(batches[-1])
     dirs = [d for d in os.listdir(base) if d.startswith("v=")]
     assert len(dirs) <= keep
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 100)),
+        min_size=0,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 20), st.integers(0, 100), st.booleans()),
+            min_size=1,
+            max_size=8,
+            unique_by=lambda t: t[0],
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_snapshot_changes_cdc_roundtrip_is_identity(
+    spark_global, tmp_path_factory, base_rows, batches
+):
+    """derive→apply is the identity — the end-to-end contract tying the
+    storage tier together: for ANY base table and upsert-batch sequence,
+    the change feed snapshot_changes derives between v0 and head, applied
+    by stream_cdc_apply_snapshot onto a COPY of v0, reproduces the head
+    exactly (deletes included, `same` rows carried or not)."""
+    from tibame_project_spark.operators.corrections import merge_upsert
+    from tibame_project_spark.sources.writers import (
+        read_snapshot,
+        snapshot_changes,
+        write_snapshot,
+    )
+    from tibame_project_spark.streaming.incremental import stream_cdc_apply_snapshot
+
+    tmp = tmp_path_factory.mktemp("cdcrt")
+    src_base, dst_base = str(tmp / "src"), str(tmp / "dst")
+
+    base_df = spark_global.createDataFrame(base_rows or [(999, 0)], "id long, v long")
+    if not base_rows:
+        base_df = base_df.filter("id < 0")  # empty, schema kept
+    write_snapshot(spark_global, base_df, src_base, keep=10)
+    cur = base_df
+    for b in batches:
+        batch_df = spark_global.createDataFrame(b, "id long, v long, dead boolean")
+        cur = merge_upsert(cur, batch_df, "id", delete_col="dead")
+        write_snapshot(spark_global, cur, src_base, keep=10)
+    head = {r.id: r.v for r in read_snapshot(spark_global, src_base).collect()}
+
+    feed = (
+        snapshot_changes(spark_global, src_base, "id", from_version=0)
+        .filter(F.col("op") != "same")
+        .select(
+            "id",
+            F.col("new_v").alias("v"),
+            (F.col("op") == "delete").alias("dead"),
+        )
+    )
+    # copy of v0 becomes the subscriber's bootstrap state
+    write_snapshot(
+        spark_global, read_snapshot(spark_global, src_base, version=0), dst_base
+    )
+    feed_dir, ckpt = str(tmp / "feed"), str(tmp / "ckpt")
+    feed.coalesce(1).write.mode("append").parquet(feed_dir)
+    stream = spark_global.readStream.schema("id long, v long, dead boolean").parquet(
+        feed_dir
+    )
+    stream_cdc_apply_snapshot(
+        stream, dst_base, "id", checkpoint=ckpt, delete_col="dead"
+    )
+    got = {r.id: r.v for r in read_snapshot(spark_global, dst_base).collect()}
+    assert got == head

@@ -204,3 +204,33 @@ def analyze_table(
             m = re.search(r"(\d+)\s+rows", raw)
             out["rowCount"] = int(m.group(1)) if m else None
     return out
+
+
+def load_snapshot(spark: SparkSession, base_path: str, *, version: int | None = None) -> DataFrame:
+    """Read a snapshot-versioned table (``sources.writers.write_snapshot``)
+    through the catalog — same contract as :func:`load` for plain parquet:
+    the committed head is resolved with ONE directory listing (or an
+    explicit ``version`` for time travel within the retention window) and
+    crash orphans are never observable. Plans consume snapshot tables with
+    this the way they consume managed ones, without importing the writer
+    module."""
+    from tibame_project_spark.sources.writers import read_snapshot
+
+    return read_snapshot(spark, base_path, version=version)
+
+
+def register_snapshot(
+    spark: SparkSession,
+    base_path: str,
+    view_name: str,
+    *,
+    version: int | None = None,
+) -> DataFrame:
+    """:func:`load_snapshot` + temp-view registration, mirroring
+    :func:`register_testdata`'s view contract so SQL-side plans can name a
+    snapshot table. The view binds to the version committed AT REGISTRATION
+    (the version directory, not the moving head) — re-register to follow
+    subsequent commits; readers are never switched mid-query."""
+    df = load_snapshot(spark, base_path, version=version)
+    df.createOrReplaceTempView(view_name)
+    return df
