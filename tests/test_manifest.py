@@ -1,0 +1,488 @@
+"""Manifest-backed tables (sources/manifest.py): incremental commits,
+per-file stats, data skipping, file-skipping MERGE, compaction, vacuum.
+
+The reference refreshes its BigQuery marts by full CREATE-OR-REPLACE
+(e.g. create_dim_attraction_hashtag.py, create_fact_*.py) — BigQuery's
+storage does the incremental bookkeeping for it. On plain files this
+module IS that bookkeeping, so the tests assert the storage invariants
+the reference gets implicitly: readers never see partial state, history
+within retention is readable, and content equals the logical replay.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tibame_project_spark.sources.manifest import (
+    append_manifest_table,
+    compact_manifest_table,
+    manifest_file_paths,
+    manifest_stats,
+    merge_manifest_table,
+    read_manifest_table,
+    read_manifest_version,
+    vacuum_manifest_table,
+    write_manifest_table,
+)
+
+
+def _mk(spark, rows, schema="id long, v long"):
+    df = spark.createDataFrame(rows or [(999999, 0)], schema)
+    return df if rows else df.where("id < 0")
+
+
+def _content(spark, base, **kw):
+    return {
+        (r["id"], r["v"]) for r in read_manifest_table(spark, base, **kw).collect()
+    }
+
+
+def test_create_read_roundtrip_and_files(spark, tmp_path):
+    base = str(tmp_path / "t")
+    df = spark.range(0, 200).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    assert write_manifest_table(
+        spark, df, base, stats_cols=["id"], cluster_by="id", n_files=4
+    ) == 0
+    assert read_manifest_version(spark, base) == 0
+    got = read_manifest_table(spark, base)
+    assert got.count() == 200
+    assert {r["id"] for r in got.collect()} == set(range(200))
+    man = manifest_stats(spark, base)
+    assert set(man.columns) == {"path", "bytes", "rows", "min_id", "max_id"}
+    rows = man.collect()
+    assert len(rows) == 4 and sum(r["rows"] for r in rows) == 200
+    # cluster_by=id gives disjoint tight ranges: global min/max covered
+    assert min(r["min_id"] for r in rows) == 0
+    assert max(r["max_id"] for r in rows) == 199
+
+
+def test_prune_skips_files_and_loses_no_rows(spark, tmp_path):
+    base = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 5).alias("v"))
+    write_manifest_table(
+        spark, df, base, stats_cols=["id"], cluster_by="id", n_files=8
+    )
+    kept = manifest_file_paths(spark, base, prune="max_id >= 900")
+    assert 1 <= len(kept) < 8  # actually skipped something
+    pruned = read_manifest_table(spark, base, prune="max_id >= 900").where(
+        "id >= 900"
+    )
+    full = read_manifest_table(spark, base).where("id >= 900")
+    assert {r["id"] for r in pruned.collect()} == {r["id"] for r in full.collect()}
+
+
+def test_append_is_metadata_union(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark,
+        spark.range(0, 100).select(F.col("id"), F.lit(1).cast("long").alias("v")),
+        base,
+        stats_cols=["id"],
+        n_files=2,
+    )
+    before = set(manifest_file_paths(spark, base))
+    append_manifest_table(
+        spark,
+        spark.range(100, 150).select(F.col("id"), F.lit(2).cast("long").alias("v")),
+        base,
+        n_files=1,
+    )
+    after = set(manifest_file_paths(spark, base))
+    # every pre-existing file carried forward VERBATIM, new ones added
+    assert before < after
+    assert read_manifest_table(spark, base).count() == 150
+
+
+def test_append_schema_mismatch_raises(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"]
+    )
+    with pytest.raises(ValueError, match="append schema"):
+        append_manifest_table(
+            spark, spark.createDataFrame([(1, "x")], "id long, v string"), base
+        )
+
+
+def test_merge_rewrites_only_candidate_files(spark, tmp_path):
+    base = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(F.col("id"), F.lit(0).cast("long").alias("v"))
+    write_manifest_table(
+        spark, df, base, stats_cols=["id"], cluster_by="id", n_files=8
+    )
+    before = set(manifest_file_paths(spark, base))
+    # batch confined to a narrow key range: update 10..19, insert 1900..1901
+    batch = spark.createDataFrame(
+        [(i, 7, False) for i in range(10, 20)]
+        + [(1900 + i, 7, False) for i in range(2)],
+        "id long, v long, dead boolean",
+    )
+    merge_manifest_table(spark, batch, base, "id", delete_col="dead")
+    after = set(manifest_file_paths(spark, base))
+    carried = before & after
+    # the batch's key ranges touch a strict subset of the 8 files; the
+    # rest are carried forward untouched — THE manifest-merge win
+    assert carried, "expected untouched files to be carried forward"
+    assert len(before - after) < len(before)
+    got = _content(spark, base)
+    want = {(i, 7 if 10 <= i < 20 else 0) for i in range(1000)} | {
+        (1900, 7),
+        (1901, 7),
+    }
+    assert got == want
+
+
+def test_merge_deletes_and_empty_batch_noop(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(10)]), base, stats_cols=["id"]
+    )
+    batch = spark.createDataFrame(
+        [(3, 0, True), (4, 40, False), (99, 99, False)],
+        "id long, v long, dead boolean",
+    )
+    v = merge_manifest_table(spark, batch, base, "id", delete_col="dead")
+    assert v == 1
+    want = {(i, i) for i in range(10) if i != 3 and i != 4} | {(4, 40), (99, 99)}
+    assert _content(spark, base) == want
+    # empty batch commits a metadata-only no-op version
+    v2 = merge_manifest_table(
+        spark, batch.where("id < 0"), base, "id", delete_col="dead"
+    )
+    assert v2 == 2 and _content(spark, base) == want
+
+
+def test_merge_guards(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"]
+    )
+    with pytest.raises(ValueError, match="stats column"):
+        merge_manifest_table(
+            spark,
+            spark.createDataFrame([(1, 2)], "id long, v long"),
+            base,
+            "v",
+        )
+    with pytest.raises(ValueError, match="NULL"):
+        merge_manifest_table(
+            spark,
+            spark.createDataFrame([(None, 2)], "id long, v long"),
+            base,
+            "id",
+        )
+
+
+def test_compact_preserves_content_and_shrinks(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark,
+        spark.range(0, 500).select(F.col("id"), F.col("id").alias("v")),
+        base,
+        stats_cols=["id"],
+        cluster_by="id",
+        n_files=6,
+    )
+    before = _content(spark, base)
+    v = compact_manifest_table(spark, base, small_bytes=1 << 30, target_bytes=1 << 30)
+    assert v == 1
+    assert len(manifest_file_paths(spark, base)) == 1
+    assert _content(spark, base) == before
+    # nothing small enough left (single big file) -> no-op, no commit
+    assert (
+        compact_manifest_table(spark, base, small_bytes=1, target_bytes=1 << 30)
+        is None
+    )
+    assert read_manifest_version(spark, base) == 1
+
+
+def test_time_travel_and_retention(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"], keep=2
+    )
+    append_manifest_table(spark, _mk(spark, [(2, 2)]), base, keep=2)
+    append_manifest_table(spark, _mk(spark, [(3, 3)]), base, keep=2)
+    # keep=2: v0's marker+manifest pruned at the v2 commit
+    assert _content(spark, base, version=1) == {(1, 1), (2, 2)}
+    assert _content(spark, base) == {(1, 1), (2, 2), (3, 3)}
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        read_manifest_table(spark, base, version=0)
+
+
+def test_vacuum_deletes_only_unreferenced(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark,
+        spark.range(0, 100).select(F.col("id"), F.col("id").alias("v")),
+        base,
+        stats_cols=["id"],
+        cluster_by="id",
+        n_files=4,
+        keep=1,
+    )
+    # full-refresh commit supersedes ALL v0 files; keep=1 prunes v0's
+    # metadata, leaving its data files unreferenced
+    write_manifest_table(
+        spark,
+        spark.range(0, 50).select(F.col("id"), F.col("id").alias("v")),
+        base,
+        n_files=1,
+        keep=1,
+    )
+    deleted = vacuum_manifest_table(spark, base)
+    assert deleted == 4
+    assert not os.path.exists(f"{base}/data/v=0")  # emptied dir swept
+    assert _content(spark, base) == {(i, i) for i in range(50)}
+    # idempotent
+    assert vacuum_manifest_table(spark, base) == 0
+
+
+def test_crash_before_marker_is_invisible_then_superseded(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_manifest_table(spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"])
+    # simulate a crash between data/manifest write and marker creation
+    orphan = spark.createDataFrame([(77, 77)], "id long, v long")
+    orphan.write.mode("overwrite").parquet(f"{base}/data/v=1")
+    orphan.write.mode("overwrite").parquet(f"{base}/manifest/v=1")  # garbage
+    assert read_manifest_version(spark, base) == 0
+    assert _content(spark, base) == {(1, 1)}
+    with pytest.raises(FileNotFoundError):
+        read_manifest_table(spark, base, version=1)
+    # the next commit IS version 1 and overwrites the orphans
+    append_manifest_table(spark, _mk(spark, [(2, 2)]), base)
+    assert read_manifest_version(spark, base) == 1
+    assert _content(spark, base) == {(1, 1), (2, 2)}
+
+
+def test_concurrent_writer_loses_loudly(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_manifest_table(spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"])
+    # another writer committed v1 between our listing and our marker:
+    # pre-create the marker; our create-new publish must fail, not clobber
+    open(f"{base}/_COMMIT_v1", "w").close()
+    with pytest.raises(Exception):
+        append_manifest_table(spark, _mk(spark, [(2, 2)]), base)
+
+
+def test_create_guards(spark, tmp_path):
+    base = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="stats_cols"):
+        write_manifest_table(spark, _mk(spark, [(1, 1)]), base)
+    with pytest.raises(ValueError, match="non-orderable"):
+        write_manifest_table(
+            spark,
+            spark.createDataFrame([([1, 2],)], "a array<int>"),
+            base,
+            stats_cols=["a"],
+        )
+    write_manifest_table(spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"])
+    with pytest.raises(ValueError, match="fixed at table creation"):
+        write_manifest_table(
+            spark, _mk(spark, [(1, 1)]), base, stats_cols=["v"]
+        )
+
+
+def test_empty_table_reads_with_schema(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_manifest_table(spark, _mk(spark, []), base, stats_cols=["id"])
+    got = read_manifest_table(spark, base)
+    assert got.count() == 0
+    assert got.columns == ["id", "v"]
+    # merging inserts into an empty table works
+    merge_manifest_table(
+        spark,
+        spark.createDataFrame([(1, 1, False)], "id long, v long, dead boolean"),
+        base,
+        "id",
+        delete_col="dead",
+    )
+    assert _content(spark, base) == {(1, 1)}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 100)),
+        min_size=0,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("merge"),
+                st.lists(
+                    st.tuples(
+                        st.integers(0, 30), st.integers(0, 100), st.booleans()
+                    ),
+                    min_size=1,
+                    max_size=6,
+                    unique_by=lambda t: t[0],
+                ),
+            ),
+            st.tuples(
+                st.just("append"),
+                st.lists(
+                    st.tuples(st.integers(31, 60), st.integers(0, 100)),
+                    min_size=1,
+                    max_size=4,
+                    unique_by=lambda t: t[0],
+                ),
+            ),
+            st.tuples(st.just("compact"), st.just(None)),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_manifest_sequence_matches_dict_model(
+    spark_global, tmp_path_factory, initial, ops
+):
+    """Any create→{merge,append,compact}* sequence: the head read equals a
+    plain replay, at every step. Merges (keys 0..30) replay as a dict;
+    appends (keys 31..60, disjoint from the merge range so no merge ever
+    touches them) replay as a MULTISET — append is by-position, like
+    parquet append: re-appending a key yields two rows, and the table must
+    preserve both."""
+    from collections import Counter
+
+    spark = spark_global
+    base = str(tmp_path_factory.mktemp("manseq") / "t")
+    write_manifest_table(
+        spark, _mk(spark, initial), base, stats_cols=["id"], keep=10
+    )
+    merged_model = dict(initial)
+    appended_model: Counter = Counter()
+
+    def expect():
+        return Counter(merged_model.items()) + appended_model
+
+    for kind, payload in ops:
+        if kind == "merge":
+            batch = spark.createDataFrame(
+                payload, "id long, v long, dead boolean"
+            )
+            merge_manifest_table(spark, batch, base, "id", delete_col="dead")
+            for k, v, dead in payload:
+                if dead:
+                    merged_model.pop(k, None)
+                else:
+                    merged_model[k] = v
+        elif kind == "append":
+            append_manifest_table(
+                spark,
+                spark.createDataFrame(payload, "id long, v long"),
+                base,
+                keep=10,
+            )
+            appended_model.update(payload)
+        else:
+            compact_manifest_table(
+                spark, base, small_bytes=1 << 30, target_bytes=1 << 30, keep=10
+            )
+        got = Counter(
+            (r["id"], r["v"])
+            for r in read_manifest_table(spark, base).collect()
+        )
+        assert got == expect()
+    vacuum_manifest_table(spark, base)  # never breaks retained reads
+    got = Counter(
+        (r["id"], r["v"]) for r in read_manifest_table(spark, base).collect()
+    )
+    assert got == expect()
+
+
+def test_stream_cdc_apply_manifest_merges_and_survives_replay(spark, tmp_path):
+    """The manifest-backed CDC sink: epoch 0 bootstraps the table
+    (tombstones stripped), later epochs are file-skipping MERGE commits,
+    a checkpointed re-run with no new files changes nothing, and the
+    inline compaction cadence folds the per-epoch small files without
+    changing content."""
+    from tibame_project_spark.streaming.incremental import stream_cdc_apply_manifest
+
+    src = tmp_path / "feed"
+    base = str(tmp_path / "mantab")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, name string, v long, dead boolean"
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    def run(**kw):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        stream_cdc_apply_manifest(
+            stream, base, "id", checkpoint=ckpt, delete_col="dead", **kw
+        )
+
+    def content():
+        return sorted(
+            tuple(r) for r in read_manifest_table(spark, base).collect()
+        )
+
+    land([(1, "a", 10, False), (2, "b", 20, False), (9, "z", 0, True)])
+    run()
+    assert content() == [(1, "a", 10), (2, "b", 20)]  # tombstone stripped
+    land([(2, "B", 200, False), (3, "c", 30, False), (1, "a", 10, True)])
+    run()
+    expected = [(2, "B", 200), (3, "c", 30)]
+    assert content() == expected
+    run()  # checkpointed: no new files, nothing changes
+    assert content() == expected
+    # several more epochs, then an inline compaction epoch: files fold,
+    # content identical
+    land([(4, "d", 40, False)])
+    run()
+    land([(5, "e", 50, False)])
+    run(compact_every=1)
+    assert content() == expected + [(4, "d", 40), (5, "e", 50)]
+    assert len(manifest_file_paths(spark, base)) == 1
+
+
+def test_catalog_manifest_pipeline_over_orders(spark, tmp_path):
+    """Real-table pipeline through the catalog surface: orders lands as a
+    key-clustered manifest table, a priority-correction batch merges in
+    rewriting only candidate files, and SQL-side plans read the result
+    through catalog.register_manifest with a pruned scan — the manifest
+    twin of the warehouse-refresh test's snapshot publish."""
+    from tests.conftest import SF_DIR
+    from tibame_project_spark.catalog import load, load_manifest, register_manifest
+
+    base = str(tmp_path / "orders_m")
+    orders = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    write_manifest_table(
+        spark, orders, base, stats_cols=["o_orderkey"], cluster_by="o_orderkey",
+        n_files=8,
+    )
+    n = orders.count()
+    lo_keys = orders.select(F.min("o_orderkey").alias("lo")).first()["lo"]
+    batch = (
+        orders.where(F.col("o_orderkey") <= lo_keys + 50)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("dead", F.lit(False))
+    )
+    before = set(manifest_file_paths(spark, base))
+    merge_manifest_table(spark, batch, base, "o_orderkey", delete_col="dead")
+    after = set(manifest_file_paths(spark, base))
+    assert before & after, "low-key batch must leave high-key files untouched"
+    assert load_manifest(spark, base).count() == n
+    # pruned catalog read: files that can hold the corrected keys only
+    register_manifest(
+        spark, base, "orders_mv", prune=f"min_o_orderkey <= {lo_keys + 50}"
+    )
+    got = spark.sql(
+        "SELECT count(*) AS n FROM orders_mv WHERE o_orderstatus = 'X'"
+    ).first()["n"]
+    want = batch.count()
+    assert got == want

@@ -234,3 +234,37 @@ def register_snapshot(
     df = load_snapshot(spark, base_path, version=version)
     df.createOrReplaceTempView(view_name)
     return df
+
+
+def load_manifest(
+    spark: SparkSession,
+    base_path: str,
+    *,
+    version: int | None = None,
+    prune: str | None = None,
+) -> DataFrame:
+    """Read a manifest-backed table (``sources.manifest``) through the
+    catalog — :func:`load_snapshot`'s twin for the incremental-commit
+    format: committed head (or ``version`` time travel) resolved through
+    the shared marker protocol, optionally file-skipped by a ``prune``
+    expression over the per-file min/max stats (see
+    ``sources.manifest.manifest_file_paths`` for the contract)."""
+    from tibame_project_spark.sources.manifest import read_manifest_table
+
+    return read_manifest_table(spark, base_path, version=version, prune=prune)
+
+
+def register_manifest(
+    spark: SparkSession,
+    base_path: str,
+    view_name: str,
+    *,
+    version: int | None = None,
+    prune: str | None = None,
+) -> DataFrame:
+    """:func:`load_manifest` + temp-view registration, mirroring
+    :func:`register_snapshot`: the view binds to the file list resolved AT
+    REGISTRATION — re-register to follow subsequent commits."""
+    df = load_manifest(spark, base_path, version=version, prune=prune)
+    df.createOrReplaceTempView(view_name)
+    return df

@@ -215,6 +215,73 @@ def stream_cdc_apply_snapshot(
     )
 
 
+def stream_cdc_apply_manifest(
+    stream: DataFrame,
+    base_path: str,
+    key: str,
+    *,
+    checkpoint: str,
+    delete_col: str | None = None,
+    keep: int = 2,
+    compact_every: int | None = None,
+    small_bytes: int = 32 * 1024 * 1024,
+) -> None:
+    """:func:`stream_cdc_apply` on a manifest-backed table
+    (``sources.manifest``) — the variant where a micro-batch costs what
+    the batch TOUCHES, not what the table holds: each epoch is one
+    file-skipping MERGE commit (only files whose key range intersects the
+    batch are rewritten; everything else is carried forward in the
+    manifest), with the same atomic-marker crash safety as the snapshot
+    variant. At 100 TB this is the only CDC shape that works — the
+    snapshot variant republishes the full table per drain, this one
+    republishes ~batch-sized files plus a KB of metadata.
+
+    Epoch 0 against a missing table bootstraps it (tombstones stripped,
+    clustered on ``key``); a committed epoch finding no table refuses,
+    same as the other sinks. Replayed epochs are merge fixpoints — the
+    re-published version is content-identical.
+
+    Per-epoch merge commits accrete small files; ``compact_every=N``
+    folds files under ``small_bytes`` into big ones every N epochs (an
+    extra commit, content-identical) — the inline form of the
+    out-of-band OPTIMIZE cadence. Pair with an occasional
+    ``vacuum_manifest_table`` to reclaim superseded files.
+    ``key`` is a single non-null column (the manifest-merge contract).
+    """
+    from tibame_project_spark.sources.manifest import (
+        compact_manifest_table,
+        merge_manifest_table,
+        read_manifest_version,
+        write_manifest_table,
+    )
+
+    def apply_batch(batch: DataFrame, epoch: int) -> None:
+        spark = batch.sparkSession
+        if read_manifest_version(spark, base_path) is None:
+            first = _cdc_bootstrap(
+                batch, epoch, delete_col, f"stream_cdc_apply_manifest({base_path})"
+            )
+            write_manifest_table(
+                spark, first, base_path, stats_cols=[key], cluster_by=key, keep=keep
+            )
+            return
+        merge_manifest_table(
+            spark, batch, base_path, key, delete_col=delete_col, keep=keep
+        )
+        if compact_every and (epoch + 1) % compact_every == 0:
+            compact_manifest_table(
+                spark, base_path, small_bytes=small_bytes, keep=keep
+            )
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     keys: list[str],
