@@ -78,6 +78,35 @@ def test_prune_skips_files_and_loses_no_rows(spark, tmp_path):
     assert {r["id"] for r in pruned.collect()} == {r["id"] for r in full.collect()}
 
 
+def test_zorder_cluster_prunes_on_second_dimension(spark, tmp_path):
+    """cluster_by=[x, y] lays files out on the Morton curve: a y-only box
+    predicate skips most files, where the x-sorted layout (whose files all
+    span y's full range) skips none — the manifest-level twin of the
+    write_zorder_parquet row-group test."""
+    grid = (
+        spark.range(0, 64 * 64)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+    )
+    zbase, xbase = str(tmp_path / "z"), str(tmp_path / "x")
+    write_manifest_table(
+        spark, grid, zbase, stats_cols=["x", "y"], cluster_by=["x", "y"],
+        n_files=16, zorder_bits=6,
+    )
+    write_manifest_table(
+        spark, grid, xbase, stats_cols=["x", "y"], cluster_by="x", n_files=16
+    )
+    prune = "min_y <= 3 AND max_y >= 0"  # y in [0, 3]
+    kept_z = manifest_file_paths(spark, zbase, prune=prune)
+    kept_x = manifest_file_paths(spark, xbase, prune=prune)
+    assert len(kept_x) == 16  # linear-on-x: every file spans all of y
+    assert len(kept_z) < 8  # Morton: the y-slab lives in a few rectangles
+    got = read_manifest_table(spark, zbase, prune=prune).where("y <= 3")
+    assert got.count() == 64 * 4  # pruning lost no rows
+
+
 def test_append_is_metadata_union(spark, tmp_path):
     base = str(tmp_path / "t")
     write_manifest_table(
@@ -446,6 +475,52 @@ def test_stream_cdc_apply_manifest_merges_and_survives_replay(spark, tmp_path):
     run(compact_every=1)
     assert content() == expected + [(4, "d", 40), (5, "e", 50)]
     assert len(manifest_file_paths(spark, base)) == 1
+
+
+def test_curate_corpus_tombstones_only_condemned_files(spark, tmp_path):
+    """plans/curation over a manifest-backed documents corpus: exact-dup
+    losers (appended high-id copies) and a benchmark-contaminated doc are
+    tombstone-merged out; the files holding only clean low-id originals
+    are carried forward verbatim; a second pass is a no-op fixpoint."""
+    from tests.conftest import SF_DIR
+    from tibame_project_spark.catalog import load
+    from tibame_project_spark.plans.curation import curate_corpus
+
+    base = str(tmp_path / "corpus")
+    docs = load(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    n_docs = docs.count()
+    write_manifest_table(
+        spark, docs, base, stats_cols=["doc_id"], cluster_by="doc_id", n_files=6
+    )
+    # land exact copies of 20 docs under shifted-high ids (re-scrape twins)
+    dupes = docs.orderBy("doc_id").limit(20).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    append_manifest_table(spark, dupes, base, cluster_by="doc_id", n_files=1)
+    before = set(manifest_file_paths(spark, base))
+
+    # benchmark shares text with exactly one ORIGINAL doc
+    leak = docs.orderBy(F.desc("doc_id")).limit(1)
+    leak_id = leak.first()["doc_id"]
+    bench = leak.select(F.col("text").alias("bench_text"))
+
+    version, n_tombs = curate_corpus(spark, base, benchmark=bench)
+    assert version == 2 and n_tombs == 21  # 20 dup losers + 1 leak
+    after = set(manifest_file_paths(spark, base))
+    # low-id original files (no losers, no leak) carried forward verbatim
+    assert before & after, "clean files must not be rewritten"
+    got_ids = {
+        r["doc_id"] for r in read_manifest_table(spark, base).collect()
+    }
+    assert got_ids == {
+        r["doc_id"] for r in docs.collect() if r["doc_id"] != leak_id
+    }
+    assert len(got_ids) == n_docs - 1
+    # fixpoint: nothing left to condemn, no commit
+    assert curate_corpus(spark, base, benchmark=bench) == (None, 0)
+    assert read_manifest_version(spark, base) == 2
 
 
 def test_catalog_manifest_pipeline_over_orders(spark, tmp_path):

@@ -223,14 +223,34 @@ def _validate_stats_cols(df: DataFrame, stats_cols: list[str]) -> None:
 
 
 def _write_data(
-    df: DataFrame, base_path: str, version: int, cluster_by: str | None, n_files: int
+    df: DataFrame,
+    base_path: str,
+    version: int,
+    cluster_by: str | list[str] | None,
+    n_files: int,
+    zorder_bits: int = 16,
 ) -> None:
     """Write a commit's data files; ``cluster_by`` range-partitions and
     sorts so per-file min/max ranges are tight and disjoint — what makes
-    both ``prune=`` reads and merge file-skipping actually skip."""
-    if cluster_by is not None:
-        df = df.repartitionByRange(max(1, n_files), F.col(cluster_by))
-        df = df.sortWithinPartitions(cluster_by)
+    both ``prune=`` reads and merge file-skipping actually skip. Two or
+    more columns cluster on their Z-order (Morton) interleaving
+    (``writers.zorder_key`` — columns must already be integers scaled
+    into [0, 2^zorder_bits), same contract as ``write_zorder_parquet``),
+    keeping every file a small hyper-rectangle so ``prune=`` skips on ANY
+    clustered column, not just the first."""
+    cols = [cluster_by] if isinstance(cluster_by, str) else cluster_by
+    if cols and len(cols) > 1:
+        from tibame_project_spark.sources.writers import zorder_key
+
+        df = df.withColumn("__zk", zorder_key(cols, bits=zorder_bits))
+        df = (
+            df.repartitionByRange(max(1, n_files), "__zk")
+            .sortWithinPartitions("__zk")
+            .drop("__zk")
+        )
+    elif cols:
+        df = df.repartitionByRange(max(1, n_files), F.col(cols[0]))
+        df = df.sortWithinPartitions(cols[0])
     elif n_files:
         df = df.repartition(max(1, n_files))
     df.write.mode("overwrite").parquet(f"{base_path}/data/v={version}")
@@ -242,8 +262,9 @@ def write_manifest_table(
     base_path: str,
     *,
     stats_cols: list[str] | None = None,
-    cluster_by: str | None = None,
+    cluster_by: str | list[str] | None = None,
     n_files: int = 0,
+    zorder_bits: int = 16,
     keep: int = 2,
 ) -> int:
     """Full-content commit: version ``n`` whose live file set is exactly
@@ -271,7 +292,7 @@ def write_manifest_table(
             )
         stats_cols = inherited
     _validate_stats_cols(df, stats_cols)
-    _write_data(df, base_path, version, cluster_by, n_files)
+    _write_data(df, base_path, version, cluster_by, n_files, zorder_bits)
     manifest = _file_stats(spark, base_path, version, stats_cols, df.schema)
     return _finish(
         spark, base_path, version, manifest, df.schema, stats_cols, keep, listing
@@ -283,8 +304,9 @@ def append_manifest_table(
     df: DataFrame,
     base_path: str,
     *,
-    cluster_by: str | None = None,
+    cluster_by: str | list[str] | None = None,
     n_files: int = 0,
+    zorder_bits: int = 16,
     keep: int = 2,
 ) -> int:
     """Append-only commit: new files for ``df``, every existing file
@@ -305,7 +327,7 @@ def append_manifest_table(
     if got != want:
         raise ValueError(f"append schema {got} != table schema {want}")
     _validate_stats_cols(df, stats_cols)
-    _write_data(df, base_path, version, cluster_by, n_files)
+    _write_data(df, base_path, version, cluster_by, n_files, zorder_bits)
     new_rows = _file_stats(spark, base_path, version, stats_cols, schema)
     prev = spark.read.parquet(f"{base_path}/manifest/v={head}")
     return _finish(
