@@ -140,6 +140,49 @@ def test_append_schema_mismatch_raises(spark, tmp_path):
         )
 
 
+def test_append_schema_evolution_add_column(spark, tmp_path):
+    """allow_evolution widens the schema in metadata only: pre-evolution
+    files read NULL for the new column without being rewritten, time
+    travel keeps the old shape, merges speak the evolved schema, and
+    drops/retypes stay rejected."""
+    base = str(tmp_path / "t")
+    write_manifest_table(spark, _mk(spark, [(1, 10)]), base, stats_cols=["id"])
+    old_files = set(manifest_file_paths(spark, base))
+    evolved = spark.createDataFrame([(2, 20, "en")], "id long, v long, lang string")
+    with pytest.raises(ValueError, match="allow_evolution"):
+        append_manifest_table(spark, evolved, base)
+    append_manifest_table(spark, evolved, base, allow_evolution=True)
+    assert old_files < set(manifest_file_paths(spark, base))  # no rewrite
+    got = read_manifest_table(spark, base)
+    assert got.columns == ["id", "v", "lang"]
+    assert {(r["id"], r["v"], r["lang"]) for r in got.collect()} == {
+        (1, 10, None),  # pre-evolution file: NULL-filled, never rewritten
+        (2, 20, "en"),
+    }
+    assert read_manifest_table(spark, base, version=0).columns == ["id", "v"]
+    # merge speaks the evolved schema (source carries every column)
+    merge_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(1, 11, "zh", False)], "id long, v long, lang string, dead boolean"
+        ),
+        base,
+        "id",
+        delete_col="dead",
+    )
+    assert {
+        tuple(r) for r in read_manifest_table(spark, base).collect()
+    } == {(1, 11, "zh"), (2, 20, "en")}
+    # dropping or retyping a column is rejected even with evolution on
+    with pytest.raises(ValueError, match="drops or retypes"):
+        append_manifest_table(
+            spark,
+            spark.createDataFrame([(3, "x")], "id long, v string"),
+            base,
+            allow_evolution=True,
+        )
+
+
 def test_merge_rewrites_only_candidate_files(spark, tmp_path):
     base = str(tmp_path / "t")
     df = spark.range(0, 1000).select(F.col("id"), F.lit(0).cast("long").alias("v"))
@@ -475,6 +518,91 @@ def test_stream_cdc_apply_manifest_merges_and_survives_replay(spark, tmp_path):
     run(compact_every=1)
     assert content() == expected + [(4, "d", 40), (5, "e", 50)]
     assert len(manifest_file_paths(spark, base)) == 1
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 100)),
+        min_size=0,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("merge"),
+                st.lists(
+                    st.tuples(
+                        st.integers(0, 30), st.integers(0, 100), st.booleans()
+                    ),
+                    min_size=1,
+                    max_size=6,
+                    unique_by=lambda t: t[0],
+                ),
+            ),
+            st.tuples(
+                st.just("append"),
+                st.lists(st.integers(0, 100), min_size=1, max_size=3),
+            ),
+            st.tuples(st.just("compact"), st.just(None)),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_manifest_changes_matches_full_table_diff(
+    spark_global, tmp_path_factory, initial, ops
+):
+    """The file-diff-based change feed equals snapshot_diff over the FULL
+    old/new versions (modulo `same` rows, which the file diff proves
+    without reading) for any merge/append/compact sequence — the claim
+    that lets a 100 TB subscriber read only touched files. Append keys are
+    made globally unique (key-diff semantics need key-unique tables)."""
+    from tibame_project_spark.operators.corrections import snapshot_diff
+    from tibame_project_spark.sources.manifest import manifest_changes
+
+    spark = spark_global
+    base = str(tmp_path_factory.mktemp("manchg") / "t")
+    write_manifest_table(
+        spark, _mk(spark, initial), base, stats_cols=["id"], keep=10
+    )
+    v0 = read_manifest_table(spark, base)
+    for i, (kind, payload) in enumerate(ops):
+        if kind == "merge":
+            merge_manifest_table(
+                spark,
+                spark.createDataFrame(payload, "id long, v long, dead boolean"),
+                base,
+                "id",
+                delete_col="dead",
+                keep=10,
+            )
+        elif kind == "append":
+            rows = [(31 + i * 10 + j, v) for j, v in enumerate(payload)]
+            append_manifest_table(
+                spark,
+                spark.createDataFrame(rows, "id long, v long"),
+                base,
+                keep=10,
+            )
+        else:
+            compact_manifest_table(
+                spark, base, small_bytes=1 << 30, target_bytes=1 << 30, keep=10
+            )
+    head = read_manifest_table(spark, base)
+
+    def feed(df):
+        return {
+            tuple(r)
+            for r in df.filter(F.col("op") != "same")
+            .select("id", "op", "old_v", "new_v")
+            .collect()
+        }
+
+    incremental = feed(manifest_changes(spark, base, "id", from_version=0))
+    full = feed(snapshot_diff(v0, head, "id"))
+    assert incremental == full
 
 
 def test_curate_corpus_tombstones_only_condemned_files(spark, tmp_path):

@@ -76,6 +76,7 @@ __all__ = [
     "read_manifest_version",
     "manifest_stats",
     "manifest_file_paths",
+    "manifest_changes",
     "vacuum_manifest_table",
 ]
 
@@ -308,11 +309,20 @@ def append_manifest_table(
     n_files: int = 0,
     zorder_bits: int = 16,
     keep: int = 2,
+    allow_evolution: bool = False,
 ) -> int:
     """Append-only commit: new files for ``df``, every existing file
     carried forward in the manifest verbatim — a metadata union, zero
     bytes of old data touched. The 100 TB ingest pattern: daily loads
-    append; nothing ever rewrites history."""
+    append; nothing ever rewrites history.
+
+    ``allow_evolution=True`` permits ADD-COLUMN schema evolution: ``df``
+    must still carry every existing column (matching name and type) and
+    may add new ones; the committed schema widens, and reads fill the new
+    columns with NULL for pre-evolution files (parquet name-based
+    projection) — no old file is rewritten, the lakehouse add-column
+    contract. Drops and type changes are rejected either way: they would
+    silently reinterpret history."""
     fs, listing, head, version = _begin(spark, base_path)
     if head is None:
         raise FileNotFoundError(
@@ -322,13 +332,30 @@ def append_manifest_table(
     meta = _meta(spark, base_path, head)
     stats_cols = meta["stats_cols"]
     schema = StructType.fromJson(meta["schema"])
-    got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     want = [(f.name, f.dataType.simpleString()) for f in schema.fields]
-    if got != want:
-        raise ValueError(f"append schema {got} != table schema {want}")
+    mismatched = [
+        (n, got.get(n), t) for n, t in want if got.get(n) != t
+    ]
+    extras = [n for n in df.columns if n not in {n_ for n_, _ in want}]
+    if mismatched:
+        raise ValueError(
+            f"append schema drops or retypes table columns {mismatched} "
+            f"(got {sorted(got.items())}, table {want})"
+        )
+    if extras and not allow_evolution:
+        raise ValueError(
+            f"append schema adds columns {extras}; pass "
+            "allow_evolution=True to widen the table schema"
+        )
+    if extras:
+        schema = StructType(
+            list(schema.fields)
+            + [df.schema[n] for n in extras]
+        )
     _validate_stats_cols(df, stats_cols)
     _write_data(df, base_path, version, cluster_by, n_files, zorder_bits)
-    new_rows = _file_stats(spark, base_path, version, stats_cols, schema)
+    new_rows = _file_stats(spark, base_path, version, stats_cols, df.schema)
     prev = spark.read.parquet(f"{base_path}/manifest/v={head}")
     return _finish(
         spark,
@@ -550,6 +577,55 @@ def compact_manifest_table(
         keep,
         listing,
     )
+
+
+def manifest_changes(
+    spark: SparkSession,
+    base_path: str,
+    key: str | list[str],
+    *,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed between two committed versions, derived from the
+    manifests' FILE DIFF instead of the tables: data files are immutable,
+    so a file both versions reference holds identical rows (``same`` by
+    construction, never read), and every changed key lives in a file only
+    one side references. The diff therefore joins
+    ``read(removed files) FULL OUTER read(added files)`` — cost tracks
+    the data the commits TOUCHED, not the table. The manifest twin of
+    ``writers.snapshot_changes`` (which must read both full versions);
+    same output schema (``operators.corrections.snapshot_diff``: key,
+    op, old_*/new_* columns), same key-unique-table assumption.
+
+    Carried-but-rewritten rows (a merge rewrites a candidate file's
+    non-batch rows verbatim into new files) appear on both sides with
+    equal values and fall out as ``same`` — filter ``op != 'same'`` for
+    the applyable feed, exactly as with ``snapshot_changes``. Both
+    versions must be within retention."""
+    from tibame_project_spark.operators.corrections import snapshot_diff
+
+    if to_version is None:
+        to_version = read_manifest_version(spark, base_path)
+        if to_version is None:
+            raise FileNotFoundError(f"no committed manifest table under {base_path}")
+    old_paths = set(manifest_file_paths(spark, base_path, version=from_version))
+    new_paths = set(manifest_file_paths(spark, base_path, version=to_version))
+    removed = sorted(old_paths - new_paths)
+    added = sorted(new_paths - old_paths)
+    old_schema = StructType.fromJson(_meta(spark, base_path, from_version)["schema"])
+    new_schema = StructType.fromJson(_meta(spark, base_path, to_version)["schema"])
+    old_part = (
+        spark.read.schema(old_schema).parquet(*[f"{base_path}/{p}" for p in removed])
+        if removed
+        else spark.createDataFrame([], old_schema)
+    )
+    new_part = (
+        spark.read.schema(new_schema).parquet(*[f"{base_path}/{p}" for p in added])
+        if added
+        else spark.createDataFrame([], new_schema)
+    )
+    return snapshot_diff(old_part, new_part, key)
 
 
 def vacuum_manifest_table(spark: SparkSession, base_path: str) -> int:
