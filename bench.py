@@ -3,7 +3,14 @@
 
 Each query is fully materialized through the noop sink (whole plan executes,
 nothing collected to the driver). A warmup pass on the smallest table absorbs
-JVM/codegen startup so per-query numbers reflect the plans.
+JVM/codegen startup, and each query gets one UNTIMED warmup execution before
+its timed runs: whole-stage-codegen JIT for a query's generated classes costs
+multiples of the steady-state run (measured r06: cosine_topk's first-in-
+process run 4.05s vs 0.8s floor) and lands on whichever query first compiles
+a shared expression shape — so without per-query warmup the recorded number
+depends on registry ORDER, which is what produced r06's false 2.8x regression
+flag when rotation moved cosine_topk forward. With warmup, best-of-N measures
+the plan. SPARK_GRAFT_WARMUP=0 restores the old cold-first methodology.
 """
 
 from __future__ import annotations
@@ -34,7 +41,14 @@ def main() -> None:
     extra = int(os.environ.get("SPARK_GRAFT_EXTRA_RUNS", "2"))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    warmup = int(os.environ.get("SPARK_GRAFT_WARMUP", "1"))
     for name, fn in entry_mod.queries().items():
+        for _ in range(warmup):
+            # untimed: compiles the query's codegen classes (kept by the
+            # JVM across runs) without polluting the measurement; caches
+            # are dropped so the timed runs stay self-contained
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
         times: list[float] = []
         while len(times) < runs or (
             len(times) < runs + extra and max(times) / min(times) > steal_ratio

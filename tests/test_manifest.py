@@ -605,6 +605,50 @@ def test_manifest_changes_matches_full_table_diff(
     assert incremental == full
 
 
+def test_manifest_changes_apply_roundtrip_is_identity(spark, tmp_path):
+    """derive→apply identity for the manifest tier: the file-diff change
+    feed from v0→head, merged into a COPY of v0, reproduces the head —
+    a subscriber that bootstrapped at v0 catches up from touched files
+    only."""
+    from tibame_project_spark.sources.manifest import manifest_changes
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(8)]), src,
+        stats_cols=["id"], cluster_by="id", n_files=3, keep=10,
+    )
+    for batch in (
+        [(2, 22, False), (9, 9, False)],
+        [(0, 0, True), (9, 99, False)],
+    ):
+        merge_manifest_table(
+            spark,
+            spark.createDataFrame(batch, "id long, v long, dead boolean"),
+            src,
+            "id",
+            delete_col="dead",
+            keep=10,
+        )
+    write_manifest_table(
+        spark,
+        read_manifest_table(spark, src, version=0),
+        dst,
+        stats_cols=["id"],
+        keep=10,
+    )
+    feed = (
+        manifest_changes(spark, src, "id", from_version=0)
+        .filter(F.col("op") != "same")
+        .select(
+            "id",
+            F.col("new_v").alias("v"),
+            (F.col("op") == "delete").alias("dead"),
+        )
+    )
+    merge_manifest_table(spark, feed, dst, "id", delete_col="dead", keep=10)
+    assert _content(spark, dst) == _content(spark, src)
+
+
 def test_curate_corpus_tombstones_only_condemned_files(spark, tmp_path):
     """plans/curation over a manifest-backed documents corpus: exact-dup
     losers (appended high-id copies) and a benchmark-contaminated doc are
