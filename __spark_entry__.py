@@ -2421,22 +2421,177 @@ FROM events GROUP BY event_type
 """
 
 
-def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P12/P13 head + shuffle made deterministic: the reference's
-    sample(frac=1)[:1500] has no stable order on a distributed engine —
-    ordering by a content hash gives a reproducible pseudo-random top-N."""
-    orders = load(spark, sf_dir, "orders")
-    h = F.md5(F.col("o_orderkey").cast("string"))
-    return (
-        orders.orderBy(h)
-        .limit(100)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
+def _fresh_table_dir(tag: str) -> str:
+    """Scratch dir for a registry query that materializes a manifest table:
+    stable per (query, process) so each call replaces its own previous
+    table (no /tmp accumulation across bench warmup+timed runs), pid-keyed
+    so concurrent harness processes never share a single-writer table."""
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), f"tps_{tag}_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    return root
+
+
+def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 manifest-table tier end-to-end through the hard gate: ``orders``
+    lands as a key-clustered manifest table (per-file min/max stats), a
+    synthesized change batch — every 10th key updated (price +1000,
+    priority overwritten), every 30th of those tombstoned, every 37th key
+    re-keyed +10M into an insert — is MERGEd so only key-range-intersecting
+    files rewrite (`sources/manifest.py:441`), and the read-back is
+    stats-PRUNED to the low half of the keyspace plus the insert range.
+    The oracle replays the merge relationally (FULL OUTER + CASE, the
+    `merge_upsert` twin) and applies the same row filter — so write →
+    merge → file-skipping read must equal the relational MERGE exactly.
+    Replaces the retired ``hash_sample`` key (its deterministic
+    order-by-md5 surface stays gated via ``corpus_shuffle``/
+    ``stratified_sample``)."""
+    from tibame_project_spark.sources.manifest import (
+        merge_manifest_table,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    base = _fresh_table_dir("manifest_merge")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    )
+    write_manifest_table(
+        spark, orders, base, stats_cols=["o_orderkey"],
+        cluster_by="o_orderkey", n_files=8,
+    )
+    upd = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        "o_orderdate",
+        F.lit("MERGED").alias("o_orderpriority"),
+        (F.col("o_orderkey") % 30 == 0).alias("is_deleted"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 37 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+        F.lit(False).alias("is_deleted"),
+    )
+    merge_manifest_table(
+        spark, upd.unionByName(new), base, "o_orderkey",
+        delete_col="is_deleted",
+    )
+    half = orders.agg(
+        F.floor(F.max("o_orderkey") / 2).cast("long").alias("h")
+    ).first()["h"]
+    out = read_manifest_table(
+        spark,
+        base,
+        # file may hold a matching row iff its range reaches below `half`
+        # or into the insert keyspace — the min/max skipping contract
+        prune=f"min_o_orderkey <= {half} OR max_o_orderkey >= 10000000",
+    )
+    return out.where(
+        (F.col("o_orderkey") <= half) | (F.col("o_orderkey") >= 10000000)
     )
 
 
-_HASH_SAMPLE_SQL = """
-SELECT o_orderkey, o_custkey, o_totalprice
-FROM orders ORDER BY md5(CAST(o_orderkey AS STRING)) LIMIT 100
+_MANIFEST_MERGE_SQL = """
+WITH t AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders),
+src AS (
+  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+         o_orderdate, 'MERGED' AS o_orderpriority,
+         (o_orderkey % 30 = 0) AS is_deleted
+  FROM t WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_totalprice, o_orderdate,
+         o_orderpriority, FALSE
+  FROM t WHERE o_orderkey % 37 = 0),
+merged AS (
+  SELECT
+    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderkey ELSE t.o_orderkey END AS o_orderkey,
+    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
+    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+  FROM t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+  WHERE NOT COALESCE(s.is_deleted, FALSE))
+SELECT * FROM merged
+WHERE o_orderkey <= (SELECT CAST(floor(max(o_orderkey) / 2) AS BIGINT) FROM orders)
+   OR o_orderkey >= 10000000
+"""
+
+
+def q_curation_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus curation through the hard gate
+    (`plans/curation.py:73`): documents plus a re-keyed copy of every 5th
+    doc land as a doc_id-clustered manifest table; one `curate_corpus`
+    pass derives the tombstone batch (exact-dedup losers + docs sharing a
+    5-gram with a benchmark carved from every 97th doc) and applies it as
+    a file-skipping MERGE; the read-back must equal the relational
+    dedup + decontamination of the same corpus. md5 gram hash for DuckDB
+    parity (production default xxhash64). Replaces the retired
+    ``histogram`` key (fixed-edge bucketing stays subsumed by
+    ``percentiles``'s width_bucket oracle)."""
+    from tibame_project_spark.plans.curation import curate_corpus
+    from tibame_project_spark.sources.manifest import (
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    base = _fresh_table_dir("curation_pass")
+    docs = load(spark, sf_dir, "documents")
+    dupes = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    write_manifest_table(
+        spark, docs.unionByName(dupes), base, stats_cols=["doc_id"],
+        cluster_by="doc_id", n_files=8,
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("text").alias("bench_text")
+    )
+    curate_corpus(
+        spark, base, benchmark=bench, decontaminate_n=5,
+        base_hash=md5_base_hash,
+    )
+    return read_manifest_table(spark, base)
+
+
+_CURATION_PASS_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 5 = 0),
+surv AS (
+  SELECT doc_id, text, lang, source, n_chars FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY md5(text)
+                                   ORDER BY doc_id) AS rn
+    FROM corpus c) WHERE rn = 1),
+t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+  FROM surv),
+g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 4, 1)),
+           i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+  FROM t),
+bt AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+  FROM documents WHERE doc_id % 97 = 0),
+bg AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 4, 1)),
+           i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+  FROM bt),
+bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram))
+SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
@@ -3599,30 +3754,6 @@ FROM s
 """
 
 
-def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-edge order-value histogram per priority class: 24 buckets of
-    width 25000 over [0, 600000), edge-clamped. Literal edges → no min/max
-    pre-pass, single-stage scan + one small-key aggregation."""
-    from tibame_project_spark.operators.analytics import histogram_fixed
-
-    orders = load(spark, sf_dir, "orders")
-    return histogram_fixed(
-        orders, "o_totalprice", 0.0, 600000.0, 24, ["o_orderpriority"]
-    )
-
-
-_HISTOGRAM_SQL = """
-WITH b AS (
-  SELECT o_orderpriority,
-         CAST(least(greatest(floor((o_totalprice - 0.0) / 25000.0), 0), 23)
-              AS INTEGER) AS bucket
-  FROM orders)
-SELECT o_orderpriority, bucket, 0.0 + bucket * 25000.0 AS bucket_lo,
-       COUNT(*) AS n
-FROM b GROUP BY 1, 2
-"""
-
-
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3642,20 +3773,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is ~1986 of the 1995-char budget — the registry is effectively FULL.
     # New operators should be pytest-covered (see README crosswalk rows
     # without a query key) unless a key is retired or the format shrinks.
-    # r07 window: block 1 = this round's changes — merge_upsert is NEW
-    # (the r06 storage tier's entry into the hard gate; it took the slot
-    # freed by retiring md5_surrogate, a 1-expression query whose md5()
-    # surface dedup_exact_text and fingerprints already gate) — plus
-    # fuzzy_blocked, the only key whose witness would otherwise reach 3
-    # rounds old; block 2 = the 48 remaining r05-green entries, all due
-    # back (includes sparse_topk/hybrid_rerank, whose r06 reroute through
-    # the shared postings build the driver gate has not yet witnessed —
-    # the r06 ADVICE item). Out-of-window: the 50 r06-green entries.
+    # r08 window: block 1 = this round's changes — manifest_merge and
+    # curation_pass are NEW (the r07 manifest/curation tier's entry into
+    # the hard gate, the r07 VERDICT's top directive; they took the slots
+    # freed by retiring hash_sample — its order-by-md5 surface stays
+    # gated via corpus_shuffle/stratified_sample — and histogram, whose
+    # fixed-edge bucketing percentiles' width_bucket oracle subsumes);
+    # block 2 = the 48 remaining r06-green entries, all due back.
+    # Out-of-window: the 50 r07-green entries.
     return {
-        # -- block 1: new / stalest witness -------------------------------
-        "merge_upsert": q_merge_upsert,  # new: one-pass MERGE (M1+M2+M3)
-        "fuzzy_blocked": q_fuzzy_blocked,  # last witnessed r04
-        # -- block 2: r05-green entries, due back -------------------------
+        # -- block 1: new this round --------------------------------------
+        "manifest_merge": q_manifest_merge,  # new: S4 manifest MERGE tier
+        "curation_pass": q_curation_pass,  # new: CDC corpus curation
+        # -- block 2: r06-green entries, due back -------------------------
+        "pagerank": q_pagerank,
+        "set_ops": q_set_ops,
+        "radius_grid": q_radius_grid,
+        "json_extract": q_json_extract,
+        "ivf_train": q_ivf_train,
+        "release_pipeline": q_release_pipeline,
+        "dedup_groups": q_dedup_groups,
+        "decontaminate": q_decontaminate,
+        "substring_dedup": q_substring_dedup,
+        "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "minhash_pairs": q_minhash_pairs,
+        "embedding_dups": q_embedding_dups,
+        "multimodal_features": q_multimodal_features,
+        "sessionize": q_sessionize,
+        "windowed_counts": q_windowed_counts,
+        "sql_entry": q_sql_entry,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "simhash_pairs": q_simhash_pairs,
+        "pack_sequences": q_pack_sequences,
+        "scd2_priority": q_scd2_priority,
+        "domain_mix": q_domain_mix,
+        "grouping_sets": q_grouping_sets,
+        "c4_filter": q_c4_filter,
+        "lm_score": q_lm_score,
+        "rolling_avg": q_rolling_avg,
+        "rank_functions": q_rank_functions,
+        "snapshot_diff": q_snapshot_diff,
+        "profile_table": q_profile_table,
+        "train_split": q_train_split,
+        "incremental_mart": q_incremental_mart,
+        "corpus_report": q_corpus_report,
+        "gap_fill": q_gap_fill,
+        "cohort_retention": q_cohort_retention,
+        "funnel": q_funnel,
+        "pearson_stats": q_pearson_stats,
+        "cube_rollup": q_cube_rollup,
+        "distinct_users": q_distinct_users,
+        "mart_star_trends": q_mart_star_trends,
+        "dedup_exact_text": q_dedup_exact_text,
+        "line_dedup": q_line_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "multimodal_meta": q_multimodal_meta,
+        "percentiles": q_percentiles,
+        "pivot_event_types": q_pivot_event_types,
+        "month_over_month": q_month_over_month,
+        # ---- 50-key window boundary; below: the 50 r07-green entries ----
+        "merge_upsert": q_merge_upsert,
+        "fuzzy_blocked": q_fuzzy_blocked,
         "corrections": q_corrections,
         "stratified_sample": q_stratified_sample,
         "pricing_summary": q_pricing_summary,
@@ -3704,62 +3885,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": q_fuzzy_match,
         "semantic_dedup": q_semantic_dedup,
         "sparse_topk": q_sparse_topk,
-        # ---- 50-key window boundary; below: the 50 r06-green entries ----
-        "pagerank": q_pagerank,
-        "set_ops": q_set_ops,
-        "radius_grid": q_radius_grid,
-        "json_extract": q_json_extract,
-        "ivf_train": q_ivf_train,
-        "release_pipeline": q_release_pipeline,
-        "dedup_groups": q_dedup_groups,
-        "decontaminate": q_decontaminate,
-        "substring_dedup": q_substring_dedup,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
-        "minhash_pairs": q_minhash_pairs,
-        "embedding_dups": q_embedding_dups,
-        "multimodal_features": q_multimodal_features,
-        "sessionize": q_sessionize,
-        "windowed_counts": q_windowed_counts,
-        "sql_entry": q_sql_entry,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "simhash_pairs": q_simhash_pairs,
-        "pack_sequences": q_pack_sequences,
-        "scd2_priority": q_scd2_priority,
-        "domain_mix": q_domain_mix,
-        "grouping_sets": q_grouping_sets,
-        "c4_filter": q_c4_filter,
-        "lm_score": q_lm_score,
-        "rolling_avg": q_rolling_avg,
-        "rank_functions": q_rank_functions,
-        "snapshot_diff": q_snapshot_diff,
-        "profile_table": q_profile_table,
-        "train_split": q_train_split,
-        "incremental_mart": q_incremental_mart,
-        "corpus_report": q_corpus_report,
-        "gap_fill": q_gap_fill,
-        "cohort_retention": q_cohort_retention,
-        "funnel": q_funnel,
-        "pearson_stats": q_pearson_stats,
-        "histogram": q_histogram,
-        "cube_rollup": q_cube_rollup,
-        "distinct_users": q_distinct_users,
-        "hash_sample": q_hash_sample,
-        "mart_star_trends": q_mart_star_trends,
-        "dedup_exact_text": q_dedup_exact_text,
-        "line_dedup": q_line_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "cosine_topk": q_cosine_topk,
-        "multimodal_meta": q_multimodal_meta,
-        "percentiles": q_percentiles,
-        "pivot_event_types": q_pivot_event_types,
-        "month_over_month": q_month_over_month,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "manifest_merge": _MANIFEST_MERGE_SQL,
+        "curation_pass": _CURATION_PASS_SQL,
         "mart_star_trends": _MART_SQL,
         "pricing_summary": _PRICING_SQL,
         "dim_time": _DIM_TIME_SQL,
@@ -3817,7 +3949,6 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann": _IVF_SQL,
         "cube_rollup": _CUBE_SQL,
         "distinct_users": _DISTINCT_USERS_SQL,
-        "hash_sample": _HASH_SAMPLE_SQL,
         "embedding_dups": _embed_dups_sql(),
         "minhash_pairs": _minhash_pairs_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
@@ -3838,7 +3969,6 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _COHORT_SQL,
         "funnel": _FUNNEL_SQL,
         "pearson_stats": _PEARSON_SQL,
-        "histogram": _HISTOGRAM_SQL,
         "multimodal_features": _MULTIMODAL_FEATURES_SQL,
         # approx_users: HLL estimate vs exact as a 2%-tolerance certificate —
         # the last former rows-only entry, now hash-checked.

@@ -375,10 +375,16 @@ def test_funnel_stage_cascade_shares_one_exchange(spark):
 
 def test_histogram_no_min_max_prepass(spark):
     """Literal bucket edges: one scan, one aggregation — no second scan
-    for min/max and no join."""
-    final = _plan(entry.q_histogram(spark, SF_DIR), execute=True).split(
-        "== Initial Plan =="
-    )[0]
+    for min/max and no join. (Operator-level since r08: the `histogram`
+    registry key was retired for `curation_pass`; percentiles'
+    width_bucket oracle subsumes the bucketing surface.)"""
+    from tibame_project_spark.operators.analytics import histogram_fixed
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    df = histogram_fixed(
+        orders, "o_totalprice", 0.0, 600000.0, 24, ["o_orderpriority"]
+    )
+    final = _plan(df, execute=True).split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1
     assert "partial_count" in final
 

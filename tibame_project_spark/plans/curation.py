@@ -56,14 +56,18 @@ def contamination_tombstones(
     text_col: str = "text",
     bench_text_col: str = "bench_text",
     n: int = 5,
+    base_hash=None,
 ) -> DataFrame:
     """Docs sharing an n-gram with the benchmark, as a tombstone batch —
     the complement of ``operators.dedup.decontaminate`` (which returns
-    the clean set), derived with one extra left-anti join on the id."""
+    the clean set), derived with one extra left-anti join on the id.
+    ``base_hash`` overrides the gram hash family (production default
+    xxhash64; the oracle-gated query passes md5 for DuckDB parity)."""
     from tibame_project_spark.operators.dedup import decontaminate
 
+    kw = {"base_hash": base_hash} if base_hash is not None else {}
     clean_ids = decontaminate(
-        docs, benchmark, text_col, id_col, bench_text_col, n=n
+        docs, benchmark, text_col, id_col, bench_text_col, n=n, **kw
     ).select(id_col)
     return docs.join(clean_ids, id_col, "left_anti").withColumn(
         "dead", F.lit(True)
@@ -79,6 +83,7 @@ def curate_corpus(
     benchmark: DataFrame | None = None,
     bench_text_col: str = "bench_text",
     decontaminate_n: int = 5,
+    base_hash=None,
     keep: int = 2,
 ) -> tuple[int | None, int]:
     """One curation pass over a manifest-backed corpus: derive the
@@ -109,6 +114,7 @@ def curate_corpus(
                 text_col=text_col,
                 bench_text_col=bench_text_col,
                 n=decontaminate_n,
+                base_hash=base_hash,
             )
         )
     tombs = tombs.localCheckpoint(eager=True)
