@@ -505,3 +505,111 @@ def test_release_to_shards_export_chain(spark, tmp_path):
     assert len(glob.glob(out + "/shard=*")) == 4
     back = spark.read.parquet(out)
     assert back.count() == n_chunks
+
+
+def test_serving_remaining_contract_shapes(spark):
+    """r08: the 8 serving tables the r07 VERDICT flagged as builder-less
+    (init.sql:7,12,17,43,62,114,125,137) — every builder lands exactly its
+    DDL column set."""
+    from tibame_project_spark.plans import serving
+
+    trip = spark.createDataFrame(
+        [("故宮", md5("故宮"), ["博物館"], "國立博物館")],
+        "name string, attraction_id string, categories array<string>, info string",
+    )
+    type_dim = serving.serving_type(
+        trip.select("attraction_id", "categories")
+    )
+    assert set(type_dim.columns) == {"id", "name"}
+    assert type_dim.collect()[0].id == md5("博物館")
+
+    platform = serving.serving_social_platform(spark)
+    assert platform.columns == ["id", "name"]
+    assert {r.name for r in platform.collect()} == {"googlemap", "fb"}
+
+    stations = spark.createDataFrame(
+        [("466920", "臺北", "Taipei", 25.037659, 121.514854, "臺北市", "公園路64號")],
+        "station_orig_id string, name string, name_en string, lat double, "
+        "lon double, city string, address string",
+    )
+    ws = serving.serving_weather_station(stations)
+    assert ws.columns == ["id", "station_orig_id", "name", "name_en", "lat",
+                          "lon", "city_id", "address"]
+    w = ws.collect()[0]
+    assert w.id == md5("466920") and w.city_id == md5("臺北市")
+    assert str(w.lat) == "25.037659" and str(w.lon) == "121.514854"
+
+    taipei_ids = spark.createDataFrame(
+        [("故宮博物院", md5("故宮"))], "name string, attraction_id string"
+    )
+    trip_ids = spark.createDataFrame(
+        [("故宮", md5("故宮"))], "name string, attraction_id string"
+    )
+    tags = serving.serving_attraction_hashtag(taipei_ids, trip, trip_ids)
+    assert set(tags.columns) == {"name", "attraction_id"}
+    # union distinct of the taipei synonym and the trip-joined name
+    assert {r.name for r in tags.collect()} == {"故宮博物院", "故宮"}
+
+    detail = serving.serving_attraction_detail(tags, trip)
+    assert detail.columns == ["attraction_id", "info"]
+    rows = detail.collect()
+    # hashtag spine left-joins ods: matched name carries info, synonym
+    # name (absent from ods) yields a NULL-info row, deduped on the pair
+    assert {(r.attraction_id, r.info) for r in rows} == {
+        (md5("故宮"), "國立博物館"), (md5("故宮"), None)
+    }
+
+    daily = serving.serving_weather_daily(spark.createDataFrame(
+        [("466920", 18, 27, 22, "多雲", dt.date(2024, 5, 8))],
+        "station_orig_id string, temperature_low int, temperature_high int, "
+        "temperature_avg int, description string, obs_date date",
+    ))
+    assert daily.columns == ["id", "station_id", "temperature_low",
+                             "temperature_high", "temperature_avg",
+                             "description", "current_date"]
+    assert daily.collect()[0].station_id == md5("466920")
+
+    pred = serving.serving_weather_prediction(spark.createDataFrame(
+        [("466920", 19, 28, 23, 30, dt.date(2024, 5, 9),
+          dt.datetime(2024, 5, 8, 6, 0))],
+        "station_orig_id string, temperature_low int, temperature_high int, "
+        "temperature_avg int, rain_prob int, prediction_date date, "
+        "fetched_at timestamp",
+    ))
+    assert pred.columns == ["id", "station_id", "temperature_low",
+                            "temperature_high", "temperature_avg", "rainfall",
+                            "prediction_date", "create_at"]
+    p = pred.collect()[0]
+    assert p.station_id == md5("466920") and p.rainfall == 30
+
+
+def test_fb_posts_golden_against_reference_output(spark):
+    """The composed FB pipeline (plans/fb.py) replayed on the reference's
+    own scrape CSV must reproduce its committed normalized output
+    (fb_scraper/normalized/Normalization_中正紀念堂_2024-05-08.csv) row for
+    row — filename→(place, ref date), noise drop, zh date resolution,
+    serving projection."""
+    import pandas as pd
+
+    from tibame_project_spark.plans import fb, serving
+
+    src = "/root/reference/fb_scraper/source/postsInformation_中正紀念堂_2024-05-08.csv"
+    gold = "/root/reference/fb_scraper/normalized/Normalization_中正紀念堂_2024-05-08.csv"
+
+    out = serving.serving_attraction_social_article(
+        fb.fb_social_articles(spark, src)
+    )
+    got = {
+        (r.id, r.attraction_id, r.author, r.description or None, r.url,
+         r.source_platform_id, str(r.created_at) if r.created_at else None)
+        for r in out.collect()
+    }
+
+    gdf = pd.read_csv(gold, keep_default_na=False)
+    want = {
+        (r.id, r.attraction_id, r.author, r.description or None, r.url,
+         r.source_platform_id, r.created_at or None)
+        for r in gdf.itertuples()
+    }
+    assert len(got) == len(want) == 240
+    assert got == want
