@@ -366,19 +366,17 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         "c_name",
         tie_break=["c_custkey"],
-        # Exact two-phase banded-DP prune (operators/joins.py): phase 1
-        # scores every pair with the banded three-arg levenshtein and only
-        # left rows whose true best is farther than t repay the full DP.
-        # Bit-identical result; the names here ("Supplier#…" vs
-        # "Customer#…") are within distance 8 of their best match, so the
-        # fallback pass is empty at every SF. Measured at sf0.1 (best of 3,
-        # local[32]): ~3.1 s pruned vs ~2.8 s unpruned — the 150M-pair
-        # cross-join materialization dominates, not the DP, so banding is
-        # cost-neutral on these 18-char keys; it pays off on long strings
-        # (documents), and t below the true best distance (e.g. 4) doubles
-        # the work via the fallback pass. Kept wired as the documented
-        # correctness baseline; fuzzy_blocked is the scale tier.
-        prune_threshold=8,
+        # r08 (VERDICT r07 #7): the registry records the UNPRUNED variant —
+        # the measured-faster one on these 18-char keys (~2.8 s vs ~3.1 s
+        # pruned at sf0.1: the 150M-pair cross-join materialization
+        # dominates, not the DP, so banding was a ~0.3 s documentation
+        # premium the bench record no longer pays). The exact two-phase
+        # banded-DP prune (prune_threshold=t, bit-identical result) stays
+        # unit-tested (test_fuzzy_top1_prune_threshold_exact) and is the
+        # right setting for LONG strings, where the full DP is the cost.
+        # This entry remains the documented cross-product correctness
+        # baseline; fuzzy_blocked is the scale tier.
+        prune_threshold=None,
         # Deliberate override of the cartesian guard: this entry IS the
         # documented cross-product baseline (and skipping the guard's two
         # count jobs keeps the bench path unchanged). Accidental scale use
@@ -1958,8 +1956,12 @@ FROM events GROUP BY CAST(ts AS DATE)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via prefix filtering (PPJoin) —
-    no cross product, no sketch recall loss."""
+    """Exact n-gram Jaccard near-dup pairs (All-Pairs family) — no cross
+    product, no sketch recall loss. Registry keeps the default full-token
+    equi-join plan: the PPJoin prefix-filtered tier (prefix_filter=True)
+    is bit-equal but measured ~3x slower at sf0.1's mild token skew
+    (BENCHDIFF r08 A/B) — it earns its keep at boilerplate-heavy skew,
+    not here."""
     docs = load(spark, sf_dir, "documents")
     return ngram_jaccard_exact_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
 

@@ -107,6 +107,52 @@ def test_zorder_cluster_prunes_on_second_dimension(spark, tmp_path):
     assert got.count() == 64 * 4  # pruning lost no rows
 
 
+def test_zorder_cluster_prunes_conjunctive_box(spark, tmp_path):
+    """r08 (VERDICT r07 #8, the x∧y case): under a conjunctive box
+    predicate on BOTH clustered columns, the Morton layout confines the
+    box to a handful of hyper-rectangle files — strictly fewer than
+    either single-column prune keeps — while a linear x-sorted layout
+    gets no additional skipping from the y conjunct. 256×256 grid, 64
+    files (file geometry ≈ 32×32 Morton squares), so the skip ratios are
+    the ones a 100 TB table with the same file/box proportions would see.
+    """
+    side = 256
+    grid = spark.range(0, side * side).select(
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("long").alias("y"),
+    )
+    zbase, xbase = str(tmp_path / "zc"), str(tmp_path / "xc")
+    write_manifest_table(
+        spark, grid, zbase, stats_cols=["x", "y"], cluster_by=["x", "y"],
+        n_files=64, zorder_bits=8,
+    )
+    write_manifest_table(
+        spark, grid, xbase, stats_cols=["x", "y"], cluster_by="x", n_files=64
+    )
+    box = ("min_x <= 15 AND max_x >= 8 AND min_y <= 23 AND max_y >= 16")
+    x_only = "min_x <= 15 AND max_x >= 8"
+    y_only = "min_y <= 23 AND max_y >= 16"
+    kept = {
+        (layout, name): len(manifest_file_paths(spark, base, prune=p))
+        for layout, base in (("z", zbase), ("x", xbase))
+        for name, p in (("box", box), ("x", x_only), ("y", y_only))
+    }
+    # Morton: the 8×8 box sits inside one 32×32 file square (± range-
+    # partitioner boundary slop) — measured skip ratio ≥ 58/64
+    assert kept[("z", "box")] <= 6
+    # conjunctive beats BOTH of its own single-column prunes
+    assert kept[("z", "box")] < kept[("z", "x")]
+    assert kept[("z", "box")] < kept[("z", "y")]
+    # linear layout: y conjunct skips nothing beyond the x prune, and its
+    # y-only prune keeps every file (each x-slab spans all of y)
+    assert kept[("x", "box")] == kept[("x", "x")]
+    assert kept[("x", "y")] == 64
+    got = read_manifest_table(spark, zbase, prune=box).where(
+        "x BETWEEN 8 AND 15 AND y BETWEEN 16 AND 23"
+    )
+    assert got.count() == 8 * 8  # pruning lost no rows
+
+
 def test_append_is_metadata_union(spark, tmp_path):
     base = str(tmp_path / "t")
     write_manifest_table(

@@ -3014,3 +3014,38 @@ def test_snapshot_table_ignores_foreign_files(spark, tmp_path):
     # the foreign entries survived untouched
     assert os.path.exists(os.path.join(base, "_COMMIT_v1.bak"))
     assert os.path.isdir(os.path.join(base, "v=tmp"))
+
+
+def test_ngram_jaccard_prefix_filter_equals_default(spark):
+    """r08 (VERDICT r07 #5): the PPJoin prefix-filtered plan returns
+    bit-identical pairs to the full-token-join plan — including on a
+    skew-heavy corpus where one boilerplate shingle appears in every doc
+    (the case the prefix filter exists for) and docs below/above the
+    length-ratio window."""
+    from tibame_project_spark.operators.dedup import ngram_jaccard_exact_pairs
+
+    boiler = "terms of service apply to all "
+    rows = [
+        (1, boiler + "alpha beta gamma delta epsilon zeta"),
+        (2, boiler + "alpha beta gamma delta epsilon eta"),   # near-dup of 1
+        (3, boiler + "completely different tail words here now"),
+        (4, "short doc"),                                     # tiny: len-pruned
+        (5, boiler + "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (6, " ".join(f"w{i}" for i in range(60))),            # long, unrelated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for t in (0.3, 0.5, 0.8):
+        base = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_exact_pairs(
+                df, "text", "doc_id", n=3, threshold=t
+            ).collect()
+        }
+        pp = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_exact_pairs(
+                df, "text", "doc_id", n=3, threshold=t, prefix_filter=True
+            ).collect()
+        }
+        assert pp == base, f"threshold {t}: {pp ^ base}"
+    assert (1, 5) in {(a, b) for a, b, _ in base}  # sanity: dup pair found

@@ -709,28 +709,40 @@ def ngram_jaccard_exact_pairs(
     *,
     n: int = 3,
     threshold: float = 0.5,
+    prefix_filter: bool = False,
 ) -> DataFrame:
-    """EXACT all-pairs n-gram Jaccard ≥ threshold via prefix filtering
-    (PPJoin / All-Pairs): under a global shingle order, any pair with
-    J(A,B) ≥ t must share at least one shingle within each side's prefix of
-    length |x| − ⌈t·|x|⌉ + 1, so joining on exploded prefix shingles loses no
-    qualifying pair — no O(n²) cross product, no sketch recall loss. The
-    candidate join is an equi-join on a shingle string; verification is the
-    exact intersection/union ratio. Complements ``ngram_jaccard_pairs``
+    """EXACT all-pairs n-gram Jaccard ≥ threshold via candidate equi-joins
+    (All-Pairs / PPJoin family, Bayardo et al. WWW'07 & Xiao et al.
+    WWW'08 — public designs, original implementation): no O(n²) cross
+    product, no sketch recall loss. Complements ``ngram_jaccard_pairs``
     (min-hash blocked, probabilistic recall) when exactness is required.
+
+    Two exact plans behind ``prefix_filter`` (A/B'd at sf0.1 — see
+    BENCHDIFF r08; both return identical rows, property-tested):
+
+    * ``False`` (default): explode EVERY hashed shingle, equi-join with
+      length-ratio pruning (J ≥ t forces t·|A| ≤ |B| ≤ |A|/t), count
+      |A∩B| in the join's groupBy, union by inclusion–exclusion. One
+      join, fully codegen'd — the right plan at moderate token skew.
+    * ``True``: PPJoin prefix filtering — under the global hash order a
+      qualifying pair must share a token within each side's first
+      |x| − ⌈t·|x|⌉ + 1 smallest hashes (if the prefixes were disjoint
+      the overlap could not reach ⌈t·|x|⌉), so ONLY prefixes explode for
+      candidate generation; candidates verify with one sorted-array
+      intersection per surviving pair. At heavy token-frequency skew the
+      hot shingle's join fan-out shrinks by the prefix ratio (~1−t),
+      which is the difference between a bounded and an exploding shuffle
+      on a 100 TB corpus with boilerplate n-grams.
     """
+    if prefix_filter:
+        return _ngram_jaccard_ppjoin(df, text_col, id_col, n, threshold)
     # Shape chosen to stay inside whole-stage codegen end-to-end: shingles
     # are hashed to 8-byte longs (set identity up to 2^-64 collisions;
     # shingles are already distinct per doc), exploded, and equi-joined on
-    # the hash with length-ratio pruning — J(A,B) >= t forces
-    # t*|A| <= |B| <= |A|/t — then |A∩B| falls out of a groupBy count and
-    # the union by inclusion-exclusion (|A|+|B|−|A∩B|). No array
-    # intersections (interpreted HOFs) in the pair path, and the threshold
-    # filter sits above the aggregate so nothing expensive is re-inlined
-    # into a pushed-down predicate. At extreme token-frequency skew the
-    # PPJoin upgrade is to explode only each doc's |x|−⌈t|x|⌉+1 smallest
-    # hashes for candidate generation and verify positionally; the
-    # length-pruned full-token join is the simpler plan and one fewer join.
+    # the hash with length-ratio pruning, then |A∩B| falls out of a
+    # groupBy count. No array intersections (interpreted HOFs) in the
+    # pair path — pair count here equals the token-join output, so a
+    # per-pair HOF would sit on the widest relation in the plan.
     tok = (
         _shingled(df, text_col, id_col, n)
         .withColumn("__sz", F.size("__sh"))
@@ -760,6 +772,81 @@ def ngram_jaccard_exact_pairs(
     jac = F.col("__i") / (F.col("sz_a") + F.col("sz_b") - F.col("__i"))
     return (
         pairs.filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _ngram_jaccard_ppjoin(
+    df: DataFrame, text_col: str, id_col: str, n: int, threshold: float
+) -> DataFrame:
+    """The ``prefix_filter=True`` plan of :func:`ngram_jaccard_exact_pairs`.
+
+    1. one doc-level relation (id, sorted hashed shingles, size) — built
+       once, reused for prefix explode and both verify joins;
+    2. candidates: explode each doc's prefix (its |x| − ⌈t·|x|⌉ + 1
+       smallest hashes), self-equi-join on the hash with id-order and
+       length-ratio pruning, distinct pair ids;
+    3. verify: two hash joins pull the full sorted arrays, one
+       ``array_intersect`` per CANDIDATE (already pruned — the HOF sits
+       on the narrow relation, unlike in the default plan where pair
+       count equals join output).
+    """
+    docs = (
+        _shingled(df, text_col, id_col, n)
+        .select(
+            "__id",
+            F.array_sort(F.transform("__sh", lambda s: F.xxhash64(s))).alias(
+                "__hs"
+            ),
+            F.size("__sh").alias("__sz"),
+        )
+        .persist()
+    )
+    prefix_len = F.greatest(
+        F.lit(1),
+        (F.col("__sz") - F.ceil(F.col("__sz") * F.lit(threshold)) + 1).cast(
+            "int"
+        ),
+    )
+    pref = docs.select(
+        "__id", "__sz", F.explode(F.slice("__hs", 1, prefix_len)).alias("__tok")
+    )
+    cand = (
+        pref.alias("l")
+        .join(
+            pref.alias("r"),
+            (F.col("l.__tok") == F.col("r.__tok"))
+            & (F.col("l.__id") < F.col("r.__id"))
+            & (F.col("l.__sz") * threshold <= F.col("r.__sz"))
+            & (F.col("r.__sz") * threshold <= F.col("l.__sz")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    ver = (
+        cand.join(
+            docs.select(
+                F.col("__id").alias("id_a"),
+                F.col("__hs").alias("__ha"),
+                F.col("__sz").alias("sz_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            docs.select(
+                F.col("__id").alias("id_b"),
+                F.col("__hs").alias("__hb"),
+                F.col("__sz").alias("sz_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("__i", F.size(F.array_intersect("__ha", "__hb")))
+    )
+    jac = F.col("__i") / (F.col("sz_a") + F.col("sz_b") - F.col("__i"))
+    return (
+        ver.filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
 

@@ -36,21 +36,39 @@ def pagerank_integer(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 10**12,
+    dangling: str = "redistribute",
 ) -> DataFrame:
     """Fixed-iteration PageRank with integer-scaled exact arithmetic.
 
     ``edges`` is a directed edge list (duplicates allowed — they are
-    dropped). Every node must appear as a source at least once (true for
-    symmetrized graphs; dangling nodes would otherwise leak rank mass).
-    Returns (node, rank) with rank a BIGINT in units of 1/``scale``:
+    dropped). Returns (node, rank) with rank a BIGINT in units of
+    1/``scale``:
 
         r_0(v)   = scale div N
         r_k+1(v) = (scale · (den−num)) div (den · N)
-                   + (num · Σ_{u→v} r_k(u) div deg(u)) div den
+                   + (num · (Σ_{u→v} r_k(u) div deg(u) + D_k div N)) div den
+
+    where ``D_k`` is the round's total rank held by DANGLING nodes (no
+    out-edges) — redistributed uniformly, the standard sink treatment
+    (Page et al. 1999 §2.7), so rank mass is conserved up to truncation.
+    A web-scale crawl graph always has sinks; silently leaking their mass
+    (the pre-r08 precondition) skews every rank downward.
+
+    ``dangling`` picks the contract:
+
+    * ``"redistribute"`` (default): one cheap existence probe up front;
+      a sink-free graph (e.g. symmetrized) runs the exact pre-r08 plan —
+      zero per-round overhead, bit-identical results — while a graph with
+      sinks adds one node-sized semi-join + 1-row aggregate per round
+      (broadcast into the update, never collected).
+    * ``"raise"``: validate-and-fail on the first dangling node — for
+      callers whose oracle replays the sink-free recurrence.
+    * ``"assume_none"``: skip the probe entirely (caller-asserted
+      sink-free input; the zero-job fast path).
 
     The truncating ``div`` makes the recurrence exactly reproducible in
     any engine with 64-bit integers; the mass lost to truncation is
-    < N·iterations/scale — irrelevant for ranking, decisive for parity.
+    < 4·N·iterations/scale — irrelevant for ranking, decisive for parity.
 
     Caching contract (same as ``similarity.semantic_dedup``): the edge,
     node and node-count relations are ``persist()``-ed because every round
@@ -59,6 +77,11 @@ def pagerank_integer(
     equivalent move is materializing the degree-annotated edge table once
     and reading it per round.
     """
+    if dangling not in ("redistribute", "raise", "assume_none"):
+        raise ValueError(
+            f"dangling must be 'redistribute', 'raise' or 'assume_none', "
+            f"got {dangling!r}"
+        )
     e = (
         edges.select(
             F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
@@ -71,7 +94,28 @@ def pagerank_integer(
     # per-round invariants: the node list joins every round's contributions
     # and the node count enters every teleport term — cache both once
     # instead of re-shuffling the (much larger) edge relation per round
-    nodes = ed.select(F.col("__s").alias("node")).distinct().persist()
+    sources = ed.select(F.col("__s").alias("node")).distinct()
+    if dangling == "assume_none":
+        has_dangling = False
+        nodes = sources.persist()
+    else:
+        # sinks = destinations that never appear as a source; probe for
+        # existence only (limit-1 short-circuits the scan)
+        sinks = (
+            e.select(F.col("__d").alias("node"))
+            .join(sources, "node", "left_anti")
+            .distinct()
+            .persist()
+        )
+        has_dangling = bool(sinks.limit(1).count())
+        if has_dangling and dangling == "raise":
+            ex = [r["node"] for r in sinks.limit(3).collect()]
+            raise ValueError(
+                f"graph has dangling nodes (no out-edges), e.g. {ex}; pass "
+                "dangling='redistribute' or symmetrize the edge list"
+            )
+        nodes = (sources.unionByName(sinks).distinct() if has_dangling
+                 else sources).persist()
     n_df = nodes.agg(F.count(F.lit(1)).alias("__n")).persist()
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", F.expr(f"{scale} div __n").alias("rank")
@@ -84,14 +128,24 @@ def pagerank_integer(
             .groupBy("node")
             .agg(F.sum("__c").alias("__csum"))
         )
+        upd = nodes.join(contrib, "node", "left").crossJoin(F.broadcast(n_df))
+        if has_dangling:
+            # the round's dangling mass as a 1-row relation, broadcast into
+            # the update — stays lazy, nothing collected to the driver
+            dmass = (
+                ranks.join(sinks, "node", "leftsemi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("__dm"))
+            )
+            pooled = "(coalesce(__csum, 0) + (__dm div __n))"
+            upd = upd.crossJoin(F.broadcast(dmass))
+        else:
+            pooled = "coalesce(__csum, 0)"
         ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(n_df))
-            .select(
+            upd.select(
                 "node",
                 F.expr(
                     f"{teleport_num} div ({damping_den} * __n)"
-                    f" + ({damping_num} * coalesce(__csum, 0)) div {damping_den}"
+                    f" + ({damping_num} * {pooled}) div {damping_den}"
                 ).alias("rank"),
             )
             .localCheckpoint(eager=False)
