@@ -2351,7 +2351,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2 + 1).alias("b"),
     )
     edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    ranks = pagerank_integer(edges, "a", "b", iterations=3)
+    # symmetrized by construction -> provably sink-free, so skip the
+    # dangling-node probe (r08); the redistribute path is pytest-gated
+    # against a pure-Python integer model on graphs WITH sinks
+    ranks = pagerank_integer(edges, "a", "b", iterations=3, dangling="assume_none")
     w = Window.orderBy(F.col("rank").desc(), F.col("node"))
     return (
         ranks.withColumn("pos", F.row_number().over(w))
@@ -2439,15 +2442,18 @@ def _fresh_table_dir(tag: str) -> str:
 def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 manifest-table tier end-to-end through the hard gate: ``orders``
     lands as a key-clustered manifest table (per-file min/max stats), a
-    synthesized change batch — every 10th key updated (price +1000,
-    priority overwritten), every 30th of those tombstoned, every 37th key
-    re-keyed +10M into an insert — is MERGEd so only key-range-intersecting
-    files rewrite (`sources/manifest.py:441`), and the read-back is
+    synthesized change batch — the CONTIGUOUS key decile [0.4·max,
+    0.5·max] updated (price +1000, priority overwritten), every 3rd of
+    those tombstoned, every 37th key re-keyed +10M into an insert — is
+    MERGEd so only key-range-intersecting files rewrite
+    (`sources/manifest.py`: the insert keys sit outside every file's
+    range and the update decile touches ~1/8 of the clustered files, so
+    most files carry forward as pure metadata), and the read-back is
     stats-PRUNED to the low half of the keyspace plus the insert range.
     The oracle replays the merge relationally (FULL OUTER + CASE, the
     `merge_upsert` twin) and applies the same row filter — so write →
-    merge → file-skipping read must equal the relational MERGE exactly.
-    Replaces the retired ``hash_sample`` key (its deterministic
+    skipping merge → file-skipping read must equal the relational MERGE
+    exactly. Replaces the retired ``hash_sample`` key (its deterministic
     order-by-md5 surface stays gated via ``corpus_shuffle``/
     ``stratified_sample``)."""
     from tibame_project_spark.sources.manifest import (
@@ -2465,13 +2471,15 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, orders, base, stats_cols=["o_orderkey"],
         cluster_by="o_orderkey", n_files=8,
     )
-    upd = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+    mx = orders.agg(F.max("o_orderkey").alias("m")).first()["m"]
+    lo, hi = (mx * 4) // 10, (mx * 5) // 10
+    upd = orders.filter(F.col("o_orderkey").between(lo, hi)).select(
         "o_orderkey",
         "o_custkey",
         (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
         "o_orderdate",
         F.lit("MERGED").alias("o_orderpriority"),
-        (F.col("o_orderkey") % 30 == 0).alias("is_deleted"),
+        (F.col("o_orderkey") % 3 == 0).alias("is_deleted"),
     )
     new = orders.filter(F.col("o_orderkey") % 37 == 0).select(
         (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
@@ -2485,9 +2493,7 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, upd.unionByName(new), base, "o_orderkey",
         delete_col="is_deleted",
     )
-    half = orders.agg(
-        F.floor(F.max("o_orderkey") / 2).cast("long").alias("h")
-    ).first()["h"]
+    half = hi
     out = read_manifest_table(
         spark,
         base,
@@ -2501,14 +2507,17 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MANIFEST_MERGE_SQL = """
-WITH t AS (
+WITH b AS (
+  SELECT (max(o_orderkey) * 4) // 10 AS lo, (max(o_orderkey) * 5) // 10 AS hi
+  FROM orders),
+t AS (
   SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority
   FROM orders),
 src AS (
   SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
          o_orderdate, 'MERGED' AS o_orderpriority,
-         (o_orderkey % 30 = 0) AS is_deleted
-  FROM t WHERE o_orderkey % 10 = 0
+         (o_orderkey % 3 = 0) AS is_deleted
+  FROM t WHERE o_orderkey BETWEEN (SELECT lo FROM b) AND (SELECT hi FROM b)
   UNION ALL
   SELECT o_orderkey + 10000000, o_custkey, o_totalprice, o_orderdate,
          o_orderpriority, FALSE
@@ -2523,7 +2532,7 @@ merged AS (
   FROM t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
   WHERE NOT COALESCE(s.is_deleted, FALSE))
 SELECT * FROM merged
-WHERE o_orderkey <= (SELECT CAST(floor(max(o_orderkey) / 2) AS BIGINT) FROM orders)
+WHERE o_orderkey <= (SELECT hi FROM b)
    OR o_orderkey >= 10000000
 """
 

@@ -55,7 +55,9 @@ def test_create_read_roundtrip_and_files(spark, tmp_path):
     assert got.count() == 200
     assert {r["id"] for r in got.collect()} == set(range(200))
     man = manifest_stats(spark, base)
-    assert set(man.columns) == {"path", "bytes", "rows", "min_id", "max_id"}
+    assert set(man.columns) == {
+        "path", "bytes", "rows", "min_id", "max_id", "dv_path"
+    }
     rows = man.collect()
     assert len(rows) == 4 and sum(r["rows"] for r in rows) == 200
     # cluster_by=id gives disjoint tight ranges: global min/max covered
@@ -779,3 +781,188 @@ def test_catalog_manifest_pipeline_over_orders(spark, tmp_path):
     ).first()["n"]
     want = batch.count()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors (r08)
+# ---------------------------------------------------------------------------
+
+def _data_files(base):
+    out = []
+    droot = os.path.join(base, "data")
+    for d in sorted(os.listdir(droot)):
+        for f in sorted(os.listdir(os.path.join(droot, d))):
+            if not f.startswith(("_", ".")):
+                out.append((f"data/{d}/{f}",
+                            os.path.getmtime(os.path.join(droot, d, f))))
+    return out
+
+
+def test_delete_writes_vectors_not_data(spark, tmp_path):
+    """delete_manifest_table condemns rows with ZERO data-file writes:
+    the physical file set (paths AND mtimes) is bit-identical before and
+    after, only sidecars + manifest move; reads apply the vector."""
+    from tibame_project_spark.sources.manifest import delete_manifest_table
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark,
+        spark.range(0, 100).select(F.col("id"), F.col("id").alias("v")),
+        base, stats_cols=["id"], cluster_by="id", n_files=4,
+    )
+    files_before = _data_files(base)
+    keys = spark.createDataFrame([(7,), (42,), (99,)], "id long")
+    v = delete_manifest_table(spark, keys, base, "id")
+    assert v == 1
+    assert _data_files(base) == files_before  # zero rewrite
+    assert _content(spark, base) == {(i, i) for i in range(100)} - {
+        (7, 7), (42, 42), (99, 99)
+    }
+    # only files whose key range contains a condemned key carry a vector
+    man = manifest_stats(spark, base)
+    with_dv = {r["path"] for r in man.where("dv_path IS NOT NULL").collect()}
+    assert 0 < len(with_dv) < len(man.collect()) + 1
+    for r in man.collect():
+        if r["path"] not in with_dv:
+            assert not (r["min_id"] <= 7 <= r["max_id"]
+                        or r["min_id"] <= 42 <= r["max_id"]
+                        or r["min_id"] <= 99 <= r["max_id"])
+
+
+def test_delete_unions_and_key_is_fixed(spark, tmp_path):
+    """A second delete on an already-vectored file unions into a fresh
+    complete sidecar (readers never chase generations); the DV key column
+    is fixed at first use; deleting absent keys is a readable no-op."""
+    from tibame_project_spark.sources.manifest import delete_manifest_table
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark,
+        spark.range(0, 50).select(F.col("id"), F.col("id").alias("v")),
+        base, stats_cols=["id", "v"], cluster_by="id", n_files=2,
+    )
+    delete_manifest_table(spark, spark.createDataFrame([(3,)], "id long"), base, "id")
+    delete_manifest_table(spark, spark.createDataFrame([(4,)], "id long"), base, "id")
+    assert _content(spark, base) == {(i, i) for i in range(50)} - {(3, 3), (4, 4)}
+    with pytest.raises(ValueError, match="fixed"):
+        delete_manifest_table(
+            spark, spark.createDataFrame([(5,)], "v long"), base, "v"
+        )
+    v = delete_manifest_table(
+        spark, spark.createDataFrame([(12345,)], "id long"), base, "id"
+    )
+    assert v is not None
+    assert _content(spark, base) == {(i, i) for i in range(50)} - {(3, 3), (4, 4)}
+
+
+def test_merge_and_compact_fold_vectors(spark, tmp_path):
+    """A merge touching a vectored file must not resurrect condemned rows
+    and clears the vector for rewritten files; compaction folds vectors
+    in and comes out vector-free with identical logical content."""
+    from tibame_project_spark.sources.manifest import delete_manifest_table
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark,
+        spark.range(0, 60).select(F.col("id"), F.col("id").alias("v")),
+        base, stats_cols=["id"], cluster_by="id", n_files=3,
+    )
+    delete_manifest_table(
+        spark, spark.createDataFrame([(10,), (50,)], "id long"), base, "id"
+    )
+    # upsert id=11 (same file range as condemned 10): 10 must stay gone
+    merge_manifest_table(
+        spark,
+        spark.createDataFrame([(11, 1111)], "id long, v long"),
+        base, "id",
+    )
+    expect = {(i, i) for i in range(60)} - {(10, 10), (50, 50), (11, 11)} | {(11, 1111)}
+    assert _content(spark, base) == expect
+    v = compact_manifest_table(spark, base, small_bytes=1 << 30,
+                               target_bytes=1 << 30)
+    assert v is not None
+    man = manifest_stats(spark, base)
+    assert man.where("dv_path IS NOT NULL").count() == 0  # all folded
+    assert _content(spark, base) == expect
+
+
+def test_vacuum_sweeps_unreferenced_dv_dirs(spark, tmp_path):
+    """Vacuum keeps sidecar dirs any retained manifest references and
+    deletes the rest (after compaction ages the vectored versions out of
+    retention)."""
+    from tibame_project_spark.sources.manifest import delete_manifest_table
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark,
+        spark.range(0, 40).select(F.col("id"), F.col("id").alias("v")),
+        base, stats_cols=["id"], cluster_by="id", n_files=2, keep=1,
+    )
+    delete_manifest_table(
+        spark, spark.createDataFrame([(1,)], "id long"), base, "id", keep=1
+    )
+    assert os.path.isdir(os.path.join(base, "dv", "v=1"))
+    # keep=1 retention: v1 is still the head -> its dv dir must survive
+    assert vacuum_manifest_table(spark, base) == 0
+    assert os.path.isdir(os.path.join(base, "dv", "v=1"))
+    compact_manifest_table(
+        spark, base, small_bytes=1 << 30, target_bytes=1 << 30, keep=1
+    )
+    n = vacuum_manifest_table(spark, base)
+    assert n >= 1  # old data files and/or the now-unreferenced dv dir
+    assert not os.path.isdir(os.path.join(base, "dv", "v=1"))
+    assert _content(spark, base) == {(i, i) for i in range(40)} - {(1, 1)}
+
+
+def test_manifest_changes_across_dv_commit(spark, tmp_path):
+    """The change feed between a pre- and post-delete version: condemned
+    rows surface as op='delete' (the (file, vector) pair is the diff
+    unit), untouched files never read."""
+    from tibame_project_spark.sources.manifest import (
+        delete_manifest_table,
+        manifest_changes,
+    )
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark,
+        spark.range(0, 30).select(F.col("id"), F.col("id").alias("v")),
+        base, stats_cols=["id"], cluster_by="id", n_files=3,
+    )
+    delete_manifest_table(
+        spark, spark.createDataFrame([(5,), (6,)], "id long"), base, "id"
+    )
+    feed = manifest_changes(spark, base, "id", from_version=0, to_version=1)
+    ops = {(r["id"], r["op"]) for r in feed.where("op <> 'same'").collect()}
+    assert ops == {(5, "delete"), (6, "delete")}
+
+
+def test_curate_corpus_with_deletion_vectors(spark, tmp_path):
+    """curate_corpus(use_deletion_vectors=True): the tombstone pass is a
+    ZERO-rewrite commit (physical data files untouched), the read-back
+    equals the merge-mode result, and a second pass is a fixpoint."""
+    from tibame_project_spark.plans.curation import curate_corpus
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),   # dup loser
+        (3, "completely different text here ok"),
+        (4, "unique and untouched words right"),
+    ]
+    schema = "doc_id long, text string"
+    dv_base, mg_base = str(tmp_path / "dv"), str(tmp_path / "mg")
+    for b in (dv_base, mg_base):
+        write_manifest_table(
+            spark, spark.createDataFrame(rows, schema), b,
+            stats_cols=["doc_id"], cluster_by="doc_id", n_files=2,
+        )
+    files_before = _data_files(dv_base)
+    v, n = curate_corpus(spark, dv_base, use_deletion_vectors=True)
+    assert v == 1 and n == 1
+    assert _data_files(dv_base) == files_before  # zero rewrite
+    curate_corpus(spark, mg_base)
+    got_dv = {tuple(r) for r in read_manifest_table(spark, dv_base).collect()}
+    got_mg = {tuple(r) for r in read_manifest_table(spark, mg_base).collect()}
+    assert got_dv == got_mg == {r for r in map(tuple, rows) if r[0] != 2}
+    v2, n2 = curate_corpus(spark, dv_base, use_deletion_vectors=True)
+    assert (v2, n2) == (None, 0)  # fixpoint

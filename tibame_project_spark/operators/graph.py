@@ -100,9 +100,12 @@ def pagerank_integer(
         nodes = sources.persist()
     else:
         # sinks = destinations that never appear as a source; probe for
-        # existence only (limit-1 short-circuits the scan)
+        # existence only (limit-1 short-circuits the scan). Derived from
+        # the PERSISTED degree-annotated edges, not the raw edge plan —
+        # the probe is what first materializes ed, so the upstream edge
+        # build runs once, not once-for-the-probe and once-for-round-1.
         sinks = (
-            e.select(F.col("__d").alias("node"))
+            ed.select(F.col("__d").alias("node"))
             .join(sources, "node", "left_anti")
             .distinct()
             .persist()

@@ -84,18 +84,31 @@ def curate_corpus(
     bench_text_col: str = "bench_text",
     decontaminate_n: int = 5,
     base_hash=None,
+    use_deletion_vectors: bool = False,
     keep: int = 2,
 ) -> tuple[int | None, int]:
     """One curation pass over a manifest-backed corpus: derive the
     tombstone batch (exact-dedup losers, plus benchmark contamination
-    when ``benchmark`` is given) and merge it in. Returns
+    when ``benchmark`` is given) and apply it. Returns
     ``(version, n_tombstones)`` — ``version`` is None when the corpus
     was already clean (no commit; a no-op pass leaves no version noise).
 
+    ``use_deletion_vectors=False`` (default) applies tombstones via
+    ``merge_manifest_table`` — files holding a condemned doc are
+    REWRITTEN (physical reclaim now). ``True`` applies them via
+    ``delete_manifest_table`` — ZERO data files rewritten, condemned ids
+    land in per-file sidecars and physical reclaim is deferred to the
+    next compaction; at curation's typical touch pattern (a few rows
+    condemned in MOST files) this turns a near-full-corpus rewrite into
+    a metadata-plus-sidecar commit, which is the shape that survives
+    100 TB. Repeated passes stay fixpoints either way (a condemned doc
+    is invisible to the next pass's read).
+
     The batch is materialized (it is condemned-set-sized, not
-    corpus-sized) before the merge so deriving it doesn't re-run inside
-    the merge's candidate-file join."""
+    corpus-sized) before the apply so deriving it doesn't re-run inside
+    the candidate-file join."""
     from tibame_project_spark.sources.manifest import (
+        delete_manifest_table,
         merge_manifest_table,
         read_manifest_table,
     )
@@ -121,7 +134,12 @@ def curate_corpus(
     n_tombs = tombs.count()
     if n_tombs == 0:
         return None, 0
-    version = merge_manifest_table(
-        spark, tombs, base_path, id_col, delete_col="dead", keep=keep
-    )
+    if use_deletion_vectors:
+        version = delete_manifest_table(
+            spark, tombs.select(id_col), base_path, id_col, keep=keep
+        )
+    else:
+        version = merge_manifest_table(
+            spark, tombs, base_path, id_col, delete_col="dead", keep=keep
+        )
     return version, n_tombs

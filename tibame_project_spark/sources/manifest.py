@@ -19,10 +19,14 @@ statistics on declared columns. Commits then become metadata operations:
 - **reads** prune files by their stats before Spark ever opens them
   (:func:`read_manifest_table` ``prune=``) — the file-skipping half of
   partition pruning, for columns the directory layout doesn't encode;
+- **delete** condemns rows by key WITHOUT rewriting any data file —
+  per-file deletion-vector sidecars, Delta's public DV design
+  (:func:`delete_manifest_table`); reads anti-join the vectors, the
+  next merge/compaction touching a file folds its vector in;
 - **compaction** folds small files into big ones without changing
-  content (:func:`compact_manifest_table`);
-- **vacuum** deletes data files no retained version references
-  (:func:`vacuum_manifest_table`).
+  content (DVs applied and cleared) (:func:`compact_manifest_table`);
+- **vacuum** deletes data files and DV sidecars no retained version
+  references (:func:`vacuum_manifest_table`).
 
 Commit protocol is shared verbatim with ``write_snapshot`` (create-new
 ``_COMMIT_v<n>`` marker = publish; highest marker = current; single
@@ -32,11 +36,14 @@ orphans invisible — the next successful commit IS version n and
 overwrites them. Layout under ``base_path``::
 
     _COMMIT_v<n>       commit markers (atomic create-new)
-    meta/v=<n>.json    table schema + declared stats columns
+    meta/v=<n>.json    table schema + declared stats columns (+ dv_key)
     manifest/v=<n>/    parquet, one row per live data file:
-                       path, bytes, rows, min_<c>, max_<c> per stats col
+                       path, bytes, rows, min_<c>, max_<c> per stats col,
+                       dv_path (NULL unless a deletion vector applies)
     data/v=<n>/        immutable parquet files ADDED by commit n
                        (a version's live set spans many data/ dirs)
+    dv/v=<n>/          deletion-vector sidecars of commit n: (__path,
+                       __key) pairs condemning rows of still-live files
 
 File statistics are collected Spark-side from the ``_metadata`` hidden
 columns (``file_path``/``file_size``) with one distributed groupBy over
@@ -71,6 +78,7 @@ __all__ = [
     "write_manifest_table",
     "append_manifest_table",
     "merge_manifest_table",
+    "delete_manifest_table",
     "compact_manifest_table",
     "read_manifest_table",
     "read_manifest_version",
@@ -131,6 +139,73 @@ def _meta(spark: SparkSession, base_path: str, version: int) -> dict:
     return json.loads(_read_text(spark, f"{base_path}/meta/v={version}.json"))
 
 
+def _load_manifest(spark: SparkSession, base_path: str, version: int) -> DataFrame:
+    """Read a version's manifest, normalized to carry ``dv_path`` (NULL for
+    pre-deletion-vector manifests — the add-column evolution of the
+    manifest itself)."""
+    man = spark.read.parquet(f"{base_path}/manifest/v={version}")
+    if "dv_path" not in man.columns:
+        man = man.withColumn("dv_path", F.lit(None).cast("string"))
+    return man
+
+
+def _read_live(
+    spark: SparkSession,
+    base_path: str,
+    files: list,
+    schema: StructType,
+    dv_key: str | None,
+) -> DataFrame:
+    """The LIVE rows of a set of manifest entries: plain union for files
+    without a deletion vector; files WITH one read alongside their
+    ``_metadata`` path and anti-join the union of referenced DV sidecars
+    on (file, key) — one broadcast anti-join total (DV relations are
+    condemned-set-sized). ``files`` is a list of manifest rows/dicts with
+    ``path`` and ``dv_path``."""
+    plain = [f["path"] for f in files if not f["dv_path"]]
+    dvd = [(f["path"], f["dv_path"]) for f in files if f["dv_path"]]
+    parts: list[DataFrame] = []
+    if plain:
+        parts.append(
+            spark.read.schema(schema).parquet(
+                *[f"{base_path}/{p}" for p in plain]
+            )
+        )
+    if dvd:
+        if dv_key is None:
+            raise ValueError(
+                "manifest has deletion-vectored files but meta carries no "
+                "dv_key — corrupt table state"
+            )
+        dirs = sorted({d for _, d in dvd})
+        dv = spark.read.parquet(*[f"{base_path}/{d}" for d in dirs]).select(
+            F.col("__path").alias("__dvp"), "__key"
+        )
+        raw = (
+            spark.read.schema(schema)
+            .parquet(*[f"{base_path}/{p}" for p, _ in dvd])
+            .select(
+                "*",
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), r"(data/v=\d+/[^/]+)$", 1
+                ).alias("__path"),
+            )
+        )
+        alive = raw.join(
+            F.broadcast(dv),
+            (raw["__path"] == F.col("__dvp"))
+            & (raw[dv_key] == F.col("__key")),
+            "left_anti",
+        ).drop("__path")
+        parts.append(alive)
+    if not parts:
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _finish(
     spark: SparkSession,
     base_path: str,
@@ -140,18 +215,25 @@ def _finish(
     stats_cols: list[str],
     keep: int,
     listing,
+    dv_key: str | None = None,
 ) -> int:
     """Publish a prepared version: manifest parquet → meta json → marker
     (the commit) → prune markers/manifests/meta at or below the retention
-    floor. Data files are NEVER pruned here — older retained manifests may
-    reference them; :func:`vacuum_manifest_table` reclaims them."""
+    floor. Data files (and DV sidecars) are NEVER pruned here — older
+    retained manifests may reference them;
+    :func:`vacuum_manifest_table` reclaims them. ``dv_key`` records the
+    table's deletion-vector key column (fixed at first delete) so reads
+    know which column the sidecars condemn."""
     manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{base_path}/manifest/v={version}"
     )
+    meta = {"schema": schema.jsonValue(), "stats_cols": stats_cols}
+    if dv_key is not None:
+        meta["dv_key"] = dv_key
     _write_text(
         spark,
         f"{base_path}/meta/v={version}.json",
-        json.dumps({"schema": schema.jsonValue(), "stats_cols": stats_cols}),
+        json.dumps(meta),
     )
     fs, base, jvm = _fs_for(spark, base_path)
     marker = jvm.org.apache.hadoop.fs.Path(f"{base_path}/{_COMMIT_PREFIX}{version}")
@@ -206,6 +288,7 @@ def _file_stats(
             F.col("__bytes").alias("bytes"),
             "rows",
             *[c for sc in stats_cols for c in (f"min_{sc}", f"max_{sc}")],
+            F.lit(None).cast("string").alias("dv_path"),
         )
     )
 
@@ -356,7 +439,7 @@ def append_manifest_table(
     _validate_stats_cols(df, stats_cols)
     _write_data(df, base_path, version, cluster_by, n_files, zorder_bits)
     new_rows = _file_stats(spark, base_path, version, stats_cols, df.schema)
-    prev = spark.read.parquet(f"{base_path}/manifest/v={head}")
+    prev = _load_manifest(spark, base_path, head)
     return _finish(
         spark,
         base_path,
@@ -366,6 +449,7 @@ def append_manifest_table(
         stats_cols,
         keep,
         listing,
+        dv_key=meta.get("dv_key"),
     )
 
 
@@ -388,7 +472,7 @@ def manifest_stats(
             raise FileNotFoundError(
                 f"manifest version {version} under {base_path} is not committed"
             )
-    return spark.read.parquet(f"{base_path}/manifest/v={version}")
+    return _load_manifest(spark, base_path, version)
 
 
 def manifest_file_paths(
@@ -423,19 +507,22 @@ def read_manifest_table(
     retention) as the union of its live files, optionally file-skipped by
     ``prune`` (see :func:`manifest_file_paths` for the contract — the
     caller still applies the exact row filter; pruning only shrinks the
-    scan). An empty live set still returns a correctly-schemed empty
+    scan). Files carrying a deletion vector are anti-joined against their
+    sidecars (one broadcast anti-join for the whole read); min/max stats
+    of DV'd files stay conservative, so ``prune`` remains a superset
+    filter. An empty live set still returns a correctly-schemed empty
     DataFrame (schema travels in ``meta/``)."""
     if version is None:
         version = read_manifest_version(spark, base_path)
         if version is None:
             raise FileNotFoundError(f"no committed manifest table under {base_path}")
-    paths = manifest_file_paths(spark, base_path, version=version, prune=prune)
-    schema = StructType.fromJson(_meta(spark, base_path, version)["schema"])
-    if not paths:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *[f"{base_path}/{p}" for p in paths]
-    )
+    man = manifest_stats(spark, base_path, version=version)
+    if prune is not None:
+        man = man.where(F.coalesce(F.expr(prune), F.lit(True)))
+    files = man.select("path", "dv_path").collect()
+    meta = _meta(spark, base_path, version)
+    schema = StructType.fromJson(meta["schema"])
+    return _read_live(spark, base_path, files, schema, meta.get("dv_key"))
 
 
 def merge_manifest_table(
@@ -491,10 +578,12 @@ def merge_manifest_table(
     bounds = source.agg(
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).first()
-    man = spark.read.parquet(f"{base_path}/manifest/v={head}")
+    man = _load_manifest(spark, base_path, head)
+    dv_key = meta.get("dv_key")
     if bounds["lo"] is None:  # empty batch: metadata-only no-op commit
         return _finish(
-            spark, base_path, version, man, schema, stats_cols, keep, listing
+            spark, base_path, version, man, schema, stats_cols, keep,
+            listing, dv_key=dv_key,
         )
     coarse = man.where(
         (F.col(f"max_{key}") >= F.lit(bounds["lo"]))
@@ -507,14 +596,13 @@ def merge_manifest_table(
         & (F.col("__mk") <= F.col(f"max_{key}")),
         "leftsemi",
     )
-    touched = [r["path"] for r in cand.select("path").collect()]
+    cand_files = cand.select("path", "dv_path").collect()
+    touched = [r["path"] for r in cand_files]
 
-    if touched:
-        current = spark.read.schema(schema).parquet(
-            *[f"{base_path}/{p}" for p in touched]
-        )
-    else:
-        current = spark.createDataFrame([], schema)
+    # candidate rows with their deletion vectors APPLIED — a merge must
+    # not resurrect rows a DV commit already condemned; the rewrite then
+    # clears the candidates' DVs (their new files are vector-free)
+    current = _read_live(spark, base_path, cand_files, schema, dv_key)
     merged = merge_upsert(
         current, source, key, delete_col=delete_col, null_safe_keys=False
     )
@@ -532,6 +620,125 @@ def merge_manifest_table(
         stats_cols,
         keep,
         listing,
+        dv_key=dv_key,
+    )
+
+
+def delete_manifest_table(
+    spark: SparkSession,
+    keys: DataFrame,
+    base_path: str,
+    key: str,
+    *,
+    keep: int = 2,
+) -> int:
+    """DELETE by key with **deletion vectors** (Delta Lake's public DV
+    design, re-expressed on the manifest): instead of rewriting every
+    file that holds a condemned row — the dominant cost of
+    tombstone-heavy workloads like corpus curation, where a 1%
+    condemnation rate can touch most files — the commit writes a
+    per-file sidecar of condemned keys under ``dv/v=<n>/`` and repoints
+    the affected manifest entries' ``dv_path``. ZERO data files are
+    rewritten; reads anti-join the sidecars (condemned-set-sized,
+    broadcast). Subsequent deletes UNION into a fresh sidecar (vectors
+    only grow, so stale sidecar generations are always subsets — safe
+    for any reader), and the next merge/compaction touching a file folds
+    its vector in and clears it.
+
+    ``key`` must be a declared stats column (candidate files are found
+    with the same bounds + semi-join skipping as merge) and is fixed as
+    the table's DV key on first use — sidecars store (file, key) pairs
+    and reads must know which column they condemn. Manifest ``rows``/
+    ``bytes`` stay PHYSICAL for DV'd files (compaction thresholds and
+    scan costs are physical properties); min/max stats stay conservative.
+    Returns the committed version (a no-op delete still commits, so the
+    caller always gets a version to read back).
+    """
+    fs, listing, head, version = _begin(spark, base_path)
+    if head is None:
+        raise FileNotFoundError(
+            f"no committed manifest table under {base_path}; create with "
+            "write_manifest_table first"
+        )
+    meta = _meta(spark, base_path, head)
+    stats_cols = meta["stats_cols"]
+    schema = StructType.fromJson(meta["schema"])
+    if key not in stats_cols:
+        raise ValueError(
+            f"delete key {key!r} must be a declared stats column ({stats_cols})"
+        )
+    dv_key = meta.get("dv_key")
+    if dv_key is not None and dv_key != key:
+        raise ValueError(
+            f"table's deletion-vector key is fixed at {dv_key!r} (first "
+            f"delete); got {key!r}"
+        )
+    kdist = keys.select(F.col(key).alias("__key")).distinct()
+    if kdist.where(F.col("__key").isNull()).limit(1).count():
+        raise ValueError(
+            f"delete batch contains NULL {key!r} keys; a NULL never lands "
+            "in a min/max range, so it could never be skipped consistently"
+        )
+    bounds = kdist.agg(F.min("__key").alias("lo"), F.max("__key").alias("hi")).first()
+    man = _load_manifest(spark, base_path, head)
+    if bounds["lo"] is None:
+        return _finish(
+            spark, base_path, version, man, schema, stats_cols, keep,
+            listing, dv_key=dv_key,
+        )
+    coarse = man.where(
+        (F.col(f"max_{key}") >= F.lit(bounds["lo"]))
+        & (F.col(f"min_{key}") <= F.lit(bounds["hi"]))
+    )
+    cand = coarse.join(
+        F.broadcast(kdist),
+        (F.col("__key") >= F.col(f"min_{key}"))
+        & (F.col("__key") <= F.col(f"max_{key}")),
+        "leftsemi",
+    )
+    cand_files = cand.select("path", "dv_path").collect()
+    if not cand_files:
+        return _finish(
+            spark, base_path, version, man, schema, stats_cols, keep,
+            listing, dv_key=dv_key,
+        )
+    touched = [r["path"] for r in cand_files]
+    # the condemned (file, key) pairs actually PRESENT in candidate files:
+    # one scan of the candidates, semi-joined against the key batch
+    raw = (
+        spark.read.schema(schema)
+        .parquet(*[f"{base_path}/{p}" for p in touched])
+        .select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"(data/v=\d+/[^/]+)$", 1
+            ).alias("__path"),
+            F.col(key).alias("__key"),
+        )
+    )
+    present = raw.join(F.broadcast(kdist), "__key", "leftsemi").select(
+        "__path", "__key"
+    )
+    # union in the touched files' EXISTING vectors so each file's sidecar
+    # generation is complete on its own (readers never chase chains)
+    old_dirs = sorted({r["dv_path"] for r in cand_files if r["dv_path"]})
+    if old_dirs:
+        olds = spark.read.parquet(
+            *[f"{base_path}/{d}" for d in old_dirs]
+        ).where(F.col("__path").isin(touched))
+        present = present.unionByName(olds)
+    dv_dir = f"dv/v={version}"
+    present.distinct().coalesce(1).write.mode("overwrite").parquet(
+        f"{base_path}/{dv_dir}"
+    )
+    new_man = man.withColumn(
+        "dv_path",
+        F.when(F.col("path").isin(touched), F.lit(dv_dir)).otherwise(
+            F.col("dv_path")
+        ),
+    )
+    return _finish(
+        spark, base_path, version, new_man, schema, stats_cols, keep,
+        listing, dv_key=key,
     )
 
 
@@ -545,25 +752,29 @@ def compact_manifest_table(
 ) -> int | None:
     """OPTIMIZE: fold files under ``small_bytes`` into ~``target_bytes``
     files as a new commit; content is bit-identical, large files are
-    carried forward untouched. The small-file antidote for streaming /
-    frequent-merge tables — run it out of band, like the formats do.
-    Returns the new version, or None (no commit) when fewer than two
-    small files exist."""
+    carried forward untouched. Small files carrying a deletion vector are
+    folded with the vector APPLIED and come out vector-free — compaction
+    doubles as the DV-materialization pass, exactly Delta's OPTIMIZE
+    semantics. The small-file antidote for streaming / frequent-merge
+    tables — run it out of band, like the formats do. Returns the new
+    version, or None (no commit) when fewer than two small files exist."""
     fs, listing, head, version = _begin(spark, base_path)
     if head is None:
         raise FileNotFoundError(f"no committed manifest table under {base_path}")
     meta = _meta(spark, base_path, head)
     stats_cols = meta["stats_cols"]
     schema = StructType.fromJson(meta["schema"])
-    man = spark.read.parquet(f"{base_path}/manifest/v={head}")
-    small = man.where(F.col("bytes") < small_bytes).select("path", "bytes").collect()
+    man = _load_manifest(spark, base_path, head)
+    small = (
+        man.where(F.col("bytes") < small_bytes)
+        .select("path", "bytes", "dv_path")
+        .collect()
+    )
     if len(small) < 2:
         return None
     total = sum(r["bytes"] for r in small)
     n_out = max(1, math.ceil(total / target_bytes))
-    folded = spark.read.schema(schema).parquet(
-        *[f"{base_path}/{r['path']}" for r in small]
-    )
+    folded = _read_live(spark, base_path, small, schema, meta.get("dv_key"))
     _write_data(folded, base_path, version, None, n_out)
     new_rows = _file_stats(spark, base_path, version, stats_cols, schema)
     carried = man.where(F.col("bytes") >= small_bytes)
@@ -576,6 +787,7 @@ def compact_manifest_table(
         stats_cols,
         keep,
         listing,
+        dv_key=meta.get("dv_key"),
     )
 
 
@@ -601,7 +813,11 @@ def manifest_changes(
     Carried-but-rewritten rows (a merge rewrites a candidate file's
     non-batch rows verbatim into new files) appear on both sides with
     equal values and fall out as ``same`` — filter ``op != 'same'`` for
-    the applyable feed, exactly as with ``snapshot_changes``. Both
+    the applyable feed, exactly as with ``snapshot_changes``. Deletion
+    vectors compose: the diff unit is the (file, vector) PAIR, so a file
+    whose vector grew is re-read on both sides (old vector applied on the
+    left, new on the right) and its newly condemned rows fall out as
+    deletes — cost still tracks the files the commits touched. Both
     versions must be within retention."""
     from tibame_project_spark.operators.corrections import snapshot_diff
 
@@ -609,65 +825,90 @@ def manifest_changes(
         to_version = read_manifest_version(spark, base_path)
         if to_version is None:
             raise FileNotFoundError(f"no committed manifest table under {base_path}")
-    old_paths = set(manifest_file_paths(spark, base_path, version=from_version))
-    new_paths = set(manifest_file_paths(spark, base_path, version=to_version))
-    removed = sorted(old_paths - new_paths)
-    added = sorted(new_paths - old_paths)
-    old_schema = StructType.fromJson(_meta(spark, base_path, from_version)["schema"])
-    new_schema = StructType.fromJson(_meta(spark, base_path, to_version)["schema"])
-    old_part = (
-        spark.read.schema(old_schema).parquet(*[f"{base_path}/{p}" for p in removed])
-        if removed
-        else spark.createDataFrame([], old_schema)
+    old_files = {
+        (r["path"], r["dv_path"])
+        for r in _load_manifest(spark, base_path, from_version)
+        .select("path", "dv_path")
+        .collect()
+    }
+    new_files = {
+        (r["path"], r["dv_path"])
+        for r in _load_manifest(spark, base_path, to_version)
+        .select("path", "dv_path")
+        .collect()
+    }
+    removed = sorted(old_files - new_files, key=lambda t: (t[0], t[1] or ""))
+    added = sorted(new_files - old_files, key=lambda t: (t[0], t[1] or ""))
+    old_meta = _meta(spark, base_path, from_version)
+    new_meta = _meta(spark, base_path, to_version)
+    old_part = _read_live(
+        spark,
+        base_path,
+        [{"path": p, "dv_path": d} for p, d in removed],
+        StructType.fromJson(old_meta["schema"]),
+        old_meta.get("dv_key"),
     )
-    new_part = (
-        spark.read.schema(new_schema).parquet(*[f"{base_path}/{p}" for p in added])
-        if added
-        else spark.createDataFrame([], new_schema)
+    new_part = _read_live(
+        spark,
+        base_path,
+        [{"path": p, "dv_path": d} for p, d in added],
+        StructType.fromJson(new_meta["schema"]),
+        new_meta.get("dv_key"),
     )
     return snapshot_diff(old_part, new_part, key)
 
 
 def vacuum_manifest_table(spark: SparkSession, base_path: str) -> int:
     """Delete data files referenced by NO retained (committed, unpruned)
-    manifest, then sweep empty ``data/v=<n>/`` dirs. Separate from commit
-    on purpose: commits prune metadata with the listing they already hold,
-    while vacuum's recursive data listing is the expensive object-store
-    walk you schedule out of band (exactly Delta's VACUUM split). Safe
-    under the single-writer contract — every retained version's reads
-    survive. Returns the number of files deleted."""
+    manifest, then sweep empty ``data/v=<n>/`` dirs — and likewise delete
+    deletion-vector sidecar dirs (``dv/v=<n>/``) no retained manifest's
+    ``dv_path`` points at. Separate from commit on purpose: commits prune
+    metadata with the listing they already hold, while vacuum's recursive
+    data listing is the expensive object-store walk you schedule out of
+    band (exactly Delta's VACUUM split). Safe under the single-writer
+    contract — every retained version's reads survive. Returns the number
+    of files deleted (DV dirs count as one each)."""
     fs, base, jvm = _fs_for(spark, base_path)
     listing = list(fs.listStatus(base)) if fs.exists(base) else []
     committed = _committed_versions(listing)
     if not committed:
         return 0
     referenced: set[str] = set()
+    dv_referenced: set[str] = set()
     for v in committed:
-        referenced.update(
-            r["path"]
-            for r in spark.read.parquet(f"{base_path}/manifest/v={v}")
-            .select("path")
-            .collect()
-        )
-    data_root = jvm.org.apache.hadoop.fs.Path(f"{base_path}/data")
-    if not fs.exists(data_root):
-        return 0
+        for r in (
+            _load_manifest(spark, base_path, v).select("path", "dv_path").collect()
+        ):
+            referenced.add(r["path"])
+            if r["dv_path"]:
+                dv_referenced.add(r["dv_path"])
     deleted = 0
-    for d in fs.listStatus(data_root):
-        if not d.isDirectory():
-            continue
-        dname = d.getPath().getName()
-        kept_any = False
-        for f in fs.listStatus(d.getPath()):
-            fname = f.getPath().getName()
-            rel = f"data/{dname}/{fname}"
-            if fname.startswith(("_", ".")):  # _SUCCESS, CRCs
+    data_root = jvm.org.apache.hadoop.fs.Path(f"{base_path}/data")
+    if fs.exists(data_root):
+        for d in fs.listStatus(data_root):
+            if not d.isDirectory():
                 continue
-            if rel in referenced:
-                kept_any = True
-            else:
-                fs.delete(f.getPath(), False)
+            dname = d.getPath().getName()
+            kept_any = False
+            for f in fs.listStatus(d.getPath()):
+                fname = f.getPath().getName()
+                rel = f"data/{dname}/{fname}"
+                if fname.startswith(("_", ".")):  # _SUCCESS, CRCs
+                    continue
+                if rel in referenced:
+                    kept_any = True
+                else:
+                    fs.delete(f.getPath(), False)
+                    deleted += 1
+            if not kept_any:
+                fs.delete(d.getPath(), True)
+    dv_root = jvm.org.apache.hadoop.fs.Path(f"{base_path}/dv")
+    if fs.exists(dv_root):
+        for d in fs.listStatus(dv_root):
+            if not d.isDirectory():
+                continue
+            rel = f"dv/{d.getPath().getName()}"
+            if rel not in dv_referenced:
+                fs.delete(d.getPath(), True)
                 deleted += 1
-        if not kept_any:
-            fs.delete(d.getPath(), True)
     return deleted
