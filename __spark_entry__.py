@@ -2543,11 +2543,13 @@ def q_curation_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc land as a doc_id-clustered manifest table; one `curate_corpus`
     pass derives the tombstone batch (exact-dedup losers + docs sharing a
     5-gram with a benchmark carved from every 97th doc) and applies it as
-    a file-skipping MERGE; the read-back must equal the relational
-    dedup + decontamination of the same corpus. md5 gram hash for DuckDB
-    parity (production default xxhash64). Replaces the retired
-    ``histogram`` key (fixed-edge bucketing stays subsumed by
-    ``percentiles``'s width_bucket oracle)."""
+    a DELETION-VECTOR commit (r08: zero data files rewritten — condemned
+    ids land in per-file sidecars, reads anti-join them; the merge-
+    tombstone apply path is gated separately by ``manifest_merge``); the
+    read-back must equal the relational dedup + decontamination of the
+    same corpus. md5 gram hash for DuckDB parity (production default
+    xxhash64). Replaces the retired ``histogram`` key (fixed-edge
+    bucketing stays subsumed by ``percentiles``'s width_bucket oracle)."""
     from tibame_project_spark.plans.curation import curate_corpus
     from tibame_project_spark.sources.manifest import (
         read_manifest_table,
@@ -2568,7 +2570,7 @@ def q_curation_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     curate_corpus(
         spark, base, benchmark=bench, decontaminate_n=5,
-        base_hash=md5_base_hash,
+        base_hash=md5_base_hash, use_deletion_vectors=True,
     )
     return read_manifest_table(spark, base)
 

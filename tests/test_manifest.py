@@ -458,6 +458,12 @@ def test_empty_table_reads_with_schema(spark, tmp_path):
                 ),
             ),
             st.tuples(st.just("compact"), st.just(None)),
+            st.tuples(
+                st.just("delete"),
+                st.lists(
+                    st.integers(0, 60), min_size=1, max_size=4, unique=True
+                ),
+            ),
         ),
         min_size=1,
         max_size=4,
@@ -466,12 +472,16 @@ def test_empty_table_reads_with_schema(spark, tmp_path):
 def test_manifest_sequence_matches_dict_model(
     spark_global, tmp_path_factory, initial, ops
 ):
-    """Any create→{merge,append,compact}* sequence: the head read equals a
-    plain replay, at every step. Merges (keys 0..30) replay as a dict;
-    appends (keys 31..60, disjoint from the merge range so no merge ever
-    touches them) replay as a MULTISET — append is by-position, like
+    """Any create→{merge,append,compact,delete}* sequence: the head read
+    equals a plain replay, at every step. Merges (keys 0..30) replay as a
+    dict; appends (keys 31..60, disjoint from the merge range so no merge
+    ever touches them) replay as a MULTISET — append is by-position, like
     parquet append: re-appending a key yields two rows, and the table must
-    preserve both."""
+    preserve both. Deletes (r08, any key) replay as key removal from BOTH
+    models and run through deletion vectors — so the sequence also proves
+    DV/merge/append/compact interleavings (a vectored file later merged or
+    compacted must fold its vector, an appended key re-inserted after a
+    delete must resurface)."""
     from collections import Counter
 
     spark = spark_global
@@ -504,6 +514,28 @@ def test_manifest_sequence_matches_dict_model(
                 keep=10,
             )
             appended_model.update(payload)
+        elif kind == "delete":
+            from tibame_project_spark.sources.manifest import (
+                delete_manifest_table,
+            )
+
+            delete_manifest_table(
+                spark,
+                spark.createDataFrame([(k,) for k in payload], "id long"),
+                base,
+                "id",
+                keep=10,
+            )
+            condemned = set(payload)
+            for k in condemned:
+                merged_model.pop(k, None)
+            appended_model = Counter(
+                {
+                    (k, v): c
+                    for (k, v), c in appended_model.items()
+                    if k not in condemned
+                }
+            )
         else:
             compact_manifest_table(
                 spark, base, small_bytes=1 << 30, target_bytes=1 << 30, keep=10
