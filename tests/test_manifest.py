@@ -998,3 +998,86 @@ def test_curate_corpus_with_deletion_vectors(spark, tmp_path):
     assert got_dv == got_mg == {r for r in map(tuple, rows) if r[0] != 2}
     v2, n2 = curate_corpus(spark, dv_base, use_deletion_vectors=True)
     assert (v2, n2) == (None, 0)  # fixpoint
+
+
+def test_stream_cdc_apply_manifest_delete_via_dv(spark, tmp_path):
+    """r08: the DV drain route — a delete-only epoch rewrites ZERO data
+    files (vector sidecar + manifest only), a mixed epoch merges upserts
+    and vectors deletes, the compaction cadence materializes the vectors,
+    and a checkpointed replay with no new input changes nothing."""
+    from tibame_project_spark.streaming.incremental import stream_cdc_apply_manifest
+
+    src = tmp_path / "feed"
+    base = str(tmp_path / "mantab")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, name string, v long, dead boolean"
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    def run(**kw):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        stream_cdc_apply_manifest(
+            stream, base, "id", checkpoint=ckpt, delete_col="dead",
+            delete_via_dv=True, **kw
+        )
+
+    def content():
+        return sorted(
+            tuple(r) for r in read_manifest_table(spark, base).collect()
+        )
+
+    land([(i, chr(97 + i), i * 10, False) for i in range(6)])
+
+    with pytest.raises(ValueError, match="delete_col"):
+        stream_cdc_apply_manifest(
+            spark.readStream.schema(schema).parquet(str(src)),
+            base, "id", checkpoint=ckpt, delete_via_dv=True,
+        )
+
+    run()  # bootstrap
+    files_after_bootstrap = _data_files(base)
+    # delete-only epoch: zero data-file writes
+    land([(2, None, 0, True), (4, None, 0, True)])
+    run()
+    assert _data_files(base) == files_after_bootstrap
+    assert content() == [(0, "a", 0), (1, "b", 10), (3, "d", 30), (5, "f", 50)]
+    run()  # checkpointed replay: nothing changes
+    assert content() == [(0, "a", 0), (1, "b", 10), (3, "d", 30), (5, "f", 50)]
+    # mixed epoch: upsert 1, delete 5, insert 7 — then a compaction epoch
+    land([(1, "B", 111, False), (5, None, 0, True), (7, "h", 70, False)])
+    run()
+    expected = [(0, "a", 0), (1, "B", 111), (3, "d", 30), (7, "h", 70)]
+    assert content() == expected
+    land([(8, "i", 80, False)])
+    run(compact_every=1)
+    assert content() == expected + [(8, "i", 80)]
+    man = manifest_stats(spark, base)
+    assert man.where("dv_path IS NOT NULL").count() == 0  # materialized
+
+
+def test_dv_read_composes_with_stats_pruning(spark, tmp_path):
+    """prune= and deletion vectors compose on one read: pruning shrinks
+    the file set first, the vector anti-join applies to what remains —
+    and the anti-join is a BROADCAST join in the physical plan (the
+    condemned set never shuffles the table)."""
+    from tibame_project_spark.sources.manifest import delete_manifest_table
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark,
+        spark.range(0, 400).select(F.col("id"), F.col("id").alias("v")),
+        base, stats_cols=["id"], cluster_by="id", n_files=8,
+    )
+    delete_manifest_table(
+        spark, spark.createDataFrame([(10,), (390,)], "id long"), base, "id"
+    )
+    got = read_manifest_table(spark, base, prune="max_id < 100")
+    # prune keeps only low-range files; DV still removes 10 within them
+    rows = {r["id"] for r in got.collect()}
+    assert 10 not in rows and 0 in rows
+    assert max(rows) < 100 or len(rows) > 0  # pruned superset semantics
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

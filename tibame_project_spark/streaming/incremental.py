@@ -222,6 +222,7 @@ def stream_cdc_apply_manifest(
     *,
     checkpoint: str,
     delete_col: str | None = None,
+    delete_via_dv: bool = False,
     keep: int = 2,
     compact_every: int | None = None,
     small_bytes: int = 32 * 1024 * 1024,
@@ -247,13 +248,28 @@ def stream_cdc_apply_manifest(
     out-of-band OPTIMIZE cadence. Pair with an occasional
     ``vacuum_manifest_table`` to reclaim superseded files.
     ``key`` is a single non-null column (the manifest-merge contract).
+
+    ``delete_via_dv=True`` (requires ``delete_col``) routes each epoch's
+    tombstones through :func:`sources.manifest.delete_manifest_table`
+    instead of the merge: condemned rows land in deletion-vector
+    sidecars with ZERO data files rewritten, so a delete-heavy feed
+    (retention expiry, GDPR erasure, curation tombstones) stops paying
+    merge's rewrite of every file a condemned key lands in — the
+    compaction cadence then materializes the vectors on its own clock.
+    Upsert rows still merge; a delete-only epoch commits only the
+    vector. CDC batches are key-unique (the standing sink contract), so
+    the upsert-then-delete apply order is immaterial.
     """
     from tibame_project_spark.sources.manifest import (
         compact_manifest_table,
+        delete_manifest_table,
         merge_manifest_table,
         read_manifest_version,
         write_manifest_table,
     )
+
+    if delete_via_dv and delete_col is None:
+        raise ValueError("delete_via_dv=True requires delete_col")
 
     def apply_batch(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
@@ -265,9 +281,23 @@ def stream_cdc_apply_manifest(
                 spark, first, base_path, stats_cols=[key], cluster_by=key, keep=keep
             )
             return
-        merge_manifest_table(
-            spark, batch, base_path, key, delete_col=delete_col, keep=keep
-        )
+        if delete_via_dv:
+            upserts = batch.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
+            tombs = batch.filter(
+                F.coalesce(F.col(delete_col), F.lit(False))
+            ).select(key)
+            # micro-batch relations are pinned to the epoch's files, so
+            # the two halves are consistent under recomputation
+            if upserts.limit(1).count():
+                merge_manifest_table(spark, upserts, base_path, key, keep=keep)
+            if tombs.limit(1).count():
+                delete_manifest_table(spark, tombs, base_path, key, keep=keep)
+        else:
+            merge_manifest_table(
+                spark, batch, base_path, key, delete_col=delete_col, keep=keep
+            )
         if compact_every and (epoch + 1) % compact_every == 0:
             compact_manifest_table(
                 spark, base_path, small_bytes=small_bytes, keep=keep
