@@ -1081,3 +1081,82 @@ def test_dv_read_composes_with_stats_pruning(spark, tmp_path):
     assert max(rows) < 100 or len(rows) > 0  # pruned superset semantics
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter file indexes (r08)
+# ---------------------------------------------------------------------------
+
+def test_bloom_point_lookup_skips_unclustered_files(spark, tmp_path):
+    """Equality skipping where min/max is blind: the table is clustered on
+    `ts` but probed on `uid` (high-cardinality, scattered) — the Bloom
+    prune reads a strict subset of files and loses no rows; min/max alone
+    keeps everything."""
+    from tibame_project_spark.sources.manifest import bloom_prune_expr
+
+    n = 4096
+    df = spark.range(0, n).select(
+        F.col("id").alias("ts"),
+        # uid scatters over the ts-clustering (bit-reversed-ish)
+        ((F.col("id") * 2654435761) % 100000).alias("uid"),
+        F.col("id").alias("v"),
+    )
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, df, base, stats_cols=["ts", "uid"], cluster_by="ts",
+        n_files=16, bloom_cols=["uid"], bloom_m=1 << 15, bloom_k=3,
+    )
+    probe = [r["uid"] for r in df.where("ts IN (17, 2345)").select("uid").collect()]
+    expr = bloom_prune_expr(spark, base, "uid", probe)
+    kept = manifest_file_paths(spark, base, prune=expr)
+    assert 1 <= len(kept) <= 6  # skipped most of 16 files
+    got = read_manifest_table(spark, base, prune=expr).where(
+        F.col("uid").isin(probe)
+    )
+    want = read_manifest_table(spark, base).where(F.col("uid").isin(probe))
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+    # min/max on the scattered column keeps everything (the blind spot)
+    mn = manifest_stats(spark, base).collect()
+    lo, hi = min(probe), max(probe)
+    minmax_kept = [
+        r["path"] for r in mn if r["min_uid"] <= hi and r["max_uid"] >= lo
+    ]
+    assert len(minmax_kept) == 16
+
+
+def test_bloom_follows_commits_and_guards(spark, tmp_path):
+    """Appended and merge-written files get filters automatically (config
+    travels in meta); bloom_cols are fixed at creation; probing an
+    undeclared column raises; an empty probe list prunes everything."""
+    from tibame_project_spark.sources.manifest import bloom_prune_expr
+
+    base = str(tmp_path / "t")
+    df = spark.range(0, 200).select(F.col("id"), (F.col("id") * 7).alias("v"))
+    write_manifest_table(
+        spark, df, base, stats_cols=["id"], cluster_by="id", n_files=2,
+        bloom_cols=["v"], bloom_m=1 << 12, bloom_k=3,
+    )
+    append_manifest_table(
+        spark,
+        spark.range(200, 300).select(F.col("id"), (F.col("id") * 7).alias("v")),
+        base, n_files=1,
+    )
+    merge_manifest_table(
+        spark,
+        spark.createDataFrame([(500, 3500)], "id long, v long"),
+        base, "id",
+    )
+    man = manifest_stats(spark, base)
+    assert man.where("bloom_v IS NULL").count() == 0  # every commit built one
+    # probe an appended value and a merged value
+    for val in (7 * 250, 3500):
+        expr = bloom_prune_expr(spark, base, "v", [val])
+        got = read_manifest_table(spark, base, prune=expr).where(
+            F.col("v") == val
+        )
+        assert got.count() == 1
+    with pytest.raises(ValueError, match="no Bloom filter"):
+        bloom_prune_expr(spark, base, "id", [1])
+    assert bloom_prune_expr(spark, base, "v", []) == "false"
+    with pytest.raises(ValueError, match="fixed at table creation"):
+        write_manifest_table(spark, df, base, bloom_cols=["id"])

@@ -613,3 +613,11 @@ def test_fb_posts_golden_against_reference_output(spark):
     }
     assert len(got) == len(want) == 240
     assert got == want
+
+    # serving load roundtrip for the new table (Derby stands in for MySQL)
+    url = "jdbc:derby:memory:fbservingdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    serving.load_serving(out, url, "attraction_social_article", props)
+    back = spark.read.jdbc(url, "attraction_social_article", properties=props)
+    assert back.count() == 240
+    assert sorted(back.columns) == sorted(out.columns)

@@ -86,6 +86,7 @@ __all__ = [
     "manifest_file_paths",
     "manifest_changes",
     "vacuum_manifest_table",
+    "bloom_prune_expr",
 ]
 
 #: Manifest tables share the snapshot commit marker protocol; the head
@@ -216,6 +217,7 @@ def _finish(
     keep: int,
     listing,
     dv_key: str | None = None,
+    bloom: dict | None = None,
 ) -> int:
     """Publish a prepared version: manifest parquet → meta json → marker
     (the commit) → prune markers/manifests/meta at or below the retention
@@ -230,6 +232,8 @@ def _finish(
     meta = {"schema": schema.jsonValue(), "stats_cols": stats_cols}
     if dv_key is not None:
         meta["dv_key"] = dv_key
+    if bloom is not None:
+        meta["bloom"] = bloom
     _write_text(
         spark,
         f"{base_path}/meta/v={version}.json",
@@ -264,13 +268,23 @@ def _file_stats(
     version: int,
     stats_cols: list[str],
     schema: StructType,
+    bloom: dict | None = None,
 ) -> DataFrame:
     """Manifest rows for the files commit ``version`` just wrote: one
     distributed groupBy over ``data/v=<version>/`` keyed on the
     ``_metadata`` hidden file path — stats ride a single scan of the NEW
     files only. Declared-schema read so a commit that wrote ZERO files
     (empty merge result) yields an empty manifest block, not an
-    inference error."""
+    inference error.
+
+    ``bloom`` (``{"cols": [...], "m": bits, "k": hashes}``) adds one
+    sparse per-file Bloom filter per declared column, built fully
+    distributed: each row's k positions explode to (word, bit) pairs, a
+    (file, word) ``bit_or`` folds them, and a per-file collect packs the
+    surviving words into a map<int,bigint> — the filter lives in the
+    manifest as ~set-bits/64 entries, so an unsaturated filter costs KBs
+    per file and a saturated one degrades to keep-everything, never to
+    wrong answers."""
     raw = spark.read.schema(schema).parquet(f"{base_path}/data/v={version}").select(
         "*",
         F.col("_metadata.file_path").alias("__path"),
@@ -280,7 +294,7 @@ def _file_stats(
     for c in stats_cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
         aggs.append(F.max(c).alias(f"max_{c}"))
-    return (
+    out = (
         raw.groupBy("__path", "__bytes")
         .agg(*aggs)
         .select(
@@ -291,6 +305,40 @@ def _file_stats(
             F.lit(None).cast("string").alias("dv_path"),
         )
     )
+    if not bloom:
+        return out
+    m, k = bloom["m"], bloom["k"]
+    for c in bloom["cols"]:
+        pos = raw.select(
+            F.regexp_extract("__path", r"(data/v=\d+/[^/]+)$", 1).alias("path"),
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(m)).cast(
+                            "int"
+                        )
+                        for i in range(k)
+                    ]
+                )
+            ).alias("p"),
+        )
+        words = (
+            pos.select(
+                "path",
+                (F.col("p") / 64).cast("int").alias("w"),
+                F.expr("shiftleft(1L, p % 64)").alias("b"),
+            )
+            .groupBy("path", "w")
+            .agg(F.bit_or("b").alias("bits"))
+            .groupBy("path")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("w", "bits"))
+                ).alias(f"bloom_{c}")
+            )
+        )
+        out = out.join(words, "path", "left")
+    return out
 
 
 def _validate_stats_cols(df: DataFrame, stats_cols: list[str]) -> None:
@@ -350,13 +398,25 @@ def write_manifest_table(
     n_files: int = 0,
     zorder_bits: int = 16,
     keep: int = 2,
+    bloom_cols: list[str] | None = None,
+    bloom_m: int = 1 << 15,
+    bloom_k: int = 3,
 ) -> int:
     """Full-content commit: version ``n`` whose live file set is exactly
     ``df``'s files. Creates the table at v0 (``stats_cols`` declares the
     skipping columns, fixed for the table's lifetime) or supersedes every
     prior file at v>0 (a full refresh — prefer :func:`append_manifest_table`
     / :func:`merge_manifest_table`, which don't rewrite the world).
-    Returns the committed version."""
+    Returns the committed version.
+
+    ``bloom_cols`` (create-time only, fixed like ``stats_cols``) adds a
+    per-file Bloom filter per named column — EQUALITY skipping for
+    columns the clustering doesn't order, where min/max is useless (a
+    point lookup on an unclustered high-cardinality id otherwise reads
+    every file). ``bloom_m`` bits / ``bloom_k`` hashes per filter; size
+    ``bloom_m`` at ~8-16 bits per expected distinct key per file (the
+    false-positive knob — too small only degrades skipping, never
+    correctness). Probe with :func:`bloom_prune_expr`."""
     if keep < 1:
         raise ValueError(f"keep must be >= 1, got {keep}")
     fs, listing, head, version = _begin(spark, base_path)
@@ -367,19 +427,38 @@ def write_manifest_table(
                 "min/max file skipping will use)"
             )
         stats_cols = list(stats_cols)
+        bloom = (
+            {"cols": list(bloom_cols), "m": bloom_m, "k": bloom_k}
+            if bloom_cols
+            else None
+        )
     else:
-        inherited = _meta(spark, base_path, head)["stats_cols"]
+        prior = _meta(spark, base_path, head)
+        inherited = prior["stats_cols"]
         if stats_cols is not None and list(stats_cols) != inherited:
             raise ValueError(
                 f"stats_cols are fixed at table creation ({inherited}); "
                 f"got {list(stats_cols)}"
             )
         stats_cols = inherited
+        bloom = prior.get("bloom")
+        if bloom_cols is not None and (
+            bloom is None or list(bloom_cols) != bloom["cols"]
+        ):
+            raise ValueError(
+                f"bloom_cols are fixed at table creation "
+                f"({bloom['cols'] if bloom else None}); got {list(bloom_cols)}"
+            )
     _validate_stats_cols(df, stats_cols)
+    if bloom:
+        _validate_stats_cols(df, bloom["cols"])
     _write_data(df, base_path, version, cluster_by, n_files, zorder_bits)
-    manifest = _file_stats(spark, base_path, version, stats_cols, df.schema)
+    manifest = _file_stats(
+        spark, base_path, version, stats_cols, df.schema, bloom
+    )
     return _finish(
-        spark, base_path, version, manifest, df.schema, stats_cols, keep, listing
+        spark, base_path, version, manifest, df.schema, stats_cols, keep,
+        listing, bloom=bloom,
     )
 
 
@@ -438,7 +517,9 @@ def append_manifest_table(
         )
     _validate_stats_cols(df, stats_cols)
     _write_data(df, base_path, version, cluster_by, n_files, zorder_bits)
-    new_rows = _file_stats(spark, base_path, version, stats_cols, df.schema)
+    new_rows = _file_stats(
+        spark, base_path, version, stats_cols, df.schema, meta.get("bloom")
+    )
     prev = _load_manifest(spark, base_path, head)
     return _finish(
         spark,
@@ -450,6 +531,7 @@ def append_manifest_table(
         keep,
         listing,
         dv_key=meta.get("dv_key"),
+        bloom=meta.get("bloom"),
     )
 
 
@@ -583,7 +665,7 @@ def merge_manifest_table(
     if bounds["lo"] is None:  # empty batch: metadata-only no-op commit
         return _finish(
             spark, base_path, version, man, schema, stats_cols, keep,
-            listing, dv_key=dv_key,
+            listing, dv_key=dv_key, bloom=meta.get("bloom"),
         )
     coarse = man.where(
         (F.col(f"max_{key}") >= F.lit(bounds["lo"]))
@@ -607,7 +689,9 @@ def merge_manifest_table(
         current, source, key, delete_col=delete_col, null_safe_keys=False
     )
     _write_data(merged, base_path, version, key, max(1, len(touched)))
-    new_rows = _file_stats(spark, base_path, version, stats_cols, schema)
+    new_rows = _file_stats(
+        spark, base_path, version, stats_cols, schema, meta.get("bloom")
+    )
     carried = (
         man.where(~F.col("path").isin(touched)) if touched else man
     )
@@ -621,7 +705,71 @@ def merge_manifest_table(
         keep,
         listing,
         dv_key=dv_key,
+        bloom=meta.get("bloom"),
     )
+
+
+def bloom_prune_expr(
+    spark: SparkSession,
+    base_path: str,
+    col: str,
+    values: list,
+    *,
+    version: int | None = None,
+) -> str:
+    """A ``prune=`` expression selecting files whose ``col`` Bloom filter
+    may contain ANY of ``values`` — equality/IN-list file skipping for
+    unclustered columns. Compose with range conjuncts freely:
+    ``read_manifest_table(..., prune=f"{bloom_prune_expr(...)} AND ...")``.
+
+    The probe positions are computed with the same JVM ``xxhash64`` the
+    build used (one tiny local job, never a scan), then rendered as pure
+    SQL over the manifest's map<word, bits> column, so the existing
+    ``prune=`` machinery evaluates it with no new code path. NULL-filter
+    files (pre-bloom history, or a commit class that skipped the build)
+    are KEPT — absence of evidence never skips."""
+    if version is None:
+        version = read_manifest_version(spark, base_path)
+        if version is None:
+            raise FileNotFoundError(f"no committed manifest table under {base_path}")
+    meta = _meta(spark, base_path, version)
+    bloom = meta.get("bloom")
+    if not bloom or col not in bloom["cols"]:
+        raise ValueError(
+            f"{col!r} has no Bloom filter (declared: "
+            f"{bloom['cols'] if bloom else None})"
+        )
+    if not values:
+        return "false"
+    m, k = bloom["m"], bloom["k"]
+    from pyspark.sql.types import StructField
+
+    schema = StructType.fromJson(meta["schema"])
+    vdf = spark.createDataFrame(
+        [(v,) for v in values], StructType([StructField("v", schema[col].dataType)])
+    )
+    rows = vdf.select(
+        *[
+            F.pmod(F.xxhash64(F.col("v"), F.lit(i)), F.lit(m))
+            .cast("int")
+            .alias(f"p{i}")
+            for i in range(k)
+        ]
+    ).collect()
+    alts = []
+    for r in rows:
+        conj = []
+        for i in range(k):
+            p = r[f"p{i}"]
+            w, b = p // 64, p % 64
+            # shiftleft, not a literal: the b=63 mask is Long.MIN_VALUE,
+            # which no SQL long literal can spell directly
+            mask = f"shiftleft(1L, {b})"
+            conj.append(
+                f"(coalesce(element_at(bloom_{col}, {w}) & {mask}, 0L) = {mask})"
+            )
+        alts.append("(" + " AND ".join(conj) + ")")
+    return f"(bloom_{col} IS NULL OR {' OR '.join(alts)})"
 
 
 def delete_manifest_table(
@@ -684,7 +832,7 @@ def delete_manifest_table(
     if bounds["lo"] is None:
         return _finish(
             spark, base_path, version, man, schema, stats_cols, keep,
-            listing, dv_key=dv_key,
+            listing, dv_key=dv_key, bloom=meta.get("bloom"),
         )
     coarse = man.where(
         (F.col(f"max_{key}") >= F.lit(bounds["lo"]))
@@ -700,7 +848,7 @@ def delete_manifest_table(
     if not cand_files:
         return _finish(
             spark, base_path, version, man, schema, stats_cols, keep,
-            listing, dv_key=dv_key,
+            listing, dv_key=dv_key, bloom=meta.get("bloom"),
         )
     touched = [r["path"] for r in cand_files]
     # the condemned (file, key) pairs actually PRESENT in candidate files:
@@ -738,7 +886,7 @@ def delete_manifest_table(
     )
     return _finish(
         spark, base_path, version, new_man, schema, stats_cols, keep,
-        listing, dv_key=key,
+        listing, dv_key=key, bloom=meta.get("bloom"),
     )
 
 
@@ -776,7 +924,9 @@ def compact_manifest_table(
     n_out = max(1, math.ceil(total / target_bytes))
     folded = _read_live(spark, base_path, small, schema, meta.get("dv_key"))
     _write_data(folded, base_path, version, None, n_out)
-    new_rows = _file_stats(spark, base_path, version, stats_cols, schema)
+    new_rows = _file_stats(
+        spark, base_path, version, stats_cols, schema, meta.get("bloom")
+    )
     carried = man.where(F.col("bytes") >= small_bytes)
     return _finish(
         spark,
@@ -788,6 +938,7 @@ def compact_manifest_table(
         keep,
         listing,
         dv_key=meta.get("dv_key"),
+        bloom=meta.get("bloom"),
     )
 
 
