@@ -2337,11 +2337,15 @@ WHERE rank <= 5
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative join-aggregate workload: 3-round integer-exact PageRank
     over the symmetrized customer↔supplier trade graph (an edge per
-    distinct (customer, supplier) pair that traded, via orders⋈lineitem).
-    Ranks are BIGINTs in units of 1e-12 with truncating division, so every
-    round is bit-reproducible on any engine — the oracle unrolls the same
-    recurrence. Output: top-25 hubs; the ranking window's input is one row
-    per NODE (already reduced), not the edge relation."""
+    distinct (customer, supplier) pair that traded, via orders⋈lineitem)
+    PLUS a deliberate SINK: every 100th customer also links to node −1,
+    which has no out-edges — so the r08 dangling-mass redistribution
+    (pool sink rank each round, spread it uniformly) is exercised INSIDE
+    the hard gate, not just in pytest. Ranks are BIGINTs in units of
+    1e-12 with truncating division, so every round is bit-reproducible on
+    any engine — the oracle unrolls the same recurrence including the
+    per-round dangling term. Output: top-25 hubs; the ranking window's
+    input is one row per NODE (already reduced), not the edge relation."""
     from tibame_project_spark.operators.graph import pagerank_integer
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -2350,11 +2354,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") * 2).alias("a"),
         (F.col("l_suppkey") * 2 + 1).alias("b"),
     )
-    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    # symmetrized by construction -> provably sink-free, so skip the
-    # dangling-node probe (r08); the redistribute path is pytest-gated
-    # against a pure-Python integer model on graphs WITH sinks
-    ranks = pagerank_integer(edges, "a", "b", iterations=3, dangling="assume_none")
+    sink = (
+        pairs.select("a").distinct()
+        .where(F.col("a") % 200 == 0)  # custkey % 100 == 0
+        .select("a", F.lit(-1).alias("b"))
+    )
+    edges = (
+        pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .union(sink)
+    )
+    ranks = pagerank_integer(edges, "a", "b", iterations=3)
     w = Window.orderBy(F.col("rank").desc(), F.col("node"))
     return (
         ranks.withColumn("pos", F.row_number().over(w))
@@ -2367,26 +2376,34 @@ _PAGERANK_SQL = """
 WITH pairs AS (
   SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+      UNION SELECT DISTINCT a, -1 AS b FROM pairs WHERE a % 200 = 0),
 deg AS (SELECT a, COUNT(*) AS od FROM e GROUP BY a),
-nodes AS (SELECT DISTINCT a AS node FROM e),
+nodes AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e),
+sinks AS (SELECT node FROM nodes WHERE node NOT IN (SELECT a FROM deg)),
 nn AS (SELECT COUNT(*) AS n FROM nodes),
 r0 AS (SELECT node, 1000000000000 // n AS rank FROM nodes, nn),
+d1 AS (SELECT COALESCE(SUM(r0.rank), 0) AS dm FROM r0 JOIN sinks USING (node)),
 c1 AS (SELECT e.b AS node, SUM(r0.rank // deg.od) AS csum
        FROM e JOIN deg USING (a) JOIN r0 ON r0.node = e.a GROUP BY e.b),
 r1 AS (SELECT nodes.node,
-              15000000000000 // (100 * n) + (85 * COALESCE(csum, 0)) // 100 AS rank
-       FROM nodes LEFT JOIN c1 USING (node), nn),
+              15000000000000 // (100 * n)
+              + (85 * (COALESCE(csum, 0) + dm // n)) // 100 AS rank
+       FROM nodes LEFT JOIN c1 USING (node), nn, d1),
+d2 AS (SELECT COALESCE(SUM(r1.rank), 0) AS dm FROM r1 JOIN sinks USING (node)),
 c2 AS (SELECT e.b AS node, SUM(r1.rank // deg.od) AS csum
        FROM e JOIN deg USING (a) JOIN r1 ON r1.node = e.a GROUP BY e.b),
 r2 AS (SELECT nodes.node,
-              15000000000000 // (100 * n) + (85 * COALESCE(csum, 0)) // 100 AS rank
-       FROM nodes LEFT JOIN c2 USING (node), nn),
+              15000000000000 // (100 * n)
+              + (85 * (COALESCE(csum, 0) + dm // n)) // 100 AS rank
+       FROM nodes LEFT JOIN c2 USING (node), nn, d2),
+d3 AS (SELECT COALESCE(SUM(r2.rank), 0) AS dm FROM r2 JOIN sinks USING (node)),
 c3 AS (SELECT e.b AS node, SUM(r2.rank // deg.od) AS csum
        FROM e JOIN deg USING (a) JOIN r2 ON r2.node = e.a GROUP BY e.b),
 r3 AS (SELECT nodes.node,
-              15000000000000 // (100 * n) + (85 * COALESCE(csum, 0)) // 100 AS rank
-       FROM nodes LEFT JOIN c3 USING (node), nn)
+              15000000000000 // (100 * n)
+              + (85 * (COALESCE(csum, 0) + dm // n)) // 100 AS rank
+       FROM nodes LEFT JOIN c3 USING (node), nn, d3)
 SELECT node, CAST(rank AS BIGINT) AS rank, CAST(pos AS INTEGER) AS pos FROM (
   SELECT node, rank, row_number() OVER (ORDER BY rank DESC, node) AS pos FROM r3) t
 WHERE pos <= 25
@@ -2457,6 +2474,7 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-by-md5 surface stays gated via ``corpus_shuffle``/
     ``stratified_sample``)."""
     from tibame_project_spark.sources.manifest import (
+        bloom_prune_expr,
         merge_manifest_table,
         read_manifest_table,
         write_manifest_table,
@@ -2470,6 +2488,10 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_manifest_table(
         spark, orders, base, stats_cols=["o_orderkey"],
         cluster_by="o_orderkey", n_files=8,
+        # r08 Bloom tier in the gate: o_custkey scatters across the
+        # o_orderkey clustering, so its min/max is blind — the read
+        # below probes the per-file Bloom filters instead
+        bloom_cols=["o_custkey"],
     )
     mx = orders.agg(F.max("o_orderkey").alias("m")).first()["m"]
     lo, hi = (mx * 4) // 10, (mx * 5) // 10
@@ -2494,15 +2516,24 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_col="is_deleted",
     )
     half = hi
+    probe = [
+        r["o_custkey"]
+        for r in orders.select("o_custkey").distinct()
+        .orderBy("o_custkey").limit(8).collect()
+    ]
     out = read_manifest_table(
         spark,
         base,
-        # file may hold a matching row iff its range reaches below `half`
-        # or into the insert keyspace — the min/max skipping contract
-        prune=f"min_o_orderkey <= {half} OR max_o_orderkey >= 10000000",
+        # file may hold a matching row iff its KEY range reaches below
+        # `half` or into the insert keyspace (min/max contract) AND its
+        # o_custkey Bloom filter may contain a probed customer — the
+        # equality-skipping tier composed with the range tier
+        prune=f"(min_o_orderkey <= {half} OR max_o_orderkey >= 10000000)"
+        f" AND {bloom_prune_expr(spark, base, 'o_custkey', probe)}",
     )
     return out.where(
-        (F.col("o_orderkey") <= half) | (F.col("o_orderkey") >= 10000000)
+        ((F.col("o_orderkey") <= half) | (F.col("o_orderkey") >= 10000000))
+        & F.col("o_custkey").isin(probe)
     )
 
 
@@ -2532,8 +2563,9 @@ merged AS (
   FROM t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
   WHERE NOT COALESCE(s.is_deleted, FALSE))
 SELECT * FROM merged
-WHERE o_orderkey <= (SELECT hi FROM b)
-   OR o_orderkey >= 10000000
+WHERE (o_orderkey <= (SELECT hi FROM b) OR o_orderkey >= 10000000)
+  AND o_custkey IN (SELECT o_custkey FROM (
+        SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 8))
 """
 
 
