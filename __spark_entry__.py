@@ -772,7 +772,8 @@ WHERE rn <= 3
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: exactly 20 events per event_type,
     chosen by smallest content hash — rand()-free so retries/re-runs agree
-    (the per-stratum form of hash_sample)."""
+    (the per-stratum form of content-hash ordering; also the gate witness
+    for that surface since ``hash_sample`` was retired r08)."""
     from tibame_project_spark.partitioning import stratified_hash_sample
 
     ev = load(spark, sf_dir, "events")
