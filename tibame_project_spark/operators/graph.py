@@ -94,22 +94,23 @@ def pagerank_integer(
     # per-round invariants: the node list joins every round's contributions
     # and the node count enters every teleport term — cache both once
     # instead of re-shuffling the (much larger) edge relation per round
-    sources = ed.select(F.col("__s").alias("node")).distinct()
     if dangling == "assume_none":
         has_dangling = False
-        nodes = sources.persist()
+        nodes = ed.select(F.col("__s").alias("node")).distinct().persist()
     else:
-        # sinks = destinations that never appear as a source; probe for
-        # existence only (limit-1 short-circuits the scan). Derived from
-        # the PERSISTED degree-annotated edges, not the raw edge plan —
-        # the probe is what first materializes ed, so the upstream edge
-        # build runs once, not once-for-the-probe and once-for-round-1.
-        sinks = (
-            ed.select(F.col("__d").alias("node"))
-            .join(sources, "node", "left_anti")
-            .distinct()
+        # one role-tagging aggregation finds every node AND whether it has
+        # out-edges — a single shuffle over 2|E| tag rows, instead of
+        # separate dst-distinct + anti-join passes. Derived from the
+        # PERSISTED degree-annotated edges, so the probe (which is what
+        # first materializes ed) doesn't re-run the upstream edge build.
+        roles = (
+            ed.select(F.col("__s").alias("node"), F.lit(1).alias("__out"))
+            .unionAll(ed.select(F.col("__d").alias("node"), F.lit(0).alias("__out")))
+            .groupBy("node")
+            .agg(F.max("__out").alias("__out"))
             .persist()
         )
+        sinks = roles.where(F.col("__out") == 0).select("node")
         has_dangling = bool(sinks.limit(1).count())
         if has_dangling and dangling == "raise":
             ex = [r["node"] for r in sinks.limit(3).collect()]
@@ -117,8 +118,7 @@ def pagerank_integer(
                 f"graph has dangling nodes (no out-edges), e.g. {ex}; pass "
                 "dangling='redistribute' or symmetrize the edge list"
             )
-        nodes = (sources.unionByName(sinks).distinct() if has_dangling
-                 else sources).persist()
+        nodes = roles.select("node")
     n_df = nodes.agg(F.count(F.lit(1)).alias("__n")).persist()
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", F.expr(f"{scale} div __n").alias("rank")
