@@ -1160,3 +1160,85 @@ def test_bloom_follows_commits_and_guards(spark, tmp_path):
     assert bloom_prune_expr(spark, base, "v", []) == "false"
     with pytest.raises(ValueError, match="fixed at table creation"):
         write_manifest_table(spark, df, base, bloom_cols=["id"])
+
+
+def test_expectation_gate_blocks_commit(spark, tmp_path):
+    """expect= rules gate commits: a violating batch raises BEFORE the
+    marker, so the table never shows a bad version (a failed v0 leaves NO
+    table; a failed merge leaves the head untouched), and the next clean
+    commit simply supersedes the invisible partial files. Row-wise rules
+    ride the write as observed metrics; unique() takes the scan path."""
+    from tibame_project_spark.operators.expectations import not_null, unique
+    from tibame_project_spark.sources.manifest import read_manifest_version
+
+    base = str(tmp_path / "t")
+    bad = spark.createDataFrame([(1, 10), (None, 20)], "id long, v long")
+    with pytest.raises(ValueError, match="expectation gate failed"):
+        write_manifest_table(
+            spark, bad, base, stats_cols=["v"], expect=[not_null("id")]
+        )
+    assert read_manifest_version(spark, base) is None  # nothing published
+
+    good = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    assert write_manifest_table(
+        spark, good, base, stats_cols=["v"], expect=[not_null("id")]
+    ) == 0
+    assert _content(spark, base) == {(1, 10), (2, 20)}
+
+    # merge gate: violating batch (non-key rule) -> head unchanged
+    with pytest.raises(ValueError, match="expectation gate failed"):
+        merge_manifest_table(
+            spark,
+            spark.createDataFrame([(None, 30)], "id long, v long"),
+            base, "v", expect=[not_null("id")],
+        )
+    assert read_manifest_version(spark, base) == 0
+    assert _content(spark, base) == {(1, 10), (2, 20)}
+
+    # unique() rule: distinct aggregate -> pre-write scan path
+    dup = spark.createDataFrame([(7, 30), (7, 40)], "id long, v long")
+    with pytest.raises(ValueError, match="expectation gate failed"):
+        append_manifest_table(spark, dup, base, expect=[unique("id")])
+    assert _content(spark, base) == {(1, 10), (2, 20)}
+    append_manifest_table(
+        spark,
+        spark.createDataFrame([(3, 30)], "id long, v long"),
+        base, expect=[unique("id"), not_null("id")],
+    )
+    assert _content(spark, base) == {(1, 10), (2, 20), (3, 30)}
+
+
+def test_manifest_table_stats_without_scanning(spark, tmp_path):
+    """Scan-free ANALYZE: totals and global ranges fold straight out of
+    the manifest and track commits (append adds, merge/delete move the
+    physical file set), with DV'd files surfaced as a tightness signal."""
+    from tibame_project_spark.sources.manifest import (
+        delete_manifest_table,
+        manifest_table_stats,
+    )
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark,
+        spark.range(0, 300).select(F.col("id"), (F.col("id") * 3).alias("v")),
+        base, stats_cols=["id"], cluster_by="id", n_files=3,
+    )
+    s = manifest_table_stats(spark, base)
+    assert (s["rowCount"], s["numFiles"], s["n_dv_files"]) == (300, 3, 0)
+    assert (s["min_id"], s["max_id"]) == (0, 299)
+    assert s["sizeInBytes"] > 0
+
+    append_manifest_table(
+        spark,
+        spark.range(300, 400).select(F.col("id"), (F.col("id") * 3).alias("v")),
+        base, n_files=1,
+    )
+    s = manifest_table_stats(spark, base)
+    assert (s["rowCount"], s["numFiles"], s["max_id"]) == (400, 4, 399)
+
+    delete_manifest_table(
+        spark, spark.createDataFrame([(5,)], "id long"), base, "id"
+    )
+    s = manifest_table_stats(spark, base)
+    # physical rows unchanged (DV, zero rewrite); the vector is surfaced
+    assert s["rowCount"] == 400 and s["n_dv_files"] == 1

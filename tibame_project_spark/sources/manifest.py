@@ -87,6 +87,7 @@ __all__ = [
     "manifest_changes",
     "vacuum_manifest_table",
     "bloom_prune_expr",
+    "manifest_table_stats",
 ]
 
 #: Manifest tables share the snapshot commit marker protocol; the head
@@ -341,6 +342,56 @@ def _file_stats(
     return out
 
 
+_GATE_SEQ = [0]
+
+
+def _expect_gate(df: DataFrame, expect: list | None, where: str):
+    """Commit-time data-quality gate (``operators.expectations`` rules):
+    returns ``(df', check)`` — run ``check()`` after the data write and
+    BEFORE the commit marker, so a violating batch aborts with its
+    partial files invisible (the same crash-safety the marker protocol
+    already gives). Row-wise rules ride the data write itself as
+    OBSERVED metrics — zero extra scans; rules needing distinct
+    aggregates (``unique``) fall back to one pre-write validation scan.
+    Reported violation COUNTS can include the range partitioner's
+    sampling re-evaluation of the plan and so may overstate; pass/fail
+    cannot flip (a sampled violation is a real violation).
+    """
+    if not expect:
+        return df, lambda: None
+    from tibame_project_spark.operators import expectations as X
+
+    def _fail(rows):
+        raise ValueError(
+            f"expectation gate failed for {where}: "
+            + "; ".join(
+                f"{r['rule']}({r['column']}): "
+                f"{r['n_violations']}/{r['n_rows']} violations"
+                for r in rows
+            )
+        )
+
+    try:
+        _GATE_SEQ[0] += 1
+        observed, report_fn = X.observe_expectations(
+            df, expect, name=f"manifest_gate_{_GATE_SEQ[0]}"
+        )
+    except ValueError:
+        # distinct-aggregate rules: observed metrics can't express them,
+        # so gate with one scan BEFORE anything is written
+        bad = X.validate_expectations(df, expect).filter("NOT passed").collect()
+        if bad:
+            _fail(bad)
+        return df, lambda: None
+
+    def check():
+        bad = report_fn().filter("NOT passed").collect()
+        if bad:
+            _fail(bad)
+
+    return observed, check
+
+
 def _validate_stats_cols(df: DataFrame, stats_cols: list[str]) -> None:
     kinds = dict(df.dtypes)
     for c in stats_cols:
@@ -401,6 +452,7 @@ def write_manifest_table(
     bloom_cols: list[str] | None = None,
     bloom_m: int = 1 << 15,
     bloom_k: int = 3,
+    expect: list | None = None,
 ) -> int:
     """Full-content commit: version ``n`` whose live file set is exactly
     ``df``'s files. Creates the table at v0 (``stats_cols`` declares the
@@ -452,7 +504,9 @@ def write_manifest_table(
     _validate_stats_cols(df, stats_cols)
     if bloom:
         _validate_stats_cols(df, bloom["cols"])
+    df, gate = _expect_gate(df, expect, f"write_manifest_table({base_path})")
     _write_data(df, base_path, version, cluster_by, n_files, zorder_bits)
+    gate()  # violating data never publishes: no marker yet, files invisible
     manifest = _file_stats(
         spark, base_path, version, stats_cols, df.schema, bloom
     )
@@ -472,6 +526,7 @@ def append_manifest_table(
     zorder_bits: int = 16,
     keep: int = 2,
     allow_evolution: bool = False,
+    expect: list | None = None,
 ) -> int:
     """Append-only commit: new files for ``df``, every existing file
     carried forward in the manifest verbatim — a metadata union, zero
@@ -516,7 +571,9 @@ def append_manifest_table(
             + [df.schema[n] for n in extras]
         )
     _validate_stats_cols(df, stats_cols)
+    df, gate = _expect_gate(df, expect, f"append_manifest_table({base_path})")
     _write_data(df, base_path, version, cluster_by, n_files, zorder_bits)
+    gate()
     new_rows = _file_stats(
         spark, base_path, version, stats_cols, df.schema, meta.get("bloom")
     )
@@ -615,6 +672,7 @@ def merge_manifest_table(
     *,
     delete_col: str | None = None,
     keep: int = 2,
+    expect: list | None = None,
 ) -> int:
     """MERGE a change batch into the table, rewriting ONLY the files whose
     ``key`` range can contain a batch key (Delta/Iceberg's
@@ -685,10 +743,14 @@ def merge_manifest_table(
     # not resurrect rows a DV commit already condemned; the rewrite then
     # clears the candidates' DVs (their new files are vector-free)
     current = _read_live(spark, base_path, cand_files, schema, dv_key)
+    source, gate = _expect_gate(
+        source, expect, f"merge_manifest_table({base_path})"
+    )
     merged = merge_upsert(
         current, source, key, delete_col=delete_col, null_safe_keys=False
     )
     _write_data(merged, base_path, version, key, max(1, len(touched)))
+    gate()  # batch violations abort pre-marker: the partial v is invisible
     new_rows = _file_stats(
         spark, base_path, version, stats_cols, schema, meta.get("bloom")
     )
@@ -707,6 +769,40 @@ def merge_manifest_table(
         dv_key=dv_key,
         bloom=meta.get("bloom"),
     )
+
+
+def manifest_table_stats(
+    spark: SparkSession, base_path: str, *, version: int | None = None
+) -> dict:
+    """Table-level statistics for FREE — no data scan, just the manifest:
+    total physical rows/bytes, file count, and the global min/max per
+    declared stats column (fold of the per-file ranges). The scan-free
+    twin of ``catalog.analyze_table``: at 100 TB an ANALYZE pass costs a
+    full read, while a manifest table already holds every number the
+    optimizer wants — feed ``numRows``/``sizeInBytes`` into a catalog
+    twin's ``spark.sql.statistics.*`` table properties (or just use
+    ``rows`` to pick broadcast sides) after every commit, at metadata
+    cost.
+
+    ``rows``/``bytes`` are PHYSICAL: files carrying a deletion vector
+    still count their condemned rows (the manifest records what is on
+    disk; ``n_dv_files`` tells you how many files carry vectors so a
+    caller can decide whether the bound is tight enough)."""
+    man = manifest_stats(spark, base_path, version=version)
+    aggs = [
+        F.coalesce(F.sum("rows"), F.lit(0)).alias("rowCount"),
+        F.coalesce(F.sum("bytes"), F.lit(0)).alias("sizeInBytes"),
+        F.count(F.lit(1)).alias("numFiles"),
+        F.count(F.when(F.col("dv_path").isNotNull(), 1)).alias("n_dv_files"),
+    ]
+    stats_cols = [
+        c[len("min_"):] for c in man.columns if c.startswith("min_")
+    ]
+    for c in stats_cols:
+        aggs.append(F.min(f"min_{c}").alias(f"min_{c}"))
+        aggs.append(F.max(f"max_{c}").alias(f"max_{c}"))
+    row = man.agg(*aggs).first()
+    return dict(row.asDict())
 
 
 def bloom_prune_expr(
