@@ -26,6 +26,7 @@ from tibame_project_spark.sources.manifest import (
     merge_manifest_table,
     read_manifest_table,
     read_manifest_version,
+    restore_manifest_table,
     vacuum_manifest_table,
     write_manifest_table,
 )
@@ -1242,3 +1243,142 @@ def test_manifest_table_stats_without_scanning(spark, tmp_path):
     s = manifest_table_stats(spark, base)
     # physical rows unchanged (DV, zero rewrite); the vector is surfaced
     assert s["rowCount"] == 400 and s["n_dv_files"] == 1
+
+
+def test_restore_is_metadata_only_rollback(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark,
+        spark.range(0, 100).select(F.col("id"), F.col("id").alias("v")),
+        base,
+        stats_cols=["id"],
+        cluster_by="id",
+        n_files=4,
+        keep=10,
+    )
+    v0_paths = set(manifest_file_paths(spark, base, version=0))
+    merge_manifest_table(
+        spark,
+        spark.createDataFrame([(5, 500), (200, 200)], "id long, v long"),
+        base,
+        "id",
+        keep=10,
+    )
+    assert _content(spark, base) != _content(spark, base, version=0)
+    v2 = restore_manifest_table(spark, base, 0, keep=10)
+    assert v2 == 2 and read_manifest_version(spark, base) == 2
+    # content rolled back; the bad commit stays readable history
+    assert _content(spark, base) == _content(spark, base, version=0)
+    assert (5, 500) in _content(spark, base, version=1)
+    # pure metadata: the restore commit added no data directory and the
+    # head manifest references exactly v0's files
+    assert not os.path.exists(f"{base}/data/v=2")
+    assert set(manifest_file_paths(spark, base)) == v0_paths
+    # restoring the current head is the idempotent no-op republish
+    restore_manifest_table(spark, base, 2, keep=10)
+    assert _content(spark, base) == _content(spark, base, version=0)
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        restore_manifest_table(spark, base, 99, keep=10)
+
+
+def test_restore_protects_files_from_vacuum(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark,
+        spark.range(0, 80).select(F.col("id"), F.col("id").alias("v")),
+        base,
+        stats_cols=["id"],
+        cluster_by="id",
+        n_files=4,
+        keep=2,
+    )
+    # v1: full overwrite that references NONE of v0's files
+    write_manifest_table(
+        spark,
+        spark.range(0, 10).select(F.col("id"), F.col("id").alias("v")),
+        base,
+        n_files=1,
+        keep=2,
+    )
+    # v2 restores v0 with keep=1 → v0's and v1's METADATA prune, but v0's
+    # data files stay referenced by the new head; v1's file is orphaned
+    restore_manifest_table(spark, base, 0, keep=1)
+    assert vacuum_manifest_table(spark, base) == 1  # only v1's single file
+    assert _content(spark, base) == {(i, i) for i in range(80)}
+
+
+def test_manifest_feed_bootstrap_tail_replay_and_guards(spark, tmp_path):
+    from tibame_project_spark.sources.manifest import (
+        delete_manifest_table,
+        manifest_feed,
+        manifest_feed_commit,
+    )
+
+    base = str(tmp_path / "t")
+    state = str(tmp_path / "cursor.json")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1), (2, 2)]), base, stats_cols=["id"], keep=10
+    )
+    # fresh cursor bootstraps the full table as inserts
+    feed, head = manifest_feed(spark, base, "id", state_path=state)
+    assert head == 0
+    assert feed.columns == ["id", "op", "old_v", "new_v"]
+    assert {(r["id"], r["op"], r["old_v"], r["new_v"]) for r in feed.collect()} == {
+        (1, "insert", None, 1),
+        (2, "insert", None, 2),
+    }
+    manifest_feed_commit(spark, state, head)
+
+    merge_manifest_table(
+        spark, _mk(spark, [(2, 20), (3, 3)]), base, "id", keep=10
+    )
+    feed, head = manifest_feed(spark, base, "id", state_path=state)
+    assert head == 1
+    got = {(r["id"], r["op"], r["old_v"], r["new_v"]) for r in feed.collect()}
+    assert got == {(2, "update", 2, 20), (3, "insert", None, 3)}
+    # at-least-once: an uncommitted cursor replays the same interval
+    replay, again = manifest_feed(spark, base, "id", state_path=state)
+    assert again == 1
+    assert {
+        (r["id"], r["op"], r["old_v"], r["new_v"]) for r in replay.collect()
+    } == got
+    manifest_feed_commit(spark, state, head)
+
+    # caught up: empty feed, right schema, cursor unchanged
+    feed, head = manifest_feed(spark, base, "id", state_path=state)
+    assert head == 1 and feed.count() == 0
+    assert feed.columns == ["id", "op", "old_v", "new_v"]
+
+    # a deletion-vector commit surfaces as delete ops
+    delete_manifest_table(
+        spark, _mk(spark, [(1, 1)]).select("id"), base, "id", keep=10
+    )
+    feed, head = manifest_feed(spark, base, "id", state_path=state)
+    assert head == 2
+    assert {(r["id"], r["op"]) for r in feed.collect()} == {(1, "delete")}
+    manifest_feed_commit(spark, state, head)
+
+    # a foreign/ahead cursor is a loud error, not silent data loss
+    manifest_feed_commit(spark, state, 99)
+    with pytest.raises(ValueError, match="ahead of table head"):
+        manifest_feed(spark, base, "id", state_path=state)
+
+
+def test_manifest_feed_cursor_past_retention_raises(spark, tmp_path):
+    from tibame_project_spark.sources.manifest import (
+        manifest_feed,
+        manifest_feed_commit,
+    )
+
+    base = str(tmp_path / "t")
+    state = str(tmp_path / "cursor.json")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"], keep=1
+    )
+    manifest_feed_commit(spark, state, 0)
+    append_manifest_table(spark, _mk(spark, [(2, 2)]), base, keep=1)
+    append_manifest_table(spark, _mk(spark, [(3, 3)]), base, keep=1)
+    # keep=1 pruned v0's manifest at the v2 commit — the lagging consumer
+    # cannot silently skip the gap
+    with pytest.raises(FileNotFoundError, match="pruned past retention"):
+        manifest_feed(spark, base, "id", state_path=state)

@@ -26,7 +26,13 @@ statistics on declared columns. Commits then become metadata operations:
 - **compaction** folds small files into big ones without changing
   content (DVs applied and cleared) (:func:`compact_manifest_table`);
 - **vacuum** deletes data files and DV sidecars no retained version
-  references (:func:`vacuum_manifest_table`).
+  references (:func:`vacuum_manifest_table`);
+- **restore** rolls the table back to a retained version by publishing
+  a new metadata-only head (:func:`restore_manifest_table`) — history
+  moves forward, nothing is rewritten;
+- **feed** lets a consumer tail the table with a persisted cursor
+  (:func:`manifest_feed` / :func:`manifest_feed_commit`) — each pull
+  costs the files the commits touched, at-least-once on replay.
 
 Commit protocol is shared verbatim with ``write_snapshot`` (create-new
 ``_COMMIT_v<n>`` marker = publish; highest marker = current; single
@@ -80,6 +86,9 @@ __all__ = [
     "merge_manifest_table",
     "delete_manifest_table",
     "compact_manifest_table",
+    "restore_manifest_table",
+    "manifest_feed",
+    "manifest_feed_commit",
     "read_manifest_table",
     "read_manifest_version",
     "manifest_stats",
@@ -1159,3 +1168,134 @@ def vacuum_manifest_table(spark: SparkSession, base_path: str) -> int:
                 fs.delete(d.getPath(), True)
                 deleted += 1
     return deleted
+
+def restore_manifest_table(
+    spark: SparkSession, base_path: str, version: int, *, keep: int = 2
+) -> int:
+    """RESTORE: make a retained older version current again by publishing
+    a NEW head whose manifest is a verbatim copy of the old one — the
+    rollback verb of the lifecycle (Delta Lake's public RESTORE shape).
+    Pure metadata: no data file or DV sidecar is read, rewritten, or
+    moved; a 100 TB table rolls back in the time it takes to copy a
+    file-count-sized parquet manifest and a KB of meta json.
+
+    History moves FORWARD — the bad commits stay inspectable (and
+    ``manifest_changes`` across the restore yields exactly the
+    compensating feed downstream consumers need). The restored version's
+    files become referenced by the new head, so a later
+    :func:`vacuum_manifest_table` keeps them even after the source
+    version itself falls out of retention. Restoring the current head is
+    allowed and commits a content-identical version (the no-op republish,
+    same idempotence class as a replayed merge). Raises if ``version``
+    is not a committed, still-retained version."""
+    fs, listing, head, new_version = _begin(spark, base_path)
+    if head is None:
+        raise FileNotFoundError(f"no committed manifest table under {base_path}")
+    if version not in _committed_versions(listing):
+        raise FileNotFoundError(
+            f"manifest version {version} under {base_path} is not committed "
+            "or has been pruned past retention — cannot restore"
+        )
+    man = _load_manifest(spark, base_path, version)
+    meta = _meta(spark, base_path, version)
+    return _finish(
+        spark,
+        base_path,
+        new_version,
+        man,
+        StructType.fromJson(meta["schema"]),
+        meta["stats_cols"],
+        keep,
+        listing,
+        dv_key=meta.get("dv_key"),
+        bloom=meta.get("bloom"),
+    )
+
+
+def _diff_schema(schema: StructType, keys: list[str]) -> StructType:
+    """The ``snapshot_diff`` output schema for a table schema + key set:
+    key columns, ``op``, then ``old_<c>``/``new_<c>`` per non-key column."""
+    from pyspark.sql.types import StringType, StructField
+
+    by_name = {f.name: f for f in schema.fields}
+    cols = [f.name for f in schema.fields if f.name not in keys]
+    fields = [StructField(k, by_name[k].dataType) for k in keys]
+    fields.append(StructField("op", StringType()))
+    fields += [StructField(f"old_{c}", by_name[c].dataType) for c in cols]
+    fields += [StructField(f"new_{c}", by_name[c].dataType) for c in cols]
+    return StructType(fields)
+
+
+def manifest_feed(
+    spark: SparkSession,
+    base_path: str,
+    key: str | list[str],
+    *,
+    state_path: str,
+    to_version: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Tail a manifest table incrementally: the CONSUMER twin of
+    ``streaming.incremental.stream_cdc_apply_manifest``. Returns
+    ``(changes, head)`` where ``changes`` is the applyable
+    ``snapshot_diff``-schema feed (``op`` in insert/update/delete — the
+    ``same`` rows are already filtered) between the cursor persisted at
+    ``state_path`` and the table head, priced by the files the commits
+    touched, never the table (see :func:`manifest_changes`).
+
+    Cursor protocol (at-least-once): process ``changes``, THEN call
+    :func:`manifest_feed_commit` with the returned ``head``. A crash in
+    between replays the same interval on the next call — safe end-to-end
+    when the downstream apply is a fixpoint (the merge/CDC sinks here
+    are). The first call on a fresh ``state_path`` bootstraps: the full
+    current table as ``insert`` rows (Delta streaming's
+    initial-snapshot semantics), so consumer logic is one code path.
+
+    A caught-up consumer (cursor == head) gets an empty feed with the
+    correct schema and no file I/O. A cursor older than retention
+    (its manifest pruned) raises — raise ``keep`` to cover the consumer's
+    worst lag, or delete the state file to re-bootstrap."""
+    keys = [key] if isinstance(key, str) else list(key)
+    head = to_version
+    if head is None:
+        head = read_manifest_version(spark, base_path)
+        if head is None:
+            raise FileNotFoundError(f"no committed manifest table under {base_path}")
+    fs, sp, _ = _fs_for(spark, state_path)
+    if not fs.exists(sp):
+        meta = _meta(spark, base_path, head)
+        schema = StructType.fromJson(meta["schema"])
+        cols = [c.name for c in schema.fields if c.name not in keys]
+        full = read_manifest_table(spark, base_path, version=head)
+        boot = full.select(
+            *keys,
+            F.lit("insert").alias("op"),
+            *[F.lit(None).cast(dict(full.dtypes)[c]).alias(f"old_{c}") for c in cols],
+            *[F.col(c).alias(f"new_{c}") for c in cols],
+        )
+        return boot, head
+    cursor = json.loads(_read_text(spark, state_path))["version"]
+    if cursor > head:
+        raise ValueError(
+            f"feed cursor {cursor} is ahead of table head {head} under "
+            f"{base_path} — state file does not belong to this table"
+        )
+    if cursor == head:
+        meta = _meta(spark, base_path, head)
+        empty = _diff_schema(StructType.fromJson(meta["schema"]), keys)
+        return spark.createDataFrame([], empty), head
+    mfs, mp, _ = _fs_for(spark, f"{base_path}/manifest/v={cursor}")
+    if not mfs.exists(mp):
+        raise FileNotFoundError(
+            f"feed cursor {cursor} has been pruned past retention under "
+            f"{base_path} — raise keep= on the writer or re-bootstrap"
+        )
+    changes = manifest_changes(
+        spark, base_path, key, from_version=cursor, to_version=head
+    ).filter(F.col("op") != "same")
+    return changes, head
+
+
+def manifest_feed_commit(spark: SparkSession, state_path: str, version: int) -> None:
+    """Advance a :func:`manifest_feed` cursor — call AFTER the interval's
+    changes are durably applied downstream (the at-least-once barrier)."""
+    _write_text(spark, state_path, json.dumps({"version": version}))
