@@ -2582,10 +2582,20 @@ def q_curation_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-back must equal the relational dedup + decontamination of the
     same corpus. md5 gram hash for DuckDB parity (production default
     xxhash64). Replaces the retired ``histogram`` key (fixed-edge
-    bucketing stays subsumed by ``percentiles``'s width_bucket oracle)."""
+    bucketing stays subsumed by ``percentiles``'s width_bucket oracle).
+
+    r08 late: the read-back takes the CONSUMER path instead of a direct
+    head read — ``manifest_feed`` bootstrap pinned at v0 (full
+    pre-curation corpus as inserts), cursor committed, then the
+    cursor→head CDC interval (the curation commit's deletion-vector diff,
+    priced at touched files) applied with ``corrections.apply_diff`` —
+    so feed bootstrap + cursor protocol + DV-composed ``manifest_changes``
+    + consumer apply must reproduce the head exactly to pass the gate."""
+    from tibame_project_spark.operators.corrections import apply_diff
     from tibame_project_spark.plans.curation import curate_corpus
     from tibame_project_spark.sources.manifest import (
-        read_manifest_table,
+        manifest_feed,
+        manifest_feed_commit,
         write_manifest_table,
     )
 
@@ -2608,7 +2618,21 @@ def q_curation_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, base, benchmark=bench, decontaminate_n=5,
         base_hash=md5_base_hash, use_deletion_vectors=True,
     )
-    return read_manifest_table(spark, base)
+    # cursor lives INSIDE the fresh table dir so a re-run (bench warmup)
+    # resets table and cursor together; the name collides with no commit
+    # marker / meta / data path
+    state = f"{base}/_cursor.json"
+    boot, _ = manifest_feed(
+        spark, base, "doc_id", state_path=state, to_version=0
+    )
+    manifest_feed_commit(spark, state, 0)
+    pre = boot.select(
+        "doc_id",
+        *[F.col(f"new_{c}").alias(c) for c in ("text", "lang", "source", "n_chars")],
+    )
+    changes, head = manifest_feed(spark, base, "doc_id", state_path=state)
+    manifest_feed_commit(spark, state, head)
+    return apply_diff(pre, changes, "doc_id")
 
 
 _CURATION_PASS_SQL = r"""

@@ -1342,6 +1342,32 @@ def test_snapshot_diff_tags_and_nullsafety(spark):
     assert out[5].op == "insert" and out[5].old_name is None
 
 
+def test_apply_diff_roundtrips_snapshot_diff(spark):
+    """derive→apply identity at the DataFrame level: applying
+    snapshot_diff(old, new) onto old reproduces new exactly — including
+    NULL transitions and the untouched passthrough rows."""
+    from tibame_project_spark.operators.corrections import (
+        apply_diff,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "k long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (5, "e", 5.0)],
+        "k long, name string, v double",
+    )
+    got = apply_diff(old, snapshot_diff(old, new, "k"), "k")
+    assert got.columns == old.columns
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in new.collect()}
+    # empty feed is the identity
+    empty = snapshot_diff(old, old, "k").where("op <> 'same'")
+    same = apply_diff(old, empty, "k")
+    assert {tuple(r) for r in same.collect()} == {tuple(r) for r in old.collect()}
+
+
 def test_profile_table_counts(spark):
     from tibame_project_spark.catalog import profile_table
 

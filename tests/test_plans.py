@@ -621,3 +621,85 @@ def test_fb_posts_golden_against_reference_output(spark):
     back = spark.read.jdbc(url, "attraction_social_article", properties=props)
     assert back.count() == 240
     assert sorted(back.columns) == sorted(out.columns)
+
+
+def test_maintain_mart_from_feed_tracks_full_recompute(spark, tmp_path):
+    """Feed-driven incremental view maintenance: across bootstrap, a
+    group-moving update, inserts, and deletes that empty a group, the
+    signed-delta mart equals the full recompute after every round — and
+    the base table is only ever read through the feed's touched files."""
+    from tibame_project_spark.plans.warehouse import maintain_mart_from_feed
+    from tibame_project_spark.sources.manifest import (
+        delete_manifest_table,
+        manifest_feed_commit,
+        merge_manifest_table,
+        read_manifest_table,
+        write_manifest_table,
+    )
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "t")
+    state = str(tmp_path / "cursor.json")
+    write_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(i, "a" if i % 2 else "b", i * 10) for i in range(10)],
+            "id long, g string, v long",
+        ),
+        base,
+        stats_cols=["id"],
+        cluster_by="id",
+        n_files=2,
+        keep=10,
+    )
+
+    def full():
+        return {
+            (r["g"], r["n"], r["total"])
+            for r in read_manifest_table(spark, base)
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+            .collect()
+        }
+
+    def pull(mart):
+        mart, head = maintain_mart_from_feed(
+            spark, base, "id",
+            state_path=state, group_cols=["g"],
+            counts=["n"], sums={"total": "v"}, mart=mart,
+        )
+        mart = mart.localCheckpoint(eager=True)  # "persist", then advance
+        manifest_feed_commit(spark, state, head)
+        assert {tuple(r) for r in mart.select("g", "n", "total").collect()} == full()
+        return mart
+
+    mart = pull(None)  # bootstrap = initial aggregate
+
+    # group-moving update (id 3: a→b, new v), insert into a NEW group,
+    # and a tombstone — one merge commit
+    merge_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(3, "b", 999, False), (100, "c", 7, False), (0, "b", 0, True)],
+            "id long, g string, v long, dead boolean",
+        ),
+        base,
+        "id",
+        delete_col="dead",
+        keep=10,
+    )
+    mart = pull(mart)
+
+    # deletion-vector commit that empties group c → it must drop out
+    delete_manifest_table(
+        spark,
+        spark.createDataFrame([(100,)], "id long"),
+        base,
+        "id",
+        keep=10,
+    )
+    mart = pull(mart)
+    assert "c" not in {r["g"] for r in mart.collect()}
+
+    # caught-up round is the identity
+    mart = pull(mart)

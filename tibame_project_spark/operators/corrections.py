@@ -168,6 +168,29 @@ def snapshot_diff(
     )
 
 
+def apply_diff(
+    df: DataFrame, changes: DataFrame, key: str | list[str]
+) -> DataFrame:
+    """Consumer-side apply of a :func:`snapshot_diff`-schema change feed
+    (``op`` insert/update/delete; ``same`` rows are ignored): remove every
+    touched key, then add the feed's new row images. Replaying interval
+    after interval onto a bootstrap reconstructs the producer table
+    exactly — the DataFrame-level applier behind the
+    ``sources.manifest.manifest_feed`` consumer loop (the manifest-table
+    applier is ``merge_manifest_table``; this one targets plain
+    relations/marts). One hash anti-join on the touched keys plus a union
+    of feed-sized new images — cost tracks the feed, not the table."""
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = [c for c in df.columns if c not in keys]
+    touched = changes.filter(F.col("op") != "same")
+    new_rows = touched.filter(F.col("op") != "delete").select(
+        *keys, *[F.col(f"new_{c}").alias(c) for c in cols]
+    )
+    return df.join(
+        touched.select(*keys), keys, "left_anti"
+    ).unionByName(new_rows.select(*df.columns))
+
+
 def merge_aggregates(
     old_agg: DataFrame,
     delta_agg: DataFrame,

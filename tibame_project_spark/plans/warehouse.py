@@ -122,3 +122,96 @@ def merge_plan(
         delete_col=delete_col,
         null_safe_keys=False,
     )
+
+
+def mart_delta_from_feed(
+    changes: DataFrame,
+    group_cols: list[str],
+    *,
+    counts: dict[str, None] | list[str],
+    sums: dict[str, str] | None = None,
+) -> DataFrame:
+    """Signed aggregate delta of a ``snapshot_diff``-schema change feed
+    (``sources.manifest.manifest_feed`` intervals, ``snapshot_changes``,
+    ...): every surviving row image contributes +1 / +value under its NEW
+    group, every disappearing image −1 / −value under its OLD group — so
+    an update that MOVES a row between groups debits one and credits the
+    other, and the delta folds into a standing mart with
+    ``corrections.merge_aggregates`` without ever touching the base
+    table. Only fully decomposable measures qualify (counts and sums —
+    min/max cannot absorb deletes without re-reading the group; keep
+    those in a mart refreshed by touched-group recompute instead).
+
+    ``counts`` names the output count columns (each = signed row count);
+    ``sums`` maps output column → source column. Sums inherit the feed's
+    column types — feed exact partials (bigint / decimal) for
+    gate-grade exactness, the engine's standing aggregation discipline."""
+    import pyspark.sql.functions as F
+
+    count_cols = list(counts)
+    sum_map = dict(sums or {})
+
+    def side(prefix: str, ops: tuple, sign: int) -> DataFrame:
+        return changes.filter(F.col("op").isin(*ops)).select(
+            *[F.col(f"{prefix}{g}").alias(g) for g in group_cols],
+            *[F.lit(sign).cast("long").alias(c) for c in count_cols],
+            *[
+                (F.lit(sign) * F.col(f"{prefix}{s}")).alias(out)
+                for out, s in sum_map.items()
+            ],
+        )
+
+    contrib = side("new_", ("insert", "update"), 1).unionByName(
+        side("old_", ("update", "delete"), -1)
+    )
+    return contrib.groupBy(*group_cols).agg(
+        *[F.sum(c).alias(c) for c in count_cols],
+        *[F.sum(out).alias(out) for out in sum_map],
+    )
+
+
+def maintain_mart_from_feed(
+    spark: SparkSession,
+    base_path: str,
+    key: str | list[str],
+    *,
+    state_path: str,
+    group_cols: list[str],
+    counts: list[str],
+    sums: dict[str, str] | None = None,
+    mart: DataFrame | None = None,
+) -> tuple[DataFrame, int]:
+    """One incremental-view-maintenance round over a manifest table: pull
+    the next :func:`sources.manifest.manifest_feed` interval, turn it into
+    a signed delta (:func:`mart_delta_from_feed`), fold it into the
+    standing ``mart`` (bootstrap: the first pull IS the initial aggregate,
+    since a fresh cursor yields the full table as inserts), and drop
+    groups whose row count reached zero. Cost per round tracks the feed +
+    the mart — the base table is never re-read, which is the only mart
+    refresh shape that survives 100 TB facts (the full-recompute twin is
+    the reference's nightly WRITE_TRUNCATE mart).
+
+    Returns ``(mart', head)``; persist the mart, THEN advance the cursor
+    with ``manifest_feed_commit(spark, state_path, head)`` — same
+    at-least-once barrier as every feed consumer. ``counts`` must name at
+    least one column (it is the liveness signal that lets emptied groups
+    fall out of the mart)."""
+    import pyspark.sql.functions as F
+
+    from tibame_project_spark.operators.corrections import merge_aggregates
+    from tibame_project_spark.sources.manifest import manifest_feed
+
+    if not counts:
+        raise ValueError("counts must name at least one output column")
+    changes, head = manifest_feed(spark, base_path, key, state_path=state_path)
+    delta = mart_delta_from_feed(
+        changes, group_cols, counts=counts, sums=sums
+    )
+    merged = (
+        delta
+        if mart is None
+        else merge_aggregates(
+            mart, delta, group_cols, counts=counts, sums=list(sums or {})
+        )
+    )
+    return merged.filter(F.col(counts[0]) > 0), head
