@@ -1382,3 +1382,39 @@ def test_manifest_feed_cursor_past_retention_raises(spark, tmp_path):
     # cannot silently skip the gap
     with pytest.raises(FileNotFoundError, match="pruned past retention"):
         manifest_feed(spark, base, "id", state_path=state)
+
+
+def test_manifest_history_records_ops_and_totals(spark, tmp_path):
+    from tibame_project_spark.sources.manifest import (
+        delete_manifest_table,
+        manifest_history,
+        restore_manifest_table,
+    )
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(6)]), base,
+        stats_cols=["id"], cluster_by="id", n_files=2, keep=10,
+    )
+    append_manifest_table(spark, _mk(spark, [(10, 10)]), base, keep=10)
+    merge_manifest_table(
+        spark, _mk(spark, [(1, 111)]), base, "id", keep=10
+    )
+    delete_manifest_table(
+        spark, _mk(spark, [(2, 2)]).select("id"), base, "id", keep=10
+    )
+    compact_manifest_table(spark, base, small_bytes=1 << 30, keep=10)
+    restore_manifest_table(spark, base, 2, keep=10)
+    hist = {r["version"]: r for r in manifest_history(spark, base).collect()}
+    assert [hist[v]["op"] for v in sorted(hist)] == [
+        "create", "append", "merge", "delete", "compact", "restore(v=2)",
+    ]
+    # totals come from the manifests: v1 added one file/row on top of v0;
+    # the delete commit left rows/files unchanged but tagged a DV'd file;
+    # the restore's totals equal the restored version's exactly
+    assert hist[1]["files"] == hist[0]["files"] + 1
+    assert hist[1]["rows"] == hist[0]["rows"] + 1
+    assert hist[3]["dv_files"] == 1 and hist[2]["dv_files"] == 0
+    assert (hist[5]["files"], hist[5]["rows"], hist[5]["bytes"]) == (
+        hist[2]["files"], hist[2]["rows"], hist[2]["bytes"],
+    )

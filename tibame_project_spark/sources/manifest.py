@@ -94,6 +94,7 @@ __all__ = [
     "manifest_stats",
     "manifest_file_paths",
     "manifest_changes",
+    "manifest_history",
     "vacuum_manifest_table",
     "bloom_prune_expr",
     "manifest_table_stats",
@@ -228,6 +229,7 @@ def _finish(
     listing,
     dv_key: str | None = None,
     bloom: dict | None = None,
+    op: str | None = None,
 ) -> int:
     """Publish a prepared version: manifest parquet → meta json → marker
     (the commit) → prune markers/manifests/meta at or below the retention
@@ -240,6 +242,8 @@ def _finish(
         f"{base_path}/manifest/v={version}"
     )
     meta = {"schema": schema.jsonValue(), "stats_cols": stats_cols}
+    if op is not None:
+        meta["op"] = op
     if dv_key is not None:
         meta["dv_key"] = dv_key
     if bloom is not None:
@@ -521,7 +525,7 @@ def write_manifest_table(
     )
     return _finish(
         spark, base_path, version, manifest, df.schema, stats_cols, keep,
-        listing, bloom=bloom,
+        listing, bloom=bloom, op="create",
     )
 
 
@@ -598,6 +602,7 @@ def append_manifest_table(
         listing,
         dv_key=meta.get("dv_key"),
         bloom=meta.get("bloom"),
+        op="append",
     )
 
 
@@ -732,7 +737,7 @@ def merge_manifest_table(
     if bounds["lo"] is None:  # empty batch: metadata-only no-op commit
         return _finish(
             spark, base_path, version, man, schema, stats_cols, keep,
-            listing, dv_key=dv_key, bloom=meta.get("bloom"),
+            listing, dv_key=dv_key, bloom=meta.get("bloom"), op="merge",
         )
     coarse = man.where(
         (F.col(f"max_{key}") >= F.lit(bounds["lo"]))
@@ -777,6 +782,7 @@ def merge_manifest_table(
         listing,
         dv_key=dv_key,
         bloom=meta.get("bloom"),
+        op="merge",
     )
 
 
@@ -937,7 +943,7 @@ def delete_manifest_table(
     if bounds["lo"] is None:
         return _finish(
             spark, base_path, version, man, schema, stats_cols, keep,
-            listing, dv_key=dv_key, bloom=meta.get("bloom"),
+            listing, dv_key=dv_key, bloom=meta.get("bloom"), op="delete",
         )
     coarse = man.where(
         (F.col(f"max_{key}") >= F.lit(bounds["lo"]))
@@ -953,7 +959,7 @@ def delete_manifest_table(
     if not cand_files:
         return _finish(
             spark, base_path, version, man, schema, stats_cols, keep,
-            listing, dv_key=dv_key, bloom=meta.get("bloom"),
+            listing, dv_key=dv_key, bloom=meta.get("bloom"), op="delete",
         )
     touched = [r["path"] for r in cand_files]
     # the condemned (file, key) pairs actually PRESENT in candidate files:
@@ -991,7 +997,7 @@ def delete_manifest_table(
     )
     return _finish(
         spark, base_path, version, new_man, schema, stats_cols, keep,
-        listing, dv_key=key, bloom=meta.get("bloom"),
+        listing, dv_key=key, bloom=meta.get("bloom"), op="delete",
     )
 
 
@@ -1044,6 +1050,7 @@ def compact_manifest_table(
         listing,
         dv_key=meta.get("dv_key"),
         bloom=meta.get("bloom"),
+        op="compact",
     )
 
 
@@ -1209,6 +1216,7 @@ def restore_manifest_table(
         listing,
         dv_key=meta.get("dv_key"),
         bloom=meta.get("bloom"),
+        op=f"restore(v={version})",
     )
 
 
@@ -1299,3 +1307,46 @@ def manifest_feed_commit(spark: SparkSession, state_path: str, version: int) -> 
     """Advance a :func:`manifest_feed` cursor — call AFTER the interval's
     changes are durably applied downstream (the at-least-once barrier)."""
     _write_text(spark, state_path, json.dumps({"version": version}))
+
+def manifest_history(spark: SparkSession, base_path: str) -> DataFrame:
+    """Commit history of the retained versions — the observability twin of
+    Delta's DESCRIBE HISTORY, folded entirely from metadata: one row per
+    retained version with the operation that produced it (``create`` /
+    ``append`` / ``merge`` / ``delete`` / ``compact`` / ``restore(v=n)``;
+    NULL for pre-op-tagging commits) and the version's live file / row /
+    byte / DV'd-file totals out of its manifest. Cost is O(retained
+    versions × files-per-manifest) driver-side metadata — no data file is
+    ever opened, so the audit view of a 100 TB table is a KB-scale read."""
+    fs, base, _ = _fs_for(spark, base_path)
+    listing = list(fs.listStatus(base)) if fs.exists(base) else []
+    committed = sorted(_committed_versions(listing))
+    if not committed:
+        raise FileNotFoundError(f"no committed manifest table under {base_path}")
+    rows = []
+    for v in committed:
+        meta = _meta(spark, base_path, v)
+        agg = (
+            _load_manifest(spark, base_path, v)
+            .agg(
+                F.count(F.lit(1)).alias("files"),
+                F.coalesce(F.sum("rows"), F.lit(0)).alias("rows"),
+                F.coalesce(F.sum("bytes"), F.lit(0)).alias("bytes"),
+                F.count("dv_path").alias("dv_files"),
+            )
+            .first()
+        )
+        rows.append(
+            (
+                v,
+                meta.get("op"),
+                agg["files"],
+                agg["rows"],
+                agg["bytes"],
+                agg["dv_files"],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, op string, files long, rows long, bytes long, "
+        "dv_files long",
+    )
