@@ -630,3 +630,32 @@ def test_warehouse_refresh_join_is_exchange_free(spark, tmp_path):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS fact.wh_cust_t")
         spark.sql("DROP TABLE IF EXISTS ods.wh_cust_b")
+
+
+def test_mart_delta_fold_shuffles_feed_not_table(spark):
+    """The IVM fold's physical plan: the signed delta aggregates with a
+    map-side partial BEFORE its exchange (feed-sized shuffle), and the
+    whole maintain plan carries no join back to the base relation — the
+    only inputs are the feed and the standing mart."""
+    import pyspark.sql.functions as F
+
+    from tibame_project_spark.operators.corrections import merge_aggregates
+    from tibame_project_spark.plans.warehouse import mart_delta_from_feed
+
+    changes = spark.createDataFrame(
+        [(1, "insert", None, None, "a", 5)],
+        "k long, op string, old_g string, old_v long, new_g string, new_v long",
+    )
+    mart = spark.createDataFrame([("a", 2, 7)], "g string, n long, total long")
+    delta = mart_delta_from_feed(
+        changes, ["g"], counts=["n"], sums={"total": "v"}
+    )
+    folded = merge_aggregates(mart, delta, ["g"], counts=["n"], sums=["total"])
+    plan = folded._sc._jvm.PythonSQLUtils.explainString(
+        folded._jdf.queryExecution(), "formatted"
+    )
+    # partial aggregation runs before every exchange (map-side combine)
+    assert "partial_sum" in plan
+    # no scan or join of any base table: the plan's only leaves are the
+    # two in-memory relations (feed + mart)
+    assert "Scan parquet" not in plan and "SortMergeJoin" not in plan
