@@ -703,3 +703,93 @@ def test_maintain_mart_from_feed_tracks_full_recompute(spark, tmp_path):
 
     # caught-up round is the identity
     mart = pull(mart)
+
+
+def test_recompute_mart_groups_minmax_tracks_full(spark, tmp_path):
+    """Touched-group recompute IVM (the min/max path signed deltas can't
+    serve): across bootstrap, an update that RAISES a group min, a delete
+    that empties a group, and a caught-up round, the mart equals the full
+    recompute — and the touched-group prune actually skips files when the
+    group column is the clustering/stats column."""
+    from tibame_project_spark.plans.warehouse import (
+        recompute_mart_groups_from_feed,
+    )
+    from tibame_project_spark.sources.manifest import (
+        manifest_feed_commit,
+        merge_manifest_table,
+        read_manifest_table,
+        write_manifest_table,
+    )
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "t")
+    state = str(tmp_path / "cursor.json")
+    # group == clustering column (g = id div 100) so touched-group bounds
+    # prune files; v carries the min/max measure
+    rows = [(i, i // 100, i % 7) for i in range(400)]
+    write_manifest_table(
+        spark,
+        spark.createDataFrame(rows, "id long, g long, v long"),
+        base,
+        stats_cols=["id", "g"],
+        cluster_by="id",
+        n_files=4,
+        keep=10,
+    )
+
+    def agg(df):
+        return df.groupBy("g").agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def full():
+        return {
+            tuple(r) for r in agg(read_manifest_table(spark, base)).collect()
+        }
+
+    def pull(mart):
+        mart, head = recompute_mart_groups_from_feed(
+            spark, base, "id",
+            state_path=state, group_cols=["g"], agg=agg,
+            mart=mart, prune_col="g",
+        )
+        mart = mart.localCheckpoint(eager=True)
+        manifest_feed_commit(spark, state, head)
+        assert {tuple(r) for r in mart.collect()} == full()
+        return mart
+
+    mart = pull(None)  # bootstrap = full aggregate
+
+    # raise the minimum of group 0 (delete-and-replace every v<3 row) —
+    # a min can only be maintained by recomputing the group
+    batch = [(i, i // 100, 100 + i, False) for i in range(0, 100) if i % 7 < 3]
+    batch += [(399, 3, 0, True)]  # and tombstone one row of group 3
+    merge_manifest_table(
+        spark,
+        spark.createDataFrame(batch, "id long, g long, v long, dead boolean"),
+        base,
+        "id",
+        delete_col="dead",
+        keep=10,
+    )
+    mart = pull(mart)
+    got = {r["g"]: r for r in mart.collect()}
+    assert got[0]["lo"] == 3  # the old min really went away
+
+    # empty group 3 entirely → it must drop out of the mart
+    merge_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(i, i // 100, 0, True) for i in range(300, 399)],
+            "id long, g long, v long, dead boolean",
+        ),
+        base,
+        "id",
+        delete_col="dead",
+        keep=10,
+    )
+    mart = pull(mart)
+    assert 3 not in {r["g"] for r in mart.collect()}
+
+    mart = pull(mart)  # caught-up round is the identity

@@ -215,3 +215,74 @@ def maintain_mart_from_feed(
         )
     )
     return merged.filter(F.col(counts[0]) > 0), head
+
+
+def recompute_mart_groups_from_feed(
+    spark: SparkSession,
+    base_path: str,
+    key: str | list[str],
+    *,
+    state_path: str,
+    group_cols: list[str],
+    agg,
+    mart: DataFrame | None = None,
+    prune_col: str | None = None,
+) -> tuple[DataFrame, int]:
+    """The non-decomposable-measure twin of :func:`maintain_mart_from_feed`:
+    min/max/distinct-style aggregates cannot absorb deletes from a signed
+    delta, so each round re-aggregates ONLY the groups the feed touched —
+    every group a changed row left or entered (old AND new images, so a
+    group-moving update refreshes both sides) — and carries every other
+    mart row forward untouched. ``agg`` maps base-table rows to one row
+    per ``group_cols`` value (it sees only touched groups' rows).
+
+    Cost per round: the feed + a base read restricted to touched groups —
+    a semi-join always, PLUS file skipping when ``prune_col`` names a
+    group column that is also a declared stats column (the touched
+    groups' bounds become a ``prune=`` range, so a group-clustered table
+    reads only the files holding refreshed groups; numeric or string
+    columns — the bounds are rendered as SQL literals). Same cursor contract
+    as every feed consumer: persist the mart, then
+    ``manifest_feed_commit(spark, state_path, head)``."""
+    import pyspark.sql.functions as F
+
+    from tibame_project_spark.sources.manifest import (
+        manifest_feed,
+        read_manifest_table,
+    )
+
+    changes, head = manifest_feed(spark, base_path, key, state_path=state_path)
+    touched = (
+        changes.select(
+            *[F.col(f"new_{g}").alias(g) for g in group_cols]
+        )
+        .where(F.col("op") != "delete")
+        .unionByName(
+            changes.select(
+                *[F.col(f"old_{g}").alias(g) for g in group_cols]
+            ).where(F.col("op") != "insert")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feed-sized; reused three times below
+    )
+    prune = None
+    if prune_col is not None:
+        if prune_col not in group_cols:
+            raise ValueError(
+                f"prune_col {prune_col!r} must be one of group_cols "
+                f"({group_cols}) — pruning keys files by the refreshed groups"
+            )
+        b = touched.agg(
+            F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
+        ).first()
+        if b["lo"] is not None:
+            prune = (
+                f"max_{prune_col} >= {b['lo']!r} "
+                f"AND min_{prune_col} <= {b['hi']!r}"
+            )
+    base = read_manifest_table(spark, base_path, version=head, prune=prune)
+    fresh = agg(base.join(F.broadcast(touched), group_cols, "leftsemi"))
+    if mart is None:
+        return fresh, head
+    carried = mart.join(F.broadcast(touched), group_cols, "left_anti")
+    return carried.unionByName(fresh), head
