@@ -1418,3 +1418,32 @@ def test_manifest_history_records_ops_and_totals(spark, tmp_path):
     assert (hist[5]["files"], hist[5]["rows"], hist[5]["bytes"]) == (
         hist[2]["files"], hist[2]["rows"], hist[2]["bytes"],
     )
+
+
+def test_manifest_feed_consumers_are_independent(spark, tmp_path):
+    """Two consumers with separate state paths tail the same table at
+    their own pace: a lagging cursor still sees the interval a faster
+    consumer has already drained (cursors are per-consumer state, the
+    table keeps no subscriber registry)."""
+    from tibame_project_spark.sources.manifest import (
+        manifest_feed,
+        manifest_feed_commit,
+    )
+
+    base = str(tmp_path / "t")
+    s1, s2 = str(tmp_path / "c1.json"), str(tmp_path / "c2.json")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"], keep=10
+    )
+    for s in (s1, s2):
+        _, head = manifest_feed(spark, base, "id", state_path=s)
+        manifest_feed_commit(spark, s, head)
+    append_manifest_table(spark, _mk(spark, [(2, 2)]), base, keep=10)
+    # consumer 1 drains the interval and advances
+    f1, h1 = manifest_feed(spark, base, "id", state_path=s1)
+    assert {(r["id"], r["op"]) for r in f1.collect()} == {(2, "insert")}
+    manifest_feed_commit(spark, s1, h1)
+    assert manifest_feed(spark, base, "id", state_path=s1)[0].count() == 0
+    # consumer 2 still gets the same interval afterwards
+    f2, _ = manifest_feed(spark, base, "id", state_path=s2)
+    assert {(r["id"], r["op"]) for r in f2.collect()} == {(2, "insert")}
