@@ -1447,3 +1447,78 @@ def test_manifest_feed_consumers_are_independent(spark, tmp_path):
     # consumer 2 still gets the same interval afterwards
     f2, _ = manifest_feed(spark, base, "id", state_path=s2)
     assert {(r["id"], r["op"]) for r in f2.collect()} == {(2, "insert")}
+
+
+def test_delete_repoints_only_files_with_condemned_rows(spark, tmp_path):
+    """A min/max-range candidate file that turns out to hold NONE of the
+    delete batch's keys (and carried no prior vector) keeps dv_path NULL —
+    it must not take the DV anti-join read path forever or inflate
+    n_dv_files (r08 advice)."""
+    from tibame_project_spark.sources.manifest import (
+        delete_manifest_table,
+        manifest_table_stats,
+    )
+
+    base = str(tmp_path / "t")
+    # two clustered files: ids 0..9 and 10..19 WITHOUT 15 — so deleting
+    # {3, 15} makes both files range-candidates but only the first holds
+    # a condemned row
+    rows = [(i, i) for i in range(20) if i != 15]
+    write_manifest_table(
+        spark, _mk(spark, rows), base, stats_cols=["id"],
+        cluster_by="id", n_files=2,
+    )
+    delete_manifest_table(
+        spark, spark.createDataFrame([(3,), (15,)], "id long"), base, "id"
+    )
+    man = manifest_stats(spark, base).collect()
+    dvd = [r for r in man if r["dv_path"]]
+    assert len(dvd) == 1 and dvd[0]["min_id"] <= 3 <= dvd[0]["max_id"]
+    assert manifest_table_stats(spark, base)["n_dv_files"] == 1
+    assert _content(spark, base) == {t for t in rows if t[0] != 3}
+
+    # an all-miss delete (in-range gaps only) is a pure-metadata no-op:
+    # no file gains a vector
+    delete_manifest_table(
+        spark, spark.createDataFrame([(15,)], "id long"), base, "id"
+    )
+    assert manifest_table_stats(spark, base)["n_dv_files"] == 1
+
+
+def test_manifest_feed_from_version_overrides_cursor(spark, tmp_path):
+    """from_version= beats the persisted cursor: a consumer that stamps
+    its durable output with the applied head can skip an interval whose
+    apply survived a crash-before-cursor-commit (the non-fixpoint-sink
+    replay guard), and the usual guards still hold."""
+    from tibame_project_spark.sources.manifest import (
+        manifest_feed,
+        manifest_feed_commit,
+    )
+
+    base = str(tmp_path / "t")
+    state = str(tmp_path / "cursor.json")
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(10)]), base,
+        stats_cols=["id"], cluster_by="id", n_files=2, keep=10,
+    )
+    boot, head = manifest_feed(spark, base, "id", state_path=state)
+    assert boot.count() == 10 and head == 0
+    manifest_feed_commit(spark, state, head)
+
+    merge_manifest_table(
+        spark,
+        spark.createDataFrame([(3, 999, False)], "id long, v long, dead boolean"),
+        base, "id", delete_col="dead", keep=10,
+    )
+    # consumer applied the 0→1 interval and stamped head=1, but CRASHED
+    # before manifest_feed_commit — the cursor still says 0
+    changes, head = manifest_feed(spark, base, "id", state_path=state)
+    assert head == 1 and changes.count() == 1
+    # restart with the stamp: the already-applied interval is NOT replayed
+    replay, head2 = manifest_feed(
+        spark, base, "id", state_path=state, from_version=1
+    )
+    assert head2 == 1 and replay.count() == 0
+    # stamp ahead of head / pruned stamp still raise loudly
+    with pytest.raises(ValueError, match="ahead"):
+        manifest_feed(spark, base, "id", state_path=state, from_version=5)

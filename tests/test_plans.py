@@ -793,3 +793,140 @@ def test_recompute_mart_groups_minmax_tracks_full(spark, tmp_path):
     assert 3 not in {r["g"] for r in mart.collect()}
 
     mart = pull(mart)  # caught-up round is the identity
+
+
+def test_maintain_mart_replay_with_applied_head_is_exact(spark, tmp_path):
+    """The signed-delta fold is not a fixpoint, so a crash AFTER the mart
+    persist but BEFORE the cursor commit must not double-count on
+    restart: the head stamped with the persisted mart, passed back as
+    applied_head, overrides the stale cursor (r08 advice, medium)."""
+    from tibame_project_spark.plans.warehouse import maintain_mart_from_feed
+    from tibame_project_spark.sources.manifest import (
+        manifest_feed_commit,
+        merge_manifest_table,
+        read_manifest_table,
+        write_manifest_table,
+    )
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "t")
+    state = str(tmp_path / "cursor.json")
+    write_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(i, "a" if i % 2 else "b", i * 10) for i in range(10)],
+            "id long, g string, v long",
+        ),
+        base, stats_cols=["id"], cluster_by="id", n_files=2, keep=10,
+    )
+
+    def full():
+        return {
+            tuple(r)
+            for r in read_manifest_table(spark, base)
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+            .collect()
+        }
+
+    kw = dict(state_path=state, group_cols=["g"], counts=["n"],
+              sums={"total": "v"})
+    mart, head = maintain_mart_from_feed(spark, base, "id", **kw)
+    mart = mart.localCheckpoint(eager=True)
+    stamp = head  # persisted atomically with the mart
+    manifest_feed_commit(spark, state, head)
+
+    merge_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(3, "b", 999, False), (100, "c", 7, False)],
+            "id long, g string, v long, dead boolean",
+        ),
+        base, "id", delete_col="dead", keep=10,
+    )
+    # apply the 0→1 interval, persist the stamped mart ... and CRASH
+    # before manifest_feed_commit: cursor still says 0
+    mart, head = maintain_mart_from_feed(spark, base, "id", mart=mart, **kw)
+    mart = mart.localCheckpoint(eager=True)
+    stamp = head
+    assert {tuple(r) for r in mart.select("g", "n", "total").collect()} == full()
+
+    # restart WITHOUT the stamp would double-count the replayed interval
+    naive, _ = maintain_mart_from_feed(spark, base, "id", mart=mart, **kw)
+    assert {tuple(r) for r in naive.select("g", "n", "total").collect()} != full()
+
+    # restart WITH the stamp: the already-folded interval is skipped
+    safe, head2 = maintain_mart_from_feed(
+        spark, base, "id", mart=mart, applied_head=stamp, **kw
+    )
+    assert head2 == stamp
+    assert {tuple(r) for r in safe.select("g", "n", "total").collect()} == full()
+    manifest_feed_commit(spark, state, head2)
+
+
+def test_recompute_mart_prune_bounds_handle_strings_and_dates(spark, tmp_path):
+    """Touched-group prune bounds render as SQL literals (never Python
+    repr): string groups with embedded quotes and date groups must both
+    produce a valid predicate and an exact mart (r08 advice, low)."""
+    import datetime
+
+    from tibame_project_spark.plans.warehouse import (
+        _sql_literal,
+        recompute_mart_groups_from_feed,
+    )
+    from tibame_project_spark.sources.manifest import (
+        manifest_feed_commit,
+        merge_manifest_table,
+        read_manifest_table,
+        write_manifest_table,
+    )
+    import pyspark.sql.functions as F
+
+    assert _sql_literal("it's") == "'it''s'"
+    assert _sql_literal(datetime.date(2024, 1, 5)) == "DATE'2024-01-05'"
+    assert _sql_literal(b"raw") is None  # unsupported → caller skips prune
+
+    base = str(tmp_path / "t")
+    state = str(tmp_path / "cursor.json")
+    rows = [
+        (i, ["a'x", "b", "c"][i % 3], datetime.date(2024, 1, 1 + i % 5), i)
+        for i in range(60)
+    ]
+    write_manifest_table(
+        spark,
+        spark.createDataFrame(rows, "id long, g string, d date, v long"),
+        base, stats_cols=["id", "g", "d"], cluster_by="id", n_files=2,
+        keep=10,
+    )
+
+    def agg(df):
+        return df.groupBy("g", "d").agg(F.min("v").alias("lo"))
+
+    def full():
+        return {
+            tuple(r) for r in agg(read_manifest_table(spark, base)).collect()
+        }
+
+    # bootstrap with a STRING prune col, then a round with a DATE one
+    mart, head = recompute_mart_groups_from_feed(
+        spark, base, "id", state_path=state, group_cols=["g", "d"],
+        agg=agg, prune_col="g",
+    )
+    mart = mart.localCheckpoint(eager=True)
+    manifest_feed_commit(spark, state, head)
+    assert {tuple(r) for r in mart.collect()} == full()
+
+    merge_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(9, "a'x", datetime.date(2024, 1, 2), -5, False)],
+            "id long, g string, d date, v long, dead boolean",
+        ),
+        base, "id", delete_col="dead", keep=10,
+    )
+    mart, head = recompute_mart_groups_from_feed(
+        spark, base, "id", state_path=state, group_cols=["g", "d"],
+        agg=agg, mart=mart, prune_col="d",
+    )
+    manifest_feed_commit(spark, state, head)
+    assert {tuple(r) for r in mart.collect()} == full()

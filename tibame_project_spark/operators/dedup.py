@@ -800,7 +800,12 @@ def _ngram_jaccard_ppjoin(
             ),
             F.size("__sh").alias("__sz"),
         )
-        .persist()
+        # localCheckpoint, not persist: three consumers share the
+        # materialization, and the blocks are reclaimed by the context
+        # cleaner once the returned plan is dropped — a persist() here
+        # would pin the relation in the cache for the session lifetime
+        # (this op has no loop that owns an unpersist point)
+        .localCheckpoint(eager=True)
     )
     prefix_len = F.greatest(
         F.lit(1),

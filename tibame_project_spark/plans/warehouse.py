@@ -124,6 +124,29 @@ def merge_plan(
     )
 
 
+def _sql_literal(v) -> str | None:
+    """Render a driver-side bound value as a Spark SQL literal, or None
+    when the type has no safe rendering (then the caller skips pruning).
+    Strings are quote-escaped the SQL way (doubled single quotes — never
+    Python ``repr``, whose quote/escape choices are not SQL); date and
+    timestamp values use typed literals so comparison semantics match the
+    manifest's min/max column types."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float, decimal.Decimal)):
+        return str(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP'{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE'{v.isoformat()}'"
+    return None
+
+
 def mart_delta_from_feed(
     changes: DataFrame,
     group_cols: list[str],
@@ -180,6 +203,7 @@ def maintain_mart_from_feed(
     counts: list[str],
     sums: dict[str, str] | None = None,
     mart: DataFrame | None = None,
+    applied_head: int | None = None,
 ) -> tuple[DataFrame, int]:
     """One incremental-view-maintenance round over a manifest table: pull
     the next :func:`sources.manifest.manifest_feed` interval, turn it into
@@ -191,11 +215,21 @@ def maintain_mart_from_feed(
     refresh shape that survives 100 TB facts (the full-recompute twin is
     the reference's nightly WRITE_TRUNCATE mart).
 
-    Returns ``(mart', head)``; persist the mart, THEN advance the cursor
-    with ``manifest_feed_commit(spark, state_path, head)`` — same
-    at-least-once barrier as every feed consumer. ``counts`` must name at
-    least one column (it is the liveness signal that lets emptied groups
-    fall out of the mart)."""
+    Returns ``(mart', head)``. The signed-delta fold is NOT a fixpoint —
+    replaying an interval double-counts — so the cursor protocol alone
+    (at-least-once) is not enough. The consumer contract here is
+    exactly-once-EFFECT: persist the mart STAMPED with ``head`` in one
+    atomic write (``sources.writers.write_snapshot`` of the mart with the
+    head recorded alongside, or any transactional sink), then advance the
+    cursor with ``manifest_feed_commit(spark, state_path, head)``. On
+    restart pass the stamp back as ``applied_head``: it overrides the
+    cursor, so a crash between the mart persist and the cursor commit
+    skips the already-folded interval instead of folding it twice.
+    (:func:`recompute_mart_groups_from_feed` is the replay-safe-by-
+    construction twin — touched-group recompute is a fixpoint — at the
+    cost of re-reading touched groups from the base table.) ``counts``
+    must name at least one column (it is the liveness signal that lets
+    emptied groups fall out of the mart)."""
     import pyspark.sql.functions as F
 
     from tibame_project_spark.operators.corrections import merge_aggregates
@@ -203,7 +237,10 @@ def maintain_mart_from_feed(
 
     if not counts:
         raise ValueError("counts must name at least one output column")
-    changes, head = manifest_feed(spark, base_path, key, state_path=state_path)
+    changes, head = manifest_feed(
+        spark, base_path, key, state_path=state_path,
+        from_version=applied_head,
+    )
     delta = mart_delta_from_feed(
         changes, group_cols, counts=counts, sums=sums
     )
@@ -240,9 +277,11 @@ def recompute_mart_groups_from_feed(
     a semi-join always, PLUS file skipping when ``prune_col`` names a
     group column that is also a declared stats column (the touched
     groups' bounds become a ``prune=`` range, so a group-clustered table
-    reads only the files holding refreshed groups; numeric or string
-    columns — the bounds are rendered as SQL literals). Same cursor contract
-    as every feed consumer: persist the mart, then
+    reads only the files holding refreshed groups; numeric, string, date,
+    and timestamp columns — other bound types fall back to no pruning,
+    never to a malformed predicate). Same cursor contract as every feed
+    consumer (and unlike the signed-delta twin, the touched-group
+    recompute IS a replay fixpoint): persist the mart, then
     ``manifest_feed_commit(spark, state_path, head)``."""
     import pyspark.sql.functions as F
 
@@ -276,10 +315,16 @@ def recompute_mart_groups_from_feed(
             F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
         ).first()
         if b["lo"] is not None:
-            prune = (
-                f"max_{prune_col} >= {b['lo']!r} "
-                f"AND min_{prune_col} <= {b['hi']!r}"
-            )
+            lo = _sql_literal(b["lo"])
+            hi = _sql_literal(b["hi"])
+            # unsupported bound type (struct, binary, ...): skip pruning —
+            # the semi-join below still restricts rows; a malformed
+            # predicate must never reach F.expr
+            if lo is not None and hi is not None:
+                prune = (
+                    f"max_{prune_col} >= {lo} "
+                    f"AND min_{prune_col} <= {hi}"
+                )
     base = read_manifest_table(spark, base_path, version=head, prune=prune)
     fresh = agg(base.join(F.broadcast(touched), group_cols, "leftsemi"))
     if mart is None:

@@ -109,6 +109,13 @@ _ORDERABLE_KINDS = (
     "timestamp timestamp_ntz"
 )
 
+#: Deletion-vector sidecars above this byte size are joined WITHOUT a
+#: broadcast hint (AQE picks the strategy): sidecars store full
+#: (file, key) pairs — unlike Delta's per-file bitmaps — so percent-level
+#: condemnation of a huge corpus yields a condemned set no driver should
+#: be forced to broadcast.
+_DV_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
 
 def _fs_for(spark: SparkSession, path: str):
     jvm = spark._jvm
@@ -171,8 +178,10 @@ def _read_live(
     """The LIVE rows of a set of manifest entries: plain union for files
     without a deletion vector; files WITH one read alongside their
     ``_metadata`` path and anti-join the union of referenced DV sidecars
-    on (file, key) — one broadcast anti-join total (DV relations are
-    condemned-set-sized). ``files`` is a list of manifest rows/dicts with
+    on (file, key) — one anti-join total, broadcast-hinted only while the
+    sidecars stay under :data:`_DV_BROADCAST_MAX_BYTES` (sidecar sizes
+    come from the filesystem listing, driver metadata; above the bound
+    AQE picks the join). ``files`` is a list of manifest rows/dicts with
     ``path`` and ``dv_path``."""
     plain = [f["path"] for f in files if not f["dv_path"]]
     dvd = [(f["path"], f["dv_path"]) for f in files if f["dv_path"]]
@@ -193,18 +202,27 @@ def _read_live(
         dv = spark.read.parquet(*[f"{base_path}/{d}" for d in dirs]).select(
             F.col("__path").alias("__dvp"), "__key"
         )
+        fs, _, jvm = _fs_for(spark, base_path)
+        dv_bytes = sum(
+            fs.getContentSummary(
+                jvm.org.apache.hadoop.fs.Path(f"{base_path}/{d}")
+            ).getLength()
+            for d in dirs
+        )
+        if dv_bytes <= _DV_BROADCAST_MAX_BYTES:
+            dv = F.broadcast(dv)
         raw = (
             spark.read.schema(schema)
             .parquet(*[f"{base_path}/{p}" for p, _ in dvd])
             .select(
                 "*",
                 F.regexp_extract(
-                    F.col("_metadata.file_path"), r"(data/v=\d+/[^/]+)$", 1
+                    F.col("_metadata.file_path"), r"(data/[^/]+/[^/]+)$", 1
                 ).alias("__path"),
             )
         )
         alive = raw.join(
-            F.broadcast(dv),
+            dv,
             (raw["__path"] == F.col("__dvp"))
             & (raw[dv_key] == F.col("__key")),
             "left_anti",
@@ -312,7 +330,7 @@ def _file_stats(
         raw.groupBy("__path", "__bytes")
         .agg(*aggs)
         .select(
-            F.regexp_extract("__path", r"(data/v=\d+/[^/]+)$", 1).alias("path"),
+            F.regexp_extract("__path", r"(data/[^/]+/[^/]+)$", 1).alias("path"),
             F.col("__bytes").alias("bytes"),
             "rows",
             *[c for sc in stats_cols for c in (f"min_{sc}", f"max_{sc}")],
@@ -324,7 +342,7 @@ def _file_stats(
     m, k = bloom["m"], bloom["k"]
     for c in bloom["cols"]:
         pos = raw.select(
-            F.regexp_extract("__path", r"(data/v=\d+/[^/]+)$", 1).alias("path"),
+            F.regexp_extract("__path", r"(data/[^/]+/[^/]+)$", 1).alias("path"),
             F.explode(
                 F.array(
                     *[
@@ -969,7 +987,7 @@ def delete_manifest_table(
         .parquet(*[f"{base_path}/{p}" for p in touched])
         .select(
             F.regexp_extract(
-                F.col("_metadata.file_path"), r"(data/v=\d+/[^/]+)$", 1
+                F.col("_metadata.file_path"), r"(data/[^/]+/[^/]+)$", 1
             ).alias("__path"),
             F.col(key).alias("__key"),
         )
@@ -989,9 +1007,26 @@ def delete_manifest_table(
     present.distinct().coalesce(1).write.mode("overwrite").parquet(
         f"{base_path}/{dv_dir}"
     )
+    # repoint ONLY files with at least one condemned pair in the new
+    # sidecar — a min/max-range candidate that turned out to hold none of
+    # the batch keys (and carried no prior vector) must NOT take the DV
+    # anti-join read path forever or inflate n_dv_files
+    hit = {
+        r["__path"]
+        for r in spark.read.parquet(f"{base_path}/{dv_dir}")
+        .select("__path")
+        .distinct()
+        .collect()
+    }
+    repoint = [p for p in touched if p in hit]
+    if not repoint:
+        return _finish(
+            spark, base_path, version, man, schema, stats_cols, keep,
+            listing, dv_key=key, bloom=meta.get("bloom"), op="delete",
+        )
     new_man = man.withColumn(
         "dv_path",
-        F.when(F.col("path").isin(touched), F.lit(dv_dir)).otherwise(
+        F.when(F.col("path").isin(repoint), F.lit(dv_dir)).otherwise(
             F.col("dv_path")
         ),
     )
@@ -1241,6 +1276,7 @@ def manifest_feed(
     *,
     state_path: str,
     to_version: int | None = None,
+    from_version: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Tail a manifest table incrementally: the CONSUMER twin of
     ``streaming.incremental.stream_cdc_apply_manifest``. Returns
@@ -1261,7 +1297,15 @@ def manifest_feed(
     A caught-up consumer (cursor == head) gets an empty feed with the
     correct schema and no file I/O. A cursor older than retention
     (its manifest pruned) raises — raise ``keep`` to cover the consumer's
-    worst lag, or delete the state file to re-bootstrap."""
+    worst lag, or delete the state file to re-bootstrap.
+
+    ``from_version`` OVERRIDES the persisted cursor: a consumer that
+    stamps its durable output with the head it applied (the
+    exactly-once-effect discipline of ``plans.warehouse.
+    maintain_mart_from_feed``) passes the stamp here on restart, so an
+    interval whose apply survived a crash-before-cursor-commit is never
+    replayed into a non-fixpoint sink. The stamp must come from state
+    persisted atomically WITH the applied output."""
     keys = [key] if isinstance(key, str) else list(key)
     head = to_version
     if head is None:
@@ -1269,6 +1313,27 @@ def manifest_feed(
         if head is None:
             raise FileNotFoundError(f"no committed manifest table under {base_path}")
     fs, sp, _ = _fs_for(spark, state_path)
+    if from_version is not None:
+        cursor = from_version
+        if cursor > head:
+            raise ValueError(
+                f"from_version {cursor} is ahead of table head {head} under "
+                f"{base_path}"
+            )
+        if cursor == head:
+            meta = _meta(spark, base_path, head)
+            empty = _diff_schema(StructType.fromJson(meta["schema"]), keys)
+            return spark.createDataFrame([], empty), head
+        mfs, mp, _ = _fs_for(spark, f"{base_path}/manifest/v={cursor}")
+        if not mfs.exists(mp):
+            raise FileNotFoundError(
+                f"from_version {cursor} has been pruned past retention under "
+                f"{base_path} — raise keep= on the writer or re-bootstrap"
+            )
+        changes = manifest_changes(
+            spark, base_path, key, from_version=cursor, to_version=head
+        ).filter(F.col("op") != "same")
+        return changes, head
     if not fs.exists(sp):
         meta = _meta(spark, base_path, head)
         schema = StructType.fromJson(meta["schema"])
