@@ -2091,52 +2091,6 @@ FROM documents
 """
 
 
-def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal frame sampling (sources/multimodal.py sample_frames): one
-    row per sampled frame timestamp, enumerated from typed metadata ONLY —
-    the narrow explode that plans a video pipeline's per-frame work before
-    any decode touches bytes. Documents stand in as videos with a
-    deterministic duration (n_chars × 10 ms); the per-frame decode itself
-    rides extract_features (stubbed — no media libs in container).
-    Integer frame arithmetic is replayed exactly by the oracle (// in
-    DuckDB mirrors Spark's truncating int cast on non-negatives)."""
-    from tibame_project_spark.sources.multimodal import sample_frames
-
-    docs = load(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").cast("string").alias("media_id"),
-        F.lit("video").alias("kind"),
-        F.struct(
-            (F.col("n_chars") * 10).cast("long").alias("duration_ms")
-        ).alias("meta"),
-    )
-    out = sample_frames(media, every_ms=1000)
-    return out.select(
-        "media_id",
-        "frame_idx",
-        "frame_ts_ms",
-        F.col("meta.duration_ms").alias("duration_ms"),
-    )
-
-
-_FRAME_SAMPLE_SQL = """
-WITH v AS (
-  SELECT CAST(doc_id AS VARCHAR) AS media_id,
-         CAST(n_chars * 10 AS BIGINT) AS duration_ms,
-         GREATEST(CAST((n_chars * 10) // 1000 AS INTEGER) - 1, 0) AS max_idx
-  FROM documents),
-f AS (
-  SELECT media_id, duration_ms,
-         unnest(generate_series(0, max_idx)) AS frame_idx
-  FROM v)
-SELECT media_id,
-       CAST(frame_idx AS INTEGER) AS frame_idx,
-       CAST(frame_idx * 1000 AS INTEGER) AS frame_ts_ms,
-       duration_ms
-FROM f
-"""
-
-
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 streaming tier, batch twin: tumbling-window counts with watermark
     (same code path runs under readStream; watermark is a no-op in batch)."""
@@ -2665,6 +2619,111 @@ bg AS (
   FROM bt),
 bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram))
 SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+def q_ivm_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-driven incremental view maintenance through the hard gate
+    (`plans/warehouse.py maintain_mart_from_feed` — the incremental form
+    of the reference's nightly WRITE_TRUNCATE mart rebuild,
+    `d_gmaps_mart_review_trends.py:71-106`): orders lands as a
+    key-clustered manifest table; the per-priority mart BOOTSTRAPS from
+    the feed (first pull = full table as inserts), is persisted
+    (localCheckpoint — the durable-mart stand-in) stamped with the
+    applied head, and the cursor commits; then one change batch — the
+    key decile [0.4·max, 0.5·max] MOVED to a new priority group with
+    every 3rd key tombstoned, plus every 37th key re-keyed +10M into a
+    second new group — commits as a file-skipping MERGE, and the mart is
+    maintained by folding the SIGNED DELTA of the feed interval
+    (old images debit their group, new images credit theirs): the base
+    table is never re-read in the fold (plan-locked by
+    tests/test_physical_plans.py::test_ivm_mart_gated_fold_never_rescans_base),
+    and ``applied_head`` exercises the exactly-once-effect replay guard.
+    The oracle replays the merge relationally and aggregates the FINAL
+    state — so bootstrap + delta fold must equal the full recompute
+    exactly (decimal partials; double only at the output edge). Replaces
+    the retired ``frame_sample`` key (its metadata-frame-enumeration
+    surface stays covered by ``multimodal_meta`` and the sample_frames
+    pytest)."""
+    from tibame_project_spark.plans.warehouse import maintain_mart_from_feed
+    from tibame_project_spark.sources.manifest import (
+        manifest_feed_commit,
+        merge_manifest_table,
+        write_manifest_table,
+    )
+
+    base = _fresh_table_dir("ivm_mart")
+    state = f"{base}/_cursor.json"
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    write_manifest_table(
+        spark, orders, base, stats_cols=["o_orderkey"],
+        cluster_by="o_orderkey", n_files=4, keep=10,
+    )
+    kw = dict(
+        state_path=state, group_cols=["o_orderpriority"],
+        counts=["n"], sums={"total": "price"},
+    )
+    mart, head = maintain_mart_from_feed(spark, base, "o_orderkey", **kw)
+    # persist the mart stamped with `head` (one atomic write in prod),
+    # THEN advance the cursor — the order the replay guard relies on
+    mart = mart.localCheckpoint(eager=True)
+    manifest_feed_commit(spark, state, head)
+
+    mx = orders.agg(F.max("o_orderkey").alias("m")).first()["m"]
+    lo, hi = (mx * 4) // 10, (mx * 5) // 10
+    moved = orders.filter(F.col("o_orderkey").between(lo, hi)).select(
+        "o_orderkey",
+        F.lit("IVM-MOVED").alias("o_orderpriority"),
+        (F.col("price") + 10).cast("decimal(18,2)").alias("price"),
+        (F.col("o_orderkey") % 3 == 0).alias("dead"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 37 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit("IVM-NEW").alias("o_orderpriority"),
+        "price",
+        F.lit(False).alias("dead"),
+    )
+    merge_manifest_table(
+        spark, moved.unionByName(new), base, "o_orderkey",
+        delete_col="dead", keep=10,
+    )
+    mart2, _ = maintain_mart_from_feed(
+        spark, base, "o_orderkey", mart=mart, applied_head=head, **kw
+    )
+    return mart2.select(
+        "o_orderpriority", "n", F.col("total").cast("double").alias("total")
+    )
+
+
+_IVM_MART_SQL = """
+WITH b AS (
+  SELECT (max(o_orderkey) * 4) // 10 AS lo, (max(o_orderkey) * 5) // 10 AS hi
+  FROM orders),
+t AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders),
+src AS (
+  SELECT o_orderkey, 'IVM-MOVED' AS o_orderpriority,
+         CAST(price + 10 AS DECIMAL(18,2)) AS price,
+         (o_orderkey % 3 = 0) AS dead
+  FROM t WHERE o_orderkey BETWEEN (SELECT lo FROM b) AND (SELECT hi FROM b)
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'IVM-NEW', price, FALSE
+  FROM t WHERE o_orderkey % 37 = 0),
+merged AS (
+  SELECT
+    CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority
+         ELSE t.o_orderpriority END AS o_orderpriority,
+    CASE WHEN s.o_orderkey IS NOT NULL THEN s.price ELSE t.price END AS price
+  FROM t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+  WHERE NOT COALESCE(s.dead, FALSE))
+SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
+FROM merged GROUP BY 1
 """
 
 
@@ -3846,19 +3905,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is ~1986 of the 1995-char budget — the registry is effectively FULL.
     # New operators should be pytest-covered (see README crosswalk rows
     # without a query key) unless a key is retired or the format shrinks.
-    # r08 window: block 1 = this round's changes — manifest_merge and
-    # curation_pass are NEW (the r07 manifest/curation tier's entry into
-    # the hard gate, the r07 VERDICT's top directive; they took the slots
-    # freed by retiring hash_sample — its order-by-md5 surface stays
-    # gated via corpus_shuffle/stratified_sample — and histogram, whose
-    # fixed-edge bucketing percentiles' width_bucket oracle subsumes);
-    # block 2 = the 48 remaining r06-green entries, all due back.
-    # Out-of-window: the 50 r07-green entries.
+    # r09 window: block 1 = this round's change — ivm_mart is NEW (the
+    # feed-driven signed-delta mart maintenance of plans/warehouse.py,
+    # round 8's one large unwitnessed surface and the r08 VERDICT's top
+    # directive; it took the slot freed by retiring frame_sample, whose
+    # metadata-frame-enumeration surface multimodal_meta and the
+    # sample_frames pytest keep covered); block 2 = the 49 remaining
+    # r07-green entries, all due back. Out-of-window: the 49 r08-green
+    # entries.
     return {
         # -- block 1: new this round --------------------------------------
-        "manifest_merge": q_manifest_merge,  # new: S4 manifest MERGE tier
-        "curation_pass": q_curation_pass,  # new: CDC corpus curation
-        # -- block 2: r06-green entries, due back -------------------------
+        "ivm_mart": q_ivm_mart,  # new: feed-driven IVM mart fold
+        # -- block 2: r07-green entries, due back -------------------------
+        "merge_upsert": q_merge_upsert,
+        "fuzzy_blocked": q_fuzzy_blocked,
+        "corrections": q_corrections,
+        "stratified_sample": q_stratified_sample,
+        "pricing_summary": q_pricing_summary,
+        "dim_time": q_dim_time,
+        "dedup_keep_last": q_dedup_keep_last,
+        "customers_without_orders": q_customers_without_orders,
+        "relative_date": q_relative_date,
+        "window_topk": q_window_topk,
+        "semi_join": q_semi_join,
+        "unpivot_measures": q_unpivot,
+        "token_counts": q_token_counts,
+        "doc_stats": q_doc_stats,
+        "gopher_quality": q_gopher_quality,
+        "top_terms": q_top_terms,
+        "chunk_docs": q_chunk_docs,
+        "pii_scrub": q_pii_scrub,
+        "bpe_tokens": q_bpe_tokens,
+        "fingerprints": q_fingerprints,
+        "lang_id": q_lang_id,
+        "events_rollup": q_events_rollup,
+        "dedup_keep_first": q_dedup_keep_first,
+        "insert_missing": q_insert_missing,
+        "left_join_chain": q_left_join_chain,
+        "self_join": q_self_join,
+        "fb_dates": q_fb_dates,
+        "clean_chain": q_clean_chain,
+        "approx_users": q_approx_users,
+        "salted_rollup": q_salted_rollup,
+        "approx_percentiles": q_approx_percentiles,
+        "top_ngram": q_top_ngram,
+        "attribution": q_attribution,
+        "stream_enrich": q_stream_enrich,
+        "rp_ann": q_rp_ann,
+        "curriculum": q_curriculum,
+        "bigram_lm": q_bigram_lm,
+        "hybrid_rerank": q_hybrid_rerank,
+        "quantized_ann": q_quantized_ann,
+        "knn_eval": q_knn_eval,
+        "alpha_mix": q_alpha_mix,
+        "diverse_topk": q_diverse_topk,
+        "corpus_shuffle": q_corpus_shuffle,
+        "quality_sample": q_quality_sample,
+        "bpe_pairs": q_bpe_pairs,
+        "hard_negatives": q_hard_negatives,
+        "fuzzy_match": q_fuzzy_match,
+        "semantic_dedup": q_semantic_dedup,
+        "sparse_topk": q_sparse_topk,
+        # ---- 50-key window boundary; below: the 49 r08-green entries ----
+        "manifest_merge": q_manifest_merge,
+        "curation_pass": q_curation_pass,
         "pagerank": q_pagerank,
         "set_ops": q_set_ops,
         "radius_grid": q_radius_grid,
@@ -3907,62 +4017,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "pivot_event_types": q_pivot_event_types,
         "month_over_month": q_month_over_month,
-        # ---- 50-key window boundary; below: the 50 r07-green entries ----
-        "merge_upsert": q_merge_upsert,
-        "fuzzy_blocked": q_fuzzy_blocked,
-        "corrections": q_corrections,
-        "stratified_sample": q_stratified_sample,
-        "pricing_summary": q_pricing_summary,
-        "dim_time": q_dim_time,
-        "dedup_keep_last": q_dedup_keep_last,
-        "customers_without_orders": q_customers_without_orders,
-        "relative_date": q_relative_date,
-        "window_topk": q_window_topk,
-        "semi_join": q_semi_join,
-        "unpivot_measures": q_unpivot,
-        "token_counts": q_token_counts,
-        "doc_stats": q_doc_stats,
-        "gopher_quality": q_gopher_quality,
-        "top_terms": q_top_terms,
-        "chunk_docs": q_chunk_docs,
-        "pii_scrub": q_pii_scrub,
-        "bpe_tokens": q_bpe_tokens,
-        "fingerprints": q_fingerprints,
-        "lang_id": q_lang_id,
-        "events_rollup": q_events_rollup,
-        "dedup_keep_first": q_dedup_keep_first,
-        "insert_missing": q_insert_missing,
-        "left_join_chain": q_left_join_chain,
-        "self_join": q_self_join,
-        "fb_dates": q_fb_dates,
-        "clean_chain": q_clean_chain,
-        "approx_users": q_approx_users,
-        "salted_rollup": q_salted_rollup,
-        "approx_percentiles": q_approx_percentiles,
-        "top_ngram": q_top_ngram,
-        "attribution": q_attribution,
-        "stream_enrich": q_stream_enrich,
-        "rp_ann": q_rp_ann,
-        "curriculum": q_curriculum,
-        "bigram_lm": q_bigram_lm,
-        "hybrid_rerank": q_hybrid_rerank,
-        "frame_sample": q_frame_sample,
-        "quantized_ann": q_quantized_ann,
-        "knn_eval": q_knn_eval,
-        "alpha_mix": q_alpha_mix,
-        "diverse_topk": q_diverse_topk,
-        "corpus_shuffle": q_corpus_shuffle,
-        "quality_sample": q_quality_sample,
-        "bpe_pairs": q_bpe_pairs,
-        "hard_negatives": q_hard_negatives,
-        "fuzzy_match": q_fuzzy_match,
-        "semantic_dedup": q_semantic_dedup,
-        "sparse_topk": q_sparse_topk,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ivm_mart": _IVM_MART_SQL,
         "manifest_merge": _MANIFEST_MERGE_SQL,
         "curation_pass": _CURATION_PASS_SQL,
         "mart_star_trends": _MART_SQL,
@@ -4058,7 +4118,6 @@ def oracle_sql() -> dict[str, str]:
         "curriculum": _CURRICULUM_SQL,
         "bigram_lm": _BIGRAM_LM_SQL,
         "hybrid_rerank": _HYBRID_SQL,
-        "frame_sample": _FRAME_SAMPLE_SQL,
         "quantized_ann": _QUANTIZED_ANN_SQL,
         "alpha_mix": _ALPHA_MIX_SQL,
         "diverse_topk": _DIVERSE_SQL,

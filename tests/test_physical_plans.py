@@ -105,9 +105,29 @@ def test_salted_agg_plan_shape(spark):
 
 
 def test_frame_sample_plans_metadata_only(spark):
-    """frame_sample must stay a narrow metadata explode: one scan reading
-    only (doc_id, n_chars) — never text — and zero shuffles."""
-    plan = _plan(entry.q_frame_sample(spark, SF_DIR))
+    """sample_frames must stay a narrow metadata explode: one scan reading
+    only (doc_id, n_chars) — never text — and zero shuffles. (The former
+    frame_sample registry key retired in r09 — slot given to ivm_mart —
+    so the shape is rebuilt here verbatim; its correctness twin is
+    multimodal_meta.)"""
+    import pyspark.sql.functions as F
+
+    from tibame_project_spark.catalog import load
+    from tibame_project_spark.sources.multimodal import sample_frames
+
+    docs = load(spark, SF_DIR, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.struct(
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms")
+        ).alias("meta"),
+    )
+    out = sample_frames(media, every_ms=1000).select(
+        "media_id", "frame_idx", "frame_ts_ms",
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+    plan = _plan(out)
     assert plan.count("FileScan") == 1
     assert "Exchange hashpartitioning" not in plan
     assert "text" not in plan.split("ReadSchema")[-1][:200]
@@ -659,3 +679,69 @@ def test_mart_delta_fold_shuffles_feed_not_table(spark):
     # no scan or join of any base table: the plan's only leaves are the
     # two in-memory relations (feed + mart)
     assert "Scan parquet" not in plan and "SortMergeJoin" not in plan
+
+
+def test_ivm_mart_gated_fold_never_rescans_base(spark, tmp_path):
+    """The gated ivm_mart shape (__spark_entry__.q_ivm_mart): after the
+    bootstrap mart is materialized, the maintenance round's inputs are the
+    FEED (only the files the merge commit touched) and the standing mart —
+    never a rescan of the base table. Asserted on the actual scan file
+    set: every parquet file the fold reads belongs to the commit's
+    removed/added file diff, and at least one untouched v0 file exists
+    that the fold does not open."""
+    import pyspark.sql.functions as F
+
+    from tibame_project_spark.plans.warehouse import maintain_mart_from_feed
+    from tibame_project_spark.sources.manifest import (
+        manifest_feed_commit,
+        manifest_stats,
+        merge_manifest_table,
+        write_manifest_table,
+    )
+
+    base = str(tmp_path / "t")
+    state = f"{base}/_cursor.json"
+    write_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(i, ["lo", "hi"][i // 200], i) for i in range(400)],
+            "id long, g string, v long",
+        ),
+        base, stats_cols=["id"], cluster_by="id", n_files=4, keep=10,
+    )
+    v0_files = {r["path"] for r in manifest_stats(spark, base).collect()}
+    kw = dict(state_path=state, group_cols=["g"], counts=["n"],
+              sums={"total": "v"})
+    mart, head = maintain_mart_from_feed(spark, base, "id", **kw)
+    mart = mart.localCheckpoint(eager=True)
+    manifest_feed_commit(spark, state, head)
+
+    # batch confined to the top of the keyspace: at most half the v0
+    # files are range candidates
+    merge_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(i, "moved", i, False) for i in range(390, 400)],
+            "id long, g string, v long, dead boolean",
+        ),
+        base, "id", delete_col="dead", keep=10,
+    )
+    man1 = {r["path"] for r in manifest_stats(spark, base).collect()}
+    touched = (v0_files - man1) | (man1 - v0_files)  # removed ∪ added
+    untouched = v0_files & man1
+    assert untouched, "test setup: the merge must carry some v0 files forward"
+
+    mart2, _ = maintain_mart_from_feed(
+        spark, base, "id", mart=mart, applied_head=head, **kw
+    )
+    scanned = {f.split("/")[-1] for f in mart2.inputFiles()}
+    touched_names = {p.split("/")[-1] for p in touched}
+    untouched_names = {p.split("/")[-1] for p in untouched}
+    assert scanned, "the fold must read the feed's touched files"
+    assert scanned <= touched_names
+    assert not (scanned & untouched_names)
+    # and the fold still lands on the exact answer
+    got = {tuple(r) for r in mart2.select("g", "n", "total").collect()}
+    assert got == {("lo", 200, sum(range(200))),
+                   ("hi", 190, sum(range(200, 390))),
+                   ("moved", 10, sum(range(390, 400)))}
