@@ -9,14 +9,15 @@ multiples of the steady-state run (measured r06: cosine_topk's first-in-
 process run 4.05s vs 0.8s floor) and lands on whichever query first compiles
 a shared expression shape — so without per-query warmup the recorded number
 depends on registry ORDER, which is what produced r06's false 2.8x regression
-flag when rotation moved cosine_topk forward. With warmup, best-of-N measures
-the plan. SPARK_GRAFT_WARMUP=0 restores the old cold-first methodology.
+flag when rotation moved cosine_topk forward. With warmup, median-of-N measures
+the plan (spread and raw runs recorded alongside). SPARK_GRAFT_WARMUP=0 restores the old cold-first methodology.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -33,14 +34,20 @@ def main() -> None:
     # warmup: trivial job to absorb session/codegen startup
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    runs = int(os.environ.get("SPARK_GRAFT_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
     # this host shows minutes-long CPU-steal bursts (10-60x single-query
     # slowdowns); when the spread between runs exceeds STEAL_RATIO, keep
-    # re-running (up to EXTRA more) so `best` reflects the plan, not the VM
+    # re-running (up to EXTRA more) so the recorded number reflects the
+    # plan, not the VM. The recorded number is the MEDIAN of the timed
+    # runs (r08 verdict item 4): a median-of-3 absorbs one steal burst
+    # outright, and round-over-round deltas become plan signal instead of
+    # host weather — min-of-N undersold queries whose steady state has
+    # genuine variance (shuffle placement, GC), median does not.
     steal_ratio = float(os.environ.get("SPARK_GRAFT_STEAL_RATIO", "1.5"))
     extra = int(os.environ.get("SPARK_GRAFT_EXTRA_RUNS", "2"))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     warmup = int(os.environ.get("SPARK_GRAFT_WARMUP", "1"))
     for name, fn in entry_mod.queries().items():
         for _ in range(warmup):
@@ -60,8 +67,9 @@ def main() -> None:
             # so each measurement is self-contained and cached blocks from
             # earlier queries can't squeeze later ones
             spark.catalog.clearCache()
-        timings[name] = round(min(times), 3)
+        timings[name] = round(statistics.median(times), 3)
         spreads[name] = round(max(times) / min(times), 2)
+        all_runs[name] = [round(t, 3) for t in times]
 
     total = round(sum(timings.values()), 3)
     # Full-detail record (incl. per-query run spread — max/min run ratio,
@@ -73,6 +81,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "run_spread": spreads,
+        "runs": all_runs,
         "sf": sf,
     }
     with open(os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json"), "w") as f:
