@@ -360,7 +360,9 @@ def test_vacuum_deletes_only_unreferenced(spark, tmp_path):
     )
     deleted = vacuum_manifest_table(spark, base)
     assert deleted == 4
-    assert not os.path.exists(f"{base}/data/v=0")  # emptied dir swept
+    # the superseded commit's (token-named) data dir was emptied and swept:
+    # only the live commit's dir remains under data/
+    assert len(os.listdir(f"{base}/data")) == 1
     assert _content(spark, base) == {(i, i) for i in range(50)}
     # idempotent
     assert vacuum_manifest_table(spark, base) == 0
@@ -934,16 +936,20 @@ def test_vacuum_sweeps_unreferenced_dv_dirs(spark, tmp_path):
     delete_manifest_table(
         spark, spark.createDataFrame([(1,)], "id long"), base, "id", keep=1
     )
-    assert os.path.isdir(os.path.join(base, "dv", "v=1"))
+    dv_dir = [
+        r["dv_path"] for r in manifest_stats(spark, base).collect()
+        if r["dv_path"]
+    ][0]
+    assert os.path.isdir(os.path.join(base, dv_dir))
     # keep=1 retention: v1 is still the head -> its dv dir must survive
     assert vacuum_manifest_table(spark, base) == 0
-    assert os.path.isdir(os.path.join(base, "dv", "v=1"))
+    assert os.path.isdir(os.path.join(base, dv_dir))
     compact_manifest_table(
         spark, base, small_bytes=1 << 30, target_bytes=1 << 30, keep=1
     )
     n = vacuum_manifest_table(spark, base)
     assert n >= 1  # old data files and/or the now-unreferenced dv dir
-    assert not os.path.isdir(os.path.join(base, "dv", "v=1"))
+    assert not os.path.isdir(os.path.join(base, dv_dir))
     assert _content(spark, base) == {(i, i) for i in range(40)} - {(1, 1)}
 
 
@@ -1272,7 +1278,7 @@ def test_restore_is_metadata_only_rollback(spark, tmp_path):
     assert (5, 500) in _content(spark, base, version=1)
     # pure metadata: the restore commit added no data directory and the
     # head manifest references exactly v0's files
-    assert not os.path.exists(f"{base}/data/v=2")
+    assert len(os.listdir(f"{base}/data")) == 2  # v0 create + merge only
     assert set(manifest_file_paths(spark, base)) == v0_paths
     # restoring the current head is the idempotent no-op republish
     restore_manifest_table(spark, base, 2, keep=10)
@@ -1522,3 +1528,156 @@ def test_manifest_feed_from_version_overrides_cursor(spark, tmp_path):
     # stamp ahead of head / pruned stamp still raise loudly
     with pytest.raises(ValueError, match="ahead"):
         manifest_feed(spark, base, "id", state_path=state, from_version=5)
+
+
+def _race(monkeypatch, fn):
+    """Arm the commit-race seam: fn() runs as a CONCURRENT WRITER between
+    the next operation's read phase and its publish."""
+    import tibame_project_spark.sources.manifest as M
+
+    monkeypatch.setattr(M, "_TEST_COMMIT_RACE_HOOK", fn)
+
+
+def test_concurrent_appends_commute_no_lost_updates(spark, tmp_path, monkeypatch):
+    """Two writers appending concurrently: the loser of the version race
+    REBASES its metadata edit onto the winner's head — both batches land,
+    nothing is lost, history shows both commits (the optimistic-
+    concurrency contract, r08 verdict item 2)."""
+    from tibame_project_spark.sources.manifest import manifest_history
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"], keep=10
+    )
+    _race(monkeypatch, lambda: append_manifest_table(
+        spark, _mk(spark, [(2, 2)]), base, keep=10
+    ))
+    v = append_manifest_table(spark, _mk(spark, [(3, 3)]), base, keep=10)
+    assert v == 2  # rebased onto the interloper's v1
+    assert _content(spark, base) == {(1, 1), (2, 2), (3, 3)}
+    ops = {r["version"]: r["op"] for r in manifest_history(spark, base).collect()}
+    assert ops == {0: "create", 1: "append", 2: "append"}
+
+
+def test_concurrent_merges_on_overlapping_ranges_conflict(spark, tmp_path, monkeypatch):
+    """merge ∩ merge on intersecting key ranges must raise loudly — the
+    loser's rewrite was derived from files the winner replaced; silently
+    publishing it would lose the winner's update."""
+    from tibame_project_spark.sources.manifest import ConcurrentCommitError
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(40)]), base,
+        stats_cols=["id"], cluster_by="id", n_files=2, keep=10,
+    )
+    _race(monkeypatch, lambda: merge_manifest_table(
+        spark, _mk(spark, [(5, 555)]), base, "id", keep=10
+    ))
+    with pytest.raises(ConcurrentCommitError, match="rewrote|overlapping"):
+        merge_manifest_table(spark, _mk(spark, [(6, 666)]), base, "id", keep=10)
+    # the winner's update survived; the loser published nothing
+    assert _content(spark, base) == (
+        {(i, i) for i in range(40)} - {(5, 5)}
+    ) | {(5, 555)}
+
+
+def test_merge_vs_append_conflicts_only_inside_key_range(spark, tmp_path, monkeypatch):
+    """A concurrent append INTO a merge's key range conflicts (the merge
+    must see every row of its keyspace — the ConcurrentAppend class); an
+    append safely outside it rebases and both commits land."""
+    from tibame_project_spark.sources.manifest import ConcurrentCommitError
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(20)]), base,
+        stats_cols=["id"], cluster_by="id", n_files=2, keep=10,
+    )
+    # disjoint: append ids ≥ 1000 while merging ids ≤ 19 → both land
+    _race(monkeypatch, lambda: append_manifest_table(
+        spark, _mk(spark, [(1000, 1000)]), base, cluster_by="id", keep=10
+    ))
+    merge_manifest_table(spark, _mk(spark, [(3, 333)]), base, "id", keep=10)
+    assert (1000, 1000) in _content(spark, base)
+    assert (3, 333) in _content(spark, base)
+    # overlapping: append a row inside the merge's key range [6, 9] —
+    # the merge derived its candidate set without it → loud conflict
+    _race(monkeypatch, lambda: append_manifest_table(
+        spark, _mk(spark, [(7, 7777)]), base, cluster_by="id", keep=10
+    ))
+    with pytest.raises(ConcurrentCommitError, match="overlapping"):
+        merge_manifest_table(
+            spark, _mk(spark, [(6, 666), (9, 999)]), base, "id", keep=10
+        )
+
+
+def test_compact_conflicts_with_concurrent_dv_repoint(spark, tmp_path, monkeypatch):
+    """Compaction folds small files with their vectors applied; a delete
+    that repoints one of those files mid-compact invalidates the fold —
+    must raise, never silently resurrect the newly condemned rows."""
+    from tibame_project_spark.sources.manifest import (
+        ConcurrentCommitError,
+        delete_manifest_table,
+    )
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(30)]), base,
+        stats_cols=["id"], cluster_by="id", n_files=3, keep=10,
+    )
+    _race(monkeypatch, lambda: delete_manifest_table(
+        spark, spark.createDataFrame([(2,)], "id long"), base, "id", keep=10
+    ))
+    with pytest.raises(ConcurrentCommitError, match="rewrote or\n?\\s*repointed"):
+        compact_manifest_table(
+            spark, base, small_bytes=1 << 30, target_bytes=1 << 30, keep=10
+        )
+    # the delete won and its vector is live
+    assert (2, 2) not in _content(spark, base)
+
+
+def test_exclusive_commits_refuse_any_concurrency(spark, tmp_path, monkeypatch):
+    """Full refresh and restore replace the whole live set: any commit
+    landing between their read and their publish is a conflict."""
+    from tibame_project_spark.sources.manifest import ConcurrentCommitError
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"], keep=10
+    )
+    _race(monkeypatch, lambda: append_manifest_table(
+        spark, _mk(spark, [(2, 2)]), base, keep=10
+    ))
+    with pytest.raises(ConcurrentCommitError, match="exclusive"):
+        write_manifest_table(spark, _mk(spark, [(9, 9)]), base, keep=10)
+    _race(monkeypatch, lambda: append_manifest_table(
+        spark, _mk(spark, [(3, 3)]), base, keep=10
+    ))
+    with pytest.raises(ConcurrentCommitError, match="exclusive"):
+        restore_manifest_table(spark, base, 0, keep=10)
+    # the interlopers' appends all survived
+    assert _content(spark, base) == {(1, 1), (2, 2), (3, 3)}
+
+
+def test_stale_claim_blocks_then_recovers(spark, tmp_path, monkeypatch):
+    """A claim whose commit never appears (writer crashed inside the
+    metadata window) fails fast with the recovery hint; after
+    recover_manifest_table the same commit succeeds."""
+    import tibame_project_spark.sources.manifest as M
+    from tibame_project_spark.sources.manifest import (
+        ConcurrentCommitError,
+        recover_manifest_table,
+    )
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"], keep=10
+    )
+    open(f"{base}/_CLAIM_v1", "w").close()  # crashed writer's leftover
+    monkeypatch.setattr(M, "_CLAIM_WAIT_S", 0.5)
+    with pytest.raises(ConcurrentCommitError, match="recover_manifest_table"):
+        append_manifest_table(spark, _mk(spark, [(2, 2)]), base, keep=10)
+    assert recover_manifest_table(spark, base) == 1
+    append_manifest_table(spark, _mk(spark, [(2, 2)]), base, keep=10)
+    assert _content(spark, base) == {(1, 1), (2, 2)}
+    # claims of COMMITTED versions are never "recovered"
+    assert recover_manifest_table(spark, base) == 0

@@ -34,22 +34,36 @@ statistics on declared columns. Commits then become metadata operations:
   (:func:`manifest_feed` / :func:`manifest_feed_commit`) — each pull
   costs the files the commits touched, at-least-once on replay.
 
-Commit protocol is shared verbatim with ``write_snapshot`` (create-new
-``_COMMIT_v<n>`` marker = publish; highest marker = current; single
-writer per table): a crash anywhere before the marker leaves the previous
-version current and the partial ``data/v=<n>/`` + ``manifest/v=<n>/``
-orphans invisible — the next successful commit IS version n and
-overwrites them. Layout under ``base_path``::
+Commit protocol: the publish point is still the atomic create-new
+``_COMMIT_v<n>`` marker (highest marker = current; crash before the
+marker leaves the previous version current and every partial artifact
+invisible), but commits are **optimistically concurrent** (r09): data
+files and DV sidecars land in attempt-unique ``c=<token>`` dirs so
+racing writers never contend on a path, and ``_finish`` resolves the
+race with a version-CAS loop — if the head moved, the commit REBASES
+(replays its manifest edit on the new head) when the concurrent commits
+are disjoint (append∘append, append∘merge on disjoint key ranges,
+compact∘append), and raises :class:`ConcurrentCommitError` when they are
+not (two merges over one file, anything touching a merge/delete's key
+range, schema changes, full refresh/restore races). The tiny metadata
+window (manifest parquet + meta json + marker) is serialized by an
+atomic ``_CLAIM_v<n>`` marker; a claim whose commit never appears is a
+crashed writer — :func:`recover_manifest_table` clears it. Layout under
+``base_path``::
 
-    _COMMIT_v<n>       commit markers (atomic create-new)
+    _COMMIT_v<n>       commit markers (atomic create-new; the publish)
+    _CLAIM_v<n>        claim markers (atomic create-new; serialize only
+                       the metadata writes of version n)
     meta/v=<n>.json    table schema + declared stats columns (+ dv_key)
     manifest/v=<n>/    parquet, one row per live data file:
                        path, bytes, rows, min_<c>, max_<c> per stats col,
                        dv_path (NULL unless a deletion vector applies)
-    data/v=<n>/        immutable parquet files ADDED by commit n
-                       (a version's live set spans many data/ dirs)
-    dv/v=<n>/          deletion-vector sidecars of commit n: (__path,
-                       __key) pairs condemning rows of still-live files
+    data/c=<token>/    immutable parquet files ADDED by one commit
+                       attempt (a version's live set spans many dirs;
+                       pre-r09 tables' data/v=<n>/ dirs read unchanged)
+    dv/c=<token>/      deletion-vector sidecars of one delete commit:
+                       (__path, __key) pairs condemning rows of
+                       still-live files
 
 File statistics are collected Spark-side from the ``_metadata`` hidden
 columns (``file_path``/``file_size``) with one distributed groupBy over
@@ -98,6 +112,8 @@ __all__ = [
     "vacuum_manifest_table",
     "bloom_prune_expr",
     "manifest_table_stats",
+    "ConcurrentCommitError",
+    "recover_manifest_table",
 ]
 
 #: Manifest tables share the snapshot commit marker protocol; the head
@@ -143,9 +159,9 @@ def _read_text(spark: SparkSession, path: str) -> str:
 
 
 def _begin(spark: SparkSession, base_path: str):
-    """One pre-commit listing: resolve head, validate we are the only
-    writer (exactly head+1, as in ``write_snapshot``), return everything
-    ``_finish`` needs."""
+    """One pre-commit listing: resolve the head this operation derives
+    from (``_finish`` re-lists and CAS-publishes against whatever the
+    head is by commit time, rebasing or conflicting as the op allows)."""
     fs, base, _ = _fs_for(spark, base_path)
     listing = list(fs.listStatus(base)) if fs.exists(base) else []
     committed = _committed_versions(listing)
@@ -236,74 +252,319 @@ def _read_live(
     return out
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A commit lost its optimistic-concurrency race in a way that cannot
+    be auto-rebased: the concurrent commit rewrote/repointed files this
+    commit also read, touched this commit's key range, changed the schema,
+    created the table first, pruned history the rebase needed, is an
+    exclusive operation (full refresh / restore), or a claim marker looks
+    abandoned. The operation was NOT applied — re-derive against the new
+    head and retry (or run :func:`recover_manifest_table` for a stale
+    claim)."""
+
+
+#: Claim markers serialize the tiny metadata window of a commit (manifest
+#: parquet + meta json + commit marker); data writes happen before, in
+#: attempt-unique dirs, fully in parallel.
+_CLAIM_PREFIX = "_CLAIM_v"
+#: How long a loser waits for a claim holder's commit marker before
+#: declaring the claim abandoned. The claimed window is milliseconds of
+#: metadata writes, so anything near this bound is a crashed writer.
+_CLAIM_WAIT_S = 30.0
+_CLAIM_POLL_S = 0.25
+#: Upper bound on rebase attempts under sustained contention — each retry
+#: re-derives against a head another writer just moved.
+_MAX_REBASES = 10
+
+#: Test seam: when set, called once at the top of the next ``_finish`` —
+#: lets a test inject a concurrent commit deterministically between an
+#: operation's read phase and its publish.
+_TEST_COMMIT_RACE_HOOK = None
+
+
+def _token() -> str:
+    import uuid
+
+    return uuid.uuid4().hex[:12]
+
+
+def _check_rebase(
+    spark: SparkSession,
+    base_path: str,
+    base_head: int,
+    head: int,
+    removed: frozenset,
+    bounds: tuple | None,
+    base_schema: StructType,
+    stats_cols: list[str],
+    bloom: dict | None,
+    dv_key: str | None,
+) -> str | None:
+    """Decide whether a commit prepared against ``base_head`` can be
+    replayed verbatim on top of ``head`` (written by concurrent winners).
+    Safe iff no intervening commit (a) rewrote or DV-repointed a file this
+    commit read (``removed`` — its read set IS its replace set), (b)
+    touched any file overlapping this commit's key ``bounds`` (a merge or
+    delete must see every row of its keyspace — Delta's
+    ConcurrentAppendException class), or (c) changed schema / stats /
+    bloom config. Returns the dv_key to commit with (inheriting a
+    concurrent first-delete's key when this commit carries none); raises
+    :class:`ConcurrentCommitError` otherwise."""
+    try:
+        base_meta = _meta(spark, base_path, base_head)
+        head_meta = _meta(spark, base_path, head)
+    except Exception as e:
+        raise ConcurrentCommitError(
+            f"cannot rebase commit from v{base_head} onto v{head} under "
+            f"{base_path}: history needed for the conflict check is gone "
+            f"({e}) — retry the operation against the new head"
+        ) from e
+    if head_meta["stats_cols"] != stats_cols or head_meta.get("bloom") != bloom:
+        raise ConcurrentCommitError(
+            f"concurrent commit changed stats/bloom config under {base_path}"
+        )
+    if head_meta["schema"] != base_meta["schema"]:
+        raise ConcurrentCommitError(
+            f"concurrent commit changed the table schema under {base_path} "
+            f"between v{base_head} and v{head} — re-derive and retry"
+        )
+    theirs = head_meta.get("dv_key")
+    if dv_key is None:
+        dv_key = theirs
+    elif theirs is not None and theirs != dv_key:
+        raise ConcurrentCommitError(
+            f"concurrent commit fixed the deletion-vector key to {theirs!r}; "
+            f"this commit uses {dv_key!r}"
+        )
+    col = bounds[0] if bounds else None
+
+    def rows_of(v: int) -> dict:
+        cols = ["path", "dv_path"] + (
+            [f"min_{col}", f"max_{col}"] if col else []
+        )
+        return {
+            r["path"]: r
+            for r in _load_manifest(spark, base_path, v).select(*cols).collect()
+        }
+
+    try:
+        prev = rows_of(base_head)
+        for v in range(base_head + 1, head + 1):
+            cur = rows_of(v)
+            their_removed = prev.keys() - cur.keys()
+            their_added = cur.keys() - prev.keys()
+            their_dvmod = {
+                p
+                for p in cur.keys() & prev.keys()
+                if cur[p]["dv_path"] != prev[p]["dv_path"]
+            }
+            clash = removed & (their_removed | their_dvmod)
+            if clash:
+                raise ConcurrentCommitError(
+                    f"concurrent commit v{v} under {base_path} rewrote or "
+                    f"repointed files this commit also read: "
+                    f"{sorted(clash)[:3]} — re-derive and retry"
+                )
+            if bounds is not None:
+                _, lo, hi = bounds
+                for p in their_added | their_dvmod | their_removed:
+                    r = cur.get(p) or prev.get(p)
+                    mn, mx = r[f"min_{col}"], r[f"max_{col}"]
+                    if mn is None or mx is None or (mn <= hi and mx >= lo):
+                        raise ConcurrentCommitError(
+                            f"concurrent commit v{v} under {base_path} "
+                            f"touched file {p} overlapping this commit's "
+                            f"key range [{lo!r}, {hi!r}] on {col} — "
+                            "re-derive and retry"
+                        )
+            prev = cur
+    except ConcurrentCommitError:
+        raise
+    except Exception as e:
+        raise ConcurrentCommitError(
+            f"cannot rebase commit from v{base_head} onto v{head} under "
+            f"{base_path}: an intervening manifest is unreadable ({e})"
+        ) from e
+    return dv_key
+
+
 def _finish(
     spark: SparkSession,
     base_path: str,
-    version: int,
-    manifest: DataFrame,
+    *,
     schema: StructType,
     stats_cols: list[str],
     keep: int,
-    listing,
+    base_head: int | None,
+    full_manifest: DataFrame | None = None,
+    removed: frozenset = frozenset(),
+    added: DataFrame | None = None,
+    bounds: tuple | None = None,
     dv_key: str | None = None,
     bloom: dict | None = None,
     op: str | None = None,
 ) -> int:
-    """Publish a prepared version: manifest parquet → meta json → marker
-    (the commit) → prune markers/manifests/meta at or below the retention
-    floor. Data files (and DV sidecars) are NEVER pruned here — older
-    retained manifests may reference them;
-    :func:`vacuum_manifest_table` reclaims them. ``dv_key`` records the
-    table's deletion-vector key column (fixed at first delete) so reads
-    know which column the sidecars condemn."""
-    manifest.coalesce(1).write.mode("overwrite").parquet(
-        f"{base_path}/manifest/v={version}"
-    )
-    meta = {"schema": schema.jsonValue(), "stats_cols": stats_cols}
-    if op is not None:
-        meta["op"] = op
-    if dv_key is not None:
-        meta["dv_key"] = dv_key
-    if bloom is not None:
-        meta["bloom"] = bloom
-    _write_text(
-        spark,
-        f"{base_path}/meta/v={version}.json",
-        json.dumps(meta),
-    )
+    """Publish a prepared commit with optimistic concurrency (version-CAS):
+
+    1. list → current head ``h``; if ``h`` moved past ``base_head``,
+       either conflict loudly or REBASE — replay this commit's
+       (``removed``, ``added``) file edit on top of ``h``'s manifest,
+       gated by :func:`_check_rebase` (append∘append commutes; merges or
+       deletes with intersecting read sets / key ranges raise);
+       ``full_manifest`` commits (create, full refresh, restore) are
+       exclusive and never rebase;
+    2. atomically CLAIM version ``h+1`` (create-new ``_CLAIM_v<n>``) —
+       the claim serializes only the metadata window, so losing it means
+       waiting for that version's marker and looping back to (1); a claim
+       whose commit never appears is a crashed writer
+       (:func:`recover_manifest_table`);
+    3. under the claim: manifest parquet → meta json → ``_COMMIT_v<n>``
+       marker (the commit) → prune markers/claims/manifests/meta at or
+       below the retention floor.
+
+    Data files and DV sidecars live in attempt-unique ``data/c=<token>``
+    dirs written BEFORE this function, so racing writers never contend on
+    data paths and losers' files are simply never referenced (vacuum
+    reclaims them). Data files are NEVER pruned here — older retained
+    manifests may reference them. ``dv_key`` records the table's
+    deletion-vector key column (fixed at first delete) so reads know
+    which column the sidecars condemn."""
+    import time as _time
+
+    global _TEST_COMMIT_RACE_HOOK
+    if _TEST_COMMIT_RACE_HOOK is not None:
+        hook, _TEST_COMMIT_RACE_HOOK = _TEST_COMMIT_RACE_HOOK, None
+        hook()
     fs, base, jvm = _fs_for(spark, base_path)
-    marker = jvm.org.apache.hadoop.fs.Path(f"{base_path}/{_COMMIT_PREFIX}{version}")
-    fs.create(marker, False).close()  # create-new = the commit
-    floor = version - keep
-    if floor >= 0:
-        for status in listing:
-            mv = _version_suffix(status.getPath().getName(), _COMMIT_PREFIX)
-            if mv is not None and mv <= floor:
-                fs.delete(status.getPath(), False)
-        for sub in ("manifest", "meta"):
-            subp = jvm.org.apache.hadoop.fs.Path(f"{base_path}/{sub}")
-            if fs.exists(subp):
-                for status in fs.listStatus(subp):
-                    name = status.getPath().getName()
-                    sv = _version_suffix(name, "v=")
-                    if sv is None and name.startswith("v=") and name.endswith(".json"):
-                        tail = name[len("v=") : -len(".json")]
-                        sv = int(tail) if tail.isdigit() else None
-                    if sv is not None and sv <= floor:
-                        fs.delete(status.getPath(), True)
-    return version
+    for _attempt in range(_MAX_REBASES):
+        listing = list(fs.listStatus(base)) if fs.exists(base) else []
+        committed = _committed_versions(listing)
+        head = max(committed) if committed else None
+        if head != base_head:
+            if base_head is None:
+                raise ConcurrentCommitError(
+                    f"manifest table under {base_path} was created by a "
+                    "concurrent writer — read the new head instead"
+                )
+            if full_manifest is not None:
+                raise ConcurrentCommitError(
+                    f"exclusive commit ({op}) prepared against v{base_head} "
+                    f"but head is now v{head} under {base_path} — re-derive "
+                    "and retry"
+                )
+            dv_key = _check_rebase(
+                spark, base_path, base_head, head, removed, bounds,
+                schema, stats_cols, bloom, dv_key,
+            )
+            manifest = _load_manifest(spark, base_path, head)
+        elif full_manifest is not None:
+            manifest = full_manifest
+        else:
+            manifest = _load_manifest(spark, base_path, base_head)
+        if full_manifest is None:
+            if removed:
+                manifest = manifest.where(~F.col("path").isin(list(removed)))
+            if added is not None:
+                manifest = manifest.unionByName(added)
+        version = (head if head is not None else -1) + 1
+        claim = jvm.org.apache.hadoop.fs.Path(
+            f"{base_path}/{_CLAIM_PREFIX}{version}"
+        )
+        try:
+            fs.create(claim, False).close()  # create-new = exclusive claim
+        except Exception:
+            # lost the claim: its holder is publishing this version right
+            # now — wait for the marker, then rebase against it
+            marker = jvm.org.apache.hadoop.fs.Path(
+                f"{base_path}/{_COMMIT_PREFIX}{version}"
+            )
+            deadline = _time.monotonic() + _CLAIM_WAIT_S
+            while not fs.exists(marker):
+                if _time.monotonic() > deadline:
+                    raise ConcurrentCommitError(
+                        f"{_CLAIM_PREFIX}{version} under {base_path} is held "
+                        "but its commit marker never appeared — a writer "
+                        "likely crashed mid-publish; once no writer is "
+                        "live, run recover_manifest_table() and retry"
+                    )
+                _time.sleep(_CLAIM_POLL_S)
+            continue
+        # we own this version number exclusively: publish
+        manifest.coalesce(1).write.mode("overwrite").parquet(
+            f"{base_path}/manifest/v={version}"
+        )
+        meta = {"schema": schema.jsonValue(), "stats_cols": stats_cols}
+        if op is not None:
+            meta["op"] = op
+        if dv_key is not None:
+            meta["dv_key"] = dv_key
+        if bloom is not None:
+            meta["bloom"] = bloom
+        _write_text(
+            spark, f"{base_path}/meta/v={version}.json", json.dumps(meta)
+        )
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{base_path}/{_COMMIT_PREFIX}{version}"
+        )
+        fs.create(marker, False).close()  # create-new = the commit
+        floor = version - keep
+        if floor >= 0:
+            for status in list(fs.listStatus(base)):
+                name = status.getPath().getName()
+                for pref in (_COMMIT_PREFIX, _CLAIM_PREFIX):
+                    mv = _version_suffix(name, pref)
+                    if mv is not None and mv <= floor:
+                        fs.delete(status.getPath(), False)
+            for sub in ("manifest", "meta"):
+                subp = jvm.org.apache.hadoop.fs.Path(f"{base_path}/{sub}")
+                if fs.exists(subp):
+                    for status in fs.listStatus(subp):
+                        name = status.getPath().getName()
+                        sv = _version_suffix(name, "v=")
+                        if sv is None and name.startswith("v=") and name.endswith(".json"):
+                            tail = name[len("v=") : -len(".json")]
+                            sv = int(tail) if tail.isdigit() else None
+                        if sv is not None and sv <= floor:
+                            fs.delete(status.getPath(), True)
+        return version
+    raise ConcurrentCommitError(
+        f"gave up after {_MAX_REBASES} rebase attempts under {base_path} — "
+        "sustained contention; retry the operation"
+    )
+
+
+def recover_manifest_table(spark: SparkSession, base_path: str) -> int:
+    """Remove claim markers whose commit never appeared — the recovery
+    verb for a writer that crashed inside the (milliseconds-wide) claimed
+    metadata window, which otherwise blocks all future commits at that
+    version. ONLY run when no writer is live on the table: a claim this
+    deletes while its holder is still publishing would let two writers own
+    one version. Returns the number of claims removed."""
+    fs, base, jvm = _fs_for(spark, base_path)
+    if not fs.exists(base):
+        return 0
+    removed = 0
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        v = _version_suffix(name, _CLAIM_PREFIX)
+        if v is not None and not fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{base_path}/{_COMMIT_PREFIX}{v}")
+        ):
+            fs.delete(st.getPath(), False)
+            removed += 1
+    return removed
 
 
 def _file_stats(
     spark: SparkSession,
     base_path: str,
-    version: int,
+    data_dir: str,
     stats_cols: list[str],
     schema: StructType,
     bloom: dict | None = None,
 ) -> DataFrame:
-    """Manifest rows for the files commit ``version`` just wrote: one
-    distributed groupBy over ``data/v=<version>/`` keyed on the
+    """Manifest rows for the files a commit just wrote into its
+    attempt-unique ``data_dir``: one distributed groupBy keyed on the
     ``_metadata`` hidden file path — stats ride a single scan of the NEW
     files only. Declared-schema read so a commit that wrote ZERO files
     (empty merge result) yields an empty manifest block, not an
@@ -317,7 +578,7 @@ def _file_stats(
     manifest as ~set-bits/64 entries, so an unsaturated filter costs KBs
     per file and a saturated one degrades to keep-everything, never to
     wrong answers."""
-    raw = spark.read.schema(schema).parquet(f"{base_path}/data/v={version}").select(
+    raw = spark.read.schema(schema).parquet(f"{base_path}/{data_dir}").select(
         "*",
         F.col("_metadata.file_path").alias("__path"),
         F.col("_metadata.file_size").alias("__bytes"),
@@ -439,7 +700,7 @@ def _validate_stats_cols(df: DataFrame, stats_cols: list[str]) -> None:
 def _write_data(
     df: DataFrame,
     base_path: str,
-    version: int,
+    data_dir: str,
     cluster_by: str | list[str] | None,
     n_files: int,
     zorder_bits: int = 16,
@@ -467,7 +728,7 @@ def _write_data(
         df = df.sortWithinPartitions(cols[0])
     elif n_files:
         df = df.repartition(max(1, n_files))
-    df.write.mode("overwrite").parquet(f"{base_path}/data/v={version}")
+    df.write.mode("overwrite").parquet(f"{base_path}/{data_dir}")
 
 
 def write_manifest_table(
@@ -536,14 +797,18 @@ def write_manifest_table(
     if bloom:
         _validate_stats_cols(df, bloom["cols"])
     df, gate = _expect_gate(df, expect, f"write_manifest_table({base_path})")
-    _write_data(df, base_path, version, cluster_by, n_files, zorder_bits)
+    data_dir = f"data/c={_token()}"
+    _write_data(df, base_path, data_dir, cluster_by, n_files, zorder_bits)
     gate()  # violating data never publishes: no marker yet, files invisible
     manifest = _file_stats(
-        spark, base_path, version, stats_cols, df.schema, bloom
+        spark, base_path, data_dir, stats_cols, df.schema, bloom
     )
+    # full-content commits are EXCLUSIVE: a create racing another create,
+    # or a full refresh racing anything, has no meaningful rebase
     return _finish(
-        spark, base_path, version, manifest, df.schema, stats_cols, keep,
-        listing, bloom=bloom, op="create",
+        spark, base_path, schema=df.schema, stats_cols=stats_cols,
+        keep=keep, base_head=head, full_manifest=manifest,
+        bloom=bloom, op="create",
     )
 
 
@@ -603,21 +868,22 @@ def append_manifest_table(
         )
     _validate_stats_cols(df, stats_cols)
     df, gate = _expect_gate(df, expect, f"append_manifest_table({base_path})")
-    _write_data(df, base_path, version, cluster_by, n_files, zorder_bits)
+    data_dir = f"data/c={_token()}"
+    _write_data(df, base_path, data_dir, cluster_by, n_files, zorder_bits)
     gate()
     new_rows = _file_stats(
-        spark, base_path, version, stats_cols, df.schema, meta.get("bloom")
+        spark, base_path, data_dir, stats_cols, df.schema, meta.get("bloom")
     )
-    prev = _load_manifest(spark, base_path, head)
+    # append reads nothing and removes nothing → commutes with every
+    # concurrent append/merge/delete; _finish auto-rebases on a moved head
     return _finish(
         spark,
         base_path,
-        version,
-        prev.unionByName(new_rows),
-        schema,
-        stats_cols,
-        keep,
-        listing,
+        schema=schema,
+        stats_cols=stats_cols,
+        keep=keep,
+        base_head=head,
+        added=new_rows,
         dv_key=meta.get("dv_key"),
         bloom=meta.get("bloom"),
         op="append",
@@ -754,8 +1020,9 @@ def merge_manifest_table(
     dv_key = meta.get("dv_key")
     if bounds["lo"] is None:  # empty batch: metadata-only no-op commit
         return _finish(
-            spark, base_path, version, man, schema, stats_cols, keep,
-            listing, dv_key=dv_key, bloom=meta.get("bloom"), op="merge",
+            spark, base_path, schema=schema, stats_cols=stats_cols,
+            keep=keep, base_head=head, dv_key=dv_key,
+            bloom=meta.get("bloom"), op="merge",
         )
     coarse = man.where(
         (F.col(f"max_{key}") >= F.lit(bounds["lo"]))
@@ -781,23 +1048,24 @@ def merge_manifest_table(
     merged = merge_upsert(
         current, source, key, delete_col=delete_col, null_safe_keys=False
     )
-    _write_data(merged, base_path, version, key, max(1, len(touched)))
+    data_dir = f"data/c={_token()}"
+    _write_data(merged, base_path, data_dir, key, max(1, len(touched)))
     gate()  # batch violations abort pre-marker: the partial v is invisible
     new_rows = _file_stats(
-        spark, base_path, version, stats_cols, schema, meta.get("bloom")
+        spark, base_path, data_dir, stats_cols, schema, meta.get("bloom")
     )
-    carried = (
-        man.where(~F.col("path").isin(touched)) if touched else man
-    )
+    # read set = replace set = the candidate files; a concurrent commit
+    # touching them, or any file in this batch's key range, conflicts
     return _finish(
         spark,
         base_path,
-        version,
-        carried.unionByName(new_rows),
-        schema,
-        stats_cols,
-        keep,
-        listing,
+        schema=schema,
+        stats_cols=stats_cols,
+        keep=keep,
+        base_head=head,
+        removed=frozenset(touched),
+        added=new_rows,
+        bounds=(key, bounds["lo"], bounds["hi"]),
         dv_key=dv_key,
         bloom=meta.get("bloom"),
         op="merge",
@@ -960,8 +1228,9 @@ def delete_manifest_table(
     man = _load_manifest(spark, base_path, head)
     if bounds["lo"] is None:
         return _finish(
-            spark, base_path, version, man, schema, stats_cols, keep,
-            listing, dv_key=dv_key, bloom=meta.get("bloom"), op="delete",
+            spark, base_path, schema=schema, stats_cols=stats_cols,
+            keep=keep, base_head=head, dv_key=dv_key,
+            bloom=meta.get("bloom"), op="delete",
         )
     coarse = man.where(
         (F.col(f"max_{key}") >= F.lit(bounds["lo"]))
@@ -976,8 +1245,9 @@ def delete_manifest_table(
     cand_files = cand.select("path", "dv_path").collect()
     if not cand_files:
         return _finish(
-            spark, base_path, version, man, schema, stats_cols, keep,
-            listing, dv_key=dv_key, bloom=meta.get("bloom"), op="delete",
+            spark, base_path, schema=schema, stats_cols=stats_cols,
+            keep=keep, base_head=head, dv_key=dv_key,
+            bloom=meta.get("bloom"), op="delete",
         )
     touched = [r["path"] for r in cand_files]
     # the condemned (file, key) pairs actually PRESENT in candidate files:
@@ -1003,7 +1273,7 @@ def delete_manifest_table(
             *[f"{base_path}/{d}" for d in old_dirs]
         ).where(F.col("__path").isin(touched))
         present = present.unionByName(olds)
-    dv_dir = f"dv/v={version}"
+    dv_dir = f"dv/c={_token()}"
     present.distinct().coalesce(1).write.mode("overwrite").parquet(
         f"{base_path}/{dv_dir}"
     )
@@ -1021,18 +1291,21 @@ def delete_manifest_table(
     repoint = [p for p in touched if p in hit]
     if not repoint:
         return _finish(
-            spark, base_path, version, man, schema, stats_cols, keep,
-            listing, dv_key=key, bloom=meta.get("bloom"), op="delete",
+            spark, base_path, schema=schema, stats_cols=stats_cols,
+            keep=keep, base_head=head, dv_key=key,
+            bloom=meta.get("bloom"), op="delete",
         )
-    new_man = man.withColumn(
-        "dv_path",
-        F.when(F.col("path").isin(repoint), F.lit(dv_dir)).otherwise(
-            F.col("dv_path")
-        ),
+    # the commit as a manifest edit: drop the repointed files' old
+    # entries, re-add them with the fresh sidecar — what lets _finish
+    # rebase it over concurrent commits that left these files alone
+    repointed = man.where(F.col("path").isin(repoint)).withColumn(
+        "dv_path", F.lit(dv_dir)
     )
     return _finish(
-        spark, base_path, version, new_man, schema, stats_cols, keep,
-        listing, dv_key=key, bloom=meta.get("bloom"), op="delete",
+        spark, base_path, schema=schema, stats_cols=stats_cols, keep=keep,
+        base_head=head, removed=frozenset(repoint), added=repointed,
+        bounds=(key, bounds["lo"], bounds["hi"]),
+        dv_key=key, bloom=meta.get("bloom"), op="delete",
     )
 
 
@@ -1069,20 +1342,23 @@ def compact_manifest_table(
     total = sum(r["bytes"] for r in small)
     n_out = max(1, math.ceil(total / target_bytes))
     folded = _read_live(spark, base_path, small, schema, meta.get("dv_key"))
-    _write_data(folded, base_path, version, None, n_out)
+    data_dir = f"data/c={_token()}"
+    _write_data(folded, base_path, data_dir, None, n_out)
     new_rows = _file_stats(
-        spark, base_path, version, stats_cols, schema, meta.get("bloom")
+        spark, base_path, data_dir, stats_cols, schema, meta.get("bloom")
     )
-    carried = man.where(F.col("bytes") >= small_bytes)
+    # read set = the folded small files; concurrent appends of NEW small
+    # files rebase cleanly (they just stay uncompacted this round), but a
+    # concurrent delete repointing a folded file conflicts
     return _finish(
         spark,
         base_path,
-        version,
-        carried.unionByName(new_rows),
-        schema,
-        stats_cols,
-        keep,
-        listing,
+        schema=schema,
+        stats_cols=stats_cols,
+        keep=keep,
+        base_head=head,
+        removed=frozenset(r["path"] for r in small),
+        added=new_rows,
         dv_key=meta.get("dv_key"),
         bloom=meta.get("bloom"),
         op="compact",
@@ -1163,9 +1439,13 @@ def vacuum_manifest_table(spark: SparkSession, base_path: str) -> int:
     ``dv_path`` points at. Separate from commit on purpose: commits prune
     metadata with the listing they already hold, while vacuum's recursive
     data listing is the expensive object-store walk you schedule out of
-    band (exactly Delta's VACUUM split). Safe under the single-writer
-    contract — every retained version's reads survive. Returns the number
-    of files deleted (DV dirs count as one each)."""
+    band (exactly Delta's VACUUM split). Run it EXCLUSIVELY — not while
+    any writer is live: a concurrent commit's data files exist before its
+    marker does, so a racing vacuum would see them as unreferenced and
+    delete a mid-flight commit (Delta guards this with an age threshold;
+    this implementation keeps the exclusivity contract explicit instead).
+    Readers are always safe — every retained version's files survive.
+    Returns the number of files deleted (DV dirs count as one each)."""
     fs, base, jvm = _fs_for(spark, base_path)
     listing = list(fs.listStatus(base)) if fs.exists(base) else []
     committed = _committed_versions(listing)
@@ -1240,15 +1520,15 @@ def restore_manifest_table(
         )
     man = _load_manifest(spark, base_path, version)
     meta = _meta(spark, base_path, version)
+    # restore replaces the WHOLE live set — exclusive, never rebased
     return _finish(
         spark,
         base_path,
-        new_version,
-        man,
-        StructType.fromJson(meta["schema"]),
-        meta["stats_cols"],
-        keep,
-        listing,
+        schema=StructType.fromJson(meta["schema"]),
+        stats_cols=meta["stats_cols"],
+        keep=keep,
+        base_head=head,
+        full_manifest=man,
         dv_key=meta.get("dv_key"),
         bloom=meta.get("bloom"),
         op=f"restore(v={version})",
