@@ -57,7 +57,7 @@ def test_create_read_roundtrip_and_files(spark, tmp_path):
     assert {r["id"] for r in got.collect()} == set(range(200))
     man = manifest_stats(spark, base)
     assert set(man.columns) == {
-        "path", "bytes", "rows", "min_id", "max_id", "dv_path"
+        "path", "bytes", "rows", "min_id", "max_id", "dv_path", "schema_id"
     }
     rows = man.collect()
     assert len(rows) == 4 and sum(r["rows"] for r in rows) == 200
@@ -1681,3 +1681,157 @@ def test_stale_claim_blocks_then_recovers(spark, tmp_path, monkeypatch):
     assert _content(spark, base) == {(1, 1), (2, 2)}
     # claims of COMMITTED versions are never "recovered"
     assert recover_manifest_table(spark, base) == 0
+
+
+def test_evolution_widen_rename_reads_merge_across_boundary(spark, tmp_path):
+    """Type widening + column rename as metadata-only commits: old files
+    keep their physical schema and every read lifts them by field id.
+    The journey: int/float table → DV delete (int-keyed sidecar) →
+    widen id→bigint, score→double + rename score→val (zero data files
+    touched) → append and MERGE in the new schema across the boundary →
+    reads, prune, stats, and the change feed all speak the new schema
+    exactly."""
+    from tibame_project_spark.sources.manifest import (
+        delete_manifest_table,
+        evolve_manifest_table,
+        manifest_changes,
+        manifest_table_stats,
+        read_manifest_table,
+    )
+
+    base = str(tmp_path / "t")
+    rows = [(i, float(i) / 2) for i in range(40)]
+    write_manifest_table(
+        spark,
+        spark.createDataFrame(rows, "id int, score float"),
+        base, stats_cols=["id"], cluster_by="id", n_files=2, keep=10,
+    )
+    data_files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fns in os.walk(f"{base}/data")
+        for f in fns
+        if not f.startswith(("_", "."))
+    )
+    # pre-evolution deletion vector: sidecar stores INT keys
+    delete_manifest_table(
+        spark, spark.createDataFrame([(7,)], "id int"), base, "id", keep=10
+    )
+    v = evolve_manifest_table(
+        spark, base,
+        rename={"score": "val"},
+        widen={"id": "bigint", "score": "double"},
+        keep=10,
+    )
+    assert v == 2
+    # metadata-only: not a single data file changed
+    assert sorted(
+        os.path.join(dp, f)
+        for dp, _, fns in os.walk(f"{base}/data")
+        for f in fns
+        if not f.startswith(("_", "."))
+    ) == data_files
+    got = read_manifest_table(spark, base)
+    assert dict(got.dtypes) == {"id": "bigint", "val": "double"}
+    want = {(i, float(i) / 2) for i in range(40) if i != 7}
+    assert {(r["id"], r["val"]) for r in got.collect()} == want
+    # stats columns follow the rename/widen: prune + table stats work
+    pruned = read_manifest_table(spark, base, prune="max_id >= 30")
+    assert {r["id"] for r in pruned.collect()} >= set(range(30, 40))
+    st = manifest_table_stats(spark, base)
+    assert st["min_id"] == 0 and st["max_id"] == 39
+
+    # merge ACROSS the boundary in the new schema: update an old-era row,
+    # tombstone another, insert past the old range — candidates are
+    # old-schema files, lifted + rewritten under the current schema
+    batch = spark.createDataFrame(
+        [(3, 333.5, False), (5, 0.0, True), (100, 1.25, False)],
+        "id long, val double, dead boolean",
+    )
+    merge_manifest_table(spark, batch, base, "id", delete_col="dead", keep=10)
+    want = (want - {(3, 1.5), (5, 2.5)}) | {(3, 333.5), (100, 1.25)}
+    assert {
+        (r["id"], r["val"])
+        for r in read_manifest_table(spark, base).collect()
+    } == want
+    # post-evolution DV delete (long-keyed sidecar) composes with reads
+    delete_manifest_table(
+        spark, spark.createDataFrame([(100,)], "id long"), base, "id", keep=10
+    )
+    want -= {(100, 1.25)}
+    assert {
+        (r["id"], r["val"])
+        for r in read_manifest_table(spark, base).collect()
+    } == want
+    # change feed across the evolve boundary speaks the NEW schema
+    ch = manifest_changes(spark, base, "id", from_version=1, to_version=4)
+    assert {c for c in ch.columns} == {
+        "id", "op", "old_val", "new_val"
+    }
+    ops = {(r["id"], r["op"]) for r in ch.where("op <> 'same'").collect()}
+    assert (3, "update") in ops and (5, "delete") in ops
+    # 100 was inserted AND deleted inside the interval: no net change row
+    assert not any(i == 100 for i, _ in ops)
+    # append in the new schema still validates against current names
+    append_manifest_table(
+        spark,
+        spark.createDataFrame([(500, 9.75)], "id long, val double"),
+        base, cluster_by="id", keep=10,
+    )
+    assert (500, 9.75) in {
+        (r["id"], r["val"])
+        for r in read_manifest_table(spark, base).collect()
+    }
+
+
+def test_evolution_guards(spark, tmp_path):
+    """Evolution rejects everything that would reinterpret history:
+    narrowing / sideways casts, renames that collide, unknown columns,
+    float→double on a Bloom column (its hash would change), and a no-op
+    call."""
+    from tibame_project_spark.sources.manifest import evolve_manifest_table
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(1, 1.0, 10)], "id int, score float, grp int"
+        ),
+        base, stats_cols=["id"], bloom_cols=["grp"], keep=10,
+    )
+    with pytest.raises(ValueError, match="nothing to do"):
+        evolve_manifest_table(spark, base)
+    with pytest.raises(ValueError, match="no such column"):
+        evolve_manifest_table(spark, base, rename={"nope": "x"})
+    with pytest.raises(ValueError, match="duplicate"):
+        evolve_manifest_table(spark, base, rename={"score": "id"})
+    with pytest.raises(ValueError, match="cannot widen"):
+        evolve_manifest_table(spark, base, widen={"id": "int"})  # no-op cast
+    with pytest.raises(ValueError, match="cannot widen"):
+        evolve_manifest_table(spark, base, widen={"score": "bigint"})
+    # widening a Bloom column stays exact: probes branch on schema era
+    # (xxhash64 of int vs long differ — each file is probed with values
+    # hashed as the type it was written under)
+    from tibame_project_spark.sources.manifest import (
+        bloom_prune_expr,
+        manifest_file_paths,
+    )
+    evolve_manifest_table(spark, base, widen={"grp": "bigint"}, keep=10)
+    # old-era file still hit by its int-hash probe...
+    expr = bloom_prune_expr(spark, base, "grp", [10])
+    assert "schema_id" not in expr or manifest_file_paths(
+        spark, base, prune=expr
+    )
+    assert manifest_file_paths(spark, base, prune=expr)
+    # ...and a miss still skips (no file holds grp=99)
+    miss = bloom_prune_expr(spark, base, "grp", [99])
+    assert manifest_file_paths(spark, base, prune=miss) == []
+    # post-evolution append (long era) is probed with the long hash
+    append_manifest_table(
+        spark,
+        spark.createDataFrame([(2, 2.0, 77)], "id int, score float, grp long"),
+        base, keep=10,
+    )
+    expr2 = bloom_prune_expr(spark, base, "grp", [77])
+    assert "schema_id IN" in expr2
+    hit = manifest_file_paths(spark, base, prune=expr2)
+    assert len(hit) == 1

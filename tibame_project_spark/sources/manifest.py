@@ -114,6 +114,7 @@ __all__ = [
     "manifest_table_stats",
     "ConcurrentCommitError",
     "recover_manifest_table",
+    "evolve_manifest_table",
 ]
 
 #: Manifest tables share the snapshot commit marker protocol; the head
@@ -175,49 +176,164 @@ def _meta(spark: SparkSession, base_path: str, version: int) -> dict:
 
 
 def _load_manifest(spark: SparkSession, base_path: str, version: int) -> DataFrame:
-    """Read a version's manifest, normalized to carry ``dv_path`` (NULL for
-    pre-deletion-vector manifests — the add-column evolution of the
-    manifest itself)."""
+    """Read a version's manifest, normalized to carry ``dv_path`` (NULL)
+    and ``schema_id`` (0) for manifests written before those columns
+    existed — the add-column evolution of the manifest itself."""
     man = spark.read.parquet(f"{base_path}/manifest/v={version}")
     if "dv_path" not in man.columns:
         man = man.withColumn("dv_path", F.lit(None).cast("string"))
+    if "schema_id" not in man.columns:
+        man = man.withColumn("schema_id", F.lit(0))
     return man
+
+
+def _fields_from_schema(schema: StructType) -> list[dict]:
+    """Field descriptors with POSITIONAL stable ids — the identity that
+    survives renames and type widening (the field-id idea of the public
+    table formats, carried in meta json instead of parquet field ids)."""
+    return [
+        {"id": i, "name": f.name, "type": f.dataType.jsonValue()}
+        for i, f in enumerate(schema.fields)
+    ]
+
+
+def _schema_from_fields(fields: list[dict]) -> StructType:
+    return StructType.fromJson(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": f["name"],
+                    "type": f["type"],
+                    "nullable": True,
+                    "metadata": {},
+                }
+                for f in fields
+            ],
+        }
+    )
+
+
+def _type_from_json(tj) -> object:
+    return _schema_from_fields([{"name": "x", "type": tj}])[0].dataType
+
+
+def _registry(meta: dict) -> tuple[dict[int, list[dict]], int]:
+    """The table's schema registry ``{schema_id: fields}`` and current id;
+    synthesized for pre-evolution tables (every file is schema 0 with
+    positional field ids — exactly how those files were written)."""
+    if "schemas" in meta:
+        return {int(k): v for k, v in meta["schemas"].items()}, meta["schema_id"]
+    return {0: _fields_from_schema(StructType.fromJson(meta["schema"]))}, 0
+
+
+def _projection(phys_fields: list[dict], cur_fields: list[dict]) -> list:
+    """Columns lifting a file written under ``phys_fields`` into the
+    current schema: match by field id → rename + widen-cast; ids absent
+    from the file (added after it was written) read as NULL."""
+    by_id = {f["id"]: f for f in phys_fields}
+    cols = []
+    for f in cur_fields:
+        t = _type_from_json(f["type"])
+        p = by_id.get(f["id"])
+        if p is None:
+            cols.append(F.lit(None).cast(t).alias(f["name"]))
+        else:
+            cols.append(F.col(p["name"]).cast(t).alias(f["name"]))
+    return cols
+
+
+def _by_schema_id(files: list) -> dict[int, list[tuple]]:
+    groups: dict[int, list[tuple]] = {}
+    for f in files:
+        try:
+            sid = f["schema_id"]
+        except (KeyError, ValueError):
+            sid = 0
+        groups.setdefault(int(sid if sid is not None else 0), []).append(
+            (f["path"], f["dv_path"])
+        )
+    return groups
+
+
+def _read_dv_sidecars(
+    spark: SparkSession, base_path: str, dirs: list[str], key_type
+) -> DataFrame:
+    """Union of DV sidecar dirs with ``__key`` cast to the CURRENT key
+    type — sidecars written before a widening hold the old type, and each
+    dir is read separately so parquet schema merging never has to
+    reconcile int32 vs int64 across generations."""
+    parts = [
+        spark.read.parquet(f"{base_path}/{d}").select(
+            F.col("__path").alias("__dvp"),
+            F.col("__key").cast(key_type).alias("__key"),
+        )
+        for d in dirs
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _read_live(
     spark: SparkSession,
     base_path: str,
     files: list,
-    schema: StructType,
-    dv_key: str | None,
+    meta: dict,
 ) -> DataFrame:
-    """The LIVE rows of a set of manifest entries: plain union for files
-    without a deletion vector; files WITH one read alongside their
-    ``_metadata`` path and anti-join the union of referenced DV sidecars
-    on (file, key) — one anti-join total, broadcast-hinted only while the
-    sidecars stay under :data:`_DV_BROADCAST_MAX_BYTES` (sidecar sizes
-    come from the filesystem listing, driver metadata; above the bound
-    AQE picks the join). ``files`` is a list of manifest rows/dicts with
-    ``path`` and ``dv_path``."""
-    plain = [f["path"] for f in files if not f["dv_path"]]
-    dvd = [(f["path"], f["dv_path"]) for f in files if f["dv_path"]]
+    """The LIVE rows of a set of manifest entries, in the table's CURRENT
+    schema: files are grouped by the schema they were written under and
+    each group reads with its physical schema then projects by field id
+    (rename + widen-cast + NULL-fill — see :func:`_projection`); files
+    WITH a deletion vector also read their ``_metadata`` path and one
+    anti-join against the referenced sidecars drops condemned keys —
+    broadcast-hinted only while the sidecars stay under
+    :data:`_DV_BROADCAST_MAX_BYTES` (sizes from the filesystem listing,
+    driver metadata; above the bound AQE picks the join). ``files`` is a
+    list of manifest rows/dicts with ``path``, ``dv_path``, and
+    (optionally) ``schema_id``."""
+    registry, cur_id = _registry(meta)
+    cur_fields = registry[cur_id]
+    cur_schema = _schema_from_fields(cur_fields)
+    dv_key = meta.get("dv_key")
     parts: list[DataFrame] = []
-    if plain:
-        parts.append(
-            spark.read.schema(schema).parquet(
-                *[f"{base_path}/{p}" for p in plain]
+    dv_parts: list[DataFrame] = []
+    all_dirs: set[str] = set()
+    for sid, members in sorted(_by_schema_id(files).items()):
+        phys = _schema_from_fields(registry[sid])
+        proj = _projection(registry[sid], cur_fields)
+        plain = [p for p, d in members if not d]
+        dvd = [(p, d) for p, d in members if d]
+        if plain:
+            parts.append(
+                spark.read.schema(phys)
+                .parquet(*[f"{base_path}/{p}" for p in plain])
+                .select(*proj)
             )
-        )
-    if dvd:
-        if dv_key is None:
-            raise ValueError(
-                "manifest has deletion-vectored files but meta carries no "
-                "dv_key — corrupt table state"
+        if dvd:
+            if dv_key is None:
+                raise ValueError(
+                    "manifest has deletion-vectored files but meta carries "
+                    "no dv_key — corrupt table state"
+                )
+            all_dirs.update(d for _, d in dvd)
+            dv_parts.append(
+                spark.read.schema(phys)
+                .parquet(*[f"{base_path}/{p}" for p, _ in dvd])
+                .select(
+                    *proj,
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"), r"(data/[^/]+/[^/]+)$", 1
+                    ).alias("__path"),
+                )
             )
-        dirs = sorted({d for _, d in dvd})
-        dv = spark.read.parquet(*[f"{base_path}/{d}" for d in dirs]).select(
-            F.col("__path").alias("__dvp"), "__key"
-        )
+    if dv_parts:
+        dirs = sorted(all_dirs)
+        key_type = dict(
+            (f["name"], _type_from_json(f["type"])) for f in cur_fields
+        )[dv_key]
+        dv = _read_dv_sidecars(spark, base_path, dirs, key_type)
         fs, _, jvm = _fs_for(spark, base_path)
         dv_bytes = sum(
             fs.getContentSummary(
@@ -227,16 +343,9 @@ def _read_live(
         )
         if dv_bytes <= _DV_BROADCAST_MAX_BYTES:
             dv = F.broadcast(dv)
-        raw = (
-            spark.read.schema(schema)
-            .parquet(*[f"{base_path}/{p}" for p, _ in dvd])
-            .select(
-                "*",
-                F.regexp_extract(
-                    F.col("_metadata.file_path"), r"(data/[^/]+/[^/]+)$", 1
-                ).alias("__path"),
-            )
-        )
+        raw = dv_parts[0]
+        for p in dv_parts[1:]:
+            raw = raw.unionByName(p)
         alive = raw.join(
             dv,
             (raw["__path"] == F.col("__dvp"))
@@ -245,7 +354,7 @@ def _read_live(
         ).drop("__path")
         parts.append(alive)
     if not parts:
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], cur_schema)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -403,6 +512,8 @@ def _finish(
     dv_key: str | None = None,
     bloom: dict | None = None,
     op: str | None = None,
+    schemas: dict | None = None,
+    schema_id: int = 0,
 ) -> int:
     """Publish a prepared commit with optimistic concurrency (version-CAS):
 
@@ -494,6 +605,11 @@ def _finish(
             f"{base_path}/manifest/v={version}"
         )
         meta = {"schema": schema.jsonValue(), "stats_cols": stats_cols}
+        if schemas is not None:
+            # schema registry (field ids → rename/widen evolution): meta
+            # carries every physical schema files were written under
+            meta["schemas"] = {str(k): v for k, v in schemas.items()}
+            meta["schema_id"] = schema_id
         if op is not None:
             meta["op"] = op
         if dv_key is not None:
@@ -562,6 +678,7 @@ def _file_stats(
     stats_cols: list[str],
     schema: StructType,
     bloom: dict | None = None,
+    schema_id: int = 0,
 ) -> DataFrame:
     """Manifest rows for the files a commit just wrote into its
     attempt-unique ``data_dir``: one distributed groupBy keyed on the
@@ -596,6 +713,7 @@ def _file_stats(
             "rows",
             *[c for sc in stats_cols for c in (f"min_{sc}", f"max_{sc}")],
             F.lit(None).cast("string").alias("dv_path"),
+            F.lit(schema_id).alias("schema_id"),
         )
     )
     if not bloom:
@@ -800,15 +918,29 @@ def write_manifest_table(
     data_dir = f"data/c={_token()}"
     _write_data(df, base_path, data_dir, cluster_by, n_files, zorder_bits)
     gate()  # violating data never publishes: no marker yet, files invisible
+    if head is None:
+        schemas, schema_id = {0: _fields_from_schema(df.schema)}, 0
+    else:
+        # full refresh: files usually carry the table's CURRENT schema
+        # (reuse its registry id); a refresh that changes the schema
+        # replaces the WHOLE live set, so it registers a fresh schema id
+        # with positional field identity — retained older manifests keep
+        # resolving their own ids for time travel
+        schemas, schema_id = _registry(prior)
+        fresh = _fields_from_schema(df.schema)
+        if fresh != schemas[schema_id]:
+            schema_id = max(schemas) + 1
+            schemas[schema_id] = fresh
     manifest = _file_stats(
-        spark, base_path, data_dir, stats_cols, df.schema, bloom
+        spark, base_path, data_dir, stats_cols, df.schema, bloom,
+        schema_id=schema_id,
     )
     # full-content commits are EXCLUSIVE: a create racing another create,
     # or a full refresh racing anything, has no meaningful rebase
     return _finish(
         spark, base_path, schema=df.schema, stats_cols=stats_cols,
         keep=keep, base_head=head, full_manifest=manifest,
-        bloom=bloom, op="create",
+        bloom=bloom, op="create", schemas=schemas, schema_id=schema_id,
     )
 
 
@@ -861,18 +993,33 @@ def append_manifest_table(
             f"append schema adds columns {extras}; pass "
             "allow_evolution=True to widen the table schema"
         )
+    schemas, schema_id = _registry(meta)
     if extras:
         schema = StructType(
             list(schema.fields)
             + [df.schema[n] for n in extras]
         )
+        # add-column evolution: new fields get fresh ids appended to the
+        # current schema; the batch's files are written under the new id
+        next_id = max(i["id"] for i in schemas[schema_id]) + 1
+        new_fields = list(schemas[schema_id]) + [
+            {
+                "id": next_id + j,
+                "name": n,
+                "type": df.schema[n].dataType.jsonValue(),
+            }
+            for j, n in enumerate(extras)
+        ]
+        schema_id = max(schemas) + 1
+        schemas[schema_id] = new_fields
     _validate_stats_cols(df, stats_cols)
     df, gate = _expect_gate(df, expect, f"append_manifest_table({base_path})")
     data_dir = f"data/c={_token()}"
     _write_data(df, base_path, data_dir, cluster_by, n_files, zorder_bits)
     gate()
     new_rows = _file_stats(
-        spark, base_path, data_dir, stats_cols, df.schema, meta.get("bloom")
+        spark, base_path, data_dir, stats_cols, df.schema, meta.get("bloom"),
+        schema_id=schema_id,
     )
     # append reads nothing and removes nothing → commutes with every
     # concurrent append/merge/delete; _finish auto-rebases on a moved head
@@ -887,6 +1034,8 @@ def append_manifest_table(
         dv_key=meta.get("dv_key"),
         bloom=meta.get("bloom"),
         op="append",
+        schemas=schemas,
+        schema_id=schema_id,
     )
 
 
@@ -956,10 +1105,9 @@ def read_manifest_table(
     man = manifest_stats(spark, base_path, version=version)
     if prune is not None:
         man = man.where(F.coalesce(F.expr(prune), F.lit(True)))
-    files = man.select("path", "dv_path").collect()
+    files = man.select("path", "dv_path", "schema_id").collect()
     meta = _meta(spark, base_path, version)
-    schema = StructType.fromJson(meta["schema"])
-    return _read_live(spark, base_path, files, schema, meta.get("dv_key"))
+    return _read_live(spark, base_path, files, meta)
 
 
 def merge_manifest_table(
@@ -1018,11 +1166,13 @@ def merge_manifest_table(
     ).first()
     man = _load_manifest(spark, base_path, head)
     dv_key = meta.get("dv_key")
+    schemas, schema_id = _registry(meta)
     if bounds["lo"] is None:  # empty batch: metadata-only no-op commit
         return _finish(
             spark, base_path, schema=schema, stats_cols=stats_cols,
             keep=keep, base_head=head, dv_key=dv_key,
             bloom=meta.get("bloom"), op="merge",
+            schemas=schemas, schema_id=schema_id,
         )
     coarse = man.where(
         (F.col(f"max_{key}") >= F.lit(bounds["lo"]))
@@ -1035,13 +1185,15 @@ def merge_manifest_table(
         & (F.col("__mk") <= F.col(f"max_{key}")),
         "leftsemi",
     )
-    cand_files = cand.select("path", "dv_path").collect()
+    cand_files = cand.select("path", "dv_path", "schema_id").collect()
     touched = [r["path"] for r in cand_files]
 
     # candidate rows with their deletion vectors APPLIED — a merge must
     # not resurrect rows a DV commit already condemned; the rewrite then
-    # clears the candidates' DVs (their new files are vector-free)
-    current = _read_live(spark, base_path, cand_files, schema, dv_key)
+    # clears the candidates' DVs (their new files are vector-free) — and
+    # projected to the CURRENT schema, so a merge doubles as the
+    # migration pass for pre-evolution files it touches
+    current = _read_live(spark, base_path, cand_files, meta)
     source, gate = _expect_gate(
         source, expect, f"merge_manifest_table({base_path})"
     )
@@ -1052,7 +1204,8 @@ def merge_manifest_table(
     _write_data(merged, base_path, data_dir, key, max(1, len(touched)))
     gate()  # batch violations abort pre-marker: the partial v is invisible
     new_rows = _file_stats(
-        spark, base_path, data_dir, stats_cols, schema, meta.get("bloom")
+        spark, base_path, data_dir, stats_cols, schema, meta.get("bloom"),
+        schema_id=schema_id,
     )
     # read set = replace set = the candidate files; a concurrent commit
     # touching them, or any file in this batch's key range, conflicts
@@ -1069,6 +1222,8 @@ def merge_manifest_table(
         dv_key=dv_key,
         bloom=meta.get("bloom"),
         op="merge",
+        schemas=schemas,
+        schema_id=schema_id,
     )
 
 
@@ -1124,7 +1279,14 @@ def bloom_prune_expr(
     SQL over the manifest's map<word, bits> column, so the existing
     ``prune=`` machinery evaluates it with no new code path. NULL-filter
     files (pre-bloom history, or a commit class that skipped the build)
-    are KEPT — absence of evidence never skips."""
+    are KEPT — absence of evidence never skips.
+
+    Probes are SCHEMA-ERA-AWARE: a file's filter hashed the column as the
+    type it was WRITTEN under, and Spark's xxhash64 hashes int and long
+    (or float and double) differently — so after a type widening, the
+    expression branches on the manifest's ``schema_id``, probing each
+    era's files with values hashed as that era's physical type. Widened
+    tables keep skipping exactly."""
     if version is None:
         version = read_manifest_version(spark, base_path)
         if version is None:
@@ -1141,32 +1303,57 @@ def bloom_prune_expr(
     m, k = bloom["m"], bloom["k"]
     from pyspark.sql.types import StructField
 
-    schema = StructType.fromJson(meta["schema"])
-    vdf = spark.createDataFrame(
-        [(v,) for v in values], StructType([StructField("v", schema[col].dataType)])
+    registry, cur_id = _registry(meta)
+    field_id = next(
+        f["id"] for f in registry[cur_id] if f["name"] == col
     )
-    rows = vdf.select(
-        *[
-            F.pmod(F.xxhash64(F.col("v"), F.lit(i)), F.lit(m))
-            .cast("int")
-            .alias(f"p{i}")
-            for i in range(k)
-        ]
-    ).collect()
-    alts = []
-    for r in rows:
-        conj = []
-        for i in range(k):
-            p = r[f"p{i}"]
-            w, b = p // 64, p % 64
-            # shiftleft, not a literal: the b=63 mask is Long.MIN_VALUE,
-            # which no SQL long literal can spell directly
-            mask = f"shiftleft(1L, {b})"
-            conj.append(
-                f"(coalesce(element_at(bloom_{col}, {w}) & {mask}, 0L) = {mask})"
-            )
-        alts.append("(" + " AND ".join(conj) + ")")
-    return f"(bloom_{col} IS NULL OR {' OR '.join(alts)})"
+    # group schema eras by the column's PHYSICAL type — one probe set per
+    # distinct type, one schema_id branch per era group
+    eras: dict[str, list[int]] = {}
+    for sid, fields in registry.items():
+        f = next((x for x in fields if x["id"] == field_id), None)
+        if f is not None:
+            eras.setdefault(json.dumps(f["type"]), []).append(sid)
+    schema = StructType.fromJson(meta["schema"])
+    base_vdf = spark.createDataFrame(
+        [(v,) for v in values],
+        StructType([StructField("v", schema[col].dataType)]),
+    )
+
+    def alts_for(vdf) -> str:
+        rows = vdf.select(
+            *[
+                F.pmod(F.xxhash64(F.col("v"), F.lit(i)), F.lit(m))
+                .cast("int")
+                .alias(f"p{i}")
+                for i in range(k)
+            ]
+        ).collect()
+        alts = []
+        for r in rows:
+            conj = []
+            for i in range(k):
+                p = r[f"p{i}"]
+                w, b = p // 64, p % 64
+                # shiftleft, not a literal: the b=63 mask is
+                # Long.MIN_VALUE, which no SQL long literal can spell
+                mask = f"shiftleft(1L, {b})"
+                conj.append(
+                    f"(coalesce(element_at(bloom_{col}, {w}) & {mask}, 0L)"
+                    f" = {mask})"
+                )
+            alts.append("(" + " AND ".join(conj) + ")")
+        return " OR ".join(alts)
+
+    if len(eras) == 1:
+        return f"(bloom_{col} IS NULL OR {alts_for(base_vdf)})"
+    branches = []
+    for tj, sids in sorted(eras.items()):
+        t = _type_from_json(json.loads(tj))
+        era_vdf = base_vdf.select(F.col("v").cast(t).alias("v"))
+        ids = ", ".join(str(s) for s in sorted(sids))
+        branches.append(f"(schema_id IN ({ids}) AND ({alts_for(era_vdf)}))")
+    return f"(bloom_{col} IS NULL OR {' OR '.join(branches)})"
 
 
 def delete_manifest_table(
@@ -1226,11 +1413,13 @@ def delete_manifest_table(
         )
     bounds = kdist.agg(F.min("__key").alias("lo"), F.max("__key").alias("hi")).first()
     man = _load_manifest(spark, base_path, head)
+    schemas, schema_id = _registry(meta)
     if bounds["lo"] is None:
         return _finish(
             spark, base_path, schema=schema, stats_cols=stats_cols,
             keep=keep, base_head=head, dv_key=dv_key,
             bloom=meta.get("bloom"), op="delete",
+            schemas=schemas, schema_id=schema_id,
         )
     coarse = man.where(
         (F.col(f"max_{key}") >= F.lit(bounds["lo"]))
@@ -1242,36 +1431,51 @@ def delete_manifest_table(
         & (F.col("__key") <= F.col(f"max_{key}")),
         "leftsemi",
     )
-    cand_files = cand.select("path", "dv_path").collect()
+    cand_files = cand.select("path", "dv_path", "schema_id").collect()
     if not cand_files:
         return _finish(
             spark, base_path, schema=schema, stats_cols=stats_cols,
             keep=keep, base_head=head, dv_key=dv_key,
             bloom=meta.get("bloom"), op="delete",
+            schemas=schemas, schema_id=schema_id,
         )
     touched = [r["path"] for r in cand_files]
+    key_type = schema[key].dataType
     # the condemned (file, key) pairs actually PRESENT in candidate files:
-    # one scan of the candidates, semi-joined against the key batch
-    raw = (
-        spark.read.schema(schema)
-        .parquet(*[f"{base_path}/{p}" for p in touched])
-        .select(
-            F.regexp_extract(
-                F.col("_metadata.file_path"), r"(data/[^/]+/[^/]+)$", 1
-            ).alias("__path"),
-            F.col(key).alias("__key"),
+    # one scan of the candidates (per schema era, key projected by field
+    # id and cast to the CURRENT type), semi-joined against the key batch
+    cur_fields = schemas[schema_id]
+    key_id = next(f["id"] for f in cur_fields if f["name"] == key)
+    raws = []
+    for sid, members in sorted(_by_schema_id(cand_files).items()):
+        phys_fields = schemas[sid]
+        phys_name = next(f["name"] for f in phys_fields if f["id"] == key_id)
+        raws.append(
+            spark.read.schema(_schema_from_fields(phys_fields))
+            .parquet(*[f"{base_path}/{p}" for p, _ in members])
+            .select(
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), r"(data/[^/]+/[^/]+)$", 1
+                ).alias("__path"),
+                F.col(phys_name).cast(key_type).alias("__key"),
+            )
         )
-    )
+    raw = raws[0]
+    for r in raws[1:]:
+        raw = raw.unionByName(r)
     present = raw.join(F.broadcast(kdist), "__key", "leftsemi").select(
         "__path", "__key"
     )
     # union in the touched files' EXISTING vectors so each file's sidecar
-    # generation is complete on its own (readers never chase chains)
+    # generation is complete on its own (readers never chase chains);
+    # per-dir reads + cast keep pre-widening sidecars unionable
     old_dirs = sorted({r["dv_path"] for r in cand_files if r["dv_path"]})
     if old_dirs:
-        olds = spark.read.parquet(
-            *[f"{base_path}/{d}" for d in old_dirs]
-        ).where(F.col("__path").isin(touched))
+        olds = (
+            _read_dv_sidecars(spark, base_path, old_dirs, key_type)
+            .select(F.col("__dvp").alias("__path"), "__key")
+            .where(F.col("__path").isin(touched))
+        )
         present = present.unionByName(olds)
     dv_dir = f"dv/c={_token()}"
     present.distinct().coalesce(1).write.mode("overwrite").parquet(
@@ -1294,6 +1498,7 @@ def delete_manifest_table(
             spark, base_path, schema=schema, stats_cols=stats_cols,
             keep=keep, base_head=head, dv_key=key,
             bloom=meta.get("bloom"), op="delete",
+            schemas=schemas, schema_id=schema_id,
         )
     # the commit as a manifest edit: drop the repointed files' old
     # entries, re-add them with the fresh sidecar — what lets _finish
@@ -1306,6 +1511,7 @@ def delete_manifest_table(
         base_head=head, removed=frozenset(repoint), added=repointed,
         bounds=(key, bounds["lo"], bounds["hi"]),
         dv_key=key, bloom=meta.get("bloom"), op="delete",
+        schemas=schemas, schema_id=schema_id,
     )
 
 
@@ -1334,18 +1540,20 @@ def compact_manifest_table(
     man = _load_manifest(spark, base_path, head)
     small = (
         man.where(F.col("bytes") < small_bytes)
-        .select("path", "bytes", "dv_path")
+        .select("path", "bytes", "dv_path", "schema_id")
         .collect()
     )
     if len(small) < 2:
         return None
     total = sum(r["bytes"] for r in small)
     n_out = max(1, math.ceil(total / target_bytes))
-    folded = _read_live(spark, base_path, small, schema, meta.get("dv_key"))
+    folded = _read_live(spark, base_path, small, meta)
+    schemas, schema_id = _registry(meta)
     data_dir = f"data/c={_token()}"
     _write_data(folded, base_path, data_dir, None, n_out)
     new_rows = _file_stats(
-        spark, base_path, data_dir, stats_cols, schema, meta.get("bloom")
+        spark, base_path, data_dir, stats_cols, schema, meta.get("bloom"),
+        schema_id=schema_id,
     )
     # read set = the folded small files; concurrent appends of NEW small
     # files rebase cleanly (they just stay uncompacted this round), but a
@@ -1362,6 +1570,8 @@ def compact_manifest_table(
         dv_key=meta.get("dv_key"),
         bloom=meta.get("bloom"),
         op="compact",
+        schemas=schemas,
+        schema_id=schema_id,
     )
 
 
@@ -1392,43 +1602,61 @@ def manifest_changes(
     whose vector grew is re-read on both sides (old vector applied on the
     left, new on the right) and its newly condemned rows fall out as
     deletes — cost still tracks the files the commits touched. Both
-    versions must be within retention."""
+    versions must be within retention. Across a schema-evolution boundary
+    the OLD side is lifted into the new side's schema by field id
+    (rename/widen-cast/NULL-fill), so the feed speaks one schema — the
+    head's — and ``key`` names columns by their CURRENT names."""
     from tibame_project_spark.operators.corrections import snapshot_diff
 
     if to_version is None:
         to_version = read_manifest_version(spark, base_path)
         if to_version is None:
             raise FileNotFoundError(f"no committed manifest table under {base_path}")
-    old_files = {
-        (r["path"], r["dv_path"])
-        for r in _load_manifest(spark, base_path, from_version)
-        .select("path", "dv_path")
-        .collect()
-    }
-    new_files = {
-        (r["path"], r["dv_path"])
-        for r in _load_manifest(spark, base_path, to_version)
-        .select("path", "dv_path")
-        .collect()
-    }
-    removed = sorted(old_files - new_files, key=lambda t: (t[0], t[1] or ""))
-    added = sorted(new_files - old_files, key=lambda t: (t[0], t[1] or ""))
+
+    def entries(v: int) -> dict[tuple, int]:
+        return {
+            (r["path"], r["dv_path"]): r["schema_id"]
+            for r in _load_manifest(spark, base_path, v)
+            .select("path", "dv_path", "schema_id")
+            .collect()
+        }
+
+    old_files = entries(from_version)
+    new_files = entries(to_version)
+    removed = sorted(
+        old_files.keys() - new_files.keys(), key=lambda t: (t[0], t[1] or "")
+    )
+    added = sorted(
+        new_files.keys() - old_files.keys(), key=lambda t: (t[0], t[1] or "")
+    )
     old_meta = _meta(spark, base_path, from_version)
     new_meta = _meta(spark, base_path, to_version)
     old_part = _read_live(
         spark,
         base_path,
-        [{"path": p, "dv_path": d} for p, d in removed],
-        StructType.fromJson(old_meta["schema"]),
-        old_meta.get("dv_key"),
+        [
+            {"path": p, "dv_path": d, "schema_id": old_files[(p, d)]}
+            for p, d in removed
+        ],
+        old_meta,
     )
     new_part = _read_live(
         spark,
         base_path,
-        [{"path": p, "dv_path": d} for p, d in added],
-        StructType.fromJson(new_meta["schema"]),
-        new_meta.get("dv_key"),
+        [
+            {"path": p, "dv_path": d, "schema_id": new_files[(p, d)]}
+            for p, d in added
+        ],
+        new_meta,
     )
+    old_reg, old_id = _registry(old_meta)
+    new_reg, new_id = _registry(new_meta)
+    if old_reg[old_id] != new_reg[new_id]:
+        # evolution between the versions: lift the old side to the new
+        # side's schema by field id so the diff compares like with like
+        old_part = old_part.select(
+            *_projection(old_reg[old_id], new_reg[new_id])
+        )
     return snapshot_diff(old_part, new_part, key)
 
 
@@ -1520,6 +1748,7 @@ def restore_manifest_table(
         )
     man = _load_manifest(spark, base_path, version)
     meta = _meta(spark, base_path, version)
+    schemas, schema_id = _registry(meta)
     # restore replaces the WHOLE live set — exclusive, never rebased
     return _finish(
         spark,
@@ -1532,6 +1761,130 @@ def restore_manifest_table(
         dv_key=meta.get("dv_key"),
         bloom=meta.get("bloom"),
         op=f"restore(v={version})",
+        schemas=schemas,
+        schema_id=schema_id,
+    )
+
+
+#: Lossless type promotions (parquet physical types stay readable
+#: through a cast): Spark jsonValue names.
+_WIDEN_OK = {
+    "byte": {"short", "integer", "long"},
+    "short": {"integer", "long"},
+    "integer": {"long"},
+    "float": {"double"},
+}
+
+
+def evolve_manifest_table(
+    spark: SparkSession,
+    base_path: str,
+    *,
+    rename: dict[str, str] | None = None,
+    widen: dict[str, str] | None = None,
+    keep: int = 2,
+) -> int:
+    """Schema evolution beyond add-column, as a METADATA-ONLY commit: no
+    data file is read or rewritten. ``rename`` maps current column names
+    to new ones; ``widen`` maps current column names to a wider type
+    (int→long-class promotions and float→double — the drift cases a
+    year-long table WILL hit). Old files keep their write-era physical
+    schema; every read lifts them through a field-id projection
+    (rename + cast + NULL-fill), the public formats' column-mapping
+    design. Column DROPS stay rejected — they silently reinterpret
+    history.
+
+    Renaming/widening cascades through the table's metadata: declared
+    stats columns, the Bloom-filter column list, the deletion-vector key,
+    and the manifest's ``min_``/``max_`` columns all follow. Widening a
+    BLOOM column stays exact because :func:`bloom_prune_expr` probes
+    per schema era (xxhash64 of int vs long differ, so each file is
+    probed with values hashed as the type it was written under). Returns
+    the committed version. Exclusive: a concurrent commit of any kind
+    conflicts (schema changes cannot be rebased)."""
+    rename = dict(rename or {})
+    widen = dict(widen or {})
+    if not rename and not widen:
+        raise ValueError("evolve_manifest_table: nothing to do")
+    fs, listing, head, _version = _begin(spark, base_path)
+    if head is None:
+        raise FileNotFoundError(f"no committed manifest table under {base_path}")
+    meta = _meta(spark, base_path, head)
+    schemas, cur_id = _registry(meta)
+    cur_fields = schemas[cur_id]
+    names = [f["name"] for f in cur_fields]
+    for old in list(rename) + list(widen):
+        if old not in names:
+            raise ValueError(f"no such column {old!r} (have {names})")
+    target_names = [rename.get(n, n) for n in names]
+    if len(set(target_names)) != len(target_names):
+        raise ValueError(
+            f"rename produces duplicate column names: {target_names}"
+        )
+    bloom = meta.get("bloom")
+    new_fields = []
+    for f in cur_fields:
+        t = f["type"]
+        if f["name"] in widen:
+            from pyspark.sql.types import _parse_datatype_string
+
+            tgt = widen[f["name"]]
+            tgt_json = _parse_datatype_string(tgt).jsonValue()
+            if not (
+                isinstance(t, str)
+                and tgt_json in _WIDEN_OK.get(t, set())
+            ):
+                raise ValueError(
+                    f"cannot widen {f['name']!r} from {t!r} to {tgt!r} — "
+                    f"allowed: {sorted(_WIDEN_OK.get(t, set())) if isinstance(t, str) else []}"
+                )
+            t = tgt_json
+        new_fields.append(
+            {"id": f["id"], "name": rename.get(f["name"], f["name"]), "type": t}
+        )
+    new_id = max(schemas) + 1
+    schemas[new_id] = new_fields
+    new_stats = [rename.get(c, c) for c in meta["stats_cols"]]
+    dv_key = meta.get("dv_key")
+    new_dv_key = rename.get(dv_key, dv_key) if dv_key else None
+    new_bloom = (
+        dict(bloom, cols=[rename.get(c, c) for c in bloom["cols"]])
+        if bloom
+        else None
+    )
+    # manifest transform, still metadata-only: stats columns follow the
+    # rename/widen so prune expressions speak the new names/types
+    man = _load_manifest(spark, base_path, head)
+    for c in meta["stats_cols"]:
+        nc = rename.get(c, c)
+        if c in widen:
+            tgt = dict(
+                (f2["name"], f2["type"]) for f2 in new_fields
+            )[nc]
+            t2 = _type_from_json(tgt)
+            man = man.withColumn(f"min_{c}", F.col(f"min_{c}").cast(t2))
+            man = man.withColumn(f"max_{c}", F.col(f"max_{c}").cast(t2))
+        if nc != c:
+            man = man.withColumnRenamed(f"min_{c}", f"min_{nc}")
+            man = man.withColumnRenamed(f"max_{c}", f"max_{nc}")
+    if bloom:
+        for c in bloom["cols"]:
+            nc = rename.get(c, c)
+            if nc != c and f"bloom_{c}" in man.columns:
+                man = man.withColumnRenamed(f"bloom_{c}", f"bloom_{nc}")
+    return _finish(
+        spark,
+        base_path,
+        schema=_schema_from_fields(new_fields),
+        stats_cols=new_stats,
+        keep=keep,
+        base_head=head,
+        full_manifest=man,
+        dv_key=new_dv_key,
+        bloom=new_bloom,
+        op="evolve",
+        schemas=schemas,
+        schema_id=new_id,
     )
 
 
