@@ -1522,6 +1522,8 @@ def compact_manifest_table(
     small_bytes: int = 32 * 1024 * 1024,
     target_bytes: int = 128 * 1024 * 1024,
     keep: int = 2,
+    recluster: str | list[str] | None = None,
+    zorder_bits: int = 16,
 ) -> int | None:
     """OPTIMIZE: fold files under ``small_bytes`` into ~``target_bytes``
     files as a new commit; content is bit-identical, large files are
@@ -1530,7 +1532,17 @@ def compact_manifest_table(
     doubles as the DV-materialization pass, exactly Delta's OPTIMIZE
     semantics. The small-file antidote for streaming / frequent-merge
     tables — run it out of band, like the formats do. Returns the new
-    version, or None (no commit) when fewer than two small files exist."""
+    version, or None (no commit) when fewer than two small files exist.
+
+    ``recluster`` turns the pass into Delta's OPTIMIZE ZORDER: EVERY live
+    file (not just small ones) is rewritten range-clustered on the given
+    column(s) — two or more columns cluster on their Morton interleaving,
+    same contract as ``write_manifest_table(cluster_by=...)`` — so a
+    table whose ingest order decayed its clustering recovers its
+    ``prune=`` skip ratios without a manual rebuild. Content is still
+    bit-identical (DVs applied and cleared); schema-era stragglers come
+    out migrated to the current schema as a side effect. Returns None
+    only when the table has no live files."""
     fs, listing, head, version = _begin(spark, base_path)
     if head is None:
         raise FileNotFoundError(f"no committed manifest table under {base_path}")
@@ -1538,26 +1550,35 @@ def compact_manifest_table(
     stats_cols = meta["stats_cols"]
     schema = StructType.fromJson(meta["schema"])
     man = _load_manifest(spark, base_path, head)
-    small = (
-        man.where(F.col("bytes") < small_bytes)
-        .select("path", "bytes", "dv_path", "schema_id")
-        .collect()
-    )
-    if len(small) < 2:
-        return None
-    total = sum(r["bytes"] for r in small)
+    if recluster is not None:
+        candidates = man.select(
+            "path", "bytes", "dv_path", "schema_id"
+        ).collect()
+        if not candidates:
+            return None
+        op = "recluster"
+    else:
+        candidates = (
+            man.where(F.col("bytes") < small_bytes)
+            .select("path", "bytes", "dv_path", "schema_id")
+            .collect()
+        )
+        if len(candidates) < 2:
+            return None
+        op = "compact"
+    total = sum(r["bytes"] for r in candidates)
     n_out = max(1, math.ceil(total / target_bytes))
-    folded = _read_live(spark, base_path, small, meta)
+    folded = _read_live(spark, base_path, candidates, meta)
     schemas, schema_id = _registry(meta)
     data_dir = f"data/c={_token()}"
-    _write_data(folded, base_path, data_dir, None, n_out)
+    _write_data(folded, base_path, data_dir, recluster, n_out, zorder_bits)
     new_rows = _file_stats(
         spark, base_path, data_dir, stats_cols, schema, meta.get("bloom"),
         schema_id=schema_id,
     )
-    # read set = the folded small files; concurrent appends of NEW small
-    # files rebase cleanly (they just stay uncompacted this round), but a
-    # concurrent delete repointing a folded file conflicts
+    # read set = the folded files; concurrent appends of NEW files rebase
+    # cleanly (they just stay uncompacted this round), but a concurrent
+    # delete repointing a folded file conflicts
     return _finish(
         spark,
         base_path,
@@ -1565,11 +1586,11 @@ def compact_manifest_table(
         stats_cols=stats_cols,
         keep=keep,
         base_head=head,
-        removed=frozenset(r["path"] for r in small),
+        removed=frozenset(r["path"] for r in candidates),
         added=new_rows,
         dv_key=meta.get("dv_key"),
         bloom=meta.get("bloom"),
-        op="compact",
+        op=op,
         schemas=schemas,
         schema_id=schema_id,
     )

@@ -312,6 +312,143 @@ def stream_cdc_apply_manifest(
     )
 
 
+def consume_manifest_feed(
+    spark: SparkSession,
+    base_path: str,
+    key: str | list[str],
+    *,
+    state_path: str,
+    apply_batch: Callable[[DataFrame, int], None],
+    per_commit: bool = True,
+    max_epochs: int | None = None,
+) -> int:
+    """The availableNow drain loop over a :func:`sources.manifest.
+    manifest_feed` cursor — the consumer-side bridge between the
+    pull-based feed and the streaming tier's epoch discipline: each
+    iteration is one micro-batch (``per_commit=True``: exactly one
+    producer COMMIT per epoch, the replay grain Structured Streaming's
+    checkpoint gives a file source; ``False``: drain cursor→head in one
+    epoch), ``apply_batch(changes, version)`` is the foreachBatch body,
+    and the cursor commit after it is the epoch's checkpoint write.
+    Drains until caught up (or ``max_epochs``), then returns the number
+    of epochs applied — the scheduled-CDC operating mode.
+
+    At-least-once, exactly like the checkpointed sinks above: a crash
+    between ``apply_batch`` and the cursor commit replays that epoch on
+    the next run, so ``apply_batch`` must be a fixpoint (the merge/CDC
+    appliers here are — :func:`replicate_manifest_table` is the packaged
+    form). A fresh cursor bootstraps with the full current table as
+    insert rows (Delta streaming's initial-snapshot semantics), one code
+    path with every later epoch."""
+    from tibame_project_spark.sources.manifest import (
+        manifest_feed,
+        manifest_feed_commit,
+        read_manifest_version,
+    )
+
+    fs_state = spark._jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = fs_state.getFileSystem(spark._jsc.hadoopConfiguration())
+    applied = 0
+    while max_epochs is None or applied < max_epochs:
+        head = read_manifest_version(spark, base_path)
+        if head is None:
+            raise FileNotFoundError(
+                f"no committed manifest table under {base_path}"
+            )
+        if fs.exists(fs_state):
+            import json as _json
+
+            from tibame_project_spark.sources.manifest import _read_text
+
+            cursor = _json.loads(_read_text(spark, state_path))["version"]
+            if cursor >= head:
+                break
+            target = cursor + 1 if per_commit else head
+        else:
+            target = head  # bootstrap epoch: initial snapshot at head
+        changes, v = manifest_feed(
+            spark, base_path, key, state_path=state_path, to_version=target
+        )
+        apply_batch(changes, v)
+        manifest_feed_commit(spark, state_path, v)
+        applied += 1
+    return applied
+
+
+def replicate_manifest_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    key: str,
+    *,
+    state_path: str,
+    keep: int = 2,
+    per_commit: bool = True,
+    max_epochs: int | None = None,
+) -> int:
+    """Manifest→manifest CDC replication: tail ``src_path``'s feed and
+    apply every interval to ``dst_path`` as a file-skipping MERGE (one
+    :func:`consume_manifest_feed` epoch per producer commit), producing
+    an independent table whose live content tracks the source — the
+    produce→consume story of the storage tier run end-to-end under
+    streaming epoch semantics. Bootstrap creates the destination from
+    the initial snapshot, clustered on ``key``; a committed cursor with
+    a missing destination refuses (prior epochs' rows would silently
+    vanish — the standing CDC-sink guard). Every epoch's apply is a
+    merge fixpoint, so a crash between apply and cursor commit replays
+    without dupes or gaps. Returns the number of epochs applied."""
+    from tibame_project_spark.sources.manifest import (
+        merge_manifest_table,
+        read_manifest_version,
+        write_manifest_table,
+    )
+
+    state_p = spark._jvm.org.apache.hadoop.fs.Path(state_path)
+    state_fs = state_p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def apply_batch(changes: DataFrame, version: int) -> None:
+        cols = [
+            c[len("new_"):] for c in changes.columns if c.startswith("new_")
+        ]
+        if read_manifest_version(spark, dst_path) is None:
+            # bootstrap only when the cursor is ALSO fresh: a committed
+            # cursor with a missing destination means prior epochs' rows
+            # were lost externally — the shared guard refuses
+            first = _cdc_bootstrap(
+                changes.where(F.col("op") != "delete").select(
+                    key, *[F.col(f"new_{c}").alias(c) for c in cols]
+                ),
+                1 if state_fs.exists(state_p) else 0,
+                None,
+                f"replicate_manifest_table({dst_path})",
+            )
+            write_manifest_table(
+                spark, first, dst_path, stats_cols=[key], cluster_by=key,
+                keep=keep,
+            )
+            return
+        ups = changes.where(F.col("op") != "delete").select(
+            key,
+            *[F.col(f"new_{c}").alias(c) for c in cols],
+            F.lit(False).alias("__dead"),
+        )
+        dels = changes.where(F.col("op") == "delete").select(
+            key,
+            *[F.col(f"old_{c}").alias(c) for c in cols],
+            F.lit(True).alias("__dead"),
+        )
+        merge_manifest_table(
+            spark, ups.unionByName(dels), dst_path, key,
+            delete_col="__dead", keep=keep,
+        )
+
+    return consume_manifest_feed(
+        spark, src_path, key, state_path=state_path,
+        apply_batch=apply_batch, per_commit=per_commit,
+        max_epochs=max_epochs,
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     keys: list[str],
