@@ -1989,3 +1989,28 @@ def test_replicate_manifest_feed_epochs_and_crash_resume(spark, tmp_path):
         replicate_manifest_table(
             spark, src, dst, "id", state_path=state, keep=10
         )
+
+
+def test_vacuum_min_age_spares_young_files(spark, tmp_path):
+    """vacuum(min_age_s=...) is the Delta RETAIN window: unreferenced
+    files younger than the threshold survive (so a vacuum racing a
+    writer whose commit window is shorter than the threshold can never
+    eat a mid-flight commit); an aged-out sweep still reclaims them."""
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark,
+        spark.range(0, 40).select(F.col("id"), F.col("id").alias("v")),
+        base, stats_cols=["id"], cluster_by="id", n_files=4, keep=1,
+    )
+    write_manifest_table(
+        spark,
+        spark.range(0, 20).select(F.col("id"), F.col("id").alias("v")),
+        base, n_files=1, keep=1,
+    )
+    # every superseded file was written seconds ago → a 1-hour window
+    # spares all of them
+    assert vacuum_manifest_table(spark, base, min_age_s=3600) == 0
+    assert _content(spark, base) == {(i, i) for i in range(20)}
+    # age floor in the past (0 s) → normal sweep
+    assert vacuum_manifest_table(spark, base, min_age_s=0) == 4
+    assert _content(spark, base) == {(i, i) for i in range(20)}

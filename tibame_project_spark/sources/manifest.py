@@ -1681,25 +1681,40 @@ def manifest_changes(
     return snapshot_diff(old_part, new_part, key)
 
 
-def vacuum_manifest_table(spark: SparkSession, base_path: str) -> int:
+def vacuum_manifest_table(
+    spark: SparkSession, base_path: str, *, min_age_s: float | None = None
+) -> int:
     """Delete data files referenced by NO retained (committed, unpruned)
-    manifest, then sweep empty ``data/v=<n>/`` dirs — and likewise delete
-    deletion-vector sidecar dirs (``dv/v=<n>/``) no retained manifest's
-    ``dv_path`` points at. Separate from commit on purpose: commits prune
-    metadata with the listing they already hold, while vacuum's recursive
-    data listing is the expensive object-store walk you schedule out of
-    band (exactly Delta's VACUUM split). Run it EXCLUSIVELY — not while
-    any writer is live: a concurrent commit's data files exist before its
-    marker does, so a racing vacuum would see them as unreferenced and
-    delete a mid-flight commit (Delta guards this with an age threshold;
-    this implementation keeps the exclusivity contract explicit instead).
-    Readers are always safe — every retained version's files survive.
-    Returns the number of files deleted (DV dirs count as one each)."""
+    manifest, then sweep emptied data dirs — and likewise delete
+    deletion-vector sidecar dirs no retained manifest's ``dv_path``
+    points at. Separate from commit on purpose: commits prune metadata
+    with the listing they already hold, while vacuum's recursive data
+    listing is the expensive object-store walk you schedule out of band
+    (exactly Delta's VACUUM split).
+
+    Concurrency: a concurrent commit's data files exist BEFORE its marker
+    does, so a racing vacuum would see them as unreferenced and delete a
+    mid-flight commit. Either run vacuum exclusively (no writer live), or
+    pass ``min_age_s`` — files younger than the threshold are spared
+    (Delta's ``RETAIN`` window), which is safe as long as no commit's
+    data-write-to-marker window exceeds the threshold; size it generously
+    (hours). Readers are always safe — every retained version's files
+    survive. Returns the number of files deleted (DV dirs count as one
+    each)."""
+    import time as _time
+
     fs, base, jvm = _fs_for(spark, base_path)
     listing = list(fs.listStatus(base)) if fs.exists(base) else []
     committed = _committed_versions(listing)
     if not committed:
         return 0
+    floor_ms = (
+        (_time.time() - min_age_s) * 1000.0 if min_age_s is not None else None
+    )
+
+    def old_enough(status) -> bool:
+        return floor_ms is None or status.getModificationTime() <= floor_ms
+
     referenced: set[str] = set()
     dv_referenced: set[str] = set()
     for v in committed:
@@ -1722,7 +1737,7 @@ def vacuum_manifest_table(spark: SparkSession, base_path: str) -> int:
                 rel = f"data/{dname}/{fname}"
                 if fname.startswith(("_", ".")):  # _SUCCESS, CRCs
                     continue
-                if rel in referenced:
+                if rel in referenced or not old_enough(f):
                     kept_any = True
                 else:
                     fs.delete(f.getPath(), False)
@@ -1735,7 +1750,7 @@ def vacuum_manifest_table(spark: SparkSession, base_path: str) -> int:
             if not d.isDirectory():
                 continue
             rel = f"dv/{d.getPath().getName()}"
-            if rel not in dv_referenced:
+            if rel not in dv_referenced and old_enough(d):
                 fs.delete(d.getPath(), True)
                 deleted += 1
     return deleted
