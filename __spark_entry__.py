@@ -2639,6 +2639,10 @@ def q_ivm_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is never re-read in the fold (plan-locked by
     tests/test_physical_plans.py::test_ivm_mart_gated_fold_never_rescans_base),
     and ``applied_head`` exercises the exactly-once-effect replay guard.
+    A trailing OPTIMIZE pass (compact + DESCRIBE-HISTORY self-check)
+    also rides the gate: compaction rewrites files without changing
+    rows, so its feed interval must fold to a ZERO delta — a corrupted
+    fold or file diff moves the mart and fails the hash.
     The oracle replays the merge relationally and aggregates the FINAL
     state — so bootstrap + delta fold must equal the full recompute
     exactly (decimal partials; double only at the output edge). Replaces
@@ -2647,7 +2651,9 @@ def q_ivm_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest)."""
     from tibame_project_spark.plans.warehouse import maintain_mart_from_feed
     from tibame_project_spark.sources.manifest import (
+        compact_manifest_table,
         manifest_feed_commit,
+        manifest_history,
         merge_manifest_table,
         write_manifest_table,
     )
@@ -2691,10 +2697,24 @@ def q_ivm_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, moved.unionByName(new), base, "o_orderkey",
         delete_col="dead", keep=10,
     )
-    mart2, _ = maintain_mart_from_feed(
+    mart2, head2 = maintain_mart_from_feed(
         spark, base, "o_orderkey", mart=mart, applied_head=head, **kw
     )
-    return mart2.select(
+    mart2 = mart2.localCheckpoint(eager=True)
+    manifest_feed_commit(spark, state, head2)
+    # r09 late: one OPTIMIZE pass enters the gate too — compaction is
+    # content-identical, so its feed interval must fold to a ZERO delta
+    # (rewriting files without changing rows cannot move the mart); a
+    # corrupted fold, file diff, or history op fails the oracle or raises
+    compact_manifest_table(spark, base, keep=10)
+    hist = [r["op"] for r in manifest_history(spark, base).collect()]
+    if hist != ["create", "merge", "compact"]:
+        raise AssertionError(f"unexpected commit history: {hist}")
+    mart3, head3 = maintain_mart_from_feed(
+        spark, base, "o_orderkey", mart=mart2, applied_head=head2, **kw
+    )
+    manifest_feed_commit(spark, state, head3)
+    return mart3.select(
         "o_orderpriority", "n", F.col("total").cast("double").alias("total")
     )
 

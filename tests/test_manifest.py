@@ -2014,3 +2014,126 @@ def test_vacuum_min_age_spares_young_files(spark, tmp_path):
     # age floor in the past (0 s) → normal sweep
     assert vacuum_manifest_table(spark, base, min_age_s=0) == 4
     assert _content(spark, base) == {(i, i) for i in range(20)}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 100)),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+    st.lists(
+        st.tuples(
+            st.one_of(
+                st.tuples(
+                    st.just("merge"),
+                    st.lists(
+                        st.tuples(
+                            st.integers(0, 30), st.integers(0, 100),
+                            st.booleans(),
+                        ),
+                        min_size=1,
+                        max_size=4,
+                        unique_by=lambda t: t[0],
+                    ),
+                ),
+                st.tuples(
+                    st.just("append"),
+                    st.lists(
+                        st.tuples(st.integers(31, 60), st.integers(0, 100)),
+                        min_size=1,
+                        max_size=3,
+                        unique_by=lambda t: t[0],
+                    ),
+                ),
+                st.tuples(st.just("compact"), st.just(None)),
+            ),
+            # optional RACER: a concurrent append on a disjoint keyspace
+            # (100..130) injected between the op's read and its publish
+            st.one_of(
+                st.none(),
+                st.lists(
+                    st.tuples(st.integers(100, 130), st.integers(0, 100)),
+                    min_size=1,
+                    max_size=2,
+                    unique_by=lambda t: t[0],
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_model_replay_with_racing_appends_loses_nothing(
+    spark_global, tmp_path_factory, initial, ops
+):
+    """The verdict's no-lost-updates model replay, under CONCURRENCY:
+    every operation may race a concurrent append (disjoint keyspace, so
+    the CAS rebase path — not the conflict path — is exercised), and at
+    every step the table equals the model that applied the racer FIRST
+    (it wins the version race by construction) and the operation second.
+    Merges replay as a dict, appends (racers included) as a multiset."""
+    from collections import Counter
+
+    import tibame_project_spark.sources.manifest as M
+
+    spark = spark_global
+    base = str(tmp_path_factory.mktemp("manrace") / "t")
+    write_manifest_table(
+        spark, _mk(spark, initial), base, stats_cols=["id"], keep=10
+    )
+    merged_model = dict(initial)
+    appended_model: Counter = Counter()
+
+    def expect():
+        return Counter(merged_model.items()) + appended_model
+
+    for (kind, payload), racer in ops:
+        if racer is not None:
+            def _inject(rows=racer):
+                append_manifest_table(
+                    spark, spark.createDataFrame(rows, "id long, v long"),
+                    base, keep=10,
+                )
+            M._TEST_COMMIT_RACE_HOOK = _inject
+        try:
+            if kind == "merge":
+                merge_manifest_table(
+                    spark,
+                    spark.createDataFrame(
+                        payload, "id long, v long, dead boolean"
+                    ),
+                    base, "id", delete_col="dead", keep=10,
+                )
+                for k, v, dead in payload:
+                    if dead:
+                        merged_model.pop(k, None)
+                    else:
+                        merged_model[k] = v
+            elif kind == "append":
+                append_manifest_table(
+                    spark,
+                    spark.createDataFrame(payload, "id long, v long"),
+                    base, keep=10,
+                )
+                appended_model.update(payload)
+            else:
+                compact_manifest_table(
+                    spark, base, small_bytes=1 << 30, target_bytes=1 << 30,
+                    keep=10,
+                )
+        finally:
+            # a no-op (e.g. compact with <2 candidates) never reaches the
+            # commit path, so its racer never ran — the armed hook is the
+            # tell (it self-clears when consumed)
+            fired = M._TEST_COMMIT_RACE_HOOK is None
+            M._TEST_COMMIT_RACE_HOOK = None
+        if racer is not None and fired:
+            appended_model.update(racer)  # the racer committed first
+        got = Counter(
+            (r["id"], r["v"])
+            for r in read_manifest_table(spark, base).collect()
+        )
+        assert got == expect()
