@@ -1154,16 +1154,20 @@ def merge_manifest_table(
             f"merge key {key!r} must be a declared stats column ({stats_cols}) "
             "— file skipping needs its min/max"
         )
-    if source.where(F.col(key).isNull()).limit(1).count():
+    # one batch scan for bounds AND the NULL-key guard (count(*) vs
+    # count(key)) — not a separate limit(1) job per commit
+    bounds = source.agg(
+        F.min(key).alias("lo"),
+        F.max(key).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.count(key).alias("nk"),
+    ).first()
+    if bounds["n"] != bounds["nk"]:
         raise ValueError(
             f"merge batch contains NULL {key!r} keys; manifest merge requires "
             "non-null keys (a NULL never lands in a min/max range, so it "
             "would silently re-insert on every application)"
         )
-
-    bounds = source.agg(
-        F.min(key).alias("lo"), F.max(key).alias("hi")
-    ).first()
     man = _load_manifest(spark, base_path, head)
     dv_key = meta.get("dv_key")
     schemas, schema_id = _registry(meta)
@@ -1406,12 +1410,17 @@ def delete_manifest_table(
             f"delete); got {key!r}"
         )
     kdist = keys.select(F.col(key).alias("__key")).distinct()
-    if kdist.where(F.col("__key").isNull()).limit(1).count():
+    bounds = kdist.agg(
+        F.min("__key").alias("lo"),
+        F.max("__key").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.count("__key").alias("nk"),
+    ).first()
+    if bounds["n"] != bounds["nk"]:
         raise ValueError(
             f"delete batch contains NULL {key!r} keys; a NULL never lands "
             "in a min/max range, so it could never be skipped consistently"
         )
-    bounds = kdist.agg(F.min("__key").alias("lo"), F.max("__key").alias("hi")).first()
     man = _load_manifest(spark, base_path, head)
     schemas, schema_id = _registry(meta)
     if bounds["lo"] is None:
@@ -2056,29 +2065,41 @@ def manifest_history(spark: SparkSession, base_path: str) -> DataFrame:
     committed = sorted(_committed_versions(listing))
     if not committed:
         raise FileNotFoundError(f"no committed manifest table under {base_path}")
-    rows = []
-    for v in committed:
-        meta = _meta(spark, base_path, v)
-        agg = (
-            _load_manifest(spark, base_path, v)
-            .agg(
-                F.count(F.lit(1)).alias("files"),
-                F.coalesce(F.sum("rows"), F.lit(0)).alias("rows"),
-                F.coalesce(F.sum("bytes"), F.lit(0)).alias("bytes"),
-                F.count("dv_path").alias("dv_files"),
-            )
-            .first()
+    ops = {v: _meta(spark, base_path, v).get("op") for v in committed}
+    # ONE aggregation job over the union of retained manifests (they are
+    # file-count-sized parquet) — not a job per version, which turns a
+    # metadata view into a job-scheduling tax
+    parts = [
+        _load_manifest(spark, base_path, v).select(
+            F.lit(v).alias("version"), "rows", "bytes", "dv_path"
         )
-        rows.append(
-            (
-                v,
-                meta.get("op"),
-                agg["files"],
-                agg["rows"],
-                agg["bytes"],
-                agg["dv_files"],
-            )
+        for v in committed
+    ]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    agg = {
+        r["version"]: r
+        for r in un.groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("files"),
+            F.coalesce(F.sum("rows"), F.lit(0)).alias("rows"),
+            F.coalesce(F.sum("bytes"), F.lit(0)).alias("bytes"),
+            F.count("dv_path").alias("dv_files"),
         )
+        .collect()
+    }
+    rows = [
+        (
+            v,
+            ops[v],
+            agg[v]["files"] if v in agg else 0,
+            agg[v]["rows"] if v in agg else 0,
+            agg[v]["bytes"] if v in agg else 0,
+            agg[v]["dv_files"] if v in agg else 0,
+        )
+        for v in committed
+    ]
     return spark.createDataFrame(
         rows,
         "version int, op string, files long, rows long, bytes long, "
