@@ -2422,6 +2422,9 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     range and the update decile touches ~1/8 of the clustered files, so
     most files carry forward as pure metadata), and the read-back is
     stats-PRUNED to the low half of the keyspace plus the insert range.
+    A RESTORE rollback + roll-forward pair (r09, metadata-only) runs
+    between the merge and the read, so the final pruned read exercises
+    a twice-restored head.
     The oracle replays the merge relationally (FULL OUTER + CASE, the
     `merge_upsert` twin) and applies the same row filter — so write →
     skipping merge → file-skipping read must equal the relational MERGE
@@ -2432,6 +2435,7 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_prune_expr,
         merge_manifest_table,
         read_manifest_table,
+        restore_manifest_table,
         write_manifest_table,
     )
 
@@ -2470,6 +2474,13 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, upd.unionByName(new), base, "o_orderkey",
         delete_col="is_deleted",
     )
+    # r09: RESTORE enters the gate as a metadata-only rollback +
+    # roll-forward pair — v2 republishes the pre-merge table, v3
+    # republishes the merged one — so the final pruned read runs against
+    # a twice-restored head: a restore that corrupted the manifest (file
+    # set, stats, Bloom, schema registry) fails the hash
+    restore_manifest_table(spark, base, 0)
+    restore_manifest_table(spark, base, 1)
     half = hi
     probe = [
         r["o_custkey"]

@@ -804,8 +804,9 @@ def _ngram_jaccard_ppjoin(
         # materialization, and the blocks are reclaimed by the context
         # cleaner once the returned plan is dropped — a persist() here
         # would pin the relation in the cache for the session lifetime
-        # (this op has no loop that owns an unpersist point)
-        .localCheckpoint(eager=True)
+        # (this op has no loop that owns an unpersist point). Lazy, so
+        # building the plan costs nothing until the caller acts on it.
+        .localCheckpoint(eager=False)
     )
     prefix_len = F.greatest(
         F.lit(1),

@@ -133,14 +133,21 @@ def _sql_literal(v) -> str | None:
     manifest's min/max column types."""
     import datetime
     import decimal
+    import math
 
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, (int, float, decimal.Decimal)):
+    if isinstance(v, float):
+        # inf/NaN have no SQL literal spelling (`nan` would resolve as a
+        # column reference) — unprunable, fall back to the semi-join
+        return str(v) if math.isfinite(v) else None
+    if isinstance(v, (int, decimal.Decimal)):
         return str(v)
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            return None  # offset rendering is engine-sensitive; skip
         return f"TIMESTAMP'{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
     if isinstance(v, datetime.date):
         return f"DATE'{v.isoformat()}'"

@@ -600,29 +600,36 @@ def _finish(
                     )
                 _time.sleep(_CLAIM_POLL_S)
             continue
-        # we own this version number exclusively: publish
-        manifest.coalesce(1).write.mode("overwrite").parquet(
-            f"{base_path}/manifest/v={version}"
-        )
-        meta = {"schema": schema.jsonValue(), "stats_cols": stats_cols}
-        if schemas is not None:
-            # schema registry (field ids → rename/widen evolution): meta
-            # carries every physical schema files were written under
-            meta["schemas"] = {str(k): v for k, v in schemas.items()}
-            meta["schema_id"] = schema_id
-        if op is not None:
-            meta["op"] = op
-        if dv_key is not None:
-            meta["dv_key"] = dv_key
-        if bloom is not None:
-            meta["bloom"] = bloom
-        _write_text(
-            spark, f"{base_path}/meta/v={version}.json", json.dumps(meta)
-        )
-        marker = jvm.org.apache.hadoop.fs.Path(
-            f"{base_path}/{_COMMIT_PREFIX}{version}"
-        )
-        fs.create(marker, False).close()  # create-new = the commit
+        # we own this version number exclusively: publish — and release
+        # the claim if anything inside the window fails (a transient
+        # write error must not wedge the table behind a stale claim)
+        try:
+            manifest.coalesce(1).write.mode("overwrite").parquet(
+                f"{base_path}/manifest/v={version}"
+            )
+            meta = {"schema": schema.jsonValue(), "stats_cols": stats_cols}
+            if schemas is not None:
+                # schema registry (field ids → rename/widen evolution):
+                # meta carries every physical schema files were written
+                # under
+                meta["schemas"] = {str(k): v for k, v in schemas.items()}
+                meta["schema_id"] = schema_id
+            if op is not None:
+                meta["op"] = op
+            if dv_key is not None:
+                meta["dv_key"] = dv_key
+            if bloom is not None:
+                meta["bloom"] = bloom
+            _write_text(
+                spark, f"{base_path}/meta/v={version}.json", json.dumps(meta)
+            )
+            marker = jvm.org.apache.hadoop.fs.Path(
+                f"{base_path}/{_COMMIT_PREFIX}{version}"
+            )
+            fs.create(marker, False).close()  # create-new = the commit
+        except BaseException:
+            fs.delete(claim, False)
+            raise
         floor = version - keep
         if floor >= 0:
             for status in list(fs.listStatus(base)):
@@ -929,8 +936,28 @@ def write_manifest_table(
         schemas, schema_id = _registry(prior)
         fresh = _fields_from_schema(df.schema)
         if fresh != schemas[schema_id]:
+            # field identity follows (name, type) across a full refresh:
+            # a reordered refresh keeps every column's id (so feeds
+            # spanning the boundary pair columns correctly); genuinely
+            # new columns get ids fresh across the WHOLE registry (never
+            # aliasing an old era's different column)
+            by_name = {
+                (f["name"], json.dumps(f["type"])): f["id"]
+                for f in schemas[schema_id]
+            }
+            next_id = (
+                max(f["id"] for fl in schemas.values() for f in fl) + 1
+            )
+            refreshed = []
+            for f in fresh:
+                known = by_name.get((f["name"], json.dumps(f["type"])))
+                if known is not None:
+                    refreshed.append(dict(f, id=known))
+                else:
+                    refreshed.append(dict(f, id=next_id))
+                    next_id += 1
             schema_id = max(schemas) + 1
-            schemas[schema_id] = fresh
+            schemas[schema_id] = refreshed
     manifest = _file_stats(
         spark, base_path, data_dir, stats_cols, df.schema, bloom,
         schema_id=schema_id,
@@ -1442,9 +1469,13 @@ def delete_manifest_table(
     )
     cand_files = cand.select("path", "dv_path", "schema_id").collect()
     if not cand_files:
+        # still a range-reading commit: "no candidates" is a statement
+        # about this key range, so a concurrent commit INTO the range
+        # must conflict, not silently serialize after the no-op
         return _finish(
             spark, base_path, schema=schema, stats_cols=stats_cols,
             keep=keep, base_head=head, dv_key=dv_key,
+            bounds=(key, bounds["lo"], bounds["hi"]),
             bloom=meta.get("bloom"), op="delete",
             schemas=schemas, schema_id=schema_id,
         )
@@ -1506,6 +1537,7 @@ def delete_manifest_table(
         return _finish(
             spark, base_path, schema=schema, stats_cols=stats_cols,
             keep=keep, base_head=head, dv_key=key,
+            bounds=(key, bounds["lo"], bounds["hi"]),
             bloom=meta.get("bloom"), op="delete",
             schemas=schemas, schema_id=schema_id,
         )
@@ -1898,25 +1930,25 @@ def evolve_manifest_table(
         else None
     )
     # manifest transform, still metadata-only: stats columns follow the
-    # rename/widen so prune expressions speak the new names/types
+    # rename/widen so prune expressions speak the new names/types. ONE
+    # projection — sequential withColumnRenamed would corrupt swap/chain
+    # renames (rename={'a':'b','b':'c'} transiently duplicates min_b)
     man = _load_manifest(spark, base_path, head)
-    for c in meta["stats_cols"]:
-        nc = rename.get(c, c)
-        if c in widen:
-            tgt = dict(
-                (f2["name"], f2["type"]) for f2 in new_fields
-            )[nc]
-            t2 = _type_from_json(tgt)
-            man = man.withColumn(f"min_{c}", F.col(f"min_{c}").cast(t2))
-            man = man.withColumn(f"max_{c}", F.col(f"max_{c}").cast(t2))
-        if nc != c:
-            man = man.withColumnRenamed(f"min_{c}", f"min_{nc}")
-            man = man.withColumnRenamed(f"max_{c}", f"max_{nc}")
-    if bloom:
-        for c in bloom["cols"]:
-            nc = rename.get(c, c)
-            if nc != c and f"bloom_{c}" in man.columns:
-                man = man.withColumnRenamed(f"bloom_{c}", f"bloom_{nc}")
+    new_types = {f2["name"]: f2["type"] for f2 in new_fields}
+    out_cols = []
+    for c in man.columns:
+        col = F.col(f"`{c}`")
+        for prefix in ("min_", "max_", "bloom_"):
+            if c.startswith(prefix):
+                src = c[len(prefix):]
+                nc = rename.get(src, src)
+                if prefix != "bloom_" and src in widen:
+                    col = col.cast(_type_from_json(new_types[nc]))
+                out_cols.append(col.alias(f"{prefix}{nc}"))
+                break
+        else:
+            out_cols.append(col.alias(c))
+    man = man.select(*out_cols)
     return _finish(
         spark,
         base_path,
