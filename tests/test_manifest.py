@@ -2137,3 +2137,42 @@ def test_model_replay_with_racing_appends_loses_nothing(
             for r in read_manifest_table(spark, base).collect()
         )
         assert got == expect()
+
+
+def test_threaded_concurrent_appends_all_land(spark, tmp_path):
+    """Four writers appending from real threads with no coordination:
+    every append must land (appends always rebase), the head must hold
+    all rows, and history must show exactly 4 append commits — the claim
+    protocol under genuine interleaving, not just the injected-race seam.
+    Spark job submission is thread-safe; the contention here is on the
+    table's claim/commit markers."""
+    import threading
+
+    from tibame_project_spark.sources.manifest import manifest_history
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(0, 0)]), base, stats_cols=["id"], keep=20
+    )
+    errors = []
+
+    def writer(i: int) -> None:
+        try:
+            append_manifest_table(
+                spark,
+                spark.createDataFrame([(100 + i, i)], "id long, v long"),
+                base,
+                keep=20,
+            )
+        except Exception as e:  # surfaced below — a thread must not die
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert _content(spark, base) == {(0, 0)} | {(100 + i, i) for i in range(4)}
+    ops = [r["op"] for r in manifest_history(spark, base).collect()]
+    assert ops == ["create"] + ["append"] * 4
