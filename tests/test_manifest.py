@@ -2176,3 +2176,30 @@ def test_threaded_concurrent_appends_all_land(spark, tmp_path):
     assert _content(spark, base) == {(0, 0)} | {(100 + i, i) for i in range(4)}
     ops = [r["op"] for r in manifest_history(spark, base).collect()]
     assert ops == ["create"] + ["append"] * 4
+
+
+def test_rebase_past_pruned_history_raises_retriably(spark, tmp_path, monkeypatch):
+    """A loser whose base version's metadata was pruned by the winners'
+    retention (keep=1, two intervening commits) cannot conflict-check its
+    rebase — it must raise the retriable ConcurrentCommitError, never
+    guess: a blind rebase could silently drop a conflicting rewrite."""
+    import tibame_project_spark.sources.manifest as M
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(10)]), base,
+        stats_cols=["id"], keep=1,
+    )
+
+    def race():
+        append_manifest_table(spark, _mk(spark, [(100, 100)]), base, keep=1)
+        append_manifest_table(spark, _mk(spark, [(101, 101)]), base, keep=1)
+
+    monkeypatch.setattr(M, "_TEST_COMMIT_RACE_HOOK", race)
+    with pytest.raises(M.ConcurrentCommitError, match="history.*gone"):
+        append_manifest_table(spark, _mk(spark, [(200, 200)]), base, keep=1)
+    # the winners' commits survived untouched; a plain retry succeeds
+    append_manifest_table(spark, _mk(spark, [(200, 200)]), base, keep=1)
+    assert _content(spark, base) == {(i, i) for i in range(10)} | {
+        (100, 100), (101, 101), (200, 200)
+    }
