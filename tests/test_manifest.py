@@ -2203,3 +2203,65 @@ def test_rebase_past_pruned_history_raises_retriably(spark, tmp_path, monkeypatc
     assert _content(spark, base) == {(i, i) for i in range(10)} | {
         (100, 100), (101, 101), (200, 200)
     }
+
+
+def test_tags_pin_versions_past_retention_and_vacuum(spark, tmp_path):
+    """Release pinning (Iceberg-style tags): a tagged version's metadata
+    survives every later commit's retention pruning and its files survive
+    vacuum — the training-data release stays byte-identically readable
+    while the live table is rewritten on top. Dropping the tag releases
+    the pin at the next commit; tags are immutable and atomic."""
+    from tibame_project_spark.sources.manifest import (
+        delete_manifest_tag,
+        list_manifest_tags,
+        tag_manifest_version,
+    )
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(20)]), base,
+        stats_cols=["id"], cluster_by="id", n_files=2, keep=1,
+    )
+    release = {(i, i) for i in range(20)}
+    assert tag_manifest_version(spark, base, "release-1") == 0
+
+    # aggressive keep=1 retention: two full refreshes would normally
+    # prune v0's marker/manifest/meta — the tag spares them
+    for n in (10, 5):
+        write_manifest_table(
+            spark,
+            spark.range(0, n).select(F.col("id"), F.col("id").alias("v")),
+            base, n_files=1, keep=1,
+        )
+    assert list_manifest_tags(spark, base) == {"release-1": 0}
+    assert _content(spark, base, tag="release-1") == release
+    assert _content(spark, base, version=0) == release  # marker spared too
+    # v1 (the n=10 refresh) was NOT tagged: pruned as usual
+    with pytest.raises(FileNotFoundError):
+        read_manifest_table(spark, base, version=1)
+    # vacuum keeps every committed manifest's files — the pin's included
+    vacuum_manifest_table(spark, base)
+    assert _content(spark, base, tag="release-1") == release
+    assert _content(spark, base) == {(i, i) for i in range(5)}
+
+    # immutability + guards
+    with pytest.raises(ValueError, match="immutable"):
+        tag_manifest_version(spark, base, "release-1")
+    with pytest.raises(FileNotFoundError, match="no tag"):
+        read_manifest_table(spark, base, tag="nope")
+    with pytest.raises(ValueError, match="invalid"):
+        tag_manifest_version(spark, base, "_bad")
+    with pytest.raises(ValueError, match="not both"):
+        read_manifest_table(spark, base, tag="release-1", version=0)
+
+    # dropping the tag releases the pin: the next commit prunes v0
+    delete_manifest_tag(spark, base, "release-1")
+    assert list_manifest_tags(spark, base) == {}
+    write_manifest_table(
+        spark,
+        spark.range(0, 3).select(F.col("id"), F.col("id").alias("v")),
+        base, n_files=1, keep=1,
+    )
+    with pytest.raises(FileNotFoundError):
+        read_manifest_table(spark, base, version=0)
+    assert vacuum_manifest_table(spark, base) >= 1  # the release's files go

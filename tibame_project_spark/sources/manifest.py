@@ -64,6 +64,9 @@ crashed writer — :func:`recover_manifest_table` clears it. Layout under
     dv/c=<token>/      deletion-vector sidecars of one delete commit:
                        (__path, __key) pairs condemning rows of
                        still-live files
+    tags/<name>.json   immutable named version pins (release tags):
+                       tagged versions are spared by retention pruning
+                       and, transitively, by vacuum
 
 File statistics are collected Spark-side from the ``_metadata`` hidden
 columns (``file_path``/``file_size``) with one distributed groupBy over
@@ -115,6 +118,9 @@ __all__ = [
     "ConcurrentCommitError",
     "recover_manifest_table",
     "evolve_manifest_table",
+    "tag_manifest_version",
+    "delete_manifest_tag",
+    "list_manifest_tags",
 ]
 
 #: Manifest tables share the snapshot commit marker protocol; the head
@@ -632,11 +638,12 @@ def _finish(
             raise
         floor = version - keep
         if floor >= 0:
+            tagged = set(_manifest_tags(spark, base_path).values())
             for status in list(fs.listStatus(base)):
                 name = status.getPath().getName()
                 for pref in (_COMMIT_PREFIX, _CLAIM_PREFIX):
                     mv = _version_suffix(name, pref)
-                    if mv is not None and mv <= floor:
+                    if mv is not None and mv <= floor and mv not in tagged:
                         fs.delete(status.getPath(), False)
             for sub in ("manifest", "meta"):
                 subp = jvm.org.apache.hadoop.fs.Path(f"{base_path}/{sub}")
@@ -647,7 +654,7 @@ def _finish(
                         if sv is None and name.startswith("v=") and name.endswith(".json"):
                             tail = name[len("v=") : -len(".json")]
                             sv = int(tail) if tail.isdigit() else None
-                        if sv is not None and sv <= floor:
+                        if sv is not None and sv <= floor and sv not in tagged:
                             fs.delete(status.getPath(), True)
         return version
     raise ConcurrentCommitError(
@@ -1115,6 +1122,7 @@ def read_manifest_table(
     *,
     version: int | None = None,
     prune: str | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Read a committed version (default head; older = time travel within
     retention) as the union of its live files, optionally file-skipped by
@@ -1124,7 +1132,16 @@ def read_manifest_table(
     sidecars (one broadcast anti-join for the whole read); min/max stats
     of DV'd files stay conservative, so ``prune`` remains a superset
     filter. An empty live set still returns a correctly-schemed empty
-    DataFrame (schema travels in ``meta/``)."""
+    DataFrame (schema travels in ``meta/``). ``tag=`` reads the version a
+    named tag pins (release pinning — :func:`tag_manifest_version`);
+    mutually exclusive with ``version``."""
+    if tag is not None:
+        if version is not None:
+            raise ValueError("pass version= or tag=, not both")
+        tags = _manifest_tags(spark, base_path)
+        if tag not in tags:
+            raise FileNotFoundError(f"no tag {tag!r} under {base_path}")
+        version = tags[tag]
     if version is None:
         version = read_manifest_version(spark, base_path)
         if version is None:
@@ -1963,6 +1980,84 @@ def evolve_manifest_table(
         schemas=schemas,
         schema_id=new_id,
     )
+
+
+def _manifest_tags(spark: SparkSession, base_path: str) -> dict[str, int]:
+    """All tags of a table: ``{name: version}`` from ``tags/<name>.json``."""
+    fs, _, jvm = _fs_for(spark, base_path)
+    root = jvm.org.apache.hadoop.fs.Path(f"{base_path}/tags")
+    if not fs.exists(root):
+        return {}
+    out: dict[str, int] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.endswith(".json"):
+            continue
+        out[name[: -len(".json")]] = json.loads(
+            _read_text(spark, f"{base_path}/tags/{name}")
+        )["version"]
+    return out
+
+
+def tag_manifest_version(
+    spark: SparkSession, base_path: str, name: str, version: int | None = None
+) -> int:
+    """Pin a committed version under an immutable NAME (Iceberg's tag
+    refs, the release-pinning verb): a tagged version's commit marker,
+    manifest, and meta are SPARED by every later commit's retention
+    pruning, and — because vacuum keeps any committed manifest's files —
+    its data files and DV sidecars survive vacuum too. The use this
+    engine exists for: a training-data release (`release_pipeline`)
+    pinned as `tags/v1.json` stays byte-identically readable forever,
+    however many curation passes rewrite the live table on top.
+
+    ``version`` defaults to the current head. Tags are immutable —
+    retagging a name raises (delete then recreate to move it, accepting
+    that the old pin's retention protection ends). Atomic create-new, so
+    two writers cannot silently claim one name. Returns the pinned
+    version."""
+    fs, _, jvm = _fs_for(spark, base_path)
+    if "/" in name or name.startswith("_") or not name:
+        raise ValueError(f"invalid tag name {name!r}")
+    if version is None:
+        version = read_manifest_version(spark, base_path)
+        if version is None:
+            raise FileNotFoundError(f"no committed manifest table under {base_path}")
+    marker = jvm.org.apache.hadoop.fs.Path(
+        f"{base_path}/{_COMMIT_PREFIX}{version}"
+    )
+    if not fs.exists(marker):
+        raise FileNotFoundError(
+            f"manifest version {version} under {base_path} is not committed "
+            "or has been pruned past retention — cannot tag"
+        )
+    tag_path = jvm.org.apache.hadoop.fs.Path(f"{base_path}/tags/{name}.json")
+    fs.mkdirs(tag_path.getParent())
+    try:
+        out = fs.create(tag_path, False)  # create-new = the pin
+    except Exception as e:
+        raise ValueError(
+            f"tag {name!r} already exists under {base_path} (tags are "
+            "immutable; delete_manifest_tag then recreate to move it)"
+        ) from e
+    out.write(bytearray(json.dumps({"version": version}).encode("utf-8")))
+    out.close()
+    return version
+
+
+def delete_manifest_tag(spark: SparkSession, base_path: str, name: str) -> None:
+    """Drop a tag. The pinned version loses its retention protection at
+    the NEXT commit's pruning pass (and its files at the next vacuum
+    after that) — nothing is deleted here."""
+    fs, _, jvm = _fs_for(spark, base_path)
+    p = jvm.org.apache.hadoop.fs.Path(f"{base_path}/tags/{name}.json")
+    if not fs.delete(p, False):
+        raise FileNotFoundError(f"no tag {name!r} under {base_path}")
+
+
+def list_manifest_tags(spark: SparkSession, base_path: str) -> dict[str, int]:
+    """``{tag: version}`` for every tag on the table."""
+    return dict(sorted(_manifest_tags(spark, base_path).items()))
 
 
 def _diff_schema(schema: StructType, keys: list[str]) -> StructType:
