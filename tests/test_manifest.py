@@ -2265,3 +2265,106 @@ def test_tags_pin_versions_past_retention_and_vacuum(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_manifest_table(spark, base, version=0)
     assert vacuum_manifest_table(spark, base) >= 1  # the release's files go
+
+
+def test_claim_released_without_commit_unblocks_waiters_fast(spark, tmp_path, monkeypatch):
+    """A writer that fails inside its claimed window RELEASES the claim;
+    a waiting writer must notice the vanished claim and retry immediately
+    — not stall for the full wait and demand manual recovery."""
+    import threading
+    import time
+
+    import tibame_project_spark.sources.manifest as M
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"], keep=10
+    )
+    open(f"{base}/_CLAIM_v1", "w").close()
+    monkeypatch.setattr(M, "_CLAIM_WAIT_S", 30.0)  # the stall we must avoid
+    t = threading.Timer(1.0, lambda: os.remove(f"{base}/_CLAIM_v1"))
+    t.start()
+    t0 = time.monotonic()
+    append_manifest_table(spark, _mk(spark, [(2, 2)]), base, keep=10)
+    assert time.monotonic() - t0 < 15  # proceeded on release, no timeout
+    assert _content(spark, base) == {(1, 1), (2, 2)}
+
+
+def test_corrupt_tag_file_never_fails_commits(spark, tmp_path):
+    """A crashed tagger's partial tag file cannot name the version it
+    pins: commits must still publish (pruning skipped — always safe),
+    tag reads must raise clearly, and deleting the corrupt tag restores
+    normal housekeeping."""
+    from tibame_project_spark.sources.manifest import delete_manifest_tag
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"], keep=1
+    )
+    os.makedirs(f"{base}/tags", exist_ok=True)
+    open(f"{base}/tags/broken.json", "w").close()  # crashed mid-write
+    # commits keep publishing; retention pruning is skipped, not crashed
+    write_manifest_table(spark, _mk(spark, [(2, 2)]), base, keep=1)
+    write_manifest_table(spark, _mk(spark, [(3, 3)]), base, keep=1)
+    assert _content(spark, base) == {(3, 3)}
+    assert os.path.exists(f"{base}/_COMMIT_v0")  # prune was skipped
+    with pytest.raises(Exception):
+        read_manifest_table(spark, base, tag="broken")
+    delete_manifest_tag(spark, base, "broken")
+    write_manifest_table(spark, _mk(spark, [(4, 4)]), base, keep=1)
+    assert not os.path.exists(f"{base}/_COMMIT_v0")  # housekeeping resumed
+
+
+def test_refresh_era_registry_stays_bounded_and_ids_never_alias(spark, tmp_path):
+    """Era registry hygiene: repeated refreshes of a once-reordered
+    schema reuse the remapped era instead of registering duplicates, and
+    an add-column append after a column-dropping refresh takes an id
+    fresh across the WHOLE registry — never aliasing a retired column
+    (cross-era feeds pair by id)."""
+    import json as _json
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark,
+        spark.createDataFrame([(1, "x")], "a long, b string"),
+        base, stats_cols=["a"], keep=10,
+    )
+
+    def meta():
+        return _json.loads(
+            open(
+                f"{base}/meta/v={read_manifest_version(spark, base)}.json"
+            ).read()
+        )
+
+    # reorder refresh, then the SAME reordered schema twice more
+    for _ in range(3):
+        write_manifest_table(
+            spark,
+            spark.createDataFrame([("x", 1)], "b string, a long"),
+            base, keep=10,
+        )
+        m = meta()
+    assert len(m["schemas"]) == 2  # original + ONE remapped era, not 4
+    # ids followed names through the reorder
+    cur = {f["name"]: f["id"] for f in m["schemas"][str(m["schema_id"])]}
+    assert cur == {"a": 0, "b": 1}
+
+    # drop-column refresh (b gone), then append-evolve a new column c:
+    # c's id must not reuse b's id 1
+    write_manifest_table(
+        spark, spark.createDataFrame([(2,)], "a long"), base, keep=10
+    )
+    append_manifest_table(
+        spark,
+        spark.createDataFrame([(3, 9.5)], "a long, c double"),
+        base, keep=10, allow_evolution=True,
+    )
+    m = meta()
+    cur = {f["name"]: f["id"] for f in m["schemas"][str(m["schema_id"])]}
+    assert cur["a"] == 0 and cur["c"] >= 2  # never b's id
+    got = {
+        (r["a"], r["c"])
+        for r in read_manifest_table(spark, base).collect()
+    }
+    assert got == {(2, None), (3, 9.5)}

@@ -597,6 +597,10 @@ def _finish(
             )
             deadline = _time.monotonic() + _CLAIM_WAIT_S
             while not fs.exists(marker):
+                if not fs.exists(claim):
+                    # the holder failed and RELEASED its claim (or a
+                    # tagger finished its claimed window): retry now
+                    break
                 if _time.monotonic() > deadline:
                     raise ConcurrentCommitError(
                         f"{_CLAIM_PREFIX}{version} under {base_path} is held "
@@ -638,7 +642,17 @@ def _finish(
             raise
         floor = version - keep
         if floor >= 0:
-            tagged = set(_manifest_tags(spark, base_path).values())
+            try:
+                tagged = set(_manifest_tags(spark, base_path).values())
+            except Exception:
+                # a corrupt/partial tag file (crashed tagger) cannot name
+                # the version it pins — skip pruning entirely (always
+                # safe; housekeeping resumes once the file is repaired or
+                # delete_manifest_tag'd)
+                tagged = None
+        else:
+            tagged = None
+        if floor >= 0 and tagged is not None:
             for status in list(fs.listStatus(base)):
                 name = status.getPath().getName()
                 for pref in (_COMMIT_PREFIX, _CLAIM_PREFIX):
@@ -963,8 +977,16 @@ def write_manifest_table(
                 else:
                     refreshed.append(dict(f, id=next_id))
                     next_id += 1
-            schema_id = max(schemas) + 1
-            schemas[schema_id] = refreshed
+            # reuse an existing era when the remap reproduces one exactly
+            # — otherwise every nightly refresh of a once-reordered table
+            # would register a duplicate era and grow meta forever
+            for k, fl in schemas.items():
+                if fl == refreshed:
+                    schema_id = k
+                    break
+            else:
+                schema_id = max(schemas) + 1
+                schemas[schema_id] = refreshed
     manifest = _file_stats(
         spark, base_path, data_dir, stats_cols, df.schema, bloom,
         schema_id=schema_id,
@@ -1033,9 +1055,13 @@ def append_manifest_table(
             list(schema.fields)
             + [df.schema[n] for n in extras]
         )
-        # add-column evolution: new fields get fresh ids appended to the
-        # current schema; the batch's files are written under the new id
-        next_id = max(i["id"] for i in schemas[schema_id]) + 1
+        # add-column evolution: new fields get ids fresh across the WHOLE
+        # registry (an id freed by a schema-changing refresh must never be
+        # reused for a different column — cross-era feeds pair by id);
+        # the batch's files are written under the new schema id
+        next_id = (
+            max(f["id"] for fl in schemas.values() for f in fl) + 1
+        )
         new_fields = list(schemas[schema_id]) + [
             {
                 "id": next_id + j,
@@ -2014,35 +2040,68 @@ def tag_manifest_version(
     ``version`` defaults to the current head. Tags are immutable —
     retagging a name raises (delete then recreate to move it, accepting
     that the old pin's retention protection ends). Atomic create-new, so
-    two writers cannot silently claim one name. Returns the pinned
-    version."""
+    two writers cannot silently claim one name. The pin SERIALIZES
+    through the commit claim protocol: commits read the tag set inside
+    their claimed window, so a tagger holding the next version's claim
+    excludes every concurrent prune — no window where a tag lands on a
+    version a racing commit just pruned. Returns the pinned version."""
+    import time as _time
+
     fs, _, jvm = _fs_for(spark, base_path)
     if "/" in name or name.startswith("_") or not name:
         raise ValueError(f"invalid tag name {name!r}")
-    if version is None:
-        version = read_manifest_version(spark, base_path)
-        if version is None:
+    deadline = _time.monotonic() + _CLAIM_WAIT_S
+    while True:
+        head = read_manifest_version(spark, base_path)
+        if head is None:
             raise FileNotFoundError(f"no committed manifest table under {base_path}")
-    marker = jvm.org.apache.hadoop.fs.Path(
-        f"{base_path}/{_COMMIT_PREFIX}{version}"
-    )
-    if not fs.exists(marker):
-        raise FileNotFoundError(
-            f"manifest version {version} under {base_path} is not committed "
-            "or has been pruned past retention — cannot tag"
+        pin = head if version is None else version
+        claim = jvm.org.apache.hadoop.fs.Path(
+            f"{base_path}/{_CLAIM_PREFIX}{head + 1}"
         )
-    tag_path = jvm.org.apache.hadoop.fs.Path(f"{base_path}/tags/{name}.json")
-    fs.mkdirs(tag_path.getParent())
-    try:
-        out = fs.create(tag_path, False)  # create-new = the pin
-    except Exception as e:
-        raise ValueError(
-            f"tag {name!r} already exists under {base_path} (tags are "
-            "immutable; delete_manifest_tag then recreate to move it)"
-        ) from e
-    out.write(bytearray(json.dumps({"version": version}).encode("utf-8")))
-    out.close()
-    return version
+        try:
+            fs.create(claim, False).close()
+        except Exception:
+            marker = jvm.org.apache.hadoop.fs.Path(
+                f"{base_path}/{_COMMIT_PREFIX}{head + 1}"
+            )
+            while not fs.exists(marker):
+                if not fs.exists(claim):
+                    break
+                if _time.monotonic() > deadline:
+                    raise ConcurrentCommitError(
+                        f"{_CLAIM_PREFIX}{head + 1} under {base_path} is "
+                        "held but its commit never appeared — run "
+                        "recover_manifest_table() once no writer is live"
+                    )
+                _time.sleep(_CLAIM_POLL_S)
+            continue
+        try:
+            marker = jvm.org.apache.hadoop.fs.Path(
+                f"{base_path}/{_COMMIT_PREFIX}{pin}"
+            )
+            if not fs.exists(marker):
+                raise FileNotFoundError(
+                    f"manifest version {pin} under {base_path} is not "
+                    "committed or has been pruned past retention — cannot tag"
+                )
+            tag_path = jvm.org.apache.hadoop.fs.Path(
+                f"{base_path}/tags/{name}.json"
+            )
+            fs.mkdirs(tag_path.getParent())
+            try:
+                out = fs.create(tag_path, False)  # create-new = the pin
+            except Exception as e:
+                raise ValueError(
+                    f"tag {name!r} already exists under {base_path} (tags "
+                    "are immutable; delete_manifest_tag then recreate to "
+                    "move it)"
+                ) from e
+            out.write(bytearray(json.dumps({"version": pin}).encode("utf-8")))
+            out.close()
+            return pin
+        finally:
+            fs.delete(claim, False)  # claim released; no marker = no commit
 
 
 def delete_manifest_tag(spark: SparkSession, base_path: str, name: str) -> None:
