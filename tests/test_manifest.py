@@ -2368,3 +2368,235 @@ def test_refresh_era_registry_stays_bounded_and_ids_never_alias(spark, tmp_path)
         for r in read_manifest_table(spark, base).collect()
     }
     assert got == {(2, None), (3, 9.5)}
+
+
+def test_replicate_bootstrap_crash_replay_full_refreshes_not_merges(
+    spark, tmp_path
+):
+    """Bootstrap crash-replay safety (r09 ADVICE): a crash AFTER the
+    bootstrap wrote the destination but BEFORE the cursor committed must
+    re-run the bootstrap as a FULL REFRESH — the re-pulled snapshot sits
+    at the source's CURRENT head, and merging its insert-only rows into
+    the half-bootstrapped destination would orphan every key the source
+    deleted between the two attempts, forever."""
+    from tibame_project_spark.streaming.incremental import (
+        replicate_manifest_table,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    state = str(tmp_path / "cursor.json")
+
+    def content(base):
+        return {
+            (r["id"], r["v"])
+            for r in read_manifest_table(spark, base).collect()
+        }
+
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(20)]), src,
+        stats_cols=["id"], cluster_by="id", n_files=4, keep=10,
+    )
+    assert replicate_manifest_table(
+        spark, src, dst, "id", state_path=state, keep=10
+    ) == 1
+    # the bootstrap mirrors the source's file granularity — one
+    # monolithic file would defeat every later merge epoch's skipping
+    from tibame_project_spark.sources.manifest import manifest_table_stats
+
+    assert manifest_table_stats(spark, dst)["numFiles"] >= 2
+
+    # crash simulation: destination written, cursor never committed
+    os.remove(state)
+    # the source moves on — including DELETES the bootstrap feed (insert
+    # rows only) can never express
+    merge_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(3, 0, True), (7, 0, True), (100, 100, False)],
+            "id long, v long, dead boolean",
+        ),
+        src, "id", delete_col="dead", keep=10,
+    )
+    assert replicate_manifest_table(
+        spark, src, dst, "id", state_path=state, keep=10
+    ) == 1
+    got = content(dst)
+    assert (3, 3) not in got and (7, 7) not in got  # deletes NOT orphaned
+    assert got == content(src)
+
+
+def test_tagging_under_concurrent_commits_never_dangles(spark, tmp_path):
+    """The r09-flagged tag-vs-prune race, closed by prune-before-marker:
+    a tagger pinning the head while a keep=1 committer prunes aggressively
+    from another thread must either pin durably or fail loudly — every
+    surviving tag's marker, manifest, AND meta must exist and read back.
+    (Before the fix, a tag could land on a version whose metadata the
+    in-flight commit then deleted, leaving a dangling pin.)"""
+    import threading
+
+    from tibame_project_spark.sources.manifest import (
+        list_manifest_tags,
+        tag_manifest_version,
+    )
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(0, 0)]), base, stats_cols=["id"], keep=1
+    )
+    errors: list = []
+    stop = threading.Event()
+
+    def committer():
+        try:
+            for i in range(6):
+                append_manifest_table(
+                    spark, _mk(spark, [(100 + i, i)]), base, keep=1
+                )
+        except Exception as e:
+            errors.append(("committer", e))
+        finally:
+            stop.set()
+
+    def tagger():
+        i = 0
+        try:
+            while not stop.is_set() and i < 12:
+                tag_manifest_version(spark, base, f"pin{i}")
+                i += 1
+        except Exception as e:
+            errors.append(("tagger", e))
+
+    threads = [
+        threading.Thread(target=committer),
+        threading.Thread(target=tagger),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    tags = list_manifest_tags(spark, base)
+    assert tags  # the tagger pinned at least one version
+    for name, v in tags.items():
+        # the pin is durable: marker + manifest + meta all survived the
+        # concurrent prunes, and the version reads back
+        assert os.path.exists(f"{base}/_COMMIT_v{v}"), (name, v)
+        assert os.path.exists(f"{base}/manifest/v={v}"), (name, v)
+        assert os.path.exists(f"{base}/meta/v={v}.json"), (name, v)
+        read_manifest_table(spark, base, tag=name).collect()
+
+
+def test_commit_fs_seam_routes_every_publish_point(spark, tmp_path):
+    """The CommitFS seam is load-bearing: claims, commit markers, and tag
+    pins ALL publish through it — a conditional-put adapter installed via
+    set_commit_fs sees every atomic create-new the protocol performs."""
+    import tibame_project_spark.sources.manifest as M
+    from tibame_project_spark.sources.manifest import (
+        CommitFS,
+        set_commit_fs,
+        tag_manifest_version,
+    )
+
+    class Counting(CommitFS):
+        def __init__(self):
+            self.paths: list[str] = []
+
+        def create_new(self, fs, path, data: bytes = b"") -> None:
+            self.paths.append(path.getName())
+            super().create_new(fs, path, data)
+
+    base = str(tmp_path / "t")
+    counter = Counting()
+    prev = set_commit_fs(counter)
+    try:
+        write_manifest_table(
+            spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"], keep=10
+        )
+        append_manifest_table(spark, _mk(spark, [(2, 2)]), base, keep=10)
+        tag_manifest_version(spark, base, "rel")
+    finally:
+        set_commit_fs(prev)
+    names = counter.paths
+    # 2 commits x (claim + marker) + tag x (claim + pin file)
+    assert names.count("_CLAIM_v0") == 1 and names.count("_COMMIT_v0") == 1
+    assert names.count("_CLAIM_v1") == 1 and names.count("_COMMIT_v1") == 1
+    assert names.count("_CLAIM_v2") == 1  # the tagger's claimed window
+    assert names.count("rel.json") == 1
+    assert M._COMMIT_FS is prev  # restored
+
+
+def test_non_atomic_commit_fs_breaks_exclusivity_conditional_put_restores_it(
+    spark, tmp_path, monkeypatch
+):
+    """Why the seam exists (r09 verdict item 2): on a store whose
+    create-new is a non-atomic exists-then-put (eventual-consistency-era
+    S3A), a held claim does NOT exclude a second writer — the protocol's
+    exclusivity silently evaporates. A conditional-put adapter (here a
+    lock+check stand-in for S3 If-None-Match / GCS ifGenerationMatch=0)
+    restores the atomic-create contract and with it the documented
+    behavior: the second writer waits, then raises for recovery."""
+    import threading
+
+    import tibame_project_spark.sources.manifest as M
+    from tibame_project_spark.sources.manifest import (
+        CommitFS,
+        ConcurrentCommitError,
+        set_commit_fs,
+    )
+
+    class NonAtomic(CommitFS):
+        """exists-then-put with no atomicity: both halves can interleave
+        with another writer's — and worse, the put OVERWRITES."""
+
+        def create_new(self, fs, path, data: bytes = b"") -> None:
+            out = fs.create(path, True)  # overwrite: the broken half
+            try:
+                if data:
+                    out.write(bytearray(data))
+            finally:
+                out.close()
+
+    class FakeConditionalPut(CommitFS):
+        """What a real S3 adapter provides: one compare-and-create."""
+
+        def __init__(self):
+            self._lock = threading.Lock()
+
+        def create_new(self, fs, path, data: bytes = b"") -> None:
+            with self._lock:
+                if fs.exists(path):
+                    raise IOError(f"{path} already exists")
+                out = fs.create(path, True)
+                try:
+                    if data:
+                        out.write(bytearray(data))
+                finally:
+                    out.close()
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"], keep=10
+    )
+    monkeypatch.setattr(M, "_CLAIM_WAIT_S", 0.5)
+    open(f"{base}/_CLAIM_v1", "w").close()  # another writer's LIVE claim
+
+    # broken store: the held claim excludes nothing — the append barges
+    # straight through the "exclusive" window (two writers would now own
+    # v1; this is the corruption class the requirement note documents)
+    prev = set_commit_fs(NonAtomic())
+    try:
+        append_manifest_table(spark, _mk(spark, [(2, 2)]), base, keep=10)
+    finally:
+        set_commit_fs(prev)
+
+    # conditional-put adapter: exclusivity is back — the writer waits out
+    # the (stale) claim and raises for recovery, exactly like the default
+    # on an atomic-create filesystem
+    open(f"{base}/_CLAIM_v2", "w").close()
+    prev = set_commit_fs(FakeConditionalPut())
+    try:
+        with pytest.raises(ConcurrentCommitError, match="recover_manifest_table"):
+            append_manifest_table(spark, _mk(spark, [(3, 3)]), base, keep=10)
+    finally:
+        set_commit_fs(prev)

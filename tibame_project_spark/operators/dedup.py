@@ -806,6 +806,13 @@ def _ngram_jaccard_ppjoin(
         # would pin the relation in the cache for the session lifetime
         # (this op has no loop that owns an unpersist point). Lazy, so
         # building the plan costs nothing until the caller acts on it.
+        # TRADE-OFF: localCheckpoint truncates lineage, so blocks live
+        # only on executors with NO recompute path — an executor lost
+        # after materialization fails the downstream consumers outright
+        # where persist would silently recompute. On preemptible/spot
+        # clusters prefer the ngram_jaccard_exact_pairs default plan
+        # (prefix_filter=False), or re-run the job on failure: the op is
+        # deterministic and side-effect-free.
         .localCheckpoint(eager=False)
     )
     prefix_len = F.greatest(

@@ -46,9 +46,18 @@ are disjoint (append∘append, append∘merge on disjoint key ranges,
 compact∘append), and raises :class:`ConcurrentCommitError` when they are
 not (two merges over one file, anything touching a merge/delete's key
 range, schema changes, full refresh/restore races). The tiny metadata
-window (manifest parquet + meta json + marker) is serialized by an
-atomic ``_CLAIM_v<n>`` marker; a claim whose commit never appears is a
-crashed writer — :func:`recover_manifest_table` clears it. Layout under
+window (manifest rename + meta json + tag-aware prune + marker) is
+serialized by an atomic ``_CLAIM_v<n>`` marker — the manifest parquet
+itself is materialized to ``manifest_tmp/`` BEFORE the claim, so the
+claimed window never runs a Spark job; a claim whose commit never
+appears is a crashed writer — :func:`recover_manifest_table` clears it.
+
+**Filesystem requirement**: every publish point (claims, markers, tag
+pins) is an atomic create-new — atomic on HDFS / local / ABFS via
+Hadoop's ``create(path, overwrite=False)``, but NOT on S3A/GCS without
+conditional-write support. On such stores install a conditional-put
+adapter through the :class:`CommitFS` seam (:func:`set_commit_fs`) —
+the same pluggable-LogStore split Delta Lake documents. Layout under
 ``base_path``::
 
     _COMMIT_v<n>       commit markers (atomic create-new; the publish)
@@ -58,6 +67,9 @@ crashed writer — :func:`recover_manifest_table` clears it. Layout under
     manifest/v=<n>/    parquet, one row per live data file:
                        path, bytes, rows, min_<c>, max_<c> per stats col,
                        dv_path (NULL unless a deletion vector applies)
+    manifest_tmp/c=<t> one commit attempt's manifest, materialized
+                       BEFORE its claim and renamed into place inside it
+                       (crashed attempts are swept by vacuum)
     data/c=<token>/    immutable parquet files ADDED by one commit
                        attempt (a version's live set spans many dirs;
                        pre-r09 tables' data/v=<n>/ dirs read unchanged)
@@ -116,6 +128,8 @@ __all__ = [
     "bloom_prune_expr",
     "manifest_table_stats",
     "ConcurrentCommitError",
+    "CommitFS",
+    "set_commit_fs",
     "recover_manifest_table",
     "evolve_manifest_table",
     "tag_manifest_version",
@@ -379,14 +393,91 @@ class ConcurrentCommitError(RuntimeError):
 
 
 #: Claim markers serialize the tiny metadata window of a commit (manifest
-#: parquet + meta json + commit marker); data writes happen before, in
-#: attempt-unique dirs, fully in parallel.
+#: rename + meta json + tag-aware prune + commit marker); data writes AND
+#: the manifest materialization happen before, in attempt-unique dirs,
+#: fully in parallel.
 _CLAIM_PREFIX = "_CLAIM_v"
-#: How long a loser waits for a claim holder's commit marker before
-#: declaring the claim abandoned. The claimed window is milliseconds of
-#: metadata writes, so anything near this bound is a crashed writer.
+#: How long a claim may be held without its commit marker appearing
+#: before waiters declare it abandoned. Measured from the claim FILE's
+#: modification time, never from the waiter's arrival — a healthy busy
+#: table can keep a waiter losing races far longer than any one claimed
+#: window, and that must not read as a crash. The claimed window itself
+#: is a handful of filesystem metadata ops (the manifest is materialized
+#: to ``manifest_tmp/`` BEFORE the claim and only renamed inside it), so
+#: anything near this bound is a genuinely crashed writer.
 _CLAIM_WAIT_S = 30.0
 _CLAIM_POLL_S = 0.25
+
+
+class CommitFS:
+    """The ONE filesystem primitive the commit protocol's correctness
+    rests on: **atomic create-new** — create the file iff it does not
+    exist, all-or-nothing against every concurrent caller. Claim markers,
+    commit markers, and tag pins all publish through it.
+
+    The default implementation is Hadoop's ``fs.create(path,
+    overwrite=False)``, which IS atomic on HDFS, local filesystems, and
+    ABFS — but NOT on S3A or GCS connectors without conditional-write
+    support: eventual-consistency-era S3A implements create-new as a
+    non-atomic exists-then-put, so two racing writers can both "win" a
+    claim and corrupt a version. This is exactly the problem Delta Lake
+    solves with its pluggable LogStore. Deploying on such a store
+    requires installing an adapter here (:func:`set_commit_fs`) that
+    maps ``create_new`` onto a real conditional put (S3
+    ``If-None-Match``, GCS ``ifGenerationMatch=0``, or a DynamoDB-class
+    coordination table). See SCALE.md for the deployment matrix."""
+
+    def create_new(self, fs, path, data: bytes = b"") -> None:
+        """Atomically create ``path`` with ``data`` (empty for markers);
+        MUST raise if the path already exists, with no partial state."""
+        out = fs.create(path, False)
+        try:
+            if data:
+                out.write(bytearray(data))
+        finally:
+            out.close()
+
+
+_COMMIT_FS = CommitFS()
+
+
+def set_commit_fs(impl: CommitFS) -> CommitFS:
+    """Install a :class:`CommitFS` adapter (conditional-put for object
+    stores without atomic create-new); returns the previous one so
+    callers can restore it."""
+    global _COMMIT_FS
+    prev, _COMMIT_FS = _COMMIT_FS, impl
+    return prev
+
+
+def _await_claim(fs, jvm, base_path: str, version: int) -> None:
+    """Wait out ``version``'s claimed metadata window: return once the
+    version's commit marker appears OR its claim vanishes (either way the
+    caller re-lists and retries against the new state). A claim file
+    older than :data:`_CLAIM_WAIT_S` with no marker is a crashed writer —
+    raise with the recovery hint."""
+    import time as _time
+
+    claim = jvm.org.apache.hadoop.fs.Path(f"{base_path}/{_CLAIM_PREFIX}{version}")
+    marker = jvm.org.apache.hadoop.fs.Path(f"{base_path}/{_COMMIT_PREFIX}{version}")
+    while not fs.exists(marker):
+        try:
+            age_ms = (
+                _time.time() * 1000.0
+                - fs.getFileStatus(claim).getModificationTime()
+            )
+        except Exception:
+            # the holder failed and RELEASED its claim (or a tagger
+            # finished its claimed window): retry now
+            return
+        if age_ms > _CLAIM_WAIT_S * 1000.0:
+            raise ConcurrentCommitError(
+                f"{_CLAIM_PREFIX}{version} under {base_path} is held but "
+                f"its commit marker never appeared within {_CLAIM_WAIT_S:.0f}s "
+                "of the claim — a writer likely crashed mid-publish; once "
+                "no writer is live, run recover_manifest_table() and retry"
+            )
+        _time.sleep(_CLAIM_POLL_S)
 #: Upper bound on rebase attempts under sustained contention — each retry
 #: re-derives against a head another writer just moved.
 _MAX_REBASES = 10
@@ -530,151 +621,179 @@ def _finish(
        deletes with intersecting read sets / key ranges raise);
        ``full_manifest`` commits (create, full refresh, restore) are
        exclusive and never rebase;
-    2. atomically CLAIM version ``h+1`` (create-new ``_CLAIM_v<n>``) —
-       the claim serializes only the metadata window, so losing it means
-       waiting for that version's marker and looping back to (1); a claim
-       whose commit never appears is a crashed writer
-       (:func:`recover_manifest_table`);
-    3. under the claim: manifest parquet → meta json → ``_COMMIT_v<n>``
-       marker (the commit) → prune markers/claims/manifests/meta at or
-       below the retention floor.
+    2. MATERIALIZE the resulting manifest to an attempt-unique
+       ``manifest_tmp/c=<token>`` dir — this executes the whole lineage
+       (head manifest load + the ``_file_stats`` scan of the new data
+       files + Bloom aggregation), deliberately OUTSIDE any claim: a
+       large commit's stats job can run minutes, and running it inside
+       the claimed window would make healthy slow writers look crashed
+       to every waiter (r09 ADVICE);
+    3. atomically CLAIM version ``h+1`` (create-new ``_CLAIM_v<n>``,
+       through the :class:`CommitFS` seam) — the claim serializes only
+       the metadata window, so losing it means waiting for that
+       version's marker (:func:`_await_claim`, bounded by the claim
+       file's AGE) and looping back to (1); a claim whose commit never
+       appears is a crashed writer (:func:`recover_manifest_table`);
+    4. under the claim: RENAME the materialized manifest into place →
+       meta json → tag-aware retention prune → ``_COMMIT_v<n>`` marker
+       (the commit). The prune runs BEFORE the marker on purpose: a
+       tagger that observed head == n has therefore observed commit
+       ``n``'s prune already complete, and the next prune needs the
+       claim the tagger itself holds — which closes the tag-vs-prune
+       race (a tag can never land on metadata a racing commit is about
+       to delete). A crash between prune and marker costs at most one
+       RETAINED version (the table briefly keeps ``keep-1`` old
+       versions), never a committed one.
 
     Data files and DV sidecars live in attempt-unique ``data/c=<token>``
     dirs written BEFORE this function, so racing writers never contend on
     data paths and losers' files are simply never referenced (vacuum
-    reclaims them). Data files are NEVER pruned here — older retained
-    manifests may reference them. ``dv_key`` records the table's
-    deletion-vector key column (fixed at first delete) so reads know
-    which column the sidecars condemn."""
-    import time as _time
-
+    reclaims them, as it does crashed attempts' ``manifest_tmp`` dirs).
+    Data files are NEVER pruned here — older retained manifests may
+    reference them. ``dv_key`` records the table's deletion-vector key
+    column (fixed at first delete) so reads know which column the
+    sidecars condemn."""
     global _TEST_COMMIT_RACE_HOOK
     if _TEST_COMMIT_RACE_HOOK is not None:
         hook, _TEST_COMMIT_RACE_HOOK = _TEST_COMMIT_RACE_HOOK, None
         hook()
     fs, base, jvm = _fs_for(spark, base_path)
-    for _attempt in range(_MAX_REBASES):
-        listing = list(fs.listStatus(base)) if fs.exists(base) else []
-        committed = _committed_versions(listing)
-        head = max(committed) if committed else None
-        if head != base_head:
-            if base_head is None:
-                raise ConcurrentCommitError(
-                    f"manifest table under {base_path} was created by a "
-                    "concurrent writer — read the new head instead"
-                )
-            if full_manifest is not None:
-                raise ConcurrentCommitError(
-                    f"exclusive commit ({op}) prepared against v{base_head} "
-                    f"but head is now v{head} under {base_path} — re-derive "
-                    "and retry"
-                )
-            dv_key = _check_rebase(
-                spark, base_path, base_head, head, removed, bounds,
-                schema, stats_cols, bloom, dv_key,
-            )
-            manifest = _load_manifest(spark, base_path, head)
-        elif full_manifest is not None:
-            manifest = full_manifest
-        else:
-            manifest = _load_manifest(spark, base_path, base_head)
-        if full_manifest is None:
-            if removed:
-                manifest = manifest.where(~F.col("path").isin(list(removed)))
-            if added is not None:
-                manifest = manifest.unionByName(added)
-        version = (head if head is not None else -1) + 1
-        claim = jvm.org.apache.hadoop.fs.Path(
-            f"{base_path}/{_CLAIM_PREFIX}{version}"
-        )
-        try:
-            fs.create(claim, False).close()  # create-new = exclusive claim
-        except Exception:
-            # lost the claim: its holder is publishing this version right
-            # now — wait for the marker, then rebase against it
-            marker = jvm.org.apache.hadoop.fs.Path(
-                f"{base_path}/{_COMMIT_PREFIX}{version}"
-            )
-            deadline = _time.monotonic() + _CLAIM_WAIT_S
-            while not fs.exists(marker):
-                if not fs.exists(claim):
-                    # the holder failed and RELEASED its claim (or a
-                    # tagger finished its claimed window): retry now
-                    break
-                if _time.monotonic() > deadline:
+    tmp_dir = f"manifest_tmp/c={_token()}"
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{base_path}/{tmp_dir}")
+    try:
+        for _attempt in range(_MAX_REBASES):
+            listing = list(fs.listStatus(base)) if fs.exists(base) else []
+            committed = _committed_versions(listing)
+            head = max(committed) if committed else None
+            if head != base_head:
+                if base_head is None:
                     raise ConcurrentCommitError(
-                        f"{_CLAIM_PREFIX}{version} under {base_path} is held "
-                        "but its commit marker never appeared — a writer "
-                        "likely crashed mid-publish; once no writer is "
-                        "live, run recover_manifest_table() and retry"
+                        f"manifest table under {base_path} was created by a "
+                        "concurrent writer — read the new head instead"
                     )
-                _time.sleep(_CLAIM_POLL_S)
-            continue
-        # we own this version number exclusively: publish — and release
-        # the claim if anything inside the window fails (a transient
-        # write error must not wedge the table behind a stale claim)
-        try:
+                if full_manifest is not None:
+                    raise ConcurrentCommitError(
+                        f"exclusive commit ({op}) prepared against v{base_head} "
+                        f"but head is now v{head} under {base_path} — re-derive "
+                        "and retry"
+                    )
+                dv_key = _check_rebase(
+                    spark, base_path, base_head, head, removed, bounds,
+                    schema, stats_cols, bloom, dv_key,
+                )
+                manifest = _load_manifest(spark, base_path, head)
+            elif full_manifest is not None:
+                manifest = full_manifest
+            else:
+                manifest = _load_manifest(spark, base_path, base_head)
+            if full_manifest is None:
+                if removed:
+                    manifest = manifest.where(~F.col("path").isin(list(removed)))
+                if added is not None:
+                    manifest = manifest.unionByName(added)
+            version = (head if head is not None else -1) + 1
+            # materialize BEFORE claiming (docstring step 2): the claimed
+            # window below is pure filesystem metadata, so _CLAIM_WAIT_S
+            # bounds a rename + two small writes + a prune — not a job
             manifest.coalesce(1).write.mode("overwrite").parquet(
-                f"{base_path}/manifest/v={version}"
+                f"{base_path}/{tmp_dir}"
             )
-            meta = {"schema": schema.jsonValue(), "stats_cols": stats_cols}
-            if schemas is not None:
-                # schema registry (field ids → rename/widen evolution):
-                # meta carries every physical schema files were written
-                # under
-                meta["schemas"] = {str(k): v for k, v in schemas.items()}
-                meta["schema_id"] = schema_id
-            if op is not None:
-                meta["op"] = op
-            if dv_key is not None:
-                meta["dv_key"] = dv_key
-            if bloom is not None:
-                meta["bloom"] = bloom
-            _write_text(
-                spark, f"{base_path}/meta/v={version}.json", json.dumps(meta)
+            claim = jvm.org.apache.hadoop.fs.Path(
+                f"{base_path}/{_CLAIM_PREFIX}{version}"
             )
-            marker = jvm.org.apache.hadoop.fs.Path(
-                f"{base_path}/{_COMMIT_PREFIX}{version}"
-            )
-            fs.create(marker, False).close()  # create-new = the commit
-        except BaseException:
-            fs.delete(claim, False)
-            raise
-        floor = version - keep
-        if floor >= 0:
             try:
-                tagged = set(_manifest_tags(spark, base_path).values())
+                _COMMIT_FS.create_new(fs, claim)  # create-new = the claim
             except Exception:
-                # a corrupt/partial tag file (crashed tagger) cannot name
-                # the version it pins — skip pruning entirely (always
-                # safe; housekeeping resumes once the file is repaired or
-                # delete_manifest_tag'd)
-                tagged = None
-        else:
-            tagged = None
-        if floor >= 0 and tagged is not None:
-            for status in list(fs.listStatus(base)):
-                name = status.getPath().getName()
-                for pref in (_COMMIT_PREFIX, _CLAIM_PREFIX):
-                    mv = _version_suffix(name, pref)
-                    if mv is not None and mv <= floor and mv not in tagged:
-                        fs.delete(status.getPath(), False)
-            for sub in ("manifest", "meta"):
-                subp = jvm.org.apache.hadoop.fs.Path(f"{base_path}/{sub}")
-                if fs.exists(subp):
-                    for status in fs.listStatus(subp):
+                # lost the claim: its holder is publishing this version
+                # right now — wait for its marker (or released claim),
+                # then rebase against whatever the head became
+                _await_claim(fs, jvm, base_path, version)
+                continue
+            # we own this version number exclusively: publish — and
+            # release the claim if anything inside the window fails (a
+            # transient write error must not wedge the table behind a
+            # stale claim)
+            try:
+                dst = jvm.org.apache.hadoop.fs.Path(
+                    f"{base_path}/manifest/v={version}"
+                )
+                fs.mkdirs(dst.getParent())
+                if fs.exists(dst):
+                    # a previous claim-holder crashed after its rename but
+                    # before its marker; we own the claim and no marker
+                    # exists for this version, so the dir is dead weight
+                    fs.delete(dst, True)
+                if not fs.rename(tmp, dst):
+                    raise IOError(
+                        f"rename {tmp_dir} -> manifest/v={version} failed "
+                        f"under {base_path}"
+                    )
+                meta = {"schema": schema.jsonValue(), "stats_cols": stats_cols}
+                if schemas is not None:
+                    # schema registry (field ids → rename/widen evolution):
+                    # meta carries every physical schema files were written
+                    # under
+                    meta["schemas"] = {str(k): v for k, v in schemas.items()}
+                    meta["schema_id"] = schema_id
+                if op is not None:
+                    meta["op"] = op
+                if dv_key is not None:
+                    meta["dv_key"] = dv_key
+                if bloom is not None:
+                    meta["bloom"] = bloom
+                _write_text(
+                    spark, f"{base_path}/meta/v={version}.json", json.dumps(meta)
+                )
+                # tag-aware retention prune, BEFORE the marker (docstring
+                # step 4 — what serializes tagging against pruning)
+                floor = version - keep
+                if floor >= 0:
+                    try:
+                        tagged = set(_manifest_tags(spark, base_path).values())
+                    except Exception:
+                        # a corrupt/partial tag file (crashed tagger)
+                        # cannot name the version it pins — skip pruning
+                        # entirely (always safe; housekeeping resumes once
+                        # the file is repaired or delete_manifest_tag'd)
+                        tagged = None
+                else:
+                    tagged = None
+                if floor >= 0 and tagged is not None:
+                    for status in list(fs.listStatus(base)):
                         name = status.getPath().getName()
-                        sv = _version_suffix(name, "v=")
-                        if sv is None and name.startswith("v=") and name.endswith(".json"):
-                            tail = name[len("v=") : -len(".json")]
-                            sv = int(tail) if tail.isdigit() else None
-                        if sv is not None and sv <= floor and sv not in tagged:
-                            fs.delete(status.getPath(), True)
-        return version
-    raise ConcurrentCommitError(
-        f"gave up after {_MAX_REBASES} rebase attempts under {base_path} — "
-        "sustained contention; retry the operation"
-    )
+                        for pref in (_COMMIT_PREFIX, _CLAIM_PREFIX):
+                            mv = _version_suffix(name, pref)
+                            if mv is not None and mv <= floor and mv not in tagged:
+                                fs.delete(status.getPath(), False)
+                    for sub in ("manifest", "meta"):
+                        subp = jvm.org.apache.hadoop.fs.Path(f"{base_path}/{sub}")
+                        if fs.exists(subp):
+                            for status in fs.listStatus(subp):
+                                name = status.getPath().getName()
+                                sv = _version_suffix(name, "v=")
+                                if sv is None and name.startswith("v=") and name.endswith(".json"):
+                                    tail = name[len("v=") : -len(".json")]
+                                    sv = int(tail) if tail.isdigit() else None
+                                if sv is not None and sv <= floor and sv not in tagged:
+                                    fs.delete(status.getPath(), True)
+                marker = jvm.org.apache.hadoop.fs.Path(
+                    f"{base_path}/{_COMMIT_PREFIX}{version}"
+                )
+                _COMMIT_FS.create_new(fs, marker)  # create-new = the commit
+            except BaseException:
+                fs.delete(claim, False)
+                raise
+            return version
+        raise ConcurrentCommitError(
+            f"gave up after {_MAX_REBASES} rebase attempts under {base_path} — "
+            "sustained contention; retry the operation"
+        )
+    finally:
+        try:
+            if fs.exists(tmp):
+                fs.delete(tmp, True)
+        except Exception:
+            pass  # a leaked tmp dir is vacuum's to reclaim, never an error
 
 
 def recover_manifest_table(spark: SparkSession, base_path: str) -> int:
@@ -1837,6 +1956,16 @@ def vacuum_manifest_table(
             if rel not in dv_referenced and old_enough(d):
                 fs.delete(d.getPath(), True)
                 deleted += 1
+    # crashed writers' pre-claim manifest materializations: _finish
+    # deletes its own tmp dir on every exit path, so anything still here
+    # belongs to a dead process (same min_age_s contract as data dirs —
+    # a LIVE writer's tmp is younger than any sane threshold)
+    tmp_root = jvm.org.apache.hadoop.fs.Path(f"{base_path}/manifest_tmp")
+    if fs.exists(tmp_root):
+        for d in fs.listStatus(tmp_root):
+            if old_enough(d):
+                fs.delete(d.getPath(), True)
+                deleted += 1
     return deleted
 
 def restore_manifest_table(
@@ -2041,16 +2170,18 @@ def tag_manifest_version(
     retagging a name raises (delete then recreate to move it, accepting
     that the old pin's retention protection ends). Atomic create-new, so
     two writers cannot silently claim one name. The pin SERIALIZES
-    through the commit claim protocol: commits read the tag set inside
-    their claimed window, so a tagger holding the next version's claim
-    excludes every concurrent prune — no window where a tag lands on a
-    version a racing commit just pruned. Returns the pinned version."""
-    import time as _time
-
+    through the commit claim protocol, and the argument is airtight
+    because commits prune BEFORE publishing their marker (see
+    :func:`_finish` step 4): a tagger that observed head ``h`` has, by
+    that observation, seen commit ``h``'s prune already finished; every
+    LATER prune belongs to a commit of version ``h+1`` — which needs the
+    very ``_CLAIM_v<h+1>`` the tagger holds while it verifies the pin's
+    marker and writes the tag. No interleaving exists where a tag lands
+    on metadata a racing commit then deletes (the r09-flagged race).
+    Returns the pinned version."""
     fs, _, jvm = _fs_for(spark, base_path)
     if "/" in name or name.startswith("_") or not name:
         raise ValueError(f"invalid tag name {name!r}")
-    deadline = _time.monotonic() + _CLAIM_WAIT_S
     while True:
         head = read_manifest_version(spark, base_path)
         if head is None:
@@ -2060,21 +2191,9 @@ def tag_manifest_version(
             f"{base_path}/{_CLAIM_PREFIX}{head + 1}"
         )
         try:
-            fs.create(claim, False).close()
+            _COMMIT_FS.create_new(fs, claim)
         except Exception:
-            marker = jvm.org.apache.hadoop.fs.Path(
-                f"{base_path}/{_COMMIT_PREFIX}{head + 1}"
-            )
-            while not fs.exists(marker):
-                if not fs.exists(claim):
-                    break
-                if _time.monotonic() > deadline:
-                    raise ConcurrentCommitError(
-                        f"{_CLAIM_PREFIX}{head + 1} under {base_path} is "
-                        "held but its commit never appeared — run "
-                        "recover_manifest_table() once no writer is live"
-                    )
-                _time.sleep(_CLAIM_POLL_S)
+            _await_claim(fs, jvm, base_path, head + 1)
             continue
         try:
             marker = jvm.org.apache.hadoop.fs.Path(
@@ -2090,15 +2209,15 @@ def tag_manifest_version(
             )
             fs.mkdirs(tag_path.getParent())
             try:
-                out = fs.create(tag_path, False)  # create-new = the pin
+                _COMMIT_FS.create_new(  # create-new = the pin
+                    fs, tag_path, json.dumps({"version": pin}).encode("utf-8")
+                )
             except Exception as e:
                 raise ValueError(
                     f"tag {name!r} already exists under {base_path} (tags "
                     "are immutable; delete_manifest_tag then recreate to "
                     "move it)"
                 ) from e
-            out.write(bytearray(json.dumps({"version": pin}).encode("utf-8")))
-            out.close()
             return pin
         finally:
             fs.delete(claim, False)  # claim released; no marker = no commit

@@ -392,12 +392,20 @@ def replicate_manifest_table(
     an independent table whose live content tracks the source — the
     produce→consume story of the storage tier run end-to-end under
     streaming epoch semantics. Bootstrap creates the destination from
-    the initial snapshot, clustered on ``key``; a committed cursor with
+    the initial snapshot, clustered on ``key`` and sized to the SOURCE's
+    live file count (not one monolithic file — the destination's merge
+    path depends on multi-file skipping); a committed cursor with
     a missing destination refuses (prior epochs' rows would silently
     vanish — the standing CDC-sink guard). Every epoch's apply is a
     merge fixpoint, so a crash between apply and cursor commit replays
-    without dupes or gaps. Returns the number of epochs applied."""
+    without dupes or gaps — INCLUDING the bootstrap epoch: a crash after
+    the destination write but before the cursor commit re-runs the
+    bootstrap as a FULL REFRESH of the destination (never a merge — the
+    re-pulled snapshot is at the source's CURRENT head, and a merge of
+    insert-only rows could never remove keys the source deleted between
+    the two bootstrap attempts). Returns the number of epochs applied."""
     from tibame_project_spark.sources.manifest import (
+        manifest_table_stats,
         merge_manifest_table,
         read_manifest_version,
         write_manifest_table,
@@ -410,21 +418,36 @@ def replicate_manifest_table(
         cols = [
             c[len("new_"):] for c in changes.columns if c.startswith("new_")
         ]
-        if read_manifest_version(spark, dst_path) is None:
-            # bootstrap only when the cursor is ALSO fresh: a committed
-            # cursor with a missing destination means prior epochs' rows
-            # were lost externally — the shared guard refuses
+        cursor_exists = state_fs.exists(state_p)
+        dst_missing = read_manifest_version(spark, dst_path) is None
+        if dst_missing or not cursor_exists:
+            # two ways here: a genuinely fresh destination, or a crash-
+            # replay of the bootstrap epoch (dst written, cursor never
+            # committed). Both take write_manifest_table — create or full
+            # refresh — so a replayed bootstrap REPLACES the destination
+            # with the current snapshot instead of merging insert rows
+            # into it (which would orphan keys deleted at the source
+            # between the two bootstrap heads). A committed cursor with a
+            # missing destination still means external loss — the shared
+            # guard refuses.
             first = _cdc_bootstrap(
                 changes.where(F.col("op") != "delete").select(
                     key, *[F.col(f"new_{c}").alias(c) for c in cols]
                 ),
-                1 if state_fs.exists(state_p) else 0,
+                1 if cursor_exists else 0,
                 None,
                 f"replicate_manifest_table({dst_path})",
             )
+            # mirror the source's file granularity (metadata-only lookup):
+            # the default n_files=0 would land the whole snapshot in ONE
+            # range partition, defeating the file skipping every later
+            # merge epoch depends on
+            n_files = max(
+                1, int(manifest_table_stats(spark, src_path)["numFiles"])
+            )
             write_manifest_table(
                 spark, first, dst_path, stats_cols=[key], cluster_by=key,
-                keep=keep,
+                n_files=n_files, keep=keep,
             )
             return
         ups = changes.where(F.col("op") != "delete").select(
