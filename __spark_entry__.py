@@ -2070,27 +2070,6 @@ FROM part
 """
 
 
-def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal metadata tier: opaque binary payload + typed metadata
-    (byte length, content digest) — the columnar plumbing every media
-    pipeline needs before any decode."""
-    docs = load(spark, sf_dir, "documents")
-    payload = F.encode(F.col("text"), "UTF-8")
-    return docs.select(
-        "doc_id",
-        F.octet_length(payload).alias("n_bytes"),
-        F.md5(payload).alias("payload_md5"),
-    )
-
-
-_MULTIMODAL_META_SQL = """
-SELECT doc_id,
-       octet_length(encode(text)) AS n_bytes,
-       md5(text) AS payload_md5
-FROM documents
-"""
-
-
 def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 streaming tier, batch twin: tumbling-window counts with watermark
     (same code path runs under readStream; watermark is a no-op in batch)."""
@@ -2425,6 +2404,14 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     A RESTORE rollback + roll-forward pair (r09, metadata-only) runs
     between the merge and the read, so the final pruned read exercises
     a twice-restored head.
+    r10 folds the RELEASE-PINNING lifecycle into the same gate: v0 is
+    tagged ``rel0`` before any rewrite, two REPLAYED merges (fixpoints —
+    content-identical commits) push the first merge's output files out
+    of every retained manifest, and a full VACUUM must then sweep ≥1 of
+    them while sparing every byte the tag pins; the tagged version's
+    row count rides the returned frame (``rel0_rows``), so a vacuum
+    that ate a pinned file — or retention that pruned the tagged
+    metadata — fails the hash, not just a pytest.
     The oracle replays the merge relationally (FULL OUTER + CASE, the
     `merge_upsert` twin) and applies the same row filter — so write →
     skipping merge → file-skipping read must equal the relational MERGE
@@ -2436,6 +2423,8 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_manifest_table,
         read_manifest_table,
         restore_manifest_table,
+        tag_manifest_version,
+        vacuum_manifest_table,
         write_manifest_table,
     )
 
@@ -2452,6 +2441,9 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # below probes the per-file Bloom filters instead
         bloom_cols=["o_custkey"],
     )
+    # r10: pin the pristine table as a release BEFORE any rewrite — the
+    # pin must survive retention pruning AND the vacuum below
+    tag_manifest_version(spark, base, "rel0", 0)
     mx = orders.agg(F.max("o_orderkey").alias("m")).first()["m"]
     lo, hi = (mx * 4) // 10, (mx * 5) // 10
     upd = orders.filter(F.col("o_orderkey").between(lo, hi)).select(
@@ -2470,10 +2462,8 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.lit(False).alias("is_deleted"),
     )
-    merge_manifest_table(
-        spark, upd.unionByName(new), base, "o_orderkey",
-        delete_col="is_deleted",
-    )
+    batch = upd.unionByName(new)
+    merge_manifest_table(spark, batch, base, "o_orderkey", delete_col="is_deleted")
     # r09: RESTORE enters the gate as a metadata-only rollback +
     # roll-forward pair — v2 republishes the pre-merge table, v3
     # republishes the merged one — so the final pruned read runs against
@@ -2481,6 +2471,20 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set, stats, Bloom, schema registry) fails the hash
     restore_manifest_table(spark, base, 0)
     restore_manifest_table(spark, base, 1)
+    # r10: two REPLAYED merges (v4, v5) — each a fixpoint, so the head's
+    # content must not move — push the FIRST merge's output files out of
+    # every retained manifest (keep=2 retains {4,5} plus the tagged v0);
+    # a replay that isn't content-identical fails the hash below
+    merge_manifest_table(spark, batch, base, "o_orderkey", delete_col="is_deleted")
+    merge_manifest_table(spark, batch, base, "o_orderkey", delete_col="is_deleted")
+    # vacuum must reclaim the stranded first-merge outputs (≥1 file) and
+    # must NOT touch the tagged release's files — both asserted: the
+    # sweep count here, the pinned bytes via the rel0_rows read below
+    if vacuum_manifest_table(spark, base) < 1:
+        raise AssertionError("vacuum swept nothing — stranded merge outputs expected")
+    rel0 = read_manifest_table(spark, base, tag="rel0").agg(
+        F.count(F.lit(1)).alias("rel0_rows")
+    )
     half = hi
     probe = [
         r["o_custkey"]
@@ -2500,7 +2504,7 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(
         ((F.col("o_orderkey") <= half) | (F.col("o_orderkey") >= 10000000))
         & F.col("o_custkey").isin(probe)
-    )
+    ).crossJoin(F.broadcast(rel0))
 
 
 _MANIFEST_MERGE_SQL = """
@@ -2528,10 +2532,153 @@ merged AS (
     CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
   FROM t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
   WHERE NOT COALESCE(s.is_deleted, FALSE))
-SELECT * FROM merged
+SELECT m.*, r.rel0_rows FROM merged m
+CROSS JOIN (SELECT COUNT(*) AS rel0_rows FROM orders) r
 WHERE (o_orderkey <= (SELECT hi FROM b) OR o_orderkey >= 10000000)
   AND o_custkey IN (SELECT o_custkey FROM (
         SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 8))
+"""
+
+
+def q_evolution_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the hard gate (`sources/manifest.py
+    evolve_manifest_table` — r09's field-id registry, r10's top verdict
+    directive): orders lands as an INT-keyed, key-clustered manifest
+    table with a Bloom filter on the key; an era-0 append re-keys every
+    41st row +1M; then ONE metadata-only commit renames the measure
+    (price→amount) and WIDENS the key int→bigint (zero data files
+    touched); a MERGE across the boundary updates a key decile (+1000,
+    every 3rd tombstoned) and inserts keys at +3·10⁹ — representable
+    only because of the widening. The read back spans ≥2 live schema
+    eras (asserted in-query on the manifest's ``schema_id``, like
+    ivm_mart's history check): era-0 files read through the field-id
+    projection (int→bigint cast + rename), era-N files natively. The
+    returned frame folds (a) the full-table per-priority aggregate —
+    every era's projection feeds it — and (b) a range+Bloom-pruned point
+    lookup whose probes are hashed PER ERA (`bloom_prune_expr` branches
+    on schema_id: xxhash64 of int ≠ long, so a widened table keeps
+    equality skipping exactly). The oracle replays append+rename+widen+
+    merge relationally on the final schema — a wrong era projection
+    (rename mapping, cast, NULL-fill, Bloom probe) corrupts values and
+    fails the hash. Takes the slot of the retired ``multimodal_meta``
+    key (trivial metadata projection; its surface stays covered by
+    ``multimodal_features`` and the sources pytest suite)."""
+    from tibame_project_spark.sources.manifest import (
+        append_manifest_table,
+        bloom_prune_expr,
+        evolve_manifest_table,
+        manifest_stats,
+        merge_manifest_table,
+        read_manifest_table,
+        write_manifest_table,
+    )
+
+    base = _fresh_table_dir("evolution_cycle")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("int").alias("okey"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        "o_orderpriority",
+    )
+    write_manifest_table(
+        spark, orders, base, stats_cols=["okey"], cluster_by="okey",
+        n_files=4, keep=10, bloom_cols=["okey"],
+    )
+    extra = orders.filter(F.col("okey") % 41 == 0).select(
+        (F.col("okey") + 1000000).cast("int").alias("okey"),
+        "cust", "price", F.lit("EVO-APPEND").alias("o_orderpriority"),
+    )
+    append_manifest_table(
+        spark, extra, base, cluster_by="okey", n_files=1, keep=10
+    )
+    # the evolution commit: metadata only — no data file read or written
+    evolve_manifest_table(
+        spark, base, rename={"price": "amount"}, widen={"okey": "bigint"},
+        keep=10,
+    )
+    mx = orders.agg(F.max("okey").alias("m")).first()["m"]
+    lo, hi = (mx * 4) // 10, (mx * 5) // 10
+    upd = orders.filter(F.col("okey").between(lo, hi)).select(
+        F.col("okey").cast("bigint").alias("okey"),
+        "cust",
+        (F.col("price") + 1000).cast("decimal(18,2)").alias("amount"),
+        F.lit("EVO-MERGED").alias("o_orderpriority"),
+        (F.col("okey") % 3 == 0).alias("dead"),
+    )
+    wide = orders.filter(F.col("okey") % 37 == 0).select(
+        (F.col("okey").cast("bigint") + F.lit(3000000000)).alias("okey"),
+        "cust",
+        F.col("price").alias("amount"),
+        F.lit("EVO-WIDE").alias("o_orderpriority"),
+        F.lit(False).alias("dead"),
+    )
+    merge_manifest_table(
+        spark, upd.unionByName(wide), base, "okey", delete_col="dead",
+        keep=10,
+    )
+    # the read below must genuinely span eras: untouched era-0 files AND
+    # post-evolution merge output live side by side in the head manifest
+    eras = manifest_stats(spark, base).select("schema_id").distinct().count()
+    if eras < 2:
+        raise AssertionError(f"expected >=2 live schema eras, got {eras}")
+    full = read_manifest_table(spark, base)
+    agg = full.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amount").cast("double").alias("total"),
+    )
+    probe = [lo + 1, lo + 2, 3000000000, 3000000037]
+    probed = read_manifest_table(
+        spark,
+        base,
+        # range tier ∨ the widened insert keyspace, ∧ the era-branched
+        # Bloom probe (int-hashed for era-0 files, long-hashed for new)
+        prune=f"(min_okey <= {hi} OR max_okey >= 3000000000)"
+        f" AND {bloom_prune_expr(spark, base, 'okey', probe)}",
+    ).where(F.col("okey").isin(probe))
+    pc = probed.agg(
+        F.count(F.lit(1)).alias("probe_hits"),
+        F.sum("amount").cast("double").alias("probe_amount"),
+    )
+    return agg.crossJoin(F.broadcast(pc))
+
+
+_EVOLUTION_CYCLE_SQL = """
+WITH b AS (
+  SELECT (max(o_orderkey) * 4) // 10 AS lo, (max(o_orderkey) * 5) // 10 AS hi
+  FROM orders),
+t0 AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS okey, o_custkey AS cust,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderpriority
+  FROM orders),
+t AS (
+  SELECT * FROM t0
+  UNION ALL
+  SELECT okey + 1000000, cust, price, 'EVO-APPEND'
+  FROM t0 WHERE okey % 41 = 0),
+src AS (
+  SELECT okey, cust, CAST(price + 1000 AS DECIMAL(18,2)) AS amount,
+         'EVO-MERGED' AS o_orderpriority, (okey % 3 = 0) AS dead
+  FROM t0 WHERE okey BETWEEN (SELECT lo FROM b) AND (SELECT hi FROM b)
+  UNION ALL
+  SELECT okey + 3000000000, cust, price, 'EVO-WIDE', FALSE
+  FROM t0 WHERE okey % 37 = 0),
+merged AS (
+  SELECT
+    COALESCE(s.okey, t.okey) AS okey,
+    CASE WHEN s.okey IS NOT NULL THEN s.amount ELSE t.price END AS amount,
+    CASE WHEN s.okey IS NOT NULL THEN s.o_orderpriority
+         ELSE t.o_orderpriority END AS o_orderpriority
+  FROM t FULL OUTER JOIN src s ON t.okey = s.okey
+  WHERE NOT COALESCE(s.dead, FALSE)),
+agg AS (
+  SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(amount) AS DOUBLE) AS total
+  FROM merged GROUP BY 1),
+p AS (
+  SELECT COUNT(*) AS probe_hits, CAST(SUM(amount) AS DOUBLE) AS probe_amount
+  FROM merged
+  WHERE okey IN ((SELECT lo + 1 FROM b), (SELECT lo + 2 FROM b),
+                 3000000000, 3000000037))
+SELECT * FROM agg CROSS JOIN p
 """
 
 
@@ -3936,18 +4083,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is ~1986 of the 1995-char budget — the registry is effectively FULL.
     # New operators should be pytest-covered (see README crosswalk rows
     # without a query key) unless a key is retired or the format shrinks.
-    # r09 window: block 1 = this round's change — ivm_mart is NEW (the
-    # feed-driven signed-delta mart maintenance of plans/warehouse.py,
-    # round 8's one large unwitnessed surface and the r08 VERDICT's top
-    # directive; it took the slot freed by retiring frame_sample, whose
-    # metadata-frame-enumeration surface multimodal_meta and the
-    # sample_frames pytest keep covered); block 2 = the 49 remaining
-    # r07-green entries, all due back. Out-of-window: the 49 r08-green
-    # entries.
+    # r10 window: block 1 = this round's changes — evolution_cycle is NEW
+    # (rename + int→bigint widening via the field-id schema registry,
+    # r09's biggest unwitnessed surface and the r09 VERDICT's top
+    # directive; it took the slot freed by retiring multimodal_meta,
+    # whose trivial metadata projection stays covered by
+    # multimodal_features and the sources pytest suite), and
+    # manifest_merge — due back anyway — now also gates release tags +
+    # vacuum (r09 directive #5). Block 2 = the 48 remaining r08-green
+    # entries, all due back. Out-of-window: the 50 r09-green entries.
     return {
-        # -- block 1: new this round --------------------------------------
-        "ivm_mart": q_ivm_mart,  # new: feed-driven IVM mart fold
-        # -- block 2: r07-green entries, due back -------------------------
+        # -- block 1: new/extended this round ------------------------------
+        "evolution_cycle": q_evolution_cycle,  # new: schema-evolution gate
+        "manifest_merge": q_manifest_merge,  # extended: +tags +vacuum
+        # -- block 2: r08-green entries, due back -------------------------
+        "curation_pass": q_curation_pass,
+        "pagerank": q_pagerank,
+        "set_ops": q_set_ops,
+        "radius_grid": q_radius_grid,
+        "json_extract": q_json_extract,
+        "ivf_train": q_ivf_train,
+        "release_pipeline": q_release_pipeline,
+        "dedup_groups": q_dedup_groups,
+        "decontaminate": q_decontaminate,
+        "substring_dedup": q_substring_dedup,
+        "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "minhash_pairs": q_minhash_pairs,
+        "embedding_dups": q_embedding_dups,
+        "multimodal_features": q_multimodal_features,
+        "sessionize": q_sessionize,
+        "windowed_counts": q_windowed_counts,
+        "sql_entry": q_sql_entry,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "simhash_pairs": q_simhash_pairs,
+        "pack_sequences": q_pack_sequences,
+        "scd2_priority": q_scd2_priority,
+        "domain_mix": q_domain_mix,
+        "grouping_sets": q_grouping_sets,
+        "c4_filter": q_c4_filter,
+        "lm_score": q_lm_score,
+        "rolling_avg": q_rolling_avg,
+        "rank_functions": q_rank_functions,
+        "snapshot_diff": q_snapshot_diff,
+        "profile_table": q_profile_table,
+        "train_split": q_train_split,
+        "incremental_mart": q_incremental_mart,
+        "corpus_report": q_corpus_report,
+        "gap_fill": q_gap_fill,
+        "cohort_retention": q_cohort_retention,
+        "funnel": q_funnel,
+        "pearson_stats": q_pearson_stats,
+        "cube_rollup": q_cube_rollup,
+        "distinct_users": q_distinct_users,
+        "mart_star_trends": q_mart_star_trends,
+        "dedup_exact_text": q_dedup_exact_text,
+        "line_dedup": q_line_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "percentiles": q_percentiles,
+        "pivot_event_types": q_pivot_event_types,
+        "month_over_month": q_month_over_month,
+        # ---- 50-key window boundary; below: the 50 r09-green entries ----
+        "ivm_mart": q_ivm_mart,  # r09's new feed-driven IVM mart fold
         "merge_upsert": q_merge_upsert,
         "fuzzy_blocked": q_fuzzy_blocked,
         "corrections": q_corrections,
@@ -3997,57 +4196,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match": q_fuzzy_match,
         "semantic_dedup": q_semantic_dedup,
         "sparse_topk": q_sparse_topk,
-        # ---- 50-key window boundary; below: the 49 r08-green entries ----
-        "manifest_merge": q_manifest_merge,
-        "curation_pass": q_curation_pass,
-        "pagerank": q_pagerank,
-        "set_ops": q_set_ops,
-        "radius_grid": q_radius_grid,
-        "json_extract": q_json_extract,
-        "ivf_train": q_ivf_train,
-        "release_pipeline": q_release_pipeline,
-        "dedup_groups": q_dedup_groups,
-        "decontaminate": q_decontaminate,
-        "substring_dedup": q_substring_dedup,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
-        "minhash_pairs": q_minhash_pairs,
-        "embedding_dups": q_embedding_dups,
-        "multimodal_features": q_multimodal_features,
-        "sessionize": q_sessionize,
-        "windowed_counts": q_windowed_counts,
-        "sql_entry": q_sql_entry,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "simhash_pairs": q_simhash_pairs,
-        "pack_sequences": q_pack_sequences,
-        "scd2_priority": q_scd2_priority,
-        "domain_mix": q_domain_mix,
-        "grouping_sets": q_grouping_sets,
-        "c4_filter": q_c4_filter,
-        "lm_score": q_lm_score,
-        "rolling_avg": q_rolling_avg,
-        "rank_functions": q_rank_functions,
-        "snapshot_diff": q_snapshot_diff,
-        "profile_table": q_profile_table,
-        "train_split": q_train_split,
-        "incremental_mart": q_incremental_mart,
-        "corpus_report": q_corpus_report,
-        "gap_fill": q_gap_fill,
-        "cohort_retention": q_cohort_retention,
-        "funnel": q_funnel,
-        "pearson_stats": q_pearson_stats,
-        "cube_rollup": q_cube_rollup,
-        "distinct_users": q_distinct_users,
-        "mart_star_trends": q_mart_star_trends,
-        "dedup_exact_text": q_dedup_exact_text,
-        "line_dedup": q_line_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "cosine_topk": q_cosine_topk,
-        "multimodal_meta": q_multimodal_meta,
-        "percentiles": q_percentiles,
-        "pivot_event_types": q_pivot_event_types,
-        "month_over_month": q_month_over_month,
     }
 
 
@@ -4104,7 +4252,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "fb_dates": _FB_DATES_SQL,
         "clean_chain": _CLEAN_CHAIN_SQL,
-        "multimodal_meta": _MULTIMODAL_META_SQL,
+        "evolution_cycle": _EVOLUTION_CYCLE_SQL,
         "windowed_counts": _WINDOWED_SQL,
         "sessionize": _SESSIONIZE_SQL,
         "semantic_dedup": _SEMANTIC_DEDUP_SQL,

@@ -2600,3 +2600,240 @@ def test_non_atomic_commit_fs_breaks_exclusivity_conditional_put_restores_it(
             append_manifest_table(spark, _mk(spark, [(3, 3)]), base, keep=10)
     finally:
         set_commit_fs(prev)
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_random_multiwriter_histories_serialize(spark, tmp_path, seed):
+    """Randomized multi-writer model check (r09 verdict item 4 — 'the
+    protocol, not the races we thought of'): three REAL threads each run
+    a seeded-random sequence of append/merge/delete/compact with no
+    coordination. Afterwards the surviving table must equal the dict+
+    multiset model replay of the SUCCESSFUL ops under SOME interleaving
+    that preserves each thread's program order — i.e. every history the
+    protocol lets through is serializable. ConcurrentCommitError losers
+    are legal (the conservative conflict classes) and excluded from the
+    replay; appends are conflict-free by construction (disjoint keyspace)
+    and must therefore ALL land."""
+    import random
+    import threading
+    from collections import Counter
+
+    from tibame_project_spark.sources.manifest import (
+        ConcurrentCommitError,
+        delete_manifest_table,
+    )
+
+    rnd = random.Random(seed)
+    base = str(tmp_path / "t")
+    initial = [(i, i) for i in range(30)]
+    write_manifest_table(
+        spark, _mk(spark, initial), base, stats_cols=["id"],
+        cluster_by="id", n_files=3, keep=50,
+    )
+
+    def gen_ops(tid):
+        ops = []
+        for j in range(3):
+            kind = rnd.choice(["append", "merge", "delete", "compact"])
+            if kind == "append":
+                ops.append((
+                    "append",
+                    [(1000 + 100 * tid + 10 * j + k, rnd.randrange(100))
+                     for k in range(2)],
+                ))
+            elif kind == "merge":
+                ops.append((
+                    "merge",
+                    [(k, rnd.randrange(100), rnd.random() < 0.25)
+                     for k in rnd.sample(range(30), 3)],
+                ))
+            elif kind == "delete":
+                ops.append(("delete", rnd.sample(range(30), 2)))
+            else:
+                ops.append(("compact", None))
+        return ops
+
+    plans = {tid: gen_ops(tid) for tid in range(3)}
+    applied = {tid: [] for tid in range(3)}
+    hard_errors = []
+
+    def runner(tid):
+        for op in plans[tid]:
+            kind, payload = op
+            try:
+                if kind == "merge":
+                    merge_manifest_table(
+                        spark,
+                        spark.createDataFrame(
+                            payload, "id long, v long, dead boolean"
+                        ),
+                        base, "id", delete_col="dead", keep=50,
+                    )
+                elif kind == "append":
+                    append_manifest_table(
+                        spark,
+                        spark.createDataFrame(payload, "id long, v long"),
+                        base, keep=50,
+                    )
+                elif kind == "delete":
+                    delete_manifest_table(
+                        spark,
+                        spark.createDataFrame(
+                            [(k,) for k in payload], "id long"
+                        ),
+                        base, "id", keep=50,
+                    )
+                else:
+                    compact_manifest_table(
+                        spark, base, small_bytes=1 << 30,
+                        target_bytes=1 << 30, keep=50,
+                    )
+                applied[tid].append(op)
+            except ConcurrentCommitError:
+                pass  # a conservative conflict: legal, op NOT applied
+            except Exception as e:  # anything else is a protocol bug
+                hard_errors.append((tid, kind, repr(e)))
+
+    threads = [threading.Thread(target=runner, args=(t,)) for t in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert hard_errors == []
+    # appends never intersect any merge/delete key range → none may drop
+    for tid in range(3):
+        want = [op for op in plans[tid] if op[0] == "append"]
+        got_appends = [op for op in applied[tid] if op[0] == "append"]
+        assert got_appends == want, f"thread {tid} lost an append"
+
+    got = Counter(
+        (r["id"], r["v"])
+        for r in read_manifest_table(spark, base).collect()
+    )
+
+    def replay(seq):
+        merged = dict(initial)
+        appended: Counter = Counter()
+        for kind, payload in seq:
+            if kind == "merge":
+                for k, v, dead in payload:
+                    if dead:
+                        merged.pop(k, None)
+                    else:
+                        merged[k] = v
+            elif kind == "append":
+                appended.update(payload)
+            elif kind == "delete":
+                for k in payload:
+                    merged.pop(k, None)
+                appended = Counter({
+                    (k, v): c for (k, v), c in appended.items()
+                    if k not in payload
+                })
+        return Counter(merged.items()) + appended
+
+    def interleavings(seqs):
+        seqs = [s for s in seqs if s]
+        if not seqs:
+            yield []
+            return
+        for i, s in enumerate(seqs):
+            rest = seqs[:i] + [s[1:]] + seqs[i + 1:]
+            for tail in interleavings(rest):
+                yield [s[0]] + tail
+
+    candidates = [applied[t] for t in range(3)]
+    assert any(
+        replay(seq) == got for seq in interleavings(candidates)
+    ), (
+        f"no interleaving of the successful ops reproduces the table "
+        f"(seed={seed}, applied={applied})"
+    )
+
+
+def test_stream_replicate_runs_under_real_streaming_query_with_kill_resume(
+    spark, tmp_path
+):
+    """r09 verdict item 7: the feed consumer under Spark's OWN streaming
+    engine — a rate-micro-batch-ticked StreamingQuery drains one feed
+    epoch per micro-batch into a replica table. The query is KILLED
+    mid-stream (stop()), the producer keeps committing (including a
+    delete), and a restart from the SAME checkpoint+cursor resumes
+    replication with no gaps and no dupes — checkpoint/restart semantics
+    from a genuine StreamingQuery, the feed cursor as the durability
+    barrier."""
+    import time
+
+    from tibame_project_spark.sources.manifest import delete_manifest_table
+    from tibame_project_spark.streaming.incremental import (
+        stream_replicate_manifest_table,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    state = str(tmp_path / "cursor.json")
+    ckpt = str(tmp_path / "ckpt")
+
+    def content(base):
+        return {
+            (r["id"], r["v"])
+            for r in read_manifest_table(spark, base).collect()
+        }
+
+    def cursor():
+        import json as _json
+
+        try:
+            with open(state) as f:
+                return _json.load(f)["version"]
+        except FileNotFoundError:
+            return -1
+
+    def await_cursor(v, timeout=120):
+        deadline = time.monotonic() + timeout
+        while cursor() < v:
+            assert time.monotonic() < deadline, (
+                f"replication stalled: cursor {cursor()} < {v}"
+            )
+            time.sleep(0.5)
+
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(20)]), src,
+        stats_cols=["id"], cluster_by="id", n_files=2, keep=20,
+    )
+    merge_manifest_table(
+        spark,
+        spark.createDataFrame([(3, 333, False)], "id long, v long, dead boolean"),
+        src, "id", delete_col="dead", keep=20,
+    )
+    q = stream_replicate_manifest_table(
+        spark, src, dst, "id", state_path=state, checkpoint=ckpt, keep=20
+    )
+    try:
+        await_cursor(1)  # bootstrap + one merge epoch, streamed
+    finally:
+        q.stop()  # the mid-stream kill
+    q.awaitTermination(30)
+    assert content(dst) == content(src)
+
+    # the producer moves on while the consumer is down
+    merge_manifest_table(
+        spark,
+        spark.createDataFrame([(100, 100, False)], "id long, v long, dead boolean"),
+        src, "id", delete_col="dead", keep=20,
+    )
+    delete_manifest_table(
+        spark, spark.createDataFrame([(7,)], "id long"), src, "id", keep=20
+    )
+    # restart from the SAME checkpoint + cursor: resumes, no re-bootstrap
+    q = stream_replicate_manifest_table(
+        spark, src, dst, "id", state_path=state, checkpoint=ckpt, keep=20
+    )
+    try:
+        await_cursor(3)
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    got = content(dst)
+    assert got == content(src)
+    assert (100, 100) in got and (7, 7) not in got

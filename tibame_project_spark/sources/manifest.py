@@ -1543,9 +1543,21 @@ def bloom_prune_expr(
     branches = []
     for tj, sids in sorted(eras.items()):
         t = _type_from_json(json.loads(tj))
-        era_vdf = base_vdf.select(F.col("v").cast(t).alias("v"))
+        # try_cast, and DROP values the era's physical type cannot even
+        # represent (e.g. a post-widening key beyond int range): no file
+        # written under that era can contain them, so they probe nothing
+        # — and an era left with zero representable probes contributes no
+        # branch at all, which SKIPS all its files (exact, not lossy)
+        era_vdf = base_vdf.select(F.col("v").try_cast(t).alias("v")).where(
+            F.col("v").isNotNull()
+        )
+        alts = alts_for(era_vdf)
+        if not alts:
+            continue
         ids = ", ".join(str(s) for s in sorted(sids))
-        branches.append(f"(schema_id IN ({ids}) AND ({alts_for(era_vdf)}))")
+        branches.append(f"(schema_id IN ({ids}) AND ({alts}))")
+    if not branches:
+        return f"(bloom_{col} IS NULL)"
     return f"(bloom_{col} IS NULL OR {' OR '.join(branches)})"
 
 

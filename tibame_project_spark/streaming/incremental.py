@@ -404,6 +404,28 @@ def replicate_manifest_table(
     re-pulled snapshot is at the source's CURRENT head, and a merge of
     insert-only rows could never remove keys the source deleted between
     the two bootstrap attempts). Returns the number of epochs applied."""
+    return consume_manifest_feed(
+        spark, src_path, key, state_path=state_path,
+        apply_batch=_replication_apply(
+            spark, src_path, dst_path, key, keep=keep, state_path=state_path
+        ),
+        per_commit=per_commit, max_epochs=max_epochs,
+    )
+
+
+def _replication_apply(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    key: str,
+    *,
+    keep: int,
+    state_path: str,
+) -> Callable[[DataFrame, int], None]:
+    """The per-epoch apply closure :func:`replicate_manifest_table` and
+    :func:`stream_replicate_manifest_table` share: bootstrap/refresh the
+    destination from a bootstrap-epoch snapshot, otherwise file-skipping
+    MERGE the interval (a fixpoint under replay)."""
     from tibame_project_spark.sources.manifest import (
         manifest_table_stats,
         merge_manifest_table,
@@ -465,10 +487,55 @@ def replicate_manifest_table(
             delete_col="__dead", keep=keep,
         )
 
-    return consume_manifest_feed(
-        spark, src_path, key, state_path=state_path,
-        apply_batch=apply_batch, per_commit=per_commit,
-        max_epochs=max_epochs,
+    return apply_batch
+
+
+def stream_replicate_manifest_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    key: str,
+    *,
+    state_path: str,
+    checkpoint: str,
+    keep: int = 2,
+):
+    """:func:`replicate_manifest_table` driven by a REAL StreamingQuery
+    instead of the manual drain loop: a ``rate-micro-batch`` tick stream
+    schedules one feed epoch per micro-batch through ``foreachBatch``,
+    so micro-batch scheduling, checkpointing, and stop/restart semantics
+    come from Spark's own streaming engine while the manifest feed's
+    cursor stays the replication source of truth. The division of labor
+    is deliberate: the StreamingQuery checkpoint tracks only the TICK
+    source (rate offsets are meaningless to replay), and each epoch's
+    durability barrier is the feed's cursor commit — a kill between an
+    epoch's apply and its cursor commit replays that interval on restart
+    as a merge fixpoint, exactly like the loop variant (the standard
+    foreachBatch bridge for pull-based sources that have their own
+    transactional cursor, e.g. JDBC/Kafka-to-idempotent-sink patterns).
+
+    Returns the started ``StreamingQuery``; the caller owns its
+    lifecycle (``stop()`` when the replica is caught up, or leave it
+    running as a continuous replication daemon). A caught-up tick
+    applies zero epochs and costs one head listing."""
+    apply_batch = _replication_apply(
+        spark, src_path, dst_path, key, keep=keep, state_path=state_path
+    )
+
+    def tick(_batch: DataFrame, _epoch: int) -> None:
+        consume_manifest_feed(
+            spark, src_path, key, state_path=state_path,
+            apply_batch=apply_batch, per_commit=True, max_epochs=1,
+        )
+
+    return (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1)
+        .option("numPartitions", 1)
+        .load()
+        .writeStream.foreachBatch(tick)
+        .option("checkpointLocation", checkpoint)
+        .start()
     )
 
 
