@@ -2471,12 +2471,15 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set, stats, Bloom, schema registry) fails the hash
     restore_manifest_table(spark, base, 0)
     restore_manifest_table(spark, base, 1)
-    # r10: two REPLAYED merges (v4, v5) — each a fixpoint, so the head's
-    # content must not move — push the FIRST merge's output files out of
-    # every retained manifest (keep=2 retains {4,5} plus the tagged v0);
-    # a replay that isn't content-identical fails the hash below
+    # r10: one REPLAYED merge (v4, a fixpoint — the head's content must
+    # not move) rewrites the first merge's output files, then a
+    # metadata-only self-restore (v5) advances retention past v3: with
+    # keep=2 the retained manifests {4, 5} plus the tagged v0 no longer
+    # reference the v1-era merge outputs — exactly the stranded garbage
+    # the vacuum below must find; a replay that isn't content-identical
+    # fails the hash
     merge_manifest_table(spark, batch, base, "o_orderkey", delete_col="is_deleted")
-    merge_manifest_table(spark, batch, base, "o_orderkey", delete_col="is_deleted")
+    restore_manifest_table(spark, base, 4)
     # vacuum must reclaim the stranded first-merge outputs (≥1 file) and
     # must NOT touch the tagged release's files — both asserted: the
     # sweep count here, the pinned bytes via the rel0_rows read below
