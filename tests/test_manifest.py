@@ -2837,3 +2837,51 @@ def test_stream_replicate_runs_under_real_streaming_query_with_kill_resume(
     got = content(dst)
     assert got == content(src)
     assert (100, 100) in got and (7, 7) not in got
+
+
+def test_bloom_probe_drops_values_old_eras_cannot_represent(spark, tmp_path):
+    """Era-aware Bloom probing after a widening (r10): probing a value
+    beyond the OLD era's physical int range must not overflow-crash the
+    probe build (ANSI cast) — it try_cast-drops the value for that era,
+    and an era left with zero representable probes contributes no branch
+    at all, so ALL its files are skipped exactly (no int file can hold a
+    post-widening key). Mixed probes still split per era, and no rows
+    are ever lost."""
+    from tibame_project_spark.sources.manifest import (
+        bloom_prune_expr,
+        evolve_manifest_table,
+    )
+
+    base = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        F.col("id").cast("int").alias("id"), (F.col("id") * 7).alias("v")
+    )
+    write_manifest_table(
+        spark, df, base, stats_cols=["id"], cluster_by="id", n_files=4,
+        bloom_cols=["id"], bloom_m=1 << 12, bloom_k=3,
+    )
+    evolve_manifest_table(spark, base, widen={"id": "bigint"})
+    wide_key = 3_000_000_000
+    append_manifest_table(
+        spark,
+        spark.createDataFrame([(wide_key, 1)], "id long, v long"),
+        base, n_files=1,
+    )
+    # wide-only probe: every era-0 file must be skipped (bloom branch
+    # absent), only the post-widening file survives the prune
+    expr = bloom_prune_expr(spark, base, "id", [wide_key])
+    kept = manifest_file_paths(spark, base, prune=expr)
+    assert len(kept) == 1
+    got = read_manifest_table(spark, base, prune=expr).where(
+        F.col("id") == wide_key
+    )
+    assert [tuple(r) for r in got.collect()] == [(wide_key, 1)]
+    # mixed probe: era-0 files probed with the int-hashed value, the wide
+    # file with the long-hashed one — both rows found, most files skipped
+    expr = bloom_prune_expr(spark, base, "id", [123, wide_key])
+    kept = manifest_file_paths(spark, base, prune=expr)
+    assert 2 <= len(kept) <= 3  # of 5
+    got = read_manifest_table(spark, base, prune=expr).where(
+        F.col("id").isin([123, wide_key])
+    )
+    assert {tuple(r) for r in got.collect()} == {(123, 123 * 7), (wide_key, 1)}
