@@ -2885,3 +2885,120 @@ def test_bloom_probe_drops_values_old_eras_cannot_represent(spark, tmp_path):
         F.col("id").isin([123, wide_key])
     )
     assert {tuple(r) for r in got.collect()} == {(123, 123 * 7), (wide_key, 1)}
+
+
+def test_replicate_detects_source_evolution_and_resumes_after_dst_evolve(
+    spark, tmp_path
+):
+    """The feed carries data, not DDL (r10): when the SOURCE evolves
+    (rename + widen) mid-replication, the next interval's apply must
+    raise BEFORE touching the destination or cursor — naming the fix —
+    instead of silently dropping the renamed column's history or writing
+    wider values under the narrower declared schema. Evolving the
+    destination the same way and re-running resumes cleanly: the
+    replayed epoch applies, and the replica tracks the source across the
+    boundary."""
+    from tibame_project_spark.sources.manifest import evolve_manifest_table
+    from tibame_project_spark.streaming.incremental import (
+        replicate_manifest_table,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    state = str(tmp_path / "cursor.json")
+
+    def content(base):
+        return sorted(
+            tuple(r) for r in read_manifest_table(spark, base).collect()
+        )
+
+    write_manifest_table(
+        spark,
+        spark.range(20).select(
+            F.col("id").cast("int").alias("id"), F.col("id").alias("v")
+        ),
+        src, stats_cols=["id"], cluster_by="id", n_files=2, keep=20,
+    )
+    assert replicate_manifest_table(
+        spark, src, dst, "id", state_path=state, keep=20
+    ) == 1
+    # the source evolves: rename v->val, widen id int->bigint, then a
+    # merge lands keys only the widened type can hold
+    evolve_manifest_table(
+        spark, src, rename={"v": "val"}, widen={"id": "bigint"}, keep=20
+    )
+    merge_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(3, 333, False), (3_000_000_000, 9, False)],
+            "id long, val long, dead boolean",
+        ),
+        src, "id", delete_col="dead", keep=20,
+    )
+    with pytest.raises(ValueError, match="evolve_manifest_table"):
+        replicate_manifest_table(
+            spark, src, dst, "id", state_path=state, keep=20
+        )
+    # the guard fired before any damage: cursor + destination untouched
+    import json as _json
+
+    assert _json.load(open(state))["version"] == 0
+    assert content(dst) == [(i, i) for i in range(20)]
+    # operator applies the SAME evolution to the replica and re-runs
+    evolve_manifest_table(
+        spark, dst, rename={"v": "val"}, widen={"id": "bigint"}, keep=20
+    )
+    assert replicate_manifest_table(
+        spark, src, dst, "id", state_path=state, keep=20
+    ) == 2  # the evolve epoch (empty diff) + the merge epoch
+    assert content(dst) == content(src)
+    assert (3_000_000_000, 9) in set(content(dst))
+
+
+def test_crashed_post_rename_attempt_is_cleaned_by_next_claimant(
+    spark, tmp_path
+):
+    """A writer that crashed AFTER renaming its manifest into
+    manifest/v=<n> but BEFORE its marker leaves a claimed version with a
+    stale manifest dir. recover clears the claim; the next writer owns
+    the version, deletes the dead dir, and publishes its own manifest —
+    readers never see the crashed attempt's file list."""
+    from tibame_project_spark.sources.manifest import recover_manifest_table
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"], keep=10
+    )
+    # forge the crash state: claim held, manifest dir present, no marker
+    open(f"{base}/_CLAIM_v1", "w").close()
+    os.makedirs(f"{base}/manifest/v=1")
+    open(f"{base}/manifest/v=1/junk.parquet", "w").write("not a manifest")
+    assert recover_manifest_table(spark, base) == 1
+    append_manifest_table(spark, _mk(spark, [(2, 2)]), base, keep=10)
+    assert _content(spark, base) == {(1, 1), (2, 2)}
+    assert not os.path.exists(f"{base}/manifest/v=1/junk.parquet")
+
+
+def test_vacuum_sweeps_crashed_manifest_tmp_dirs(spark, tmp_path):
+    """_finish deletes its own manifest_tmp attempt dir on every exit
+    path, so anything left there belongs to a dead process — vacuum
+    reclaims it (subject to the same min_age_s contract as data dirs)."""
+    import time
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"], keep=10
+    )
+    assert os.listdir(f"{base}/manifest_tmp") == []  # attempt self-cleaned
+    os.makedirs(f"{base}/manifest_tmp/c=deadbeef")
+    open(f"{base}/manifest_tmp/c=deadbeef/part-0.parquet", "w").close()
+    # a generous RETAIN window spares the (young) dir — a live writer's
+    # in-flight materialization must survive a racing vacuum
+    assert vacuum_manifest_table(spark, base, min_age_s=3600) == 0
+    assert os.path.exists(f"{base}/manifest_tmp/c=deadbeef")
+    time.sleep(1.1)
+    # sweeps the dead tmp dir (plus any zero-row part files the initial
+    # write left, which no manifest ever references)
+    assert vacuum_manifest_table(spark, base, min_age_s=1.0) >= 1
+    assert not os.path.exists(f"{base}/manifest_tmp/c=deadbeef")
+    assert _content(spark, base) == {(1, 1)}

@@ -425,8 +425,21 @@ def _replication_apply(
     """The per-epoch apply closure :func:`replicate_manifest_table` and
     :func:`stream_replicate_manifest_table` share: bootstrap/refresh the
     destination from a bootstrap-epoch snapshot, otherwise file-skipping
-    MERGE the interval (a fixpoint under replay)."""
+    MERGE the interval (a fixpoint under replay).
+
+    Source SCHEMA EVOLUTION is detected, not smuggled: the feed carries
+    data in the source head's schema but no DDL, so when the interval's
+    columns/types stop matching the destination's schema (a rename or a
+    type widening landed at the source), the apply raises BEFORE touching
+    the destination or the cursor, naming the fix — apply the same
+    :func:`sources.manifest.evolve_manifest_table` to the destination and
+    re-run; the replayed epoch then applies cleanly. Silently merging
+    would either drop the renamed column's history or write wider values
+    under the destination's narrower declared schema."""
+    from pyspark.sql.types import StructType
+
     from tibame_project_spark.sources.manifest import (
+        _meta,
         manifest_table_stats,
         merge_manifest_table,
         read_manifest_version,
@@ -441,7 +454,29 @@ def _replication_apply(
             c[len("new_"):] for c in changes.columns if c.startswith("new_")
         ]
         cursor_exists = state_fs.exists(state_p)
-        dst_missing = read_manifest_version(spark, dst_path) is None
+        dst_head = read_manifest_version(spark, dst_path)
+        dst_missing = dst_head is None
+        if not dst_missing and cursor_exists:
+            want = {key: changes.schema[key].dataType.simpleString()}
+            for c in cols:
+                want[c] = changes.schema[f"new_{c}"].dataType.simpleString()
+            have = {
+                f.name: f.dataType.simpleString()
+                for f in StructType.fromJson(
+                    _meta(spark, dst_path, dst_head)["schema"]
+                ).fields
+            }
+            if want != have:
+                raise ValueError(
+                    f"replicate_manifest_table({dst_path}): the source "
+                    f"schema evolved — the feed interval carries "
+                    f"{sorted(want.items())} but the destination's schema "
+                    f"is {sorted(have.items())}. The feed carries data, "
+                    "not DDL: apply the same evolve_manifest_table "
+                    "rename/widen to the destination, then re-run — the "
+                    "cursor was not advanced, so the replayed epoch "
+                    "applies cleanly."
+                )
         if dst_missing or not cursor_exists:
             # two ways here: a genuinely fresh destination, or a crash-
             # replay of the bootstrap epoch (dst written, cursor never
