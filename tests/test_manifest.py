@@ -3002,3 +3002,25 @@ def test_vacuum_sweeps_crashed_manifest_tmp_dirs(spark, tmp_path):
     assert vacuum_manifest_table(spark, base, min_age_s=1.0) >= 1
     assert not os.path.exists(f"{base}/manifest_tmp/c=deadbeef")
     assert _content(spark, base) == {(1, 1)}
+
+
+def test_recover_min_age_spares_young_claims(spark, tmp_path):
+    """recover_manifest_table(min_age_s=...) — the automated-recovery
+    form: a claim younger than the threshold might belong to a live
+    writer and is spared; an aged-out one is cleared. The bare call
+    (operator asserts no writer is live) still clears everything."""
+    import time
+
+    from tibame_project_spark.sources.manifest import recover_manifest_table
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"], keep=10
+    )
+    open(f"{base}/_CLAIM_v1", "w").close()
+    assert recover_manifest_table(spark, base, min_age_s=3600) == 0
+    assert os.path.exists(f"{base}/_CLAIM_v1")
+    time.sleep(1.1)
+    assert recover_manifest_table(spark, base, min_age_s=1.0) == 1
+    open(f"{base}/_CLAIM_v1", "w").close()
+    assert recover_manifest_table(spark, base) == 1  # bare = clear all

@@ -796,21 +796,38 @@ def _finish(
             pass  # a leaked tmp dir is vacuum's to reclaim, never an error
 
 
-def recover_manifest_table(spark: SparkSession, base_path: str) -> int:
+def recover_manifest_table(
+    spark: SparkSession, base_path: str, *, min_age_s: float | None = None
+) -> int:
     """Remove claim markers whose commit never appeared — the recovery
-    verb for a writer that crashed inside the (milliseconds-wide) claimed
-    metadata window, which otherwise blocks all future commits at that
+    verb for a writer that crashed inside the claimed metadata window
+    (filesystem ops only since r10 — the manifest materializes before
+    the claim), which otherwise blocks all future commits at that
     version. ONLY run when no writer is live on the table: a claim this
-    deletes while its holder is still publishing would let two writers own
-    one version. Returns the number of claims removed."""
+    deletes while its holder is still publishing would let two writers
+    own one version. ``min_age_s`` is the belt-and-braces form for
+    automated recovery (a cron next to possibly-live writers): claims
+    YOUNGER than the threshold are spared — pair it with a value
+    comfortably above :data:`_CLAIM_WAIT_S` so only claims every waiter
+    has already given up on are cleared. Returns the number of claims
+    removed."""
+    import time as _time
+
     fs, base, jvm = _fs_for(spark, base_path)
     if not fs.exists(base):
         return 0
+    floor_ms = (
+        (_time.time() - min_age_s) * 1000.0 if min_age_s is not None else None
+    )
     removed = 0
     for st in fs.listStatus(base):
         name = st.getPath().getName()
         v = _version_suffix(name, _CLAIM_PREFIX)
-        if v is not None and not fs.exists(
+        if v is None or (
+            floor_ms is not None and st.getModificationTime() > floor_ms
+        ):
+            continue
+        if not fs.exists(
             jvm.org.apache.hadoop.fs.Path(f"{base_path}/{_COMMIT_PREFIX}{v}")
         ):
             fs.delete(st.getPath(), False)
@@ -1513,15 +1530,15 @@ def bloom_prune_expr(
         StructType([StructField("v", schema[col].dataType)]),
     )
 
-    def alts_for(vdf) -> str:
-        rows = vdf.select(
-            *[
-                F.pmod(F.xxhash64(F.col("v"), F.lit(i)), F.lit(m))
-                .cast("int")
-                .alias(f"p{i}")
-                for i in range(k)
-            ]
-        ).collect()
+    def pos_cols():
+        return [
+            F.pmod(F.xxhash64(F.col("v"), F.lit(i)), F.lit(m))
+            .cast("int")
+            .alias(f"p{i}")
+            for i in range(k)
+        ]
+
+    def alts_from(rows) -> str:
         alts = []
         for r in rows:
             conj = []
@@ -1539,19 +1556,35 @@ def bloom_prune_expr(
         return " OR ".join(alts)
 
     if len(eras) == 1:
-        return f"(bloom_{col} IS NULL OR {alts_for(base_vdf)})"
+        rows = base_vdf.select(*pos_cols()).collect()
+        return f"(bloom_{col} IS NULL OR {alts_from(rows)})"
+    # ONE job for ALL eras: each union branch try_casts the probe values
+    # to its era's physical type and hashes INSIDE the branch, so the
+    # union's output is just k int positions + an era tag — cross-era
+    # type coercion never touches a hashed value, and probe cost stays
+    # one tiny job however many eras the table has accreted. try_cast
+    # DROPS values an era's type cannot even represent (e.g. a
+    # post-widening key beyond int range): no file written under that
+    # era can contain them — and an era left with zero representable
+    # probes contributes no branch at all, which SKIPS all its files
+    # (exact, not lossy).
+    frames = []
+    for tj in sorted(eras):
+        t = _type_from_json(json.loads(tj))
+        frames.append(
+            base_vdf.select(F.col("v").try_cast(t).alias("v"))
+            .where(F.col("v").isNotNull())
+            .select(F.lit(tj).alias("__era"), *pos_cols())
+        )
+    un = frames[0]
+    for f2 in frames[1:]:
+        un = un.unionByName(f2)
+    by_era: dict[str, list] = {}
+    for r in un.collect():
+        by_era.setdefault(r["__era"], []).append(r)
     branches = []
     for tj, sids in sorted(eras.items()):
-        t = _type_from_json(json.loads(tj))
-        # try_cast, and DROP values the era's physical type cannot even
-        # represent (e.g. a post-widening key beyond int range): no file
-        # written under that era can contain them, so they probe nothing
-        # — and an era left with zero representable probes contributes no
-        # branch at all, which SKIPS all its files (exact, not lossy)
-        era_vdf = base_vdf.select(F.col("v").try_cast(t).alias("v")).where(
-            F.col("v").isNotNull()
-        )
-        alts = alts_for(era_vdf)
+        alts = alts_from(by_era.get(tj, []))
         if not alts:
             continue
         ids = ", ".join(str(s) for s in sorted(sids))
