@@ -534,6 +534,7 @@ def stream_replicate_manifest_table(
     state_path: str,
     checkpoint: str,
     keep: int = 2,
+    trigger_interval: str | None = None,
 ):
     """:func:`replicate_manifest_table` driven by a REAL StreamingQuery
     instead of the manual drain loop: a ``rate-micro-batch`` tick stream
@@ -552,7 +553,10 @@ def stream_replicate_manifest_table(
     Returns the started ``StreamingQuery``; the caller owns its
     lifecycle (``stop()`` when the replica is caught up, or leave it
     running as a continuous replication daemon). A caught-up tick
-    applies zero epochs and costs one head listing."""
+    applies zero epochs and costs one head listing — size
+    ``trigger_interval`` (e.g. ``"30 seconds"``) to the source's commit
+    cadence for daemon deployments; the default ASAP trigger is the
+    drain-fast mode tests and catch-up runs want."""
     apply_batch = _replication_apply(
         spark, src_path, dst_path, key, keep=keep, state_path=state_path
     )
@@ -563,15 +567,17 @@ def stream_replicate_manifest_table(
             apply_batch=apply_batch, per_commit=True, max_epochs=1,
         )
 
-    return (
+    writer = (
         spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", 1)
         .option("numPartitions", 1)
         .load()
         .writeStream.foreachBatch(tick)
         .option("checkpointLocation", checkpoint)
-        .start()
     )
+    if trigger_interval is not None:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
 
 
 def streaming_dedup(
