@@ -3024,3 +3024,150 @@ def test_recover_min_age_spares_young_claims(spark, tmp_path):
     assert recover_manifest_table(spark, base, min_age_s=1.0) == 1
     open(f"{base}/_CLAIM_v1", "w").close()
     assert recover_manifest_table(spark, base) == 1  # bare = clear all
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("merge"),
+                st.lists(
+                    st.tuples(
+                        st.integers(0, 30), st.integers(0, 100), st.booleans()
+                    ),
+                    min_size=1,
+                    max_size=5,
+                    unique_by=lambda t: t[0],
+                ),
+            ),
+            st.tuples(
+                st.just("append"),
+                st.lists(
+                    st.tuples(st.integers(31, 60), st.integers(0, 100)),
+                    min_size=1,
+                    max_size=4,
+                    unique_by=lambda t: t[0],
+                ),
+            ),
+            st.tuples(
+                st.just("delete"),
+                st.lists(
+                    st.integers(0, 60), min_size=1, max_size=3, unique=True
+                ),
+            ),
+            st.tuples(st.just("compact"), st.just(None)),
+            st.tuples(st.just("rename"), st.just(None)),
+            st.tuples(st.just("widen"), st.just(None)),
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+)
+def test_evolution_sequence_matches_dict_model(
+    spark_global, tmp_path_factory, ops
+):
+    """The evolution surface under ARBITRARY interleavings (r10): any
+    sequence of merge/append/delete/compact with metadata-only RENAMEs
+    and a TYPE WIDENING thrown in anywhere must keep reading exactly the
+    dict+multiset model — batches always speak the CURRENT column names
+    and key type, old files keep their write-era physical schema, and
+    every read lifts all eras by field id. A wrong era projection (bad
+    rename mapping, cast, or NULL-fill) shows up as a value mismatch;
+    a second widening must refuse (bigint has no sanctioned wider type).
+    The oracle-gated ``evolution_cycle`` covers one fixed journey; this
+    covers the combinatorics around it."""
+    from collections import Counter
+
+    from tibame_project_spark.sources.manifest import (
+        delete_manifest_table,
+        evolve_manifest_table,
+    )
+
+    spark = spark_global
+    base = str(tmp_path_factory.mktemp("manevo") / "t")
+    initial = [(i, i) for i in range(20)]
+    spark_df = spark.createDataFrame(initial, "id int, v0 long")
+    write_manifest_table(
+        spark, spark_df, base, stats_cols=["id"], cluster_by="id",
+        n_files=2, keep=10,
+    )
+    merged_model = dict(initial)
+    appended_model: Counter = Counter()
+    key_type = "int"
+    gen = 0  # current measure name is f"v{gen}"
+
+    def vname():
+        return f"v{gen}"
+
+    def expect():
+        return Counter(merged_model.items()) + appended_model
+
+    for kind, payload in ops:
+        if kind == "merge":
+            merge_manifest_table(
+                spark,
+                spark.createDataFrame(
+                    payload, f"id {key_type}, {vname()} long, dead boolean"
+                ),
+                base, "id", delete_col="dead", keep=10,
+            )
+            for k, v, dead in payload:
+                if dead:
+                    merged_model.pop(k, None)
+                else:
+                    merged_model[k] = v
+        elif kind == "append":
+            append_manifest_table(
+                spark,
+                spark.createDataFrame(payload, f"id {key_type}, {vname()} long"),
+                base, keep=10,
+            )
+            appended_model.update(payload)
+        elif kind == "delete":
+            delete_manifest_table(
+                spark,
+                spark.createDataFrame(
+                    [(k,) for k in payload], f"id {key_type}"
+                ),
+                base, "id", keep=10,
+            )
+            condemned = set(payload)
+            for k in condemned:
+                merged_model.pop(k, None)
+            appended_model = Counter(
+                {
+                    (k, v): c
+                    for (k, v), c in appended_model.items()
+                    if k not in condemned
+                }
+            )
+        elif kind == "compact":
+            compact_manifest_table(
+                spark, base, small_bytes=1 << 30, target_bytes=1 << 30,
+                keep=10,
+            )
+        elif kind == "rename":
+            evolve_manifest_table(
+                spark, base, rename={vname(): f"v{gen + 1}"}, keep=10
+            )
+            gen += 1
+        else:  # widen
+            if key_type == "int":
+                evolve_manifest_table(spark, base, widen={"id": "bigint"}, keep=10)
+                key_type = "bigint"
+            else:
+                with pytest.raises(ValueError, match="cannot widen"):
+                    evolve_manifest_table(
+                        spark, base, widen={"id": "bigint"}, keep=10
+                    )
+        got_df = read_manifest_table(spark, base)
+        assert sorted(got_df.columns) == sorted(["id", vname()])
+        got = Counter((r["id"], r[vname()]) for r in got_df.collect())
+        assert got == expect(), f"after {kind}: {payload}"
+    vacuum_manifest_table(spark, base)
+    got = Counter(
+        (r["id"], r[vname()])
+        for r in read_manifest_table(spark, base).collect()
+    )
+    assert got == expect()
