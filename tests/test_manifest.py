@@ -3171,3 +3171,125 @@ def test_evolution_sequence_matches_dict_model(
         for r in read_manifest_table(spark, base).collect()
     )
     assert got == expect()
+
+
+def test_wap_stage_audit_publish_roundtrip(spark, tmp_path):
+    """Write-audit-publish (r10): staging runs the whole merge but
+    publishes nothing — readers and the head are untouched, a bare
+    vacuum spares the staged data files, the audit read previews the
+    would-be table exactly, and publish lands the identical content a
+    live merge would have (then consumes the stage record)."""
+    from tibame_project_spark.sources.manifest import (
+        list_staged_manifests,
+        manifest_history,
+        publish_staged_manifest,
+        read_staged_manifest,
+        stage_merge_manifest_table,
+    )
+
+    base = str(tmp_path / "t")
+    initial = [(i, i) for i in range(20)]
+    write_manifest_table(
+        spark, _mk(spark, initial), base, stats_cols=["id"],
+        cluster_by="id", n_files=2, keep=10,
+    )
+    batch = spark.createDataFrame(
+        [(3, 333, False), (5, 0, True), (100, 100, False)],
+        "id long, v long, dead boolean",
+    )
+    token = stage_merge_manifest_table(
+        spark, batch, base, "id", delete_col="dead"
+    )
+    expected = ({(i, i) for i in range(20)} - {(3, 3), (5, 5)}) | {
+        (3, 333), (100, 100)
+    }
+    # nothing published: readers see the original table, history is one
+    # create, the stage is listed
+    assert _content(spark, base) == set(initial)
+    assert [r["op"] for r in manifest_history(spark, base).collect()] == ["create"]
+    assert list_staged_manifests(spark, base)[token]["base_head"] == 0
+    # bare vacuum spares the staged (not-yet-referenced) data files
+    vacuum_manifest_table(spark, base)
+    # the audit read previews the would-be table exactly
+    got = {
+        (r["id"], r["v"])
+        for r in read_staged_manifest(spark, base, token).collect()
+    }
+    assert got == expected
+    v = publish_staged_manifest(spark, base, token, keep=10)
+    assert v == 1
+    assert _content(spark, base) == expected
+    assert list_staged_manifests(spark, base) == {}
+    with pytest.raises(FileNotFoundError, match="no staged edit"):
+        read_staged_manifest(spark, base, token)
+
+
+def test_wap_publish_rebases_disjoint_and_conflicts_overlapping(
+    spark, tmp_path
+):
+    """Publish goes through the same version-CAS as a live commit: a
+    disjoint append landing during the audit window is rebased over (both
+    edits land); a concurrent merge into the stage's key range conflicts
+    loudly; an abandoned stage's data files are vacuum-reclaimed."""
+    from tibame_project_spark.sources.manifest import (
+        ConcurrentCommitError,
+        abandon_staged_manifest,
+        publish_staged_manifest,
+        stage_merge_manifest_table,
+    )
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(20)]), base,
+        stats_cols=["id"], cluster_by="id", n_files=2, keep=10,
+    )
+    token = stage_merge_manifest_table(
+        spark, _mk(spark, [(3, 333)]), base, "id"
+    )
+    # audit window: a DISJOINT append lands
+    append_manifest_table(spark, _mk(spark, [(1000, 1000)]), base, keep=10)
+    assert publish_staged_manifest(spark, base, token, keep=10) == 2
+    assert (3, 333) in _content(spark, base)
+    assert (1000, 1000) in _content(spark, base)
+
+    # second stage; a concurrent merge rewrites its candidate files
+    token = stage_merge_manifest_table(
+        spark, _mk(spark, [(4, 444)]), base, "id"
+    )
+    merge_manifest_table(spark, _mk(spark, [(6, 666)]), base, "id", keep=10)
+    with pytest.raises(ConcurrentCommitError):
+        publish_staged_manifest(spark, base, token, keep=10)
+    # the stage survives a failed publish (re-staging is the caller's
+    # move); abandoning it releases its data files to vacuum
+    before = vacuum_manifest_table(spark, base)
+    abandon_staged_manifest(spark, base, token)
+    assert vacuum_manifest_table(spark, base) > 0  # the stage's files
+    assert (6, 666) in _content(spark, base)  # the winner survived
+    assert (4, 444) not in _content(spark, base)  # the loser never landed
+    with pytest.raises(FileNotFoundError):
+        abandon_staged_manifest(spark, base, token)
+
+
+def test_wap_crashed_stage_protects_nothing(spark, tmp_path):
+    """A stage that crashed before its stage.json landed is invisible:
+    not listed, not readable, and its partial files are NOT spared by
+    vacuum (the stamp is the stage's publish point, mirroring the commit
+    marker's crash contract)."""
+    from tibame_project_spark.sources.manifest import (
+        list_staged_manifests,
+        read_staged_manifest,
+    )
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"], keep=10
+    )
+    os.makedirs(f"{base}/staged/deadbeef/add")
+    open(f"{base}/staged/deadbeef/add/part-0.parquet", "w").close()
+    os.makedirs(f"{base}/data/c=crashed")
+    open(f"{base}/data/c=crashed/part-0.parquet", "w").close()
+    assert list_staged_manifests(spark, base) == {}
+    with pytest.raises(FileNotFoundError):
+        read_staged_manifest(spark, base, "deadbeef")
+    assert vacuum_manifest_table(spark, base) >= 1  # crashed files swept
+    assert not os.path.exists(f"{base}/data/c=crashed")

@@ -32,7 +32,12 @@ statistics on declared columns. Commits then become metadata operations:
   moves forward, nothing is rewritten;
 - **feed** lets a consumer tail the table with a persisted cursor
   (:func:`manifest_feed` / :func:`manifest_feed_commit`) — each pull
-  costs the files the commits touched, at-least-once on replay.
+  costs the files the commits touched, at-least-once on replay;
+- **write-audit-publish** stages a fully-prepared merge WITHOUT
+  publishing it (:func:`stage_merge_manifest_table`), auditable via
+  :func:`read_staged_manifest`, then published through the same
+  version-CAS as a live commit (:func:`publish_staged_manifest`) or
+  dropped (:func:`abandon_staged_manifest`) — Iceberg's WAP pattern.
 
 Commit protocol: the publish point is still the atomic create-new
 ``_COMMIT_v<n>`` marker (highest marker = current; crash before the
@@ -79,6 +84,10 @@ the same pluggable-LogStore split Delta Lake documents. Layout under
     tags/<name>.json   immutable named version pins (release tags):
                        tagged versions are spared by retention pruning
                        and, transitively, by vacuum
+    staged/<t>/        write-audit-publish stages: a fully-prepared but
+                       UNPUBLISHED merge edit (added manifest rows +
+                       stage.json); invisible to readers, its data files
+                       spared by vacuum until published or abandoned
 
 File statistics are collected Spark-side from the ``_metadata`` hidden
 columns (``file_path``/``file_size``) with one distributed groupBy over
@@ -113,6 +122,11 @@ __all__ = [
     "write_manifest_table",
     "append_manifest_table",
     "merge_manifest_table",
+    "stage_merge_manifest_table",
+    "read_staged_manifest",
+    "publish_staged_manifest",
+    "abandon_staged_manifest",
+    "list_staged_manifests",
     "delete_manifest_table",
     "compact_manifest_table",
     "restore_manifest_table",
@@ -1344,6 +1358,46 @@ def merge_manifest_table(
     merge runs ``null_safe_keys=False`` — enforce non-null upstream with
     an expectations rule). Composite keys: pre-concatenate a surrogate.
     Returns the committed version."""
+    edit = _prepare_merge_edit(
+        spark, source, base_path, key, delete_col=delete_col, expect=expect,
+        where=f"merge_manifest_table({base_path})",
+    )
+    # read set = replace set = the candidate files; a concurrent commit
+    # touching them, or any file in this batch's key range, conflicts
+    return _finish(
+        spark,
+        base_path,
+        schema=edit["schema"],
+        stats_cols=edit["stats_cols"],
+        keep=keep,
+        base_head=edit["base_head"],
+        removed=frozenset(edit["removed"]),
+        added=edit["added"],
+        bounds=edit["bounds"],
+        dv_key=edit["dv_key"],
+        bloom=edit["bloom"],
+        op="merge",
+        schemas=edit["schemas"],
+        schema_id=edit["schema_id"],
+    )
+
+
+def _prepare_merge_edit(
+    spark: SparkSession,
+    source: DataFrame,
+    base_path: str,
+    key: str,
+    *,
+    delete_col: str | None,
+    expect: list | None,
+    where: str,
+) -> dict:
+    """Everything a MERGE does BEFORE publishing — candidate selection,
+    the merge rewrite, data write, stats — packaged as the manifest EDIT
+    ``_finish`` publishes: ``{base_head, removed, added, bounds, schema,
+    stats_cols, dv_key, bloom, schemas, schema_id}``. Shared by the
+    immediate :func:`merge_manifest_table` and the staged
+    :func:`stage_merge_manifest_table` (write-audit-publish)."""
     from tibame_project_spark.operators.corrections import merge_upsert
 
     fs, listing, head, version = _begin(spark, base_path)
@@ -1374,16 +1428,24 @@ def merge_manifest_table(
             "non-null keys (a NULL never lands in a min/max range, so it "
             "would silently re-insert on every application)"
         )
-    man = _load_manifest(spark, base_path, head)
     dv_key = meta.get("dv_key")
     schemas, schema_id = _registry(meta)
-    if bounds["lo"] is None:  # empty batch: metadata-only no-op commit
-        return _finish(
-            spark, base_path, schema=schema, stats_cols=stats_cols,
-            keep=keep, base_head=head, dv_key=dv_key,
-            bloom=meta.get("bloom"), op="merge",
-            schemas=schemas, schema_id=schema_id,
-        )
+    edit = {
+        "base_head": head,
+        "key": key,
+        "schema": schema,
+        "stats_cols": stats_cols,
+        "dv_key": dv_key,
+        "bloom": meta.get("bloom"),
+        "schemas": schemas,
+        "schema_id": schema_id,
+        "removed": [],
+        "added": None,
+        "bounds": None,
+    }
+    if bounds["lo"] is None:  # empty batch: a metadata-only no-op edit
+        return edit
+    man = _load_manifest(spark, base_path, head)
     coarse = man.where(
         (F.col(f"max_{key}") >= F.lit(bounds["lo"]))
         & (F.col(f"min_{key}") <= F.lit(bounds["hi"]))
@@ -1404,37 +1466,206 @@ def merge_manifest_table(
     # projected to the CURRENT schema, so a merge doubles as the
     # migration pass for pre-evolution files it touches
     current = _read_live(spark, base_path, cand_files, meta)
-    source, gate = _expect_gate(
-        source, expect, f"merge_manifest_table({base_path})"
-    )
+    source, gate = _expect_gate(source, expect, where)
     merged = merge_upsert(
         current, source, key, delete_col=delete_col, null_safe_keys=False
     )
     data_dir = f"data/c={_token()}"
     _write_data(merged, base_path, data_dir, key, max(1, len(touched)))
     gate()  # batch violations abort pre-marker: the partial v is invisible
-    new_rows = _file_stats(
+    edit["removed"] = touched
+    edit["added"] = _file_stats(
         spark, base_path, data_dir, stats_cols, schema, meta.get("bloom"),
         schema_id=schema_id,
     )
-    # read set = replace set = the candidate files; a concurrent commit
-    # touching them, or any file in this batch's key range, conflicts
-    return _finish(
+    edit["bounds"] = (key, bounds["lo"], bounds["hi"])
+    return edit
+
+
+def stage_merge_manifest_table(
+    spark: SparkSession,
+    source: DataFrame,
+    base_path: str,
+    key: str,
+    *,
+    delete_col: str | None = None,
+    expect: list | None = None,
+) -> str:
+    """Write-audit-publish, stage one (Iceberg's WAP pattern, on the
+    manifest protocol): run the ENTIRE merge — candidate selection,
+    rewrite, data write, per-file stats — but publish nothing. The
+    prepared manifest edit lands under ``staged/<token>/`` (added
+    manifest rows as parquet, scalars in ``stage.json``); the table's
+    head and every reader are untouched, exactly like a crashed
+    attempt's files. Audit the would-be table with
+    :func:`read_staged_manifest` (or any expectation battery over it),
+    then :func:`publish_staged_manifest` — which routes the stored edit
+    through the SAME version-CAS ``_finish`` as a live merge, so a
+    staged edit REBASES over concurrent disjoint commits and raises
+    :class:`ConcurrentCommitError` on true conflicts, however long the
+    audit took — or :func:`abandon_staged_manifest`. Returns the stage
+    token.
+
+    The staged data files live in the normal attempt-unique
+    ``data/c=<t>`` dir; :func:`vacuum_manifest_table` treats files a
+    stage references as live, so an audit window survives housekeeping —
+    abandoning the stage is what releases them."""
+    edit = _prepare_merge_edit(
+        spark, source, base_path, key, delete_col=delete_col, expect=expect,
+        where=f"stage_merge_manifest_table({base_path})",
+    )
+    token = _token()
+    if edit["added"] is not None:
+        edit["added"].coalesce(1).write.mode("overwrite").parquet(
+            f"{base_path}/staged/{token}/add"
+        )
+    if edit["bounds"] is not None:
+        from pyspark.sql.types import StructField
+        from pyspark.sql.types import StructType as _ST
+
+        kt = edit["schema"][key].dataType
+        _, lo, hi = edit["bounds"]
+        spark.createDataFrame(
+            [(lo, hi)],
+            _ST([StructField("lo", kt), StructField("hi", kt)]),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{base_path}/staged/{token}/bounds"
+        )
+    stage = {
+        "op": "merge",
+        "key": key,
+        "base_head": edit["base_head"],
+        "removed": edit["removed"],
+        "has_added": edit["added"] is not None,
+        "has_bounds": edit["bounds"] is not None,
+        "schema": edit["schema"].jsonValue(),
+        "stats_cols": edit["stats_cols"],
+        "dv_key": edit["dv_key"],
+        "bloom": edit["bloom"],
+        "schemas": {str(k): v for k, v in edit["schemas"].items()},
+        "schema_id": edit["schema_id"],
+    }
+    # stage.json lands LAST: a crash mid-stage leaves no stage record,
+    # only unreferenced data files for vacuum — never a half-readable
+    # stage
+    _write_text(
+        spark, f"{base_path}/staged/{token}/stage.json", json.dumps(stage)
+    )
+    return token
+
+
+def _read_stage(spark: SparkSession, base_path: str, token: str) -> dict:
+    try:
+        return json.loads(
+            _read_text(spark, f"{base_path}/staged/{token}/stage.json")
+        )
+    except Exception as e:
+        raise FileNotFoundError(
+            f"no staged edit {token!r} under {base_path} (published, "
+            "abandoned, or never completed staging)"
+        ) from e
+
+
+def read_staged_manifest(
+    spark: SparkSession, base_path: str, token: str, *, prune: str | None = None
+) -> DataFrame:
+    """The AUDIT read of write-audit-publish: what the table WOULD hold
+    if the staged edit were published against the CURRENT head — the
+    head's manifest minus the stage's replaced files plus its added
+    ones, through the normal live-read path (era projections, deletion
+    vectors, optional ``prune=``). If a concurrent commit lands between
+    audit and publish, publish itself re-arbitrates (rebase or loud
+    conflict) — the audit is a preview, the CAS is the gate."""
+    st = _read_stage(spark, base_path, token)
+    head = read_manifest_version(spark, base_path)
+    if head is None:
+        raise FileNotFoundError(f"no committed manifest table under {base_path}")
+    man = _load_manifest(spark, base_path, head)
+    if st["removed"]:
+        man = man.where(~F.col("path").isin(st["removed"]))
+    if st["has_added"]:
+        man = man.unionByName(
+            spark.read.parquet(f"{base_path}/staged/{token}/add"),
+            allowMissingColumns=True,
+        )
+    if prune is not None:
+        man = man.where(F.coalesce(F.expr(prune), F.lit(True)))
+    files = man.select("path", "dv_path", "schema_id").collect()
+    return _read_live(spark, base_path, files, _meta(spark, base_path, head))
+
+
+def publish_staged_manifest(
+    spark: SparkSession, base_path: str, token: str, *, keep: int = 2
+) -> int:
+    """Write-audit-publish, publish: route the staged edit through the
+    version-CAS commit path. Disjoint concurrent commits since staging
+    are rebased over exactly as for a live merge; commits that rewrote
+    the stage's read set or touched its key range raise
+    :class:`ConcurrentCommitError` (re-stage against the new head);
+    a base head pruned past retention during a long audit raises too —
+    size ``keep`` to the audit window. Consumes the stage record on
+    success. Returns the committed version."""
+    st = _read_stage(spark, base_path, token)
+    added = (
+        spark.read.parquet(f"{base_path}/staged/{token}/add")
+        if st["has_added"]
+        else None
+    )
+    bounds = None
+    if st["has_bounds"]:
+        b = spark.read.parquet(f"{base_path}/staged/{token}/bounds").first()
+        bounds = (st["key"], b["lo"], b["hi"])
+    version = _finish(
         spark,
         base_path,
-        schema=schema,
-        stats_cols=stats_cols,
+        schema=StructType.fromJson(st["schema"]),
+        stats_cols=st["stats_cols"],
         keep=keep,
-        base_head=head,
-        removed=frozenset(touched),
-        added=new_rows,
-        bounds=(key, bounds["lo"], bounds["hi"]),
-        dv_key=dv_key,
-        bloom=meta.get("bloom"),
+        base_head=st["base_head"],
+        removed=frozenset(st["removed"]),
+        added=added,
+        bounds=bounds,
+        dv_key=st.get("dv_key"),
+        bloom=st.get("bloom"),
         op="merge",
-        schemas=schemas,
-        schema_id=schema_id,
+        schemas={int(k): v for k, v in st["schemas"].items()},
+        schema_id=st["schema_id"],
     )
+    # the manifest now references the data files; the stage record (and
+    # its copy of the added rows) is spent
+    fs, _, jvm = _fs_for(spark, base_path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base_path}/staged/{token}"), True)
+    return version
+
+
+def abandon_staged_manifest(spark: SparkSession, base_path: str, token: str) -> None:
+    """Drop a staged edit without publishing. Its data files become
+    unreferenced (no manifest ever pointed at them) and the next
+    :func:`vacuum_manifest_table` reclaims them."""
+    fs, _, jvm = _fs_for(spark, base_path)
+    p = jvm.org.apache.hadoop.fs.Path(f"{base_path}/staged/{token}")
+    if not fs.delete(p, True):
+        raise FileNotFoundError(f"no staged edit {token!r} under {base_path}")
+
+
+def list_staged_manifests(spark: SparkSession, base_path: str) -> dict[str, dict]:
+    """``{token: {op, key, base_head}}`` for every pending staged edit —
+    the audit-queue listing."""
+    fs, _, jvm = _fs_for(spark, base_path)
+    root = jvm.org.apache.hadoop.fs.Path(f"{base_path}/staged")
+    if not fs.exists(root):
+        return {}
+    out: dict[str, dict] = {}
+    for st in fs.listStatus(root):
+        token = st.getPath().getName()
+        try:
+            rec = _read_stage(spark, base_path, token)
+        except FileNotFoundError:
+            continue  # crashed mid-stage: no stage.json, vacuum's problem
+        out[token] = {
+            "op": rec["op"], "key": rec["key"], "base_head": rec["base_head"]
+        }
+    return dict(sorted(out.items()))
 
 
 def manifest_table_stats(
@@ -1972,6 +2203,27 @@ def vacuum_manifest_table(
             referenced.add(r["path"])
             if r["dv_path"]:
                 dv_referenced.add(r["dv_path"])
+    # pending STAGED edits (write-audit-publish) reference data files no
+    # manifest points at yet — an audit window must survive housekeeping,
+    # so a stage's added files count as live until it publishes or is
+    # abandoned (a crashed stage with no stage.json protects nothing)
+    staged_root = jvm.org.apache.hadoop.fs.Path(f"{base_path}/staged")
+    if fs.exists(staged_root):
+        for st in fs.listStatus(staged_root):
+            token = st.getPath().getName()
+            add = jvm.org.apache.hadoop.fs.Path(
+                f"{base_path}/staged/{token}/add"
+            )
+            stamp = jvm.org.apache.hadoop.fs.Path(
+                f"{base_path}/staged/{token}/stage.json"
+            )
+            if fs.exists(stamp) and fs.exists(add):
+                for r in (
+                    spark.read.parquet(f"{base_path}/staged/{token}/add")
+                    .select("path")
+                    .collect()
+                ):
+                    referenced.add(r["path"])
     deleted = 0
     data_root = jvm.org.apache.hadoop.fs.Path(f"{base_path}/data")
     if fs.exists(data_root):
