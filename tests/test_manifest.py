@@ -3293,3 +3293,44 @@ def test_wap_crashed_stage_protects_nothing(spark, tmp_path):
         read_staged_manifest(spark, base, "deadbeef")
     assert vacuum_manifest_table(spark, base) >= 1  # crashed files swept
     assert not os.path.exists(f"{base}/data/c=crashed")
+
+
+def test_curation_pass_staged_audit_then_publish(spark, tmp_path):
+    """curate_corpus(stage=True): the curation pass as write-audit-
+    publish — the tombstone merge is fully prepared but the corpus is
+    untouched; the audit read shows exactly the post-curation corpus
+    (dedup losers gone, winners kept); publishing lands the same content
+    a direct pass would have, and a repeat pass is a no-op fixpoint."""
+    from tibame_project_spark.plans.curation import curate_corpus
+    from tibame_project_spark.sources.manifest import (
+        publish_staged_manifest,
+        read_staged_manifest,
+    )
+
+    base = str(tmp_path / "corpus")
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "cc"), (5, "bb")],
+        "doc_id long, text string",
+    )
+    write_manifest_table(
+        spark, docs, base, stats_cols=["doc_id"], cluster_by="doc_id",
+        n_files=2, keep=10,
+    )
+    token, n = curate_corpus(spark, base, stage=True)
+    assert n == 2  # doc 3 (dup of 1) and doc 5 (dup of 2)
+    # corpus untouched until sign-off
+    assert read_manifest_table(spark, base).count() == 5
+    audited = {
+        (r["doc_id"], r["text"])
+        for r in read_staged_manifest(spark, base, token).collect()
+    }
+    assert audited == {(1, "aa"), (2, "bb"), (4, "cc")}
+    publish_staged_manifest(spark, base, token, keep=10)
+    got = {
+        (r["doc_id"], r["text"])
+        for r in read_manifest_table(spark, base).collect()
+    }
+    assert got == audited
+    assert curate_corpus(spark, base, stage=True) == (None, 0)  # fixpoint
+    with pytest.raises(ValueError, match="merge apply path"):
+        curate_corpus(spark, base, stage=True, use_deletion_vectors=True)

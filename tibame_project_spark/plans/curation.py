@@ -85,13 +85,25 @@ def curate_corpus(
     decontaminate_n: int = 5,
     base_hash=None,
     use_deletion_vectors: bool = False,
+    stage: bool = False,
     keep: int = 2,
-) -> tuple[int | None, int]:
+) -> tuple[int | str | None, int]:
     """One curation pass over a manifest-backed corpus: derive the
     tombstone batch (exact-dedup losers, plus benchmark contamination
     when ``benchmark`` is given) and apply it. Returns
     ``(version, n_tombstones)`` — ``version`` is None when the corpus
     was already clean (no commit; a no-op pass leaves no version noise).
+
+    ``stage=True`` (merge apply path only) runs the pass as
+    WRITE-AUDIT-PUBLISH instead of committing: the tombstone merge is
+    fully prepared but unpublished, and the return is ``(stage_token,
+    n_tombstones)``. Audit the would-be corpus with
+    ``sources.manifest.read_staged_manifest`` (survivor counts, quality
+    metrics, a held-out contamination probe), then
+    ``publish_staged_manifest`` — concurrent disjoint commits during the
+    audit are rebased over — or ``abandon_staged_manifest``. The shape
+    for curation passes that need sign-off before rewriting a
+    production corpus.
 
     ``use_deletion_vectors=False`` (default) applies tombstones via
     ``merge_manifest_table`` — files holding a condemned doc are
@@ -111,8 +123,15 @@ def curate_corpus(
         delete_manifest_table,
         merge_manifest_table,
         read_manifest_table,
+        stage_merge_manifest_table,
     )
 
+    if stage and use_deletion_vectors:
+        raise ValueError(
+            "stage=True requires the merge apply path "
+            "(use_deletion_vectors=False) — deletion-vector commits have "
+            "no staged form"
+        )
     docs = read_manifest_table(spark, base_path)
     tombs = exact_dedup_tombstones(docs, id_col=id_col, text_col=text_col)
     if benchmark is not None:
@@ -137,6 +156,13 @@ def curate_corpus(
     if use_deletion_vectors:
         version = delete_manifest_table(
             spark, tombs.select(id_col), base_path, id_col, keep=keep
+        )
+    elif stage:
+        return (
+            stage_merge_manifest_table(
+                spark, tombs, base_path, id_col, delete_col="dead"
+            ),
+            n_tombs,
         )
     else:
         version = merge_manifest_table(
