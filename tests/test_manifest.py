@@ -3332,5 +3332,72 @@ def test_curation_pass_staged_audit_then_publish(spark, tmp_path):
     }
     assert got == audited
     assert curate_corpus(spark, base, stage=True) == (None, 0)  # fixpoint
-    with pytest.raises(ValueError, match="merge apply path"):
-        curate_corpus(spark, base, stage=True, use_deletion_vectors=True)
+
+
+def test_wap_staged_dv_delete_audit_publish_and_vacuum_protection(
+    spark, tmp_path
+):
+    """Staged DELETION-VECTOR deletes (r10): the sidecar is written and
+    the repoint prepared, but nothing publishes — readers see every row,
+    the audit read shows the condemned keys gone, a bare vacuum spares
+    the STAGED sidecar (dv_referenced via the staged rows), and publish
+    lands the same zero-rewrite delete a live call would. The staged
+    form also rides curate_corpus(stage=True, use_deletion_vectors=True)."""
+    from tibame_project_spark.plans.curation import curate_corpus
+    from tibame_project_spark.sources.manifest import (
+        manifest_history,
+        manifest_table_stats,
+        publish_staged_manifest,
+        read_staged_manifest,
+        stage_delete_manifest_table,
+    )
+
+    base = str(tmp_path / "t")
+    data_paths = lambda: {
+        r["path"] for r in manifest_stats(spark, base).collect()
+    }
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(20)]), base,
+        stats_cols=["id"], cluster_by="id", n_files=2, keep=10,
+    )
+    before_files = data_paths()
+    token = stage_delete_manifest_table(
+        spark, spark.createDataFrame([(3,), (7,)], "id long"), base, "id"
+    )
+    assert _content(spark, base) == {(i, i) for i in range(20)}  # unpublished
+    vacuum_manifest_table(spark, base)  # must spare the staged sidecar
+    audited = {
+        (r["id"], r["v"])
+        for r in read_staged_manifest(spark, base, token).collect()
+    }
+    assert audited == {(i, i) for i in range(20)} - {(3, 3), (7, 7)}
+    publish_staged_manifest(spark, base, token, keep=10)
+    assert _content(spark, base) == audited
+    # zero data files rewritten: the live set is the SAME files, now
+    # carrying a vector
+    assert data_paths() == before_files
+    assert manifest_table_stats(spark, base)["n_dv_files"] >= 1
+    assert [r["op"] for r in manifest_history(spark, base).collect()] == [
+        "create", "delete",
+    ]
+
+    # the staged DV path through the curation plan
+    base2 = str(tmp_path / "corpus")
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa")], "doc_id long, text string"
+    )
+    write_manifest_table(
+        spark, docs, base2, stats_cols=["doc_id"], cluster_by="doc_id",
+        n_files=1, keep=10,
+    )
+    token, n = curate_corpus(
+        spark, base2, stage=True, use_deletion_vectors=True
+    )
+    assert n == 1
+    assert read_manifest_table(spark, base2).count() == 3
+    publish_staged_manifest(spark, base2, token, keep=10)
+    got = {
+        (r["doc_id"], r["text"])
+        for r in read_manifest_table(spark, base2).collect()
+    }
+    assert got == {(1, "aa"), (2, "bb")}

@@ -94,10 +94,11 @@ def curate_corpus(
     ``(version, n_tombstones)`` — ``version`` is None when the corpus
     was already clean (no commit; a no-op pass leaves no version noise).
 
-    ``stage=True`` (merge apply path only) runs the pass as
-    WRITE-AUDIT-PUBLISH instead of committing: the tombstone merge is
-    fully prepared but unpublished, and the return is ``(stage_token,
-    n_tombstones)``. Audit the would-be corpus with
+    ``stage=True`` runs the pass as WRITE-AUDIT-PUBLISH instead of
+    committing: the tombstone apply (merge rewrite, or deletion-vector
+    sidecar when ``use_deletion_vectors=True``) is fully prepared but
+    unpublished, and the return is ``(stage_token, n_tombstones)``.
+    Audit the would-be corpus with
     ``sources.manifest.read_staged_manifest`` (survivor counts, quality
     metrics, a held-out contamination probe), then
     ``publish_staged_manifest`` — concurrent disjoint commits during the
@@ -123,15 +124,10 @@ def curate_corpus(
         delete_manifest_table,
         merge_manifest_table,
         read_manifest_table,
+        stage_delete_manifest_table,
         stage_merge_manifest_table,
     )
 
-    if stage and use_deletion_vectors:
-        raise ValueError(
-            "stage=True requires the merge apply path "
-            "(use_deletion_vectors=False) — deletion-vector commits have "
-            "no staged form"
-        )
     docs = read_manifest_table(spark, base_path)
     tombs = exact_dedup_tombstones(docs, id_col=id_col, text_col=text_col)
     if benchmark is not None:
@@ -153,16 +149,20 @@ def curate_corpus(
     n_tombs = tombs.count()
     if n_tombs == 0:
         return None, 0
+    if stage:
+        token = (
+            stage_delete_manifest_table(
+                spark, tombs.select(id_col), base_path, id_col
+            )
+            if use_deletion_vectors
+            else stage_merge_manifest_table(
+                spark, tombs, base_path, id_col, delete_col="dead"
+            )
+        )
+        return token, n_tombs
     if use_deletion_vectors:
         version = delete_manifest_table(
             spark, tombs.select(id_col), base_path, id_col, keep=keep
-        )
-    elif stage:
-        return (
-            stage_merge_manifest_table(
-                spark, tombs, base_path, id_col, delete_col="dead"
-            ),
-            n_tombs,
         )
     else:
         version = merge_manifest_table(

@@ -123,6 +123,7 @@ __all__ = [
     "append_manifest_table",
     "merge_manifest_table",
     "stage_merge_manifest_table",
+    "stage_delete_manifest_table",
     "read_staged_manifest",
     "publish_staged_manifest",
     "abandon_staged_manifest",
@@ -1514,7 +1515,32 @@ def stage_merge_manifest_table(
         spark, source, base_path, key, delete_col=delete_col, expect=expect,
         where=f"stage_merge_manifest_table({base_path})",
     )
+    return _persist_stage(spark, base_path, edit, op="merge")
+
+
+def stage_delete_manifest_table(
+    spark: SparkSession, keys: DataFrame, base_path: str, key: str
+) -> str:
+    """Write-audit-publish for a DELETION-VECTOR delete: the whole
+    delete — candidate selection, condemned-pair scan, sidecar write,
+    repoint — is prepared but unpublished. Same audit/publish/abandon
+    lifecycle as :func:`stage_merge_manifest_table`; the staged sidecar
+    (like the staged repointed rows' files) is vacuum-protected until
+    the stage publishes or is abandoned. Returns the stage token."""
+    edit = _prepare_delete_edit(spark, keys, base_path, key)
+    return _persist_stage(spark, base_path, edit, op="delete")
+
+
+def _persist_stage(
+    spark: SparkSession, base_path: str, edit: dict, *, op: str
+) -> str:
+    """Persist a prepared manifest edit under ``staged/<token>/``: the
+    added manifest rows as parquet, the key bounds as a typed 1-row
+    parquet, scalars in ``stage.json`` — which lands LAST, so a crash
+    mid-stage leaves no stage record, only unreferenced files for
+    vacuum, never a half-readable stage."""
     token = _token()
+    key = edit["key"]
     if edit["added"] is not None:
         edit["added"].coalesce(1).write.mode("overwrite").parquet(
             f"{base_path}/staged/{token}/add"
@@ -1532,7 +1558,7 @@ def stage_merge_manifest_table(
             f"{base_path}/staged/{token}/bounds"
         )
     stage = {
-        "op": "merge",
+        "op": op,
         "key": key,
         "base_head": edit["base_head"],
         "removed": edit["removed"],
@@ -1545,9 +1571,6 @@ def stage_merge_manifest_table(
         "schemas": {str(k): v for k, v in edit["schemas"].items()},
         "schema_id": edit["schema_id"],
     }
-    # stage.json lands LAST: a crash mid-stage leaves no stage record,
-    # only unreferenced data files for vacuum — never a half-readable
-    # stage
     _write_text(
         spark, f"{base_path}/staged/{token}/stage.json", json.dumps(stage)
     )
@@ -1591,7 +1614,12 @@ def read_staged_manifest(
     if prune is not None:
         man = man.where(F.coalesce(F.expr(prune), F.lit(True)))
     files = man.select("path", "dv_path", "schema_id").collect()
-    return _read_live(spark, base_path, files, _meta(spark, base_path, head))
+    meta = _meta(spark, base_path, head)
+    if st.get("dv_key") is not None:
+        # a staged FIRST delete fixes the DV key only in the stage record
+        # (the head's meta learns it at publish) — the audit read needs it
+        meta = dict(meta, dv_key=st["dv_key"])
+    return _read_live(spark, base_path, files, meta)
 
 
 def publish_staged_manifest(
@@ -1627,7 +1655,7 @@ def publish_staged_manifest(
         bounds=bounds,
         dv_key=st.get("dv_key"),
         bloom=st.get("bloom"),
-        op="merge",
+        op=st["op"],
         schemas={int(k): v for k, v in st["schemas"].items()},
         schema_id=st["schema_id"],
     )
@@ -1855,6 +1883,24 @@ def delete_manifest_table(
     Returns the committed version (a no-op delete still commits, so the
     caller always gets a version to read back).
     """
+    edit = _prepare_delete_edit(spark, keys, base_path, key)
+    return _finish(
+        spark, base_path, schema=edit["schema"], stats_cols=edit["stats_cols"],
+        keep=keep, base_head=edit["base_head"],
+        removed=frozenset(edit["removed"]), added=edit["added"],
+        bounds=edit["bounds"], dv_key=edit["dv_key"], bloom=edit["bloom"],
+        op="delete", schemas=edit["schemas"], schema_id=edit["schema_id"],
+    )
+
+
+def _prepare_delete_edit(
+    spark: SparkSession, keys: DataFrame, base_path: str, key: str
+) -> dict:
+    """Everything a DV DELETE does BEFORE publishing — candidate
+    selection, the condemned-pair scan, the sidecar write, the repoint —
+    packaged as the manifest edit ``_finish`` publishes. Shared by the
+    immediate :func:`delete_manifest_table` and the staged
+    :func:`stage_delete_manifest_table` (write-audit-publish)."""
     fs, listing, head, version = _begin(spark, base_path)
     if head is None:
         raise FileNotFoundError(
@@ -1886,15 +1932,24 @@ def delete_manifest_table(
             f"delete batch contains NULL {key!r} keys; a NULL never lands "
             "in a min/max range, so it could never be skipped consistently"
         )
-    man = _load_manifest(spark, base_path, head)
     schemas, schema_id = _registry(meta)
+    edit = {
+        "base_head": head,
+        "key": key,
+        "schema": schema,
+        "stats_cols": stats_cols,
+        "dv_key": dv_key,
+        "bloom": meta.get("bloom"),
+        "schemas": schemas,
+        "schema_id": schema_id,
+        "removed": [],
+        "added": None,
+        "bounds": None,
+    }
     if bounds["lo"] is None:
-        return _finish(
-            spark, base_path, schema=schema, stats_cols=stats_cols,
-            keep=keep, base_head=head, dv_key=dv_key,
-            bloom=meta.get("bloom"), op="delete",
-            schemas=schemas, schema_id=schema_id,
-        )
+        return edit
+    edit["bounds"] = (key, bounds["lo"], bounds["hi"])
+    man = _load_manifest(spark, base_path, head)
     coarse = man.where(
         (F.col(f"max_{key}") >= F.lit(bounds["lo"]))
         & (F.col(f"min_{key}") <= F.lit(bounds["hi"]))
@@ -1907,16 +1962,10 @@ def delete_manifest_table(
     )
     cand_files = cand.select("path", "dv_path", "schema_id").collect()
     if not cand_files:
-        # still a range-reading commit: "no candidates" is a statement
+        # still a range-reading edit: "no candidates" is a statement
         # about this key range, so a concurrent commit INTO the range
         # must conflict, not silently serialize after the no-op
-        return _finish(
-            spark, base_path, schema=schema, stats_cols=stats_cols,
-            keep=keep, base_head=head, dv_key=dv_key,
-            bounds=(key, bounds["lo"], bounds["hi"]),
-            bloom=meta.get("bloom"), op="delete",
-            schemas=schemas, schema_id=schema_id,
-        )
+        return edit
     touched = [r["path"] for r in cand_files]
     key_type = schema[key].dataType
     # the condemned (file, key) pairs actually PRESENT in candidate files:
@@ -1959,6 +2008,8 @@ def delete_manifest_table(
     present.distinct().coalesce(1).write.mode("overwrite").parquet(
         f"{base_path}/{dv_dir}"
     )
+    # a no-hit delete still FIXES the table's DV key (first use)
+    edit["dv_key"] = key
     # repoint ONLY files with at least one condemned pair in the new
     # sidecar — a min/max-range candidate that turned out to hold none of
     # the batch keys (and carried no prior vector) must NOT take the DV
@@ -1972,26 +2023,15 @@ def delete_manifest_table(
     }
     repoint = [p for p in touched if p in hit]
     if not repoint:
-        return _finish(
-            spark, base_path, schema=schema, stats_cols=stats_cols,
-            keep=keep, base_head=head, dv_key=key,
-            bounds=(key, bounds["lo"], bounds["hi"]),
-            bloom=meta.get("bloom"), op="delete",
-            schemas=schemas, schema_id=schema_id,
-        )
+        return edit
     # the commit as a manifest edit: drop the repointed files' old
     # entries, re-add them with the fresh sidecar — what lets _finish
     # rebase it over concurrent commits that left these files alone
-    repointed = man.where(F.col("path").isin(repoint)).withColumn(
+    edit["removed"] = repoint
+    edit["added"] = man.where(F.col("path").isin(repoint)).withColumn(
         "dv_path", F.lit(dv_dir)
     )
-    return _finish(
-        spark, base_path, schema=schema, stats_cols=stats_cols, keep=keep,
-        base_head=head, removed=frozenset(repoint), added=repointed,
-        bounds=(key, bounds["lo"], bounds["hi"]),
-        dv_key=key, bloom=meta.get("bloom"), op="delete",
-        schemas=schemas, schema_id=schema_id,
-    )
+    return edit
 
 
 def compact_manifest_table(
@@ -2220,10 +2260,12 @@ def vacuum_manifest_table(
             if fs.exists(stamp) and fs.exists(add):
                 for r in (
                     spark.read.parquet(f"{base_path}/staged/{token}/add")
-                    .select("path")
+                    .select("path", "dv_path")
                     .collect()
                 ):
                     referenced.add(r["path"])
+                    if r["dv_path"]:  # a staged DV delete's sidecar
+                        dv_referenced.add(r["dv_path"])
     deleted = 0
     data_root = jvm.org.apache.hadoop.fs.Path(f"{base_path}/data")
     if fs.exists(data_root):
