@@ -2789,9 +2789,13 @@ def test_stream_replicate_runs_under_real_streaming_query_with_kill_resume(
         except FileNotFoundError:
             return -1
 
-    def await_cursor(v, timeout=120):
+    def await_cursor(q, v, timeout=300):
+        # generous: under a fully loaded 32-thread suite, streaming-query
+        # startup plus a few rate micro-batches can take minutes of wall
         deadline = time.monotonic() + timeout
         while cursor() < v:
+            if q.exception() is not None:
+                raise AssertionError(f"query died: {q.exception()}")
             assert time.monotonic() < deadline, (
                 f"replication stalled: cursor {cursor()} < {v}"
             )
@@ -2810,7 +2814,7 @@ def test_stream_replicate_runs_under_real_streaming_query_with_kill_resume(
         spark, src, dst, "id", state_path=state, checkpoint=ckpt, keep=20
     )
     try:
-        await_cursor(1)  # bootstrap + one merge epoch, streamed
+        await_cursor(q, 1)  # bootstrap + one merge epoch, streamed
     finally:
         q.stop()  # the mid-stream kill
     q.awaitTermination(30)
@@ -2830,7 +2834,7 @@ def test_stream_replicate_runs_under_real_streaming_query_with_kill_resume(
         spark, src, dst, "id", state_path=state, checkpoint=ckpt, keep=20
     )
     try:
-        await_cursor(3)
+        await_cursor(q, 3)
     finally:
         q.stop()
     q.awaitTermination(30)
