@@ -3405,3 +3405,61 @@ def test_wap_staged_dv_delete_audit_publish_and_vacuum_protection(
         for r in read_manifest_table(spark, base2).collect()
     }
     assert got == {(1, "aa"), (2, "bb")}
+
+
+def test_wap_stale_schema_audit_refuses_and_replayed_publish_conflicts(
+    spark, tmp_path
+):
+    """Two WAP edge contracts (r10): (1) a schema change landing after
+    staging makes the stage STALE — the audit read refuses (a unioned
+    preview over renamed stats columns would be silently wrong) exactly
+    as publish would; (2) a publish that crashed after its commit marker
+    but before consuming the stage leaves a spent record whose re-publish
+    CONFLICTS — loud, never a silent double-apply."""
+    from tibame_project_spark.sources.manifest import (
+        ConcurrentCommitError,
+        abandon_staged_manifest,
+        evolve_manifest_table,
+        publish_staged_manifest,
+        read_staged_manifest,
+        stage_merge_manifest_table,
+    )
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(10)]), base,
+        stats_cols=["id"], cluster_by="id", n_files=2, keep=10,
+    )
+    token = stage_merge_manifest_table(
+        spark, _mk(spark, [(3, 333)]), base, "id"
+    )
+    evolve_manifest_table(spark, base, rename={"v": "val"}, keep=10)
+    with pytest.raises(ConcurrentCommitError, match="stale"):
+        read_staged_manifest(spark, base, token)
+    with pytest.raises(ConcurrentCommitError):
+        publish_staged_manifest(spark, base, token, keep=10)
+    abandon_staged_manifest(spark, base, token)
+
+    # crash-replayed publish: simulate by copying the stage record aside,
+    # publishing, restoring the record, and publishing "again"
+    import shutil
+
+    token = stage_merge_manifest_table(
+        spark,
+        spark.createDataFrame([(4, 444)], "id long, val long"),
+        base, "id",
+    )
+    shutil.copytree(f"{base}/staged/{token}", f"{base}/staged_bak")
+    assert publish_staged_manifest(spark, base, token, keep=10) == 2
+    shutil.copytree(f"{base}/staged_bak", f"{base}/staged/{token}")
+    with pytest.raises(ConcurrentCommitError):
+        publish_staged_manifest(spark, base, token, keep=10)
+    # no double-apply: exactly one (4, 444) row, spent stage abandonable
+    rows = [
+        tuple(r)
+        for r in read_manifest_table(spark, base)
+        .where("id = 4")
+        .collect()
+    ]
+    assert rows == [(4, 444)]
+    abandon_staged_manifest(spark, base, token)

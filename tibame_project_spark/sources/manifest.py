@@ -1603,6 +1603,17 @@ def read_staged_manifest(
     head = read_manifest_version(spark, base_path)
     if head is None:
         raise FileNotFoundError(f"no committed manifest table under {base_path}")
+    head_meta = _meta(spark, base_path, head)
+    if head_meta["schema"] != st["schema"]:
+        # a schema change landed since staging: the staged manifest rows
+        # carry the OLD stats/Bloom column names, so a unioned preview
+        # would be silently wrong — and publish would conflict anyway
+        # (schema races are never rebased). Fail the audit the same way.
+        raise ConcurrentCommitError(
+            f"staged edit {token!r} under {base_path} was prepared against "
+            "a different table schema — the stage is stale; abandon it and "
+            "re-stage against the current head"
+        )
     man = _load_manifest(spark, base_path, head)
     if st["removed"]:
         man = man.where(~F.col("path").isin(st["removed"]))
@@ -1614,7 +1625,7 @@ def read_staged_manifest(
     if prune is not None:
         man = man.where(F.coalesce(F.expr(prune), F.lit(True)))
     files = man.select("path", "dv_path", "schema_id").collect()
-    meta = _meta(spark, base_path, head)
+    meta = head_meta
     if st.get("dv_key") is not None:
         # a staged FIRST delete fixes the DV key only in the stage record
         # (the head's meta learns it at publish) — the audit read needs it
@@ -1632,7 +1643,13 @@ def publish_staged_manifest(
     :class:`ConcurrentCommitError` (re-stage against the new head);
     a base head pruned past retention during a long audit raises too —
     size ``keep`` to the audit window. Consumes the stage record on
-    success. Returns the committed version."""
+    success. Returns the committed version.
+
+    Crash contract: a publish that died AFTER its commit marker but
+    before consuming the stage leaves a spent stage record whose
+    re-publish CONFLICTS (its own committed edit removed the same files)
+    — loud and safe, never a silent double-apply; verify the head with
+    :func:`manifest_history` and abandon the spent stage."""
     st = _read_stage(spark, base_path, token)
     added = (
         spark.read.parquet(f"{base_path}/staged/{token}/add")
