@@ -2205,6 +2205,100 @@ def test_rebase_past_pruned_history_raises_retriably(spark, tmp_path, monkeypatc
     }
 
 
+def test_commits_landing_during_materialization_never_lost(
+    spark, tmp_path, monkeypatch
+):
+    """r10 ADVICE (high): ``_finish``'s list→claim gap spans the whole
+    manifest materialization job (minutes on a big commit). If ≥keep+1
+    commits land inside it, the newest one's retention prune deletes
+    ``_CLAIM``/``_COMMIT`` for the slow writer's target version, so its
+    ``create_new`` SUCCEEDS on an already-committed-and-pruned version —
+    without the post-claim head re-check it would publish there,
+    silently dropping every racer's commit and resurrecting a pruned
+    version for time travel. The re-check must turn that into the loud
+    retriable conflict (the racers pruned the slow writer's base too, so
+    a rebase cannot be conflict-checked and must refuse)."""
+    import tibame_project_spark.sources.manifest as M
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(0, 0)]), base, stats_cols=["id"], keep=1
+    )
+
+    def race():  # fires between the slow writer's materialization and claim
+        append_manifest_table(spark, _mk(spark, [(1, 1)]), base, keep=1)
+        append_manifest_table(spark, _mk(spark, [(2, 2)]), base, keep=1)
+
+    monkeypatch.setattr(M, "_TEST_PRECLAIM_HOOK", race)
+    with pytest.raises(M.ConcurrentCommitError):
+        append_manifest_table(spark, _mk(spark, [(3, 3)]), base, keep=1)
+    assert M._TEST_PRECLAIM_HOOK is None  # the hook actually fired
+    # both racer commits survived; nothing was resurrected at the stale
+    # version (the failed attempt released its claim, so a retry lands)
+    assert _content(spark, base) == {(0, 0), (1, 1), (2, 2)}
+    append_manifest_table(spark, _mk(spark, [(3, 3)]), base, keep=1)
+    assert _content(spark, base) == {(0, 0), (1, 1), (2, 2), (3, 3)}
+
+
+def test_await_claim_surfaces_persistent_fs_errors(spark):
+    """r10 ADVICE: ``_await_claim`` must treat ONLY file-not-found as
+    'claim released'. A persistent IO/permission failure from the stat
+    call has to surface as itself after bounded retries — swallowing it
+    turns a filesystem outage into a silent busy rebase loop that
+    exhausts _MAX_REBASES and reports misleading 'sustained
+    contention'."""
+    import tibame_project_spark.sources.manifest as M
+
+    jvm = spark._jvm
+
+    class BrokenFS:
+        def exists(self, p):
+            return False  # the marker never appears
+
+        def getFileStatus(self, p):
+            raise RuntimeError("Permission denied: /t/_CLAIM_v1")
+
+    monkeypatch_poll = M._CLAIM_POLL_S
+    try:
+        M._CLAIM_POLL_S = 0.001
+        with pytest.raises(RuntimeError, match="Permission denied"):
+            M._await_claim(BrokenFS(), jvm, "/t", 1)
+    finally:
+        M._CLAIM_POLL_S = monkeypatch_poll
+
+    class ReleasedFS(BrokenFS):
+        def getFileStatus(self, p):
+            raise FileNotFoundError(str(p))
+
+    # a genuinely released claim still returns promptly
+    assert M._await_claim(ReleasedFS(), jvm, "/t", 1) is None
+
+
+def test_tagging_bounded_under_sustained_contention(spark, tmp_path, monkeypatch):
+    """r10 ADVICE: tagging must not livelock under sustained commit
+    traffic — commits are bounded by _MAX_REBASES, so tagging is too,
+    raising the retriable ConcurrentCommitError with a hint instead of
+    re-waiting fresh claims forever."""
+    import tibame_project_spark.sources.manifest as M
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(0, 0)]), base, stats_cols=["id"], keep=5
+    )
+
+    class AlwaysContended(M.CommitFS):
+        def create_new(self, fs, path, data: bytes = b"") -> None:
+            raise IOError("claim already held")
+
+    monkeypatch.setattr(M, "_await_claim", lambda *a, **k: None)
+    prev = M.set_commit_fs(AlwaysContended())
+    try:
+        with pytest.raises(M.ConcurrentCommitError, match="gave up tagging"):
+            M.tag_manifest_version(spark, base, "rel")
+    finally:
+        M.set_commit_fs(prev)
+
+
 def test_tags_pin_versions_past_retention_and_vacuum(spark, tmp_path):
     """Release pinning (Iceberg-style tags): a tagged version's metadata
     survives every later commit's retention pruning and its files survive

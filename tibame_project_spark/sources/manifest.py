@@ -465,6 +465,25 @@ def set_commit_fs(impl: CommitFS) -> CommitFS:
     return prev
 
 
+def _is_file_not_found(exc: BaseException) -> bool:
+    """True iff ``exc`` is a missing-file error (Python's
+    ``FileNotFoundError`` or a Py4J-wrapped ``java.io.FileNotFoundException``
+    chain) — the ONLY exception class that means "the claim was released".
+    Everything else (IO, permission, RPC) is a real filesystem failure and
+    must surface as itself."""
+    if isinstance(exc, FileNotFoundError):
+        return True
+    java_exc = getattr(exc, "java_exception", None)
+    while java_exc is not None:
+        try:
+            if "FileNotFoundException" in java_exc.getClass().getName():
+                return True
+            java_exc = java_exc.getCause()
+        except Exception:
+            break
+    return "FileNotFoundException" in str(exc)
+
+
 def _await_claim(fs, jvm, base_path: str, version: int) -> None:
     """Wait out ``version``'s claimed metadata window: return once the
     version's commit marker appears OR its claim vanishes (either way the
@@ -475,16 +494,29 @@ def _await_claim(fs, jvm, base_path: str, version: int) -> None:
 
     claim = jvm.org.apache.hadoop.fs.Path(f"{base_path}/{_CLAIM_PREFIX}{version}")
     marker = jvm.org.apache.hadoop.fs.Path(f"{base_path}/{_COMMIT_PREFIX}{version}")
+    stat_errors = 0
     while not fs.exists(marker):
         try:
             age_ms = (
                 _time.time() * 1000.0
                 - fs.getFileStatus(claim).getModificationTime()
             )
-        except Exception:
-            # the holder failed and RELEASED its claim (or a tagger
-            # finished its claimed window): retry now
-            return
+        except Exception as exc:
+            if _is_file_not_found(exc):
+                # the holder failed and RELEASED its claim (or a tagger
+                # finished its claimed window): retry now
+                return
+            # a REAL filesystem failure (IO/permission) is not a released
+            # claim — treating it as one turns an outage into a silent
+            # busy rebase loop that exhausts _MAX_REBASES and reports
+            # misleading "sustained contention". Retry a few times for
+            # transient blips, then surface the error as itself.
+            stat_errors += 1
+            if stat_errors > 3:
+                raise
+            _time.sleep(_CLAIM_POLL_S)
+            continue
+        stat_errors = 0
         if age_ms > _CLAIM_WAIT_S * 1000.0:
             raise ConcurrentCommitError(
                 f"{_CLAIM_PREFIX}{version} under {base_path} is held but "
@@ -501,6 +533,12 @@ _MAX_REBASES = 10
 #: lets a test inject a concurrent commit deterministically between an
 #: operation's read phase and its publish.
 _TEST_COMMIT_RACE_HOOK = None
+
+#: Test seam: when set, called once between ``_finish``'s manifest
+#: materialization and its claim — the window a slow stats job opens,
+#: where enough concurrent commits can land that retention prunes this
+#: version's own markers (the post-claim head re-check exists for this).
+_TEST_PRECLAIM_HOOK = None
 
 
 def _token() -> str:
@@ -713,6 +751,10 @@ def _finish(
             manifest.coalesce(1).write.mode("overwrite").parquet(
                 f"{base_path}/{tmp_dir}"
             )
+            global _TEST_PRECLAIM_HOOK
+            if _TEST_PRECLAIM_HOOK is not None:
+                hook, _TEST_PRECLAIM_HOOK = _TEST_PRECLAIM_HOOK, None
+                hook()
             claim = jvm.org.apache.hadoop.fs.Path(
                 f"{base_path}/{_CLAIM_PREFIX}{version}"
             )
@@ -723,6 +765,20 @@ def _finish(
                 # right now — wait for its marker (or released claim),
                 # then rebase against whatever the head became
                 _await_claim(fs, jvm, base_path, version)
+                continue
+            # The list→claim gap above spans the whole materialization
+            # job (minutes on a big commit). If ≥keep concurrent commits
+            # landed inside it, the newest one's retention prune deleted
+            # _CLAIM_v<version> and _COMMIT_v<version>, so create_new just
+            # succeeded on an ALREADY-COMMITTED version — publishing would
+            # silently drop every commit since `head` and resurrect a
+            # pruned version for time travel. Re-list under the claim and
+            # only publish if the head is still the one this commit was
+            # derived against; otherwise release and rebase.
+            relist = list(fs.listStatus(base)) if fs.exists(base) else []
+            recommitted = _committed_versions(relist)
+            if (max(recommitted) if recommitted else -1) != version - 1:
+                fs.delete(claim, False)
                 continue
             # we own this version number exclusively: publish — and
             # release the claim if anything inside the window fails (a
@@ -760,9 +816,24 @@ def _finish(
                     spark, f"{base_path}/meta/v={version}.json", json.dumps(meta)
                 )
                 # tag-aware retention prune, BEFORE the marker (docstring
-                # step 4 — what serializes tagging against pruning)
+                # step 4 — what serializes tagging against pruning).
+                # heartbeat: the claimed window now includes the tags read
+                # plus per-file deletes; on a slow object store with many
+                # versions that can outlast _CLAIM_WAIT_S, so touch the
+                # claim's mtime between batches — _await_claim ages claims
+                # by mtime, so a heartbeating holder never looks crashed.
+                def _heartbeat() -> None:
+                    import time as _time
+
+                    try:
+                        now = int(_time.time() * 1000)
+                        fs.setTimes(claim, now, -1)
+                    except Exception:
+                        pass  # best-effort; a missed beat only shortens slack
+
                 floor = version - keep
                 if floor >= 0:
+                    _heartbeat()
                     try:
                         tagged = set(_manifest_tags(spark, base_path).values())
                     except Exception:
@@ -774,12 +845,16 @@ def _finish(
                 else:
                     tagged = None
                 if floor >= 0 and tagged is not None:
+                    pruned = 0
                     for status in list(fs.listStatus(base)):
                         name = status.getPath().getName()
                         for pref in (_COMMIT_PREFIX, _CLAIM_PREFIX):
                             mv = _version_suffix(name, pref)
                             if mv is not None and mv <= floor and mv not in tagged:
                                 fs.delete(status.getPath(), False)
+                                pruned += 1
+                                if pruned % 64 == 0:
+                                    _heartbeat()
                     for sub in ("manifest", "meta"):
                         subp = jvm.org.apache.hadoop.fs.Path(f"{base_path}/{sub}")
                         if fs.exists(subp):
@@ -791,6 +866,9 @@ def _finish(
                                     sv = int(tail) if tail.isdigit() else None
                                 if sv is not None and sv <= floor and sv not in tagged:
                                     fs.delete(status.getPath(), True)
+                                    pruned += 1
+                                    if pruned % 64 == 0:
+                                        _heartbeat()
                 marker = jvm.org.apache.hadoop.fs.Path(
                     f"{base_path}/{_COMMIT_PREFIX}{version}"
                 )
@@ -2535,10 +2613,10 @@ def tag_manifest_version(
     marker and writes the tag. No interleaving exists where a tag lands
     on metadata a racing commit then deletes (the r09-flagged race).
     Returns the pinned version."""
-    fs, _, jvm = _fs_for(spark, base_path)
+    fs, base, jvm = _fs_for(spark, base_path)
     if "/" in name or name.startswith("_") or not name:
         raise ValueError(f"invalid tag name {name!r}")
-    while True:
+    for _attempt in range(_MAX_REBASES):
         head = read_manifest_version(spark, base_path)
         if head is None:
             raise FileNotFoundError(f"no committed manifest table under {base_path}")
@@ -2550,6 +2628,15 @@ def tag_manifest_version(
             _COMMIT_FS.create_new(fs, claim)
         except Exception:
             _await_claim(fs, jvm, base_path, head + 1)
+            continue
+        # same post-claim guard as _finish: if commits landed between the
+        # head read and the claim and retention pruned _CLAIM_v<head+1>,
+        # this claim is on an already-committed version and does NOT
+        # serialize against the live head's pruning — release and retry.
+        relist = list(fs.listStatus(base)) if fs.exists(base) else []
+        recommitted = _committed_versions(relist)
+        if (max(recommitted) if recommitted else -1) != head:
+            fs.delete(claim, False)
             continue
         try:
             marker = jvm.org.apache.hadoop.fs.Path(
@@ -2577,6 +2664,11 @@ def tag_manifest_version(
             return pin
         finally:
             fs.delete(claim, False)  # claim released; no marker = no commit
+    raise ConcurrentCommitError(
+        f"gave up tagging {name!r} after {_MAX_REBASES} attempts under "
+        f"{base_path} — sustained commit traffic kept moving the head; "
+        "retry when the writer burst subsides"
+    )
 
 
 def delete_manifest_tag(spark: SparkSession, base_path: str, name: str) -> None:
