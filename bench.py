@@ -49,7 +49,14 @@ def main() -> None:
     spreads: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     warmup = int(os.environ.get("SPARK_GRAFT_WARMUP", "1"))
+    # iteration aid: SPARK_GRAFT_ONLY=q1,q2 times just those queries (the
+    # driver never sets it, so the recorded BENCH_LOCAL.json stays full)
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if s
+    }
     for name, fn in entry_mod.queries().items():
+        if only and name not in only:
+            continue
         for _ in range(warmup):
             # untimed: compiles the query's codegen classes (kept by the
             # JVM across runs) without polluting the measurement; caches
@@ -82,6 +89,10 @@ def main() -> None:
         "queries": timings,
         "run_spread": spreads,
         "runs": all_runs,
+        # per-leg wall times of the multi-commit gated cycles (last timed
+        # run) — lets benchdiff attribute a cycle regression to a specific
+        # storage leg instead of re-profiling (r10 verdict item 6)
+        "legs": getattr(entry_mod, "_LAST_LEGS", {}),
         "sf": sf,
     }
     with open(os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json"), "w") as f:
