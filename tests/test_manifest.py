@@ -1783,6 +1783,88 @@ def test_evolution_widen_rename_reads_merge_across_boundary(spark, tmp_path):
     }
 
 
+def test_compaction_consolidates_schema_eras(spark, tmp_path):
+    """r10 verdict item 4: era growth must be boundable. Every evolve
+    adds a schema era, and reads group files (and Bloom probes) per LIVE
+    era — so a long-lived table needs OPTIMIZE to consolidate old-era
+    files to the head schema. Compaction reads candidates through the
+    era projection and stamps its output with the CURRENT schema_id, so
+    a recluster pass (which rewrites every live file) must collapse the
+    manifest to ONE era with byte-identical content; a plain small-file
+    compact migrates exactly the files it folds."""
+    import tibame_project_spark.sources.manifest as M
+    from tibame_project_spark.sources.manifest import (
+        evolve_manifest_table,
+        read_manifest_table,
+        read_manifest_version,
+    )
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark,
+        spark.createDataFrame([(i, i * 10) for i in range(20)],
+                              "id int, price int"),
+        base, stats_cols=["id"], cluster_by="id", n_files=2, keep=20,
+    )
+    evolve_manifest_table(
+        spark, base, rename={"price": "amount"}, widen={"id": "bigint"},
+        keep=20,
+    )
+    append_manifest_table(
+        spark,
+        spark.createDataFrame([(100 + i, 7) for i in range(4)],
+                              "id long, amount int"),
+        base, cluster_by="id", keep=20,
+    )
+    evolve_manifest_table(spark, base, widen={"amount": "bigint"}, keep=20)
+    append_manifest_table(
+        spark,
+        spark.createDataFrame([(200, 5_000_000_000)], "id long, amount long"),
+        base, cluster_by="id", keep=20,
+    )
+
+    def live_eras():
+        head = read_manifest_version(spark, base)
+        return {
+            r["schema_id"]
+            for r in M._load_manifest(spark, base, head)
+            .select("schema_id").distinct().collect()
+        }
+
+    def content():
+        return {
+            (r["id"], r["amount"])
+            for r in read_manifest_table(spark, base).collect()
+        }
+
+    want = (
+        {(i, i * 10) for i in range(20)}
+        | {(100 + i, 7) for i in range(4)}
+        | {(200, 5_000_000_000)}
+    )
+    assert live_eras() == {0, 1, 2} and content() == want
+    # OPTIMIZE ZORDER rewrites every live file → ONE era, same bytes
+    assert compact_manifest_table(spark, base, recluster="id", keep=20)
+    assert live_eras() == {2}, "recluster left old-era read branches live"
+    assert content() == want
+    got = read_manifest_table(spark, base)
+    assert dict(got.dtypes) == {"id": "bigint", "amount": "bigint"}
+    # plain small-file OPTIMIZE migrates the files it folds the same way:
+    # evolve again, then compact (everything here is under small_bytes)
+    evolve_manifest_table(spark, base, rename={"amount": "amt"}, keep=20)
+    append_manifest_table(
+        spark,
+        spark.createDataFrame([(300, 1)], "id long, amt long"),
+        base, cluster_by="id", keep=20,
+    )
+    assert compact_manifest_table(spark, base, keep=20)
+    assert live_eras() == {3}, "compact left old-era read branches live"
+    assert {
+        (r["id"], r["amt"])
+        for r in read_manifest_table(spark, base).collect()
+    } == want | {(300, 1)}
+
+
 def test_evolution_guards(spark, tmp_path):
     """Evolution rejects everything that would reinterpret history:
     narrowing / sideways casts, renames that collide, unknown columns,
