@@ -2455,22 +2455,23 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_manifest_table,
     )
 
+    leg = _leg_recorder("manifest_merge")
     base = _fresh_table_dir("manifest_merge")
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
         "o_orderpriority",
     )
-    write_manifest_table(
+    leg("write_v0", lambda: write_manifest_table(
         spark, orders, base, stats_cols=["o_orderkey"],
         cluster_by="o_orderkey", n_files=8,
         # r08 Bloom tier in the gate: o_custkey scatters across the
         # o_orderkey clustering, so its min/max is blind — the read
         # below probes the per-file Bloom filters instead
         bloom_cols=["o_custkey"],
-    )
+    ))
     # r10: pin the pristine table as a release BEFORE any rewrite — the
     # pin must survive retention pruning AND the vacuum below
-    tag_manifest_version(spark, base, "rel0", 0)
+    leg("tag_rel0", lambda: tag_manifest_version(spark, base, "rel0", 0))
     mx = orders.agg(F.max("o_orderkey").alias("m")).first()["m"]
     lo, hi = (mx * 4) // 10, (mx * 5) // 10
     upd = orders.filter(F.col("o_orderkey").between(lo, hi)).select(
@@ -2490,14 +2491,18 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("is_deleted"),
     )
     batch = upd.unionByName(new)
-    merge_manifest_table(spark, batch, base, "o_orderkey", delete_col="is_deleted")
+    leg("merge_v1", lambda: merge_manifest_table(
+        spark, batch, base, "o_orderkey", delete_col="is_deleted"
+    ))
     # r09: RESTORE enters the gate as a metadata-only rollback +
     # roll-forward pair — v2 republishes the pre-merge table, v3
     # republishes the merged one — so the final pruned read runs against
     # a twice-restored head: a restore that corrupted the manifest (file
     # set, stats, Bloom, schema registry) fails the hash
-    restore_manifest_table(spark, base, 0)
-    restore_manifest_table(spark, base, 1)
+    leg("restores_v2_v3", lambda: (
+        restore_manifest_table(spark, base, 0),
+        restore_manifest_table(spark, base, 1),
+    ))
     # r10: one REPLAYED merge (v4, a fixpoint — the head's content must
     # not move) rewrites the first merge's output files, then a
     # metadata-only self-restore (v5) advances retention past v3: with
@@ -2505,12 +2510,14 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference the v1-era merge outputs — exactly the stranded garbage
     # the vacuum below must find; a replay that isn't content-identical
     # fails the hash
-    merge_manifest_table(spark, batch, base, "o_orderkey", delete_col="is_deleted")
-    restore_manifest_table(spark, base, 4)
+    leg("replay_merge_v4", lambda: merge_manifest_table(
+        spark, batch, base, "o_orderkey", delete_col="is_deleted"
+    ))
+    leg("restore_v5", lambda: restore_manifest_table(spark, base, 4))
     # vacuum must reclaim the stranded first-merge outputs (≥1 file) and
     # must NOT touch the tagged release's files — both asserted: the
     # sweep count here, the pinned bytes via the rel0_rows read below
-    if vacuum_manifest_table(spark, base) < 1:
+    if leg("vacuum", lambda: vacuum_manifest_table(spark, base)) < 1:
         raise AssertionError("vacuum swept nothing — stranded merge outputs expected")
     rel0 = read_manifest_table(spark, base, tag="rel0").agg(
         F.count(F.lit(1)).alias("rel0_rows")
@@ -2610,22 +2617,23 @@ def q_evolution_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
         "o_orderpriority",
     )
-    write_manifest_table(
+    leg = _leg_recorder("evolution_cycle")
+    leg("write_v0", lambda: write_manifest_table(
         spark, orders, base, stats_cols=["okey"], cluster_by="okey",
         n_files=4, keep=10, bloom_cols=["okey"],
-    )
+    ))
     extra = orders.filter(F.col("okey") % 41 == 0).select(
         (F.col("okey") + 1000000).cast("int").alias("okey"),
         "cust", "price", F.lit("EVO-APPEND").alias("o_orderpriority"),
     )
-    append_manifest_table(
+    leg("append_v1", lambda: append_manifest_table(
         spark, extra, base, cluster_by="okey", n_files=1, keep=10
-    )
+    ))
     # the evolution commit: metadata only — no data file read or written
-    evolve_manifest_table(
+    leg("evolve_v2", lambda: evolve_manifest_table(
         spark, base, rename={"price": "amount"}, widen={"okey": "bigint"},
         keep=10,
-    )
+    ))
     mx = orders.agg(F.max("okey").alias("m")).first()["m"]
     lo, hi = (mx * 4) // 10, (mx * 5) // 10
     upd = orders.filter(F.col("okey").between(lo, hi)).select(
@@ -2642,10 +2650,10 @@ def q_evolution_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("EVO-WIDE").alias("o_orderpriority"),
         F.lit(False).alias("dead"),
     )
-    merge_manifest_table(
+    leg("merge_v3", lambda: merge_manifest_table(
         spark, upd.unionByName(wide), base, "okey", delete_col="dead",
         keep=10,
-    )
+    ))
     # the read below must genuinely span eras: untouched era-0 files AND
     # post-evolution merge output live side by side in the head manifest
     eras = manifest_stats(spark, base).select("schema_id").distinct().count()
@@ -2952,18 +2960,21 @@ def q_ivm_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
     )
-    write_manifest_table(
+    leg = _leg_recorder("ivm_mart")
+    leg("write_v0", lambda: write_manifest_table(
         spark, orders, base, stats_cols=["o_orderkey"],
         cluster_by="o_orderkey", n_files=4, keep=10,
-    )
+    ))
     kw = dict(
         state_path=state, group_cols=["o_orderpriority"],
         counts=["n"], sums={"total": "price"},
     )
-    mart, head = maintain_mart_from_feed(spark, base, "o_orderkey", **kw)
+    mart, head = leg("bootstrap", lambda: maintain_mart_from_feed(
+        spark, base, "o_orderkey", **kw
+    ))
     # persist the mart stamped with `head` (one atomic write in prod),
     # THEN advance the cursor — the order the replay guard relies on
-    mart = mart.localCheckpoint(eager=True)
+    mart = leg("persist_mart", lambda: mart.localCheckpoint(eager=True))
     manifest_feed_commit(spark, state, head)
 
     mx = orders.agg(F.max("o_orderkey").alias("m")).first()["m"]
@@ -2980,20 +2991,20 @@ def q_ivm_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price",
         F.lit(False).alias("dead"),
     )
-    merge_manifest_table(
+    leg("merge_v1", lambda: merge_manifest_table(
         spark, moved.unionByName(new), base, "o_orderkey",
         delete_col="dead", keep=10,
-    )
-    mart2, head2 = maintain_mart_from_feed(
+    ))
+    mart2, head2 = leg("delta_fold", lambda: maintain_mart_from_feed(
         spark, base, "o_orderkey", mart=mart, applied_head=head, **kw
-    )
-    mart2 = mart2.localCheckpoint(eager=True)
+    ))
+    mart2 = leg("persist_mart2", lambda: mart2.localCheckpoint(eager=True))
     manifest_feed_commit(spark, state, head2)
     # r09 late: one OPTIMIZE pass enters the gate too — compaction is
     # content-identical, so its feed interval must fold to a ZERO delta
     # (rewriting files without changing rows cannot move the mart); a
     # corrupted fold, file diff, or history op fails the oracle or raises
-    compact_manifest_table(spark, base, keep=10)
+    leg("compact_v2", lambda: compact_manifest_table(spark, base, keep=10))
     hist = [r["op"] for r in manifest_history(spark, base).collect()]
     if hist != ["create", "merge", "compact"]:
         raise AssertionError(f"unexpected commit history: {hist}")

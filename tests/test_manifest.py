@@ -2778,6 +2778,191 @@ def test_non_atomic_commit_fs_breaks_exclusivity_conditional_put_restores_it(
         set_commit_fs(prev)
 
 
+def _mk_adapter(kind, spark, tmp_path):
+    """The deployable CommitFS adapters, built against local paths (the
+    coordination dir / fake conditional-put client both live on the
+    strongly consistent local fs — exactly the role HDFS/EFS plays in
+    the deployment matrix)."""
+    import os as _os
+
+    from tibame_project_spark.sources.commitfs import (
+        ConditionalPutCommitFS,
+        CoordinatedCommitFS,
+    )
+    from tibame_project_spark.sources.manifest import _fs_for
+
+    fs, _, jvm = _fs_for(spark, str(tmp_path))
+    if kind == "coordinated":
+        return CoordinatedCommitFS(fs, f"{tmp_path}/_coord", jvm)
+
+    def put_if_absent(uri: str, data: bytes) -> None:
+        p = uri[len("file:"):] if uri.startswith("file:") else uri
+        try:
+            fd = _os.open(p, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+        except FileExistsError:
+            raise FileExistsError(uri)
+        try:
+            _os.write(fd, data)
+        finally:
+            _os.close(fd)
+
+    def delete_object(uri: str) -> None:
+        p = uri[len("file:"):] if uri.startswith("file:") else uri
+        try:
+            _os.unlink(p)
+        except FileNotFoundError:
+            pass
+
+    def get_object(uri: str) -> bytes:
+        p = uri[len("file:"):] if uri.startswith("file:") else uri
+        with open(p, "rb") as f:
+            return f.read()
+
+    return ConditionalPutCommitFS(put_if_absent, delete_object, get_object)
+
+
+@pytest.mark.parametrize("kind", ["coordinated", "conditional_put"])
+def test_deployable_adapters_run_the_full_protocol(spark, tmp_path, kind):
+    """r10 verdict item 5: the deployable adapters — external
+    coordination (Delta S3DynamoDBLogStore-shaped) and native
+    conditional put (S3 If-None-Match-shaped) — drive the COMPLETE
+    protocol, not just the exclusivity unit check: concurrent threaded
+    appends (claims, markers, releases), a merge, tagging, retention
+    pruning past keep (seam-routed marker deletes), tag drop, and
+    recovery of an abandoned claim. Any desync between the adapter's
+    external state and the store (e.g. a release that strands a
+    coordination entry) wedges a later claim of the same version path
+    and fails this test."""
+    import threading
+
+    import tibame_project_spark.sources.manifest as M
+    from tibame_project_spark.sources.manifest import (
+        delete_manifest_tag,
+        manifest_history,
+        recover_manifest_table,
+        set_commit_fs,
+        tag_manifest_version,
+    )
+
+    base = str(tmp_path / "t")
+    adapter = _mk_adapter(kind, spark, tmp_path)
+    prev = set_commit_fs(adapter)
+    try:
+        write_manifest_table(
+            spark, _mk(spark, [(0, 0)]), base, stats_cols=["id"], keep=3
+        )
+        errors = []
+
+        def writer(i: int) -> None:
+            try:
+                append_manifest_table(
+                    spark, _mk(spark, [(100 + i, i)]), base, keep=3
+                )
+            except Exception as e:
+                errors.append((i, e))
+
+        threads = [threading.Thread(target=writer, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert errors == []
+        assert _content(spark, base) == {(0, 0)} | {(100 + i, i) for i in range(3)}
+        tag_manifest_version(spark, base, "rel")
+        merge_manifest_table(
+            spark,
+            spark.createDataFrame([(0, 99, False)], "id long, v long, dead boolean"),
+            base, "id", delete_col="dead", keep=3,
+        )
+        # churn past keep=3 so the retention prune DELETES markers through
+        # the adapter (a direct-delete desync strands coordination state)
+        for j in range(4):
+            append_manifest_table(spark, _mk(spark, [(200 + j, j)]), base, keep=3)
+        assert (0, 99) in _content(spark, base)
+        delete_manifest_tag(spark, base, "rel")
+        # abandoned claim (entry + object, as a crashed post-claim writer
+        # leaves them): recovery clears BOTH through the seam, and the
+        # version is claimable again
+        head = M.read_manifest_version(spark, base)
+        claim = f"{base}/{M._CLAIM_PREFIX}{head + 1}"
+        fs, _, jvm = M._fs_for(spark, base)
+        adapter.create_new(fs, jvm.org.apache.hadoop.fs.Path(claim))
+        assert recover_manifest_table(spark, base) == 1
+        append_manifest_table(spark, _mk(spark, [(300, 300)]), base, keep=3)
+        assert (300, 300) in _content(spark, base)
+        assert [r["op"] for r in manifest_history(spark, base).collect()][0] == "append"
+    finally:
+        set_commit_fs(prev)
+
+
+def test_coordinated_adapter_orphan_recovery(spark, tmp_path):
+    """CoordinatedCommitFS crash contract: a writer that dies between
+    coordination-entry create and the object PUT leaves an orphan entry
+    that blocks that path — commits fail loudly (bounded, no silent
+    takeover) until clear_orphans (age-guarded, like
+    recover_manifest_table) drops it."""
+    import tibame_project_spark.sources.manifest as M
+    from tibame_project_spark.sources.manifest import (
+        ConcurrentCommitError,
+        set_commit_fs,
+    )
+
+    base = str(tmp_path / "t")
+    adapter = _mk_adapter("coordinated", spark, tmp_path)
+    prev = set_commit_fs(adapter)
+    try:
+        write_manifest_table(
+            spark, _mk(spark, [(0, 0)]), base, stats_cols=["id"], keep=5
+        )
+        fs, _, jvm = M._fs_for(spark, base)
+        # simulate the crash: entry created, object PUT never happened
+        entry = adapter._entry(
+            fs, jvm.org.apache.hadoop.fs.Path(f"{base}/{M._CLAIM_PREFIX}1")
+        )
+        out = fs.create(entry, False)
+        out.write(bytearray(f"{base}/{M._CLAIM_PREFIX}1".encode()))
+        out.close()
+        with pytest.raises(ConcurrentCommitError):
+            append_manifest_table(spark, _mk(spark, [(1, 1)]), base, keep=5)
+        # age-guarded: a fresh entry (in-flight PUT) is spared
+        assert adapter.clear_orphans(fs, min_age_s=3600) == 0
+        assert adapter.clear_orphans(fs, min_age_s=0) == 1
+        append_manifest_table(spark, _mk(spark, [(1, 1)]), base, keep=5)
+        assert _content(spark, base) == {(0, 0), (1, 1)}
+    finally:
+        set_commit_fs(prev)
+
+
+def test_conditional_put_ambiguous_retry_disambiguates_by_token(spark, tmp_path):
+    """ConditionalPutCommitFS retry rule: a conditional PUT whose first
+    attempt landed but whose response was lost comes back
+    PreconditionFailed on retry, as if another writer won. The adapter
+    embeds a per-(instance, path) token in empty-bodied markers and, on
+    FileExistsError, GETs the object — its own token means its earlier
+    attempt won (create_new succeeds); a foreign body stays a loss."""
+    from tibame_project_spark.sources.commitfs import ConditionalPutCommitFS
+
+    store: dict[str, bytes] = {}
+
+    def put_if_absent(uri, data):
+        if uri in store:
+            raise FileExistsError(uri)
+        store[uri] = data
+        raise TimeoutError("response lost after the PUT landed")
+
+    adapter = ConditionalPutCommitFS(
+        put_if_absent, lambda uri: store.pop(uri, None), store.get
+    )
+    with pytest.raises(TimeoutError):
+        adapter.create_new(None, "/t/_CLAIM_v1")
+    # the retry: PUT now 412s, but the object body is OUR token → success
+    adapter.create_new(None, "/t/_CLAIM_v1")
+    # a marker someone ELSE owns stays a loss
+    store["/t/_CLAIM_v2"] = b"foreign-token"
+    with pytest.raises(FileExistsError):
+        adapter.create_new(None, "/t/_CLAIM_v2")
+
+
 @pytest.mark.parametrize("seed", [11, 23, 47])
 def test_random_multiwriter_histories_serialize(spark, tmp_path, seed):
     """Randomized multi-writer model check (r09 verdict item 4; r10 item 3

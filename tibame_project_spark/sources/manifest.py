@@ -452,6 +452,16 @@ class CommitFS:
         finally:
             out.close()
 
+    def delete(self, fs, path) -> bool:
+        """Delete a path this seam created (claim release, retention
+        prune of markers, tag drop). Adapters that hold exclusivity in
+        an EXTERNAL coordination store must clear their coordination
+        entry here too — the protocol releases and prunes exclusively
+        through this method, so a direct ``fs.delete`` would strand the
+        entry and wedge the next claim of the same path. Returns whether
+        anything was deleted."""
+        return fs.delete(path, False)
+
 
 _COMMIT_FS = CommitFS()
 
@@ -778,7 +788,7 @@ def _finish(
             relist = list(fs.listStatus(base)) if fs.exists(base) else []
             recommitted = _committed_versions(relist)
             if (max(recommitted) if recommitted else -1) != version - 1:
-                fs.delete(claim, False)
+                _COMMIT_FS.delete(fs, claim)
                 continue
             # we own this version number exclusively: publish — and
             # release the claim if anything inside the window fails (a
@@ -851,7 +861,7 @@ def _finish(
                         for pref in (_COMMIT_PREFIX, _CLAIM_PREFIX):
                             mv = _version_suffix(name, pref)
                             if mv is not None and mv <= floor and mv not in tagged:
-                                fs.delete(status.getPath(), False)
+                                _COMMIT_FS.delete(fs, status.getPath())
                                 pruned += 1
                                 if pruned % 64 == 0:
                                     _heartbeat()
@@ -874,7 +884,7 @@ def _finish(
                 )
                 _COMMIT_FS.create_new(fs, marker)  # create-new = the commit
             except BaseException:
-                fs.delete(claim, False)
+                _COMMIT_FS.delete(fs, claim)
                 raise
             return version
         raise ConcurrentCommitError(
@@ -923,7 +933,7 @@ def recover_manifest_table(
         if not fs.exists(
             jvm.org.apache.hadoop.fs.Path(f"{base_path}/{_COMMIT_PREFIX}{v}")
         ):
-            fs.delete(st.getPath(), False)
+            _COMMIT_FS.delete(fs, st.getPath())
             removed += 1
     return removed
 
@@ -2636,7 +2646,7 @@ def tag_manifest_version(
         relist = list(fs.listStatus(base)) if fs.exists(base) else []
         recommitted = _committed_versions(relist)
         if (max(recommitted) if recommitted else -1) != head:
-            fs.delete(claim, False)
+            _COMMIT_FS.delete(fs, claim)
             continue
         try:
             marker = jvm.org.apache.hadoop.fs.Path(
@@ -2663,7 +2673,7 @@ def tag_manifest_version(
                 ) from e
             return pin
         finally:
-            fs.delete(claim, False)  # claim released; no marker = no commit
+            _COMMIT_FS.delete(fs, claim)  # claim released; no marker = no commit
     raise ConcurrentCommitError(
         f"gave up tagging {name!r} after {_MAX_REBASES} attempts under "
         f"{base_path} — sustained commit traffic kept moving the head; "
@@ -2677,7 +2687,7 @@ def delete_manifest_tag(spark: SparkSession, base_path: str, name: str) -> None:
     after that) — nothing is deleted here."""
     fs, _, jvm = _fs_for(spark, base_path)
     p = jvm.org.apache.hadoop.fs.Path(f"{base_path}/tags/{name}.json")
-    if not fs.delete(p, False):
+    if not _COMMIT_FS.delete(fs, p):
         raise FileNotFoundError(f"no tag {name!r} under {base_path}")
 
 

@@ -35,6 +35,19 @@ import sys
 _SUSPICIOUS_RECOVERY_FLOOR = 10
 
 
+def load_legs(path: str) -> dict[str, dict[str, float]]:
+    """Per-leg wall times of the multi-commit gated cycles, when the
+    record carries them (bench.py's BENCH_LOCAL.json since r11; driver
+    tails don't)."""
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+    except Exception:
+        return {}
+    legs = rec.get("legs")
+    return legs if isinstance(legs, dict) else {}
+
+
 def load_timings(path: str) -> tuple[dict[str, float], dict[str, float], float | None]:
     """Return (timings, run_spread, total) from either record format."""
     with open(path) as f:
@@ -120,6 +133,31 @@ def diff(
     only_new = sorted(set(new) - set(old))
     if only_new:
         lines += [f"No prior number ({len(only_new)}): " + ", ".join(only_new), ""]
+    # Per-leg breakdown of the gated storage cycles (r10 verdict item 6):
+    # a cycle query's growth is attributable to a specific commit leg
+    # from the record alone — leg-vs-leg when both sides carry legs,
+    # new-side legs otherwise.
+    old_legs, new_legs = load_legs(old_path), load_legs(new_path)
+    if new_legs:
+        lines += ["## Gated-cycle legs (sec, last timed run)", ""]
+        for q in sorted(new_legs):
+            nl = new_legs[q]
+            ol = old_legs.get(q, {})
+            if ol:
+                lines.append(
+                    f"- **{q}**: "
+                    + ", ".join(
+                        f"{leg} {ol.get(leg, float('nan')):.2f}->{nl[leg]:.2f}"
+                        if leg in ol else f"{leg} {nl[leg]:.2f} (new)"
+                        for leg in nl
+                    )
+                )
+            else:
+                lines.append(
+                    f"- **{q}**: "
+                    + ", ".join(f"{leg} {v:.2f}" for leg, v in nl.items())
+                )
+        lines.append("")
     return "\n".join(lines) + "\n"
 
 
