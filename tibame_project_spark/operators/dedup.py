@@ -987,7 +987,9 @@ def lsh_recall_report(
         true_pairs.unpersist()
         lsh_pairs.unpersist()
     recall = 1.0 if n_true == 0 else n_hit / n_true
-    return df.sparkSession.createDataFrame(
-        [(n_true, n_lsh, n_hit, recall)],
+    from tibame_project_spark.localdf import local_rows_df
+
+    return local_rows_df(
+        df.sparkSession, [(n_true, n_lsh, n_hit, recall)],
         "n_true long, n_lsh long, n_hit long, recall double",
     )

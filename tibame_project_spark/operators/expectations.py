@@ -123,8 +123,10 @@ def _build_report(spark, rules: list[tuple], summary: dict) -> DataFrame:
         (name, col, int(summary[f"__v{i}"]), int(n), summary[f"__v{i}"] == 0)
         for i, (name, col, _, _) in enumerate(rules)
     ]
-    return spark.createDataFrame(
-        report,
+    from tibame_project_spark.localdf import local_rows_df
+
+    return local_rows_df(
+        spark, report,
         "rule string, column string, n_violations long, n_rows long, passed boolean",
     )
 

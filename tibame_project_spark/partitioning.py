@@ -149,8 +149,10 @@ def domain_mix_sample(
     bh = base_hash or xxhash_base_hash
     sum_w = float(sum(weights.values()))
     rate_rows = [(d, float(w) / sum_w * total) for d, w in weights.items()]
-    targets = df.sparkSession.createDataFrame(
-        rate_rows, f"{domain_col} string, __target double"
+    from tibame_project_spark.localdf import local_rows_df
+
+    targets = local_rows_df(
+        df.sparkSession, rate_rows, f"{domain_col} string, __target double"
     )
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
     rates = counts.join(targets, domain_col).select(

@@ -125,7 +125,9 @@ def serving_social_platform(spark, platforms: tuple[str, ...] = ("googlemap", "f
     """``social_platform`` (init.sql:12-15): the two platforms the
     reference ingests (gmaps reviews, fb posts). md5-of-name ids, same
     convention as every other CHAR(32) dim."""
-    df = spark.createDataFrame([(p,) for p in platforms], "name string")
+    from tibame_project_spark.localdf import local_rows_df
+
+    df = local_rows_df(spark, [(p,) for p in platforms], "name string")
     return df.select(md5_id(F.col("name")).alias("id"), "name")
 
 

@@ -114,7 +114,9 @@ def read_monthly_reports(
             with open(source, encoding="utf-8") as fh:
                 text = fh.read()
         rows.extend(_station_rows(text, ym))
-    return spark.createDataFrame(rows, _LONG_SCHEMA)
+    from tibame_project_spark.localdf import local_rows_df
+
+    return local_rows_df(spark, rows, _LONG_SCHEMA)
 
 
 def read_monthly_reports_distributed(

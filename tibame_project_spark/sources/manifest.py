@@ -109,6 +109,8 @@ import math
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+from tibame_project_spark.localdf import local_rows_df
 from pyspark.sql.types import StructType
 
 from tibame_project_spark.sources.writers import (
@@ -389,7 +391,7 @@ def _read_live(
         ).drop("__path")
         parts.append(alive)
     if not parts:
-        return spark.createDataFrame([], cur_schema)
+        return local_rows_df(spark, [], cur_schema)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -1639,8 +1641,8 @@ def _persist_stage(
 
         kt = edit["schema"][key].dataType
         _, lo, hi = edit["bounds"]
-        spark.createDataFrame(
-            [(lo, hi)],
+        local_rows_df(
+            spark, [(lo, hi)],
             _ST([StructField("lo", kt), StructField("hi", kt)]),
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{base_path}/staged/{token}/bounds"
@@ -1889,8 +1891,8 @@ def bloom_prune_expr(
         if f is not None:
             eras.setdefault(json.dumps(f["type"]), []).append(sid)
     schema = StructType.fromJson(meta["schema"])
-    base_vdf = spark.createDataFrame(
-        [(v,) for v in values],
+    base_vdf = local_rows_df(
+        spark, [(v,) for v in values],
         StructType([StructField("v", schema[col].dataType)]),
     )
 
@@ -2764,7 +2766,7 @@ def manifest_feed(
         if cursor == head:
             meta = _meta(spark, base_path, head)
             empty = _diff_schema(StructType.fromJson(meta["schema"]), keys)
-            return spark.createDataFrame([], empty), head
+            return local_rows_df(spark, [], empty), head
         mfs, mp, _ = _fs_for(spark, f"{base_path}/manifest/v={cursor}")
         if not mfs.exists(mp):
             raise FileNotFoundError(
@@ -2796,7 +2798,7 @@ def manifest_feed(
     if cursor == head:
         meta = _meta(spark, base_path, head)
         empty = _diff_schema(StructType.fromJson(meta["schema"]), keys)
-        return spark.createDataFrame([], empty), head
+        return local_rows_df(spark, [], empty), head
     mfs, mp, _ = _fs_for(spark, f"{base_path}/manifest/v={cursor}")
     if not mfs.exists(mp):
         raise FileNotFoundError(
@@ -2863,8 +2865,8 @@ def manifest_history(spark: SparkSession, base_path: str) -> DataFrame:
         )
         for v in committed
     ]
-    return spark.createDataFrame(
-        rows,
+    return local_rows_df(
+        spark, rows,
         "version int, op string, files long, rows long, bytes long, "
         "dv_files long",
     )

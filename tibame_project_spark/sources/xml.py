@@ -47,10 +47,19 @@ def read_xml(
         with open(source, encoding="utf-8") as fh:
             text = fh.read()
     rows = list(_rows(ET.fromstring(text), row_tag))
+    from tibame_project_spark.localdf import local_rows_df
+
     if schema is not None:
-        return spark.createDataFrame(rows, schema)  # type: ignore[arg-type]
+        if isinstance(schema, str) or not rows:
+            return spark.createDataFrame(rows, schema)  # type: ignore[arg-type]
+        cols = [f.name for f in schema.fields]
+        return local_rows_df(
+            spark, [tuple(r.get(c) for c in cols) for r in rows], schema
+        )
     if not rows:
         raise ValueError(f"no <{row_tag}> elements found and no schema given")
     cols = sorted({k for r in rows for k in r})
     data = [tuple(r.get(c) for c in cols) for r in rows]
-    return spark.createDataFrame(data, ", ".join(f"{c} string" for c in cols))
+    return local_rows_df(
+        spark, data, ", ".join(f"{c} string" for c in cols)
+    )
