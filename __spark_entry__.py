@@ -1186,11 +1186,14 @@ FROM events GROUP BY 1
 def q_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1/M2 UPDATE+DELETE as corrections-data (create_dim_attraction_hashtag
     :134-186, create_dim_attraction_detail:123-199) applied to nation."""
+    from tibame_project_spark.localdf import local_rows_df
+
     nation = load(spark, sf_dir, "nation")
-    updates = spark.createDataFrame(
-        [(1, "CORRECTED_A"), (2, "CORRECTED_B")], ["n_nationkey", "n_name"]
+    updates = local_rows_df(
+        spark, [(1, "CORRECTED_A"), (2, "CORRECTED_B")],
+        "n_nationkey long, n_name string",
     )
-    deletes = spark.createDataFrame([(3,), (4,)], ["n_nationkey"])
+    deletes = local_rows_df(spark, [(3,), (4,)], "n_nationkey long")
     out = apply_updates(nation, updates, "n_nationkey")
     out = apply_deletes(out, deletes, "n_nationkey")
     return out.select("n_nationkey", "n_name", "n_regionkey")

@@ -33,7 +33,9 @@ from tibame_project_spark.sources.manifest import (
 
 
 def _mk(spark, rows, schema="id long, v long"):
-    df = spark.createDataFrame(rows or [(999999, 0)], schema)
+    from tibame_project_spark.localdf import local_rows_df
+
+    df = local_rows_df(spark, rows or [(999999, 0)], schema)
     return df if rows else df.where("id < 0")
 
 
