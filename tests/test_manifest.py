@@ -2704,16 +2704,18 @@ def test_commit_fs_seam_routes_every_publish_point(spark, tmp_path):
     assert M._COMMIT_FS is prev  # restored
 
 
+@pytest.mark.parametrize("kind", ["fake", "coordinated", "conditional_put"])
 def test_non_atomic_commit_fs_breaks_exclusivity_conditional_put_restores_it(
-    spark, tmp_path, monkeypatch
+    spark, tmp_path, monkeypatch, kind
 ):
     """Why the seam exists (r09 verdict item 2): on a store whose
     create-new is a non-atomic exists-then-put (eventual-consistency-era
     S3A), a held claim does NOT exclude a second writer — the protocol's
-    exclusivity silently evaporates. A conditional-put adapter (here a
-    lock+check stand-in for S3 If-None-Match / GCS ifGenerationMatch=0)
-    restores the atomic-create contract and with it the documented
-    behavior: the second writer waits, then raises for recovery."""
+    exclusivity silently evaporates. A conditional-put adapter restores
+    the atomic-create contract and with it the documented behavior: the
+    second writer waits, then raises for recovery. Parametrized (r10
+    verdict item 5) over the in-test lock+check stand-in AND both
+    deployable adapters from sources/commitfs.py."""
     import threading
 
     import tibame_project_spark.sources.manifest as M
@@ -2772,7 +2774,21 @@ def test_non_atomic_commit_fs_breaks_exclusivity_conditional_put_restores_it(
     # the (stale) claim and raises for recovery, exactly like the default
     # on an atomic-create filesystem
     open(f"{base}/_CLAIM_v2", "w").close()
-    prev = set_commit_fs(FakeConditionalPut())
+    adapter = (
+        FakeConditionalPut() if kind == "fake"
+        else _mk_adapter(kind, spark, tmp_path)
+    )
+    if kind == "coordinated":
+        # a real crashed writer on this deployment left BOTH the claim
+        # object and its coordination entry — the direct open() above
+        # only fakes the object, so fake the arbiter record too
+        fs, _, jvm = M._fs_for(spark, base)
+        entry = adapter._entry(
+            fs, jvm.org.apache.hadoop.fs.Path(f"{base}/_CLAIM_v2")
+        )
+        out = fs.create(entry, False)
+        out.close()
+    prev = set_commit_fs(adapter)
     try:
         with pytest.raises(ConcurrentCommitError, match="recover_manifest_table"):
             append_manifest_table(spark, _mk(spark, [(3, 3)]), base, keep=10)
