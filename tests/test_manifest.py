@@ -2981,8 +2981,11 @@ def test_conditional_put_ambiguous_retry_disambiguates_by_token(spark, tmp_path)
         adapter.create_new(None, "/t/_CLAIM_v2")
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
-def test_random_multiwriter_histories_serialize(spark, tmp_path, seed):
+@pytest.mark.parametrize(
+    "seed,fs_kind",
+    [(11, "default"), (23, "default"), (47, "default"), (31, "coordinated")],
+)
+def test_random_multiwriter_histories_serialize(spark, tmp_path, seed, fs_kind):
     """Randomized multi-writer model check (r09 verdict item 4; r10 item 3
     widened the op alphabet): three REAL threads each run a seeded-random
     sequence of append/merge/delete/compact/STAGE+PUBLISH — thread 0 may
@@ -3014,6 +3017,13 @@ def test_random_multiwriter_histories_serialize(spark, tmp_path, seed):
 
     rnd = random.Random(seed)
     base = str(tmp_path / "t")
+    # fs_kind="coordinated" runs the whole random history through the
+    # deployable external-coordination adapter — the serializability
+    # property must hold on an object store without atomic create-new
+    prev_fs = (
+        M.set_commit_fs(_mk_adapter("coordinated", spark, tmp_path))
+        if fs_kind == "coordinated" else None
+    )
     initial = [(i, i) for i in range(30)]
     write_manifest_table(
         spark, _mk(spark, initial), base, stats_cols=["id"],
@@ -3129,10 +3139,14 @@ def test_random_multiwriter_histories_serialize(spark, tmp_path, seed):
                 hard_errors.append((tid, kind, repr(e)))
 
     threads = [threading.Thread(target=runner, args=(t,)) for t in range(3)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        if prev_fs is not None:
+            M.set_commit_fs(prev_fs)
     assert hard_errors == []
     # appends never intersect any merge/delete key range, so absent
     # schema evolution none may drop; an append racing an EVOLVE may
