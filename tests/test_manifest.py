@@ -2979,6 +2979,25 @@ def test_conditional_put_ambiguous_retry_disambiguates_by_token(spark, tmp_path)
     store["/t/_CLAIM_v2"] = b"foreign-token"
     with pytest.raises(FileExistsError):
         adapter.create_new(None, "/t/_CLAIM_v2")
+    # tokens are THREAD-scoped: another writer thread sharing this
+    # adapter instance must NOT recognize thread A's claim as its own
+    # ambiguous win (that would give one version two owners — the lost
+    # update the threaded adapter test caught)
+    import threading
+
+    outcome = []
+
+    def other_thread():
+        try:
+            adapter.create_new(None, "/t/_CLAIM_v1")
+            outcome.append("won")
+        except FileExistsError:
+            outcome.append("lost")
+
+    t = threading.Thread(target=other_thread)
+    t.start()
+    t.join()
+    assert outcome == ["lost"]
 
 
 @pytest.mark.parametrize(

@@ -184,7 +184,17 @@ class ConditionalPutCommitFS(CommitFS):
     without it, ambiguous failures surface as FileExistsError (safe:
     the protocol treats a lost claim as contention and re-arbitrates —
     a claim we actually own but abandon only costs a _CLAIM_WAIT_S
-    stall, never correctness)."""
+    stall, never correctness).
+
+    The token is scoped per (adapter instance, THREAD, path): writer
+    threads in one process share the adapter (a Spark driver running
+    concurrent committers does exactly that), and an instance-scoped
+    token would let thread B "recognize" thread A's claim on the same
+    path as its own ambiguous earlier win — two owners of one version,
+    a silent lost update (caught by the threaded adapter test). The
+    flip side of thread scoping: a writer must retry an ambiguous
+    create from the thread that issued it, which the commit loop does
+    by construction."""
 
     def __init__(self, put_if_absent, delete_object, get_object=None) -> None:
         self._put = put_if_absent
@@ -195,8 +205,10 @@ class ConditionalPutCommitFS(CommitFS):
         self._token_base = uuid.uuid4().hex
 
     def _token_for(self, uri: str) -> bytes:
+        import threading
+
         digest = hashlib.sha256(
-            (self._token_base + uri).encode("utf-8")
+            f"{self._token_base}:{threading.get_ident()}:{uri}".encode("utf-8")
         ).hexdigest()
         return digest.encode("utf-8")
 

@@ -212,11 +212,47 @@ def _meta(spark: SparkSession, base_path: str, version: int) -> dict:
     return json.loads(_read_text(spark, f"{base_path}/meta/v={version}.json"))
 
 
+def _local_dir(path: str) -> str | None:
+    """The local-filesystem directory behind ``path``, or None when it
+    lives on a remote store. Gates the driver-side Arrow metadata paths;
+    a deployment on s3/hdfs takes the Spark read path (or extends this
+    through pyarrow.fs, which speaks both)."""
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return None if "://" in path else path
+
+
+def _manifest_arrow(base_path: str, version: int):
+    """A version's manifest as a pyarrow Table (driver-side read, no
+    Spark job), or None when the table isn't locally readable. The
+    manifest is O(live files) rows — the same relation every committed
+    format holds driver-side (Delta's log replay, Iceberg's manifest
+    list); reading it as a job costs scheduler latency per consumer."""
+    d = _local_dir(f"{base_path}/manifest/v={version}")
+    if d is None:
+        return None
+    try:
+        import pyarrow.dataset as ds
+
+        return ds.dataset(d, format="parquet").to_table()
+    except Exception:
+        return None  # unreadable/corrupt: the Spark path raises properly
+
+
 def _load_manifest(spark: SparkSession, base_path: str, version: int) -> DataFrame:
     """Read a version's manifest, normalized to carry ``dv_path`` (NULL)
     and ``schema_id`` (0) for manifests written before those columns
-    existed — the add-column evolution of the manifest itself."""
-    man = spark.read.parquet(f"{base_path}/manifest/v={version}")
+    existed — the add-column evolution of the manifest itself.
+
+    Local tables load driver-side through Arrow into a JVM local
+    relation: every downstream action (candidate-selection joins, file
+    listings, rebase diffs) then skips the per-consumer manifest scan
+    job. Remote stores fall back to the distributed read."""
+    tbl = _manifest_arrow(base_path, version)
+    if tbl is not None:
+        man = spark.createDataFrame(tbl)
+    else:
+        man = spark.read.parquet(f"{base_path}/manifest/v={version}")
     if "dv_path" not in man.columns:
         man = man.withColumn("dv_path", F.lit(None).cast("string"))
     if "schema_id" not in man.columns:
