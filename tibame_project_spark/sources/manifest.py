@@ -239,6 +239,38 @@ def _manifest_arrow(base_path: str, version: int):
         return None  # unreadable/corrupt: the Spark path raises properly
 
 
+def _materialize_manifest(
+    spark: SparkSession, manifest: DataFrame, base_path: str, tmp_dir: str
+) -> None:
+    """Write a prepared manifest relation to ``tmp_dir`` (the pre-claim
+    materialization ``_finish`` renames into place). Local tables take
+    the driver-side Arrow writer — ``toArrow()`` runs the one inherent
+    job (the new files' stats scan feeding the union) and the parquet
+    write itself skips the distributed writer's output-committer dance;
+    remote stores take the distributed write. Same bytes either way
+    (snappy parquet, one file)."""
+    d = _local_dir(base_path)
+    if d is not None:
+        try:
+            import os as _os
+
+            import pyarrow.parquet as pq
+
+            tbl = manifest.toArrow()
+            out = _os.path.join(d, tmp_dir)
+            _os.makedirs(out, exist_ok=True)
+            pq.write_table(
+                tbl, _os.path.join(out, "part-00000.parquet"),
+                compression="snappy",
+            )
+            return
+        except Exception:
+            pass  # exotic type the Arrow collector rejects: Spark path
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        f"{base_path}/{tmp_dir}"
+    )
+
+
 def _load_manifest(spark: SparkSession, base_path: str, version: int) -> DataFrame:
     """Read a version's manifest, normalized to carry ``dv_path`` (NULL)
     and ``schema_id`` (0) for manifests written before those columns
@@ -796,9 +828,7 @@ def _finish(
             # materialize BEFORE claiming (docstring step 2): the claimed
             # window below is pure filesystem metadata, so _CLAIM_WAIT_S
             # bounds a rename + two small writes + a prune — not a job
-            manifest.coalesce(1).write.mode("overwrite").parquet(
-                f"{base_path}/{tmp_dir}"
-            )
+            _materialize_manifest(spark, manifest, base_path, tmp_dir)
             global _TEST_PRECLAIM_HOOK
             if _TEST_PRECLAIM_HOOK is not None:
                 hook, _TEST_PRECLAIM_HOOK = _TEST_PRECLAIM_HOOK, None
