@@ -68,3 +68,44 @@ def test_nested_types_fall_back_silently(spark):
     want = spark.createDataFrame(rows, schema)
     assert got.schema == want.schema
     assert sorted(map(str, got.collect())) == sorted(map(str, want.collect()))
+
+
+# -- property: equivalence with the plain path for arbitrary scalar rows --
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_cell = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.text(max_size=12),
+    st.booleans(),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(_cell, _cell), max_size=8))
+def test_property_equivalent_to_plain_createDataFrame(spark_global, rows):
+    """For arbitrary NULL-able scalar rows, the Arrow path and the plain
+    path must produce identical (schema, multiset-of-rows) — local_rows_df
+    underpins the manifest protocol's metadata frames, so 'mostly equal'
+    is not enough."""
+    from collections import Counter
+
+    spark = spark_global
+    # column types are fixed by the schema; draw per-column-typed rows
+    typed = [
+        (
+            None if a is None else abs(hash(a)) % 1000,
+            None if b is None else str(b)[:12],
+        )
+        for a, b in rows
+    ]
+    schema = "k long, s string"
+    got = local_rows_df(spark, typed, schema)
+    want = spark.createDataFrame(typed, schema)
+    assert got.schema == want.schema
+    assert Counter(map(tuple, got.collect())) == Counter(
+        map(tuple, want.collect())
+    )
