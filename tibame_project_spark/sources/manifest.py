@@ -222,19 +222,39 @@ def _local_dir(path: str) -> str | None:
     return None if "://" in path else path
 
 
+def _arrow_fs(path: str):
+    """``(pyarrow.fs.FileSystem, fs-relative path)`` for the driver-side
+    metadata paths, or None when pyarrow has no connector for the
+    scheme. Local paths resolve to LocalFileSystem; ``s3://`` and
+    ``hdfs://`` resolve through pyarrow's own connectors (from_uri), so
+    the manifest read/materialize fast paths are one code path on every
+    store pyarrow speaks — anything else (abfs, custom Hadoop schemes)
+    falls back to the distributed read/write."""
+    try:
+        from pyarrow import fs as pafs
+
+        local = _local_dir(path)
+        if local is not None:
+            return pafs.LocalFileSystem(), local
+        return pafs.FileSystem.from_uri(path)
+    except Exception:
+        return None
+
+
 def _manifest_arrow(base_path: str, version: int):
     """A version's manifest as a pyarrow Table (driver-side read, no
-    Spark job), or None when the table isn't locally readable. The
+    Spark job), or None when pyarrow can't reach the store. The
     manifest is O(live files) rows — the same relation every committed
     format holds driver-side (Delta's log replay, Iceberg's manifest
     list); reading it as a job costs scheduler latency per consumer."""
-    d = _local_dir(f"{base_path}/manifest/v={version}")
-    if d is None:
+    resolved = _arrow_fs(f"{base_path}/manifest/v={version}")
+    if resolved is None:
         return None
+    fs, d = resolved
     try:
         import pyarrow.dataset as ds
 
-        return ds.dataset(d, format="parquet").to_table()
+        return ds.dataset(d, format="parquet", filesystem=fs).to_table()
     except Exception:
         return None  # unreadable/corrupt: the Spark path raises properly
 
@@ -249,19 +269,18 @@ def _materialize_manifest(
     write itself skips the distributed writer's output-committer dance;
     remote stores take the distributed write. Same bytes either way
     (snappy parquet, one file)."""
-    d = _local_dir(base_path)
-    if d is not None:
+    resolved = _arrow_fs(base_path)
+    if resolved is not None:
         try:
-            import os as _os
-
             import pyarrow.parquet as pq
 
+            fs, d = resolved
             tbl = manifest.toArrow()
-            out = _os.path.join(d, tmp_dir)
-            _os.makedirs(out, exist_ok=True)
+            out = f"{d.rstrip('/')}/{tmp_dir}"
+            fs.create_dir(out, recursive=True)
             pq.write_table(
-                tbl, _os.path.join(out, "part-00000.parquet"),
-                compression="snappy",
+                tbl, f"{out}/part-00000.parquet",
+                compression="snappy", filesystem=fs,
             )
             return
         except Exception:
