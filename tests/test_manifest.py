@@ -2665,6 +2665,56 @@ def test_tagging_under_concurrent_commits_never_dangles(spark, tmp_path):
         read_manifest_table(spark, base, tag=name).collect()
 
 
+def test_arrow_and_spark_manifest_paths_agree(spark, tmp_path, monkeypatch):
+    """The driver-side Arrow metadata fast paths are an OPTIMIZATION,
+    never a fork: (a) a manifest written by the Arrow materializer reads
+    identically through pyarrow and through spark.read.parquet; (b) a
+    commit whose Arrow materialization is unavailable (remote-store
+    scheme, exotic type) lands byte-equivalent through the distributed
+    fallback, and the two tables read back equal."""
+    import tibame_project_spark.sources.manifest as M
+
+    base = str(tmp_path / "arrow")
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(50)]), base,
+        stats_cols=["id"], cluster_by="id", n_files=2, bloom_cols=["id"],
+    )
+    merge_manifest_table(
+        spark,
+        spark.createDataFrame([(3, 99, False), (4, 0, True)],
+                              "id long, v long, dead boolean"),
+        base, "id", delete_col="dead",
+    )
+    head = M.read_manifest_version(spark, base)
+    tbl = M._manifest_arrow(base, head)
+    assert tbl is not None
+    via_arrow = sorted(map(str, spark.createDataFrame(tbl).collect()))
+    via_spark = sorted(map(str, spark.read.parquet(
+        f"{base}/manifest/v={head}"
+    ).collect()))
+    assert via_arrow == via_spark
+
+    # force the distributed fallback for BOTH read and materialize
+    base2 = str(tmp_path / "fallback")
+    monkeypatch.setattr(M, "_arrow_fs", lambda path: None)
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(50)]), base2,
+        stats_cols=["id"], cluster_by="id", n_files=2, bloom_cols=["id"],
+    )
+    merge_manifest_table(
+        spark,
+        spark.createDataFrame([(3, 99, False), (4, 0, True)],
+                              "id long, v long, dead boolean"),
+        base2, "id", delete_col="dead",
+    )
+    monkeypatch.undo()
+    want = {(i, i) for i in range(50) if i not in (3, 4)} | {(3, 99)}
+    assert _content(spark, base) == want
+    assert _content(spark, base2) == want
+    # and the fallback-written table is Arrow-readable afterwards
+    assert M._manifest_arrow(base2, M.read_manifest_version(spark, base2)) is not None
+
+
 def test_commit_fs_seam_routes_every_publish_point(spark, tmp_path):
     """The CommitFS seam is load-bearing: claims, commit markers, and tag
     pins ALL publish through it — a conditional-put adapter installed via
