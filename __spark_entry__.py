@@ -2365,17 +2365,111 @@ FROM events GROUP BY CUBE (event_type, CAST(month(ts) AS INTEGER))
 """
 
 
-def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact COUNT(DISTINCT) per event type — the hash-checked twin of
-    approx_users (HLL); Catalyst expands it to a two-stage aggregate."""
-    ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users")
+def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE streaming ingest through the hard gate
+    (`streaming/incremental.py stream_append_manifest_table` riding the
+    idempotent-transaction watermarks new to `sources/manifest.py` —
+    Delta's public txnAppId/txnVersion design on the manifest tier, this
+    round's new commit surface): events lands in a 4-file staging dir
+    and streams into a key-clustered manifest table 2 files per
+    micro-batch (epoch 0 CREATES the table with its txn recorded in the
+    same commit, epoch 1 appends; ``txn=(app, epoch)`` is re-checked
+    under the commit claim, so even a zombie driver racing its
+    replacement applies once). Then the crash window where a plain
+    append sink double-counts is FORCED: the newest entry of the
+    stream's commit log is deleted — exactly the state a driver leaves
+    when it dies between the table commit and the checkpoint ack — and
+    the stream restarts, re-delivering the last batch. The returned
+    frame folds the per-type exact rollup (count, exact COUNT(DISTINCT)
+    — taking over the retired ``distinct_users`` key's A2 surface on
+    the same column — and the order-exact decimal sum) plus the table's
+    head version and the application's txn watermark: a replay that
+    double-applied shifts n_events/total_value AND head_v, failing the
+    hash. The oracle is the plain relational rollup — streamed
+    exactly-once content must equal batch content exactly."""
+    import glob
+    import shutil
+
+    from tibame_project_spark.sources.manifest import (
+        last_txn_version,
+        read_manifest_table,
+        read_manifest_version,
+    )
+    from tibame_project_spark.streaming.incremental import (
+        stream_append_manifest_table,
+    )
+
+    root = _fresh_table_dir("stream_sink")
+    src = os.path.join(root, "src")
+    base = os.path.join(root, "table")
+    ckpt = os.path.join(root, "ckpt")
+    leg = _leg_recorder("stream_sink")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    leg("stage_src", lambda: ev.repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src))
+
+    def run() -> None:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        stream_append_manifest_table(
+            stream, base, checkpoint=ckpt, stats_cols=["event_id"],
+            cluster_by="event_id", n_files=2, app_id="stream_sink",
+            keep=10,
+        )
+
+    leg("stream_all", run)
+
+    def replay() -> None:
+        # the forced crash: drop the newest commit-log ack (and its
+        # local-FS checksum sidecar) so the restart re-delivers the last
+        # micro-batch from the offsets log
+        commits = sorted(
+            (
+                p
+                for p in glob.glob(os.path.join(ckpt, "commits", "*"))
+                if os.path.basename(p).isdigit()
+            ),
+            key=lambda p: int(os.path.basename(p)),
+        )
+        os.remove(commits[-1])
+        crc = os.path.join(
+            os.path.dirname(commits[-1]),
+            f".{os.path.basename(commits[-1])}.crc",
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+        run()
+
+    leg("replay_last", replay)
+    head_v = read_manifest_version(spark, base)
+    txn_ver = last_txn_version(spark, base, "stream_sink")
+    shutil.rmtree(os.path.join(root, "src"), ignore_errors=True)
+    return (
+        read_manifest_table(spark, base)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .withColumn("head_v", F.lit(int(head_v)).cast("long"))
+        .withColumn("txn_ver", F.lit(int(txn_ver)).cast("long"))
     )
 
 
-_DISTINCT_USERS_SQL = """
-SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+_STREAM_SINK_SQL = f"""
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {_DSUM("value")} AS total_value,
+       CAST(1 AS BIGINT) AS head_v, CAST(1 AS BIGINT) AS txn_ver
 FROM events GROUP BY event_type
 """
 
@@ -4226,21 +4320,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is ~1986 of the 1995-char budget — the registry is effectively FULL.
     # New operators should be pytest-covered (see README crosswalk rows
     # without a query key) unless a key is retired or the format shrinks.
-    # r10 window: block 1 = this round's changes — evolution_cycle is NEW
-    # (rename + int→bigint widening via the field-id schema registry,
-    # r09's biggest unwitnessed surface and the r09 VERDICT's top
-    # directive; it took the slot freed by retiring multimodal_meta,
-    # whose trivial metadata projection stays covered by
-    # multimodal_features and the sources pytest suite), and
-    # manifest_merge — due back anyway — now also gates release tags +
-    # vacuum (r09 directive #5). Block 2 = the 48 remaining r08-green
-    # entries, all due back. Out-of-window: the 50 r09-green entries.
+    # r11 window: block 1 = this round's changes — stream_sink is NEW
+    # (exactly-once streaming ingest over the idempotent-transaction
+    # watermarks new to sources/manifest.py, with the crash-replay
+    # window forced in-query; it took the slot freed by retiring
+    # distinct_users, whose exact COUNT(DISTINCT)-per-event_type surface
+    # stream_sink's n_users column re-gates verbatim on the same table),
+    # and curation_pass — gated r10 but CHANGED this round to the WAP
+    # stage→audit→publish apply path (r10 directive #1 demands an r11
+    # row of that shape) — re-enters the window. Block 2 = 48 of the 50
+    # r09-green entries, due back. Out-of-window: the 50 r10-green ones
+    # plus two deferred r09 keys (see the boundary note below).
     return {
-        # -- block 1: new/extended this round ------------------------------
-        "evolution_cycle": q_evolution_cycle,  # new: schema-evolution gate
-        "manifest_merge": q_manifest_merge,  # extended: +tags +vacuum
-        # -- block 2: r08-green entries, due back -------------------------
-        "curation_pass": q_curation_pass,
+        # -- block 1: new/changed this round (must be witnessed) ----------
+        "stream_sink": q_stream_sink,  # new: exactly-once streaming ingest
+        "curation_pass": q_curation_pass,  # changed: WAP stage-audit-publish apply path
+        # -- block 2: the r09-green entries, due back ----------------------
+        "ivm_mart": q_ivm_mart,
+        "merge_upsert": q_merge_upsert,
+        "fuzzy_blocked": q_fuzzy_blocked,
+        "corrections": q_corrections,
+        "stratified_sample": q_stratified_sample,
+        "pricing_summary": q_pricing_summary,
+        "dim_time": q_dim_time,
+        "dedup_keep_last": q_dedup_keep_last,
+        "customers_without_orders": q_customers_without_orders,
+        "relative_date": q_relative_date,
+        "window_topk": q_window_topk,
+        "semi_join": q_semi_join,
+        "unpivot_measures": q_unpivot,
+        "token_counts": q_token_counts,
+        "doc_stats": q_doc_stats,
+        "gopher_quality": q_gopher_quality,
+        "top_terms": q_top_terms,
+        "chunk_docs": q_chunk_docs,
+        "pii_scrub": q_pii_scrub,
+        "bpe_tokens": q_bpe_tokens,
+        "fingerprints": q_fingerprints,
+        "lang_id": q_lang_id,
+        "events_rollup": q_events_rollup,
+        "dedup_keep_first": q_dedup_keep_first,
+        "insert_missing": q_insert_missing,
+        "left_join_chain": q_left_join_chain,
+        "self_join": q_self_join,
+        "fb_dates": q_fb_dates,
+        "clean_chain": q_clean_chain,
+        "salted_rollup": q_salted_rollup,
+        "approx_percentiles": q_approx_percentiles,
+        "top_ngram": q_top_ngram,
+        "attribution": q_attribution,
+        "stream_enrich": q_stream_enrich,
+        "rp_ann": q_rp_ann,
+        "curriculum": q_curriculum,
+        "bigram_lm": q_bigram_lm,
+        "hybrid_rerank": q_hybrid_rerank,
+        "quantized_ann": q_quantized_ann,
+        "knn_eval": q_knn_eval,
+        "alpha_mix": q_alpha_mix,
+        "diverse_topk": q_diverse_topk,
+        "corpus_shuffle": q_corpus_shuffle,
+        "quality_sample": q_quality_sample,
+        "bpe_pairs": q_bpe_pairs,
+        "hard_negatives": q_hard_negatives,
+        "semantic_dedup": q_semantic_dedup,
+        "sparse_topk": q_sparse_topk,
+        # ---- 50-key window boundary; below: the 50 r10-green entries ----
+        # (plus the two DEFERRED r09 keys, documented above: fuzzy_match —
+        # the cartesian correctness baseline whose scale sibling
+        # fuzzy_blocked is in-window computing the same top-1 — and
+        # approx_users, whose sketch-certificate surface approx_percentiles
+        # re-gates this round; both stay oracle-proved every run by
+        # tests/test_oracle_parity.py and come back in the r12 window.)
+        "evolution_cycle": q_evolution_cycle,
+        "manifest_merge": q_manifest_merge,
         "pagerank": q_pagerank,
         "set_ops": q_set_ops,
         "radius_grid": q_radius_grid,
@@ -4279,7 +4431,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "pearson_stats": q_pearson_stats,
         "cube_rollup": q_cube_rollup,
-        "distinct_users": q_distinct_users,
         "mart_star_trends": q_mart_star_trends,
         "dedup_exact_text": q_dedup_exact_text,
         "line_dedup": q_line_dedup,
@@ -4288,57 +4439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "pivot_event_types": q_pivot_event_types,
         "month_over_month": q_month_over_month,
-        # ---- 50-key window boundary; below: the 50 r09-green entries ----
-        "ivm_mart": q_ivm_mart,  # r09's new feed-driven IVM mart fold
-        "merge_upsert": q_merge_upsert,
-        "fuzzy_blocked": q_fuzzy_blocked,
-        "corrections": q_corrections,
-        "stratified_sample": q_stratified_sample,
-        "pricing_summary": q_pricing_summary,
-        "dim_time": q_dim_time,
-        "dedup_keep_last": q_dedup_keep_last,
-        "customers_without_orders": q_customers_without_orders,
-        "relative_date": q_relative_date,
-        "window_topk": q_window_topk,
-        "semi_join": q_semi_join,
-        "unpivot_measures": q_unpivot,
-        "token_counts": q_token_counts,
-        "doc_stats": q_doc_stats,
-        "gopher_quality": q_gopher_quality,
-        "top_terms": q_top_terms,
-        "chunk_docs": q_chunk_docs,
-        "pii_scrub": q_pii_scrub,
-        "bpe_tokens": q_bpe_tokens,
-        "fingerprints": q_fingerprints,
-        "lang_id": q_lang_id,
-        "events_rollup": q_events_rollup,
-        "dedup_keep_first": q_dedup_keep_first,
-        "insert_missing": q_insert_missing,
-        "left_join_chain": q_left_join_chain,
-        "self_join": q_self_join,
-        "fb_dates": q_fb_dates,
-        "clean_chain": q_clean_chain,
-        "approx_users": q_approx_users,
-        "salted_rollup": q_salted_rollup,
-        "approx_percentiles": q_approx_percentiles,
-        "top_ngram": q_top_ngram,
-        "attribution": q_attribution,
-        "stream_enrich": q_stream_enrich,
-        "rp_ann": q_rp_ann,
-        "curriculum": q_curriculum,
-        "bigram_lm": q_bigram_lm,
-        "hybrid_rerank": q_hybrid_rerank,
-        "quantized_ann": q_quantized_ann,
-        "knn_eval": q_knn_eval,
-        "alpha_mix": q_alpha_mix,
-        "diverse_topk": q_diverse_topk,
-        "corpus_shuffle": q_corpus_shuffle,
-        "quality_sample": q_quality_sample,
-        "bpe_pairs": q_bpe_pairs,
-        "hard_negatives": q_hard_negatives,
-        "fuzzy_match": q_fuzzy_match,
-        "semantic_dedup": q_semantic_dedup,
-        "sparse_topk": q_sparse_topk,
+        "fuzzy_match": q_fuzzy_match,  # deferred to r12 (see boundary note)
+        "approx_users": q_approx_users,  # deferred to r12 (see boundary note)
     }
 
 
@@ -4403,7 +4505,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann": _lsh_ann_sql(),
         "ivf_ann": _IVF_SQL,
         "cube_rollup": _CUBE_SQL,
-        "distinct_users": _DISTINCT_USERS_SQL,
+        "stream_sink": _STREAM_SINK_SQL,
         "embedding_dups": _embed_dups_sql(),
         "minhash_pairs": _minhash_pairs_sql(),
         "simhash_pairs": _simhash_pairs_sql(),

@@ -3989,3 +3989,215 @@ def test_wap_stale_schema_audit_refuses_and_replayed_publish_conflicts(
     ]
     assert rows == [(4, 444)]
     abandon_staged_manifest(spark, base, token)
+
+
+# ---------------------------------------------------------------------------
+# Idempotent transactions (txn=(app_id, version) — Delta's txnAppId/
+# txnVersion public design on the manifest tier). The exactly-once
+# primitive for streaming foreachBatch sinks: at-least-once delivery
+# replays the last unacknowledged batch, and the watermark turns the
+# replay into a no-op.
+# ---------------------------------------------------------------------------
+
+
+def test_txn_replayed_append_is_noop(spark, tmp_path):
+    from tibame_project_spark.sources.manifest import last_txn_version
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(0, 0)]), base, stats_cols=["id"]
+    )
+    v1 = append_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, txn=("ingest", 0)
+    )
+    assert v1 == 1
+    assert last_txn_version(spark, base, "ingest") == 0
+    # exact replay: no new version, no new rows
+    assert append_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, txn=("ingest", 0)
+    ) == v1
+    assert read_manifest_version(spark, base) == v1
+    assert _content(spark, base) == {(0, 0), (1, 1)}
+    # an OLDER txn version is also a replay (watermark is a high-water
+    # mark, not a set) — a crashed driver can re-deliver several batches
+    v2 = append_manifest_table(
+        spark, _mk(spark, [(2, 2)]), base, txn=("ingest", 3)
+    )
+    assert v2 == 2
+    assert append_manifest_table(
+        spark, _mk(spark, [(9, 9)]), base, txn=("ingest", 1)
+    ) == v2
+    assert _content(spark, base) == {(0, 0), (1, 1), (2, 2)}
+    assert last_txn_version(spark, base, "ingest") == 3
+    assert last_txn_version(spark, base, "other") is None
+    # a different application's stream is independent
+    append_manifest_table(spark, _mk(spark, [(5, 5)]), base, txn=("other", 0))
+    assert _content(spark, base) == {(0, 0), (1, 1), (2, 2), (5, 5)}
+
+
+def test_txn_watermark_carried_by_every_commit_kind(spark, tmp_path):
+    """A compact/merge/evolve/restore between a batch and its replay must
+    not drop the watermark — every commit kind carries the map forward,
+    and RESTORE keeps it MONOTONE (replayed batches never double-apply
+    into a restored table)."""
+    from tibame_project_spark.sources.manifest import (
+        evolve_manifest_table,
+        last_txn_version,
+    )
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(8)]), base,
+        stats_cols=["id"], keep=10,
+    )
+    append_manifest_table(
+        spark, _mk(spark, [(100, 100)]), base, txn=("ingest", 7), keep=10
+    )
+    # unrelated commits of every kind land in between
+    merge_manifest_table(
+        spark, _mk(spark, [(0, 50)]), base, "id", keep=10
+    )
+    compact_manifest_table(spark, base, small_bytes=1 << 30, keep=10)
+    evolve_manifest_table(spark, base, rename={"v": "val"}, keep=10)
+    assert last_txn_version(spark, base, "ingest") == 7
+    # the replay is still a no-op after all of them
+    head = read_manifest_version(spark, base)
+    df = _mk(spark, [(100, 100)]).withColumnRenamed("v", "val")
+    assert append_manifest_table(
+        spark, df, base, txn=("ingest", 7), keep=10
+    ) == head
+    # RESTORE to a pre-txn version keeps the watermark (monotone):
+    restore_manifest_table(spark, base, 0, keep=10)
+    assert last_txn_version(spark, base, "ingest") == 7
+    assert append_manifest_table(
+        spark, _mk(spark, [(100, 100)]), base, txn=("ingest", 7), keep=10
+    ) == read_manifest_version(spark, base)
+    assert (100, 100) not in {
+        tuple(r) for r in read_manifest_table(spark, base).collect()
+    }
+
+
+def test_txn_merge_and_delete_idempotent(spark, tmp_path):
+    from tibame_project_spark.sources.manifest import delete_manifest_table
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(10)]), base,
+        stats_cols=["id"], keep=10,
+    )
+    v = merge_manifest_table(
+        spark, _mk(spark, [(3, 333), (20, 20)]), base, "id",
+        keep=10, txn=("cdc", 0),
+    )
+    assert merge_manifest_table(
+        spark, _mk(spark, [(3, 333), (20, 20)]), base, "id",
+        keep=10, txn=("cdc", 0),
+    ) == v
+    want = {(i, i) for i in range(10) if i != 3} | {(3, 333), (20, 20)}
+    assert _content(spark, base) == want
+    keys = _mk(spark, [(20, 0)]).select("id")
+    v2 = delete_manifest_table(spark, keys, base, "id", keep=10, txn=("cdc", 1))
+    assert delete_manifest_table(
+        spark, keys, base, "id", keep=10, txn=("cdc", 1)
+    ) == v2
+    assert read_manifest_version(spark, base) == v2
+    assert _content(spark, base) == want - {(20, 20)}
+
+
+def test_txn_replay_racing_its_own_first_attempt_applies_once(
+    spark, tmp_path, monkeypatch
+):
+    """Two concurrent deliveries of ONE batch (a zombie driver racing its
+    replacement): both pass the cheap pre-write check, one commits, the
+    other must detect the watermark when its claim attempt re-reads the
+    head — under the claim, not before it — and no-op. The loop-top
+    re-read of the ACTUAL head's txns is what closes this."""
+    import tibame_project_spark.sources.manifest as M
+
+    base = str(tmp_path / "t")
+    write_manifest_table(spark, _mk(spark, [(0, 0)]), base, stats_cols=["id"])
+
+    def race():  # fires after the slow writer materialized, before its claim
+        append_manifest_table(
+            spark, _mk(spark, [(1, 1)]), base, txn=("ingest", 0)
+        )
+
+    monkeypatch.setattr(M, "_TEST_PRECLAIM_HOOK", race)
+    v = append_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, txn=("ingest", 0)
+    )
+    assert M._TEST_PRECLAIM_HOOK is None  # the racer actually ran
+    assert v == read_manifest_version(spark, base) == 1
+    rows = read_manifest_table(spark, base).where("id = 1").collect()
+    assert len(rows) == 1  # applied exactly once
+
+
+def test_txn_recorded_at_create_makes_replayed_bootstrap_noop(spark, tmp_path):
+    """Crash between the creating commit and the stream checkpoint ack:
+    the replayed epoch 0 routes to the append path (the table now
+    exists) and must no-op on the watermark the create recorded."""
+    base = str(tmp_path / "t")
+    df = _mk(spark, [(0, 0), (1, 1)])
+    assert write_manifest_table(
+        spark, df, base, stats_cols=["id"], txn=("ingest", 0)
+    ) == 0
+    assert append_manifest_table(spark, df, base, txn=("ingest", 0)) == 0
+    assert _content(spark, base) == {(0, 0), (1, 1)}
+
+
+def test_stream_append_sink_exactly_once_across_commit_log_loss(spark, tmp_path):
+    """streaming.incremental.stream_append_manifest_table: the ingest
+    sink whose replays are TRUE no-ops. Crash simulation is exact: a
+    driver that dies between the table commit and the checkpoint ack
+    leaves the offsets log ahead of the commits log, so the restart
+    re-delivers the last batch — here forced by deleting the newest
+    entry under <checkpoint>/commits. Without the txn watermark the
+    replayed append would double that batch's rows."""
+    import glob
+    import os
+
+    from tibame_project_spark.streaming.incremental import (
+        stream_append_manifest_table,
+    )
+
+    src = tmp_path / "src"
+    for i in range(3):  # one file per micro-batch (maxFilesPerTrigger=1)
+        _mk(spark, [(i * 10 + j, i) for j in range(5)]).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+    base, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema("id long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        stream_append_manifest_table(
+            stream, base, checkpoint=ckpt, stats_cols=["id"],
+            app_id="ingest", keep=10,
+        )
+
+    run()
+    assert read_manifest_table(spark, base).count() == 15
+    # force the replay: drop the newest commit-log entry
+    commits = sorted(
+        (p for p in glob.glob(os.path.join(ckpt, "commits", "*"))
+         if os.path.basename(p).isdigit()),
+        key=lambda p: int(os.path.basename(p)),
+    )
+    os.remove(commits[-1])
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):  # local-FS checksum sidecar would block the rewrite
+        os.remove(crc)
+    run()  # re-delivers the last batch; the watermark no-ops it
+    assert read_manifest_table(spark, base).count() == 15
+    # new data still flows after the replayed epoch
+    _mk(spark, [(1000 + j, 9) for j in range(5)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run()
+    assert read_manifest_table(spark, base).count() == 20
+    assert read_manifest_table(spark, base).where("id >= 1000").count() == 5

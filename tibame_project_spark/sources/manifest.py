@@ -763,6 +763,7 @@ def _finish(
     op: str | None = None,
     schemas: dict | None = None,
     schema_id: int = 0,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Publish a prepared commit with optimistic concurrency (version-CAS):
 
@@ -817,6 +818,29 @@ def _finish(
             listing = list(fs.listStatus(base)) if fs.exists(base) else []
             committed = _committed_versions(listing)
             head = max(committed) if committed else None
+            # idempotent-transaction watermarks (Delta's txnAppId /
+            # txnVersion public design): meta carries a per-application
+            # high-water mark, re-read from the ACTUAL head every loop
+            # iteration — a rebase means concurrent commits landed, and
+            # one of them may have been this very transaction racing from
+            # another attempt. The map is carried forward by EVERY commit
+            # kind (a compact between a batch and its replay must not
+            # drop the watermark), and is monotone: RESTORE carries the
+            # pre-restore head's map, so replayed batches never
+            # double-apply into a restored table.
+            head_txns: dict[str, int] = {}
+            if head is not None:
+                try:
+                    head_txns = {
+                        k: int(v)
+                        for k, v in _meta(spark, base_path, head)
+                        .get("txns", {})
+                        .items()
+                    }
+                except Exception:
+                    head_txns = {}
+            if txn is not None and head_txns.get(str(txn[0]), -1) >= int(txn[1]):
+                return head  # replayed batch: already applied, no-op
             if head != base_head:
                 if base_head is None:
                     raise ConcurrentCommitError(
@@ -909,6 +933,12 @@ def _finish(
                     meta["dv_key"] = dv_key
                 if bloom is not None:
                     meta["bloom"] = bloom
+                txns = dict(head_txns)
+                if txn is not None:
+                    app = str(txn[0])
+                    txns[app] = max(int(txn[1]), txns.get(app, -1))
+                if txns:
+                    meta["txns"] = txns
                 _write_text(
                     spark, f"{base_path}/meta/v={version}.json", json.dumps(meta)
                 )
@@ -1217,6 +1247,7 @@ def write_manifest_table(
     bloom_m: int = 1 << 15,
     bloom_k: int = 3,
     expect: list | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Full-content commit: version ``n`` whose live file set is exactly
     ``df``'s files. Creates the table at v0 (``stats_cols`` declares the
@@ -1323,6 +1354,7 @@ def write_manifest_table(
         spark, base_path, schema=df.schema, stats_cols=stats_cols,
         keep=keep, base_head=head, full_manifest=manifest,
         bloom=bloom, op="create", schemas=schemas, schema_id=schema_id,
+        txn=txn,
     )
 
 
@@ -1337,11 +1369,20 @@ def append_manifest_table(
     keep: int = 2,
     allow_evolution: bool = False,
     expect: list | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Append-only commit: new files for ``df``, every existing file
     carried forward in the manifest verbatim — a metadata union, zero
     bytes of old data touched. The 100 TB ingest pattern: daily loads
     append; nothing ever rewrites history.
+
+    ``txn=(app_id, version)`` makes the commit IDEMPOTENT (Delta's
+    txnAppId/txnVersion design): if the table has already committed this
+    application's version (or a later one), the call is a no-op that
+    returns the current head — the exactly-once primitive a streaming
+    ``foreachBatch`` sink needs, because a crashed driver replays its
+    last unacknowledged batch. Watermarks are checked again under the
+    commit claim, so two racing replays of one batch apply exactly once.
 
     ``allow_evolution=True`` permits ADD-COLUMN schema evolution: ``df``
     must still carry every existing column (matching name and type) and
@@ -1357,6 +1398,12 @@ def append_manifest_table(
             "write_manifest_table first"
         )
     meta = _meta(spark, base_path, head)
+    if txn is not None:
+        applied = {k: int(v) for k, v in meta.get("txns", {}).items()}
+        if applied.get(str(txn[0]), -1) >= int(txn[1]):
+            # common replay path: no-op before any data file is written
+            # (the authoritative re-check still runs under _finish's claim)
+            return head
     stats_cols = meta["stats_cols"]
     schema = StructType.fromJson(meta["schema"])
     got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
@@ -1422,7 +1469,21 @@ def append_manifest_table(
         op="append",
         schemas=schemas,
         schema_id=schema_id,
+        txn=txn,
     )
+
+
+def last_txn_version(
+    spark: SparkSession, base_path: str, app_id: str
+) -> int | None:
+    """The highest ``txn`` version this application has committed to the
+    table, or ``None`` — the resume point for an external writer that
+    tracks its own batch numbering (Delta's ``txnVersion`` lookup)."""
+    fs, listing, head, _ = _begin(spark, base_path)
+    if head is None:
+        raise FileNotFoundError(f"no committed manifest table under {base_path}")
+    v = _meta(spark, base_path, head).get("txns", {}).get(str(app_id))
+    return int(v) if v is not None else None
 
 
 def manifest_stats(
@@ -1515,6 +1576,7 @@ def merge_manifest_table(
     delete_col: str | None = None,
     keep: int = 2,
     expect: list | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """MERGE a change batch into the table, rewriting ONLY the files whose
     ``key`` range can contain a batch key (Delta/Iceberg's
@@ -1533,7 +1595,19 @@ def merge_manifest_table(
     (NULL has no place in a min/max range; the batch is validated and the
     merge runs ``null_safe_keys=False`` — enforce non-null upstream with
     an expectations rule). Composite keys: pre-concatenate a surrogate.
-    Returns the committed version."""
+    Returns the committed version.
+
+    ``txn=(app_id, version)`` makes the commit idempotent — see
+    :func:`append_manifest_table`. A replayed merge still prepares its
+    rewrite files before the watermark check no-ops the publish; those
+    unreferenced files are vacuum's to reclaim, the same as any losing
+    racer's."""
+    if txn is not None:
+        _, _, h0, _ = _begin(spark, base_path)
+        if h0 is not None:
+            applied = _meta(spark, base_path, h0).get("txns", {})
+            if int(applied.get(str(txn[0]), -1)) >= int(txn[1]):
+                return h0
     edit = _prepare_merge_edit(
         spark, source, base_path, key, delete_col=delete_col, expect=expect,
         where=f"merge_manifest_table({base_path})",
@@ -1555,6 +1629,7 @@ def merge_manifest_table(
         op="merge",
         schemas=edit["schemas"],
         schema_id=edit["schema_id"],
+        txn=txn,
     )
 
 
@@ -2052,6 +2127,7 @@ def delete_manifest_table(
     key: str,
     *,
     keep: int = 2,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """DELETE by key with **deletion vectors** (Delta Lake's public DV
     design, re-expressed on the manifest): instead of rewriting every
@@ -2074,7 +2150,15 @@ def delete_manifest_table(
     scan costs are physical properties); min/max stats stay conservative.
     Returns the committed version (a no-op delete still commits, so the
     caller always gets a version to read back).
-    """
+
+    ``txn=(app_id, version)`` makes the commit idempotent — see
+    :func:`append_manifest_table`."""
+    if txn is not None:
+        _, _, h0, _ = _begin(spark, base_path)
+        if h0 is not None:
+            applied = _meta(spark, base_path, h0).get("txns", {})
+            if int(applied.get(str(txn[0]), -1)) >= int(txn[1]):
+                return h0
     edit = _prepare_delete_edit(spark, keys, base_path, key)
     return _finish(
         spark, base_path, schema=edit["schema"], stats_cols=edit["stats_cols"],
@@ -2082,6 +2166,7 @@ def delete_manifest_table(
         removed=frozenset(edit["removed"]), added=edit["added"],
         bounds=edit["bounds"], dv_key=edit["dv_key"], bloom=edit["bloom"],
         op="delete", schemas=edit["schemas"], schema_id=edit["schema_id"],
+        txn=txn,
     )
 
 

@@ -312,6 +312,76 @@ def stream_cdc_apply_manifest(
     )
 
 
+def stream_append_manifest_table(
+    stream: DataFrame,
+    base_path: str,
+    *,
+    checkpoint: str,
+    stats_cols: list[str],
+    app_id: str,
+    cluster_by: str | list[str] | None = None,
+    n_files: int = 0,
+    keep: int = 2,
+    compact_every: int | None = None,
+    small_bytes: int = 32 * 1024 * 1024,
+) -> None:
+    """EXACTLY-ONCE append-only streaming sink into a manifest-backed
+    table — the ingest shape (reference: the daily crawler loads,
+    ``d_gmaps_crawler_to_src.py:33``, which append date-stamped blobs and
+    trust the scheduler never to re-run a day).
+
+    foreachBatch delivers at-least-once: a crashed driver replays its
+    last unacknowledged micro-batch, and a plain append would double its
+    rows. Each epoch here commits with ``txn=(app_id, epoch)``
+    (:func:`sources.manifest.append_manifest_table`): the table's meta
+    carries a per-application watermark checked under the commit claim,
+    so the replayed epoch is a no-op and at-least-once delivery becomes
+    exactly-once table content. This is Delta's idempotent-writes design
+    (txnAppId/txnVersion) on the manifest tier; ``app_id`` must be
+    unique per logical stream per table — two streams sharing an id
+    would swallow each other's epochs.
+
+    Epoch 0 against a missing table creates it (``stats_cols`` fixes the
+    skipping columns, with the epoch recorded in the same commit, so a
+    crash between the create and the checkpoint ack replays into a
+    no-op append). ``compact_every=N`` folds small files every N epochs,
+    riding the same watermark via a distinct app stream (compaction is
+    content-identical, so its replay safety is fixpoint, not watermark).
+    """
+    from tibame_project_spark.sources.manifest import (
+        append_manifest_table,
+        compact_manifest_table,
+        read_manifest_version,
+        write_manifest_table,
+    )
+
+    def apply_batch(batch: DataFrame, epoch: int) -> None:
+        spark = batch.sparkSession
+        if read_manifest_version(spark, base_path) is None:
+            write_manifest_table(
+                spark, batch, base_path, stats_cols=stats_cols,
+                cluster_by=cluster_by, n_files=n_files, keep=keep,
+                txn=(app_id, epoch),
+            )
+        else:
+            append_manifest_table(
+                spark, batch, base_path, cluster_by=cluster_by,
+                n_files=n_files, keep=keep, txn=(app_id, epoch),
+            )
+        if compact_every and (epoch + 1) % compact_every == 0:
+            compact_manifest_table(
+                spark, base_path, small_bytes=small_bytes, keep=keep
+            )
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def consume_manifest_feed(
     spark: SparkSession,
     base_path: str,
