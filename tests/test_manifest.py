@@ -3070,7 +3070,16 @@ def test_random_multiwriter_histories_serialize(spark, tmp_path, seed, fs_kind):
     read resolves the value column by name at the end. Writers adapt
     their payload schema to the current head (what a real client does
     after evolution) and retry ONCE on a naming race — a second failure
-    is a protocol bug."""
+    is a protocol bug.
+
+    r11 widens the alphabet again with IDEMPOTENT-TXN appends: threads 0
+    and 1 both carry the SAME ``txn=("mw", 0)`` batch (the zombie-driver
+    shape — one logical delivery raced from two writers) and thread 2
+    may carry ``txn=("mw", 1)``; the model replays them through the
+    monotone watermark (a batch lands iff its version exceeds the
+    watermark at its point in the interleaving — so duplicate deliveries
+    count ONCE, and a version-1 commit that precedes version 0 legally
+    swallows it)."""
     import random
     import threading
     from collections import Counter
@@ -3146,6 +3155,21 @@ def test_random_multiwriter_histories_serialize(spark, tmp_path, seed, fs_kind):
             [(k, rnd.randrange(100), rnd.random() < 0.25)
              for k in rnd.sample(range(30), 3)],
         )
+    # r11 txn ops: the SAME (app, ver) delivery raced from two threads,
+    # plus an optional later version from a third (ids disjoint from
+    # every other op's key space)
+    shared_txn = {
+        ver: [(5000 + 10 * ver + k, rnd.randrange(100)) for k in range(2)]
+        for ver in (0, 1)
+    }
+    for tid in (0, 1):
+        plans[tid].insert(
+            rnd.randrange(len(plans[tid]) + 1), ("txn_append", (0, shared_txn[0]))
+        )
+    if rnd.random() < 0.5:
+        plans[2].insert(
+            rnd.randrange(len(plans[2]) + 1), ("txn_append", (1, shared_txn[1]))
+        )
     applied = {tid: [] for tid in range(3)}
     hard_errors = []
 
@@ -3168,6 +3192,13 @@ def test_random_multiwriter_histories_serialize(spark, tmp_path, seed, fs_kind):
                 spark,
                 spark.createDataFrame(payload, f"id long, `{vcol_now()}` long"),
                 base, keep=50,
+            )
+        elif kind == "txn_append":
+            ver, rows = payload
+            append_manifest_table(
+                spark,
+                spark.createDataFrame(rows, f"id long, `{vcol_now()}` long"),
+                base, keep=50, txn=("mw", ver),
             )
         elif kind == "delete":
             delete_manifest_table(
@@ -3239,6 +3270,7 @@ def test_random_multiwriter_histories_serialize(spark, tmp_path, seed, fs_kind):
     def replay(seq):
         merged = dict(initial)
         appended: Counter = Counter()
+        wm = -1  # app "mw" idempotent-txn watermark (monotone)
         for kind, payload in seq:
             if kind in ("merge", "stage_publish"):
                 for k, v, dead in payload:
@@ -3248,6 +3280,11 @@ def test_random_multiwriter_histories_serialize(spark, tmp_path, seed, fs_kind):
                         merged[k] = v
             elif kind == "append":
                 appended.update(payload)
+            elif kind == "txn_append":
+                ver, rows = payload
+                if ver > wm:  # duplicate/stale deliveries land ONCE
+                    appended.update(rows)
+                    wm = ver
             elif kind == "delete":
                 for k in payload:
                     merged.pop(k, None)
@@ -4201,3 +4238,72 @@ def test_stream_append_sink_exactly_once_across_commit_log_loss(spark, tmp_path)
     run()
     assert read_manifest_table(spark, base).count() == 20
     assert read_manifest_table(spark, base).where("id >= 1000").count() == 5
+
+
+def test_stream_cdc_apply_manifest_app_id_makes_replays_versionless(
+    spark, tmp_path
+):
+    """``app_id`` on the CDC sink upgrades replay safety from fixpoint
+    (re-run the merge, publish a content-identical version) to watermark
+    (zero jobs, zero versions): after a forced commit-log loss the
+    re-delivered epoch must leave the table's HEAD VERSION untouched.
+    The DV form's two commits ride derived app streams (<app>/u,
+    <app>/d) so a crash between them replays only the missing half —
+    witnessed here by the watermark each stream reports."""
+    import glob
+    import os
+
+    from tibame_project_spark.sources.manifest import last_txn_version
+    from tibame_project_spark.streaming.incremental import (
+        stream_cdc_apply_manifest,
+    )
+
+    src = tmp_path / "feed"
+    base = str(tmp_path / "mantab")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, name string, v long, dead boolean"
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        stream_cdc_apply_manifest(
+            stream, base, "id", checkpoint=ckpt, delete_col="dead",
+            delete_via_dv=True, app_id="cdc", keep=10,
+        )
+
+    def content():
+        return sorted(
+            tuple(r) for r in read_manifest_table(spark, base).collect()
+        )
+
+    land([(1, "a", 10, False), (2, "b", 20, False)])
+    run()  # epoch 0: bootstrap
+    land([(2, "B", 200, False), (1, "a", 0, True), (3, "c", 30, False)])
+    run()  # epoch 1: one merge commit (/u) + one DV delete commit (/d)
+    expected = [(2, "B", 200), (3, "c", 30)]
+    assert content() == expected
+    assert last_txn_version(spark, base, "cdc/u") == 1
+    assert last_txn_version(spark, base, "cdc/d") == 1
+    head_before = read_manifest_version(spark, base)
+    # force the crash-replay: drop the newest stream commit-log ack
+    commits = sorted(
+        (
+            p
+            for p in glob.glob(os.path.join(ckpt, "commits", "*"))
+            if os.path.basename(p).isdigit()
+        ),
+        key=lambda p: int(os.path.basename(p)),
+    )
+    os.remove(commits[-1])
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()  # re-delivers epoch 1: both halves no-op on their watermarks
+    assert content() == expected
+    assert read_manifest_version(spark, base) == head_before  # NO new version

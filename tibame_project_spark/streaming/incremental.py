@@ -226,6 +226,7 @@ def stream_cdc_apply_manifest(
     keep: int = 2,
     compact_every: int | None = None,
     small_bytes: int = 32 * 1024 * 1024,
+    app_id: str | None = None,
 ) -> None:
     """:func:`stream_cdc_apply` on a manifest-backed table
     (``sources.manifest``) — the variant where a micro-batch costs what
@@ -259,6 +260,16 @@ def stream_cdc_apply_manifest(
     Upsert rows still merge; a delete-only epoch commits only the
     vector. CDC batches are key-unique (the standing sink contract), so
     the upsert-then-delete apply order is immaterial.
+
+    ``app_id`` upgrades replay safety from fixpoint to WATERMARK
+    (``txn=(app_id, epoch)`` on every epoch commit): a replayed epoch
+    stops re-running its merge/delete jobs and re-publishing a
+    content-identical version — it no-ops against the table's
+    transaction high-water mark (KB meta check, zero jobs). In the DV
+    form the upsert and delete commits ride two derived app streams
+    (``<app_id>/u``, ``<app_id>/d``) so a crash BETWEEN them replays
+    only the missing half. Content is identical either way; the
+    watermark saves the replayed work and the version-history noise.
     """
     from tibame_project_spark.sources.manifest import (
         compact_manifest_table,
@@ -278,7 +289,8 @@ def stream_cdc_apply_manifest(
                 batch, epoch, delete_col, f"stream_cdc_apply_manifest({base_path})"
             )
             write_manifest_table(
-                spark, first, base_path, stats_cols=[key], cluster_by=key, keep=keep
+                spark, first, base_path, stats_cols=[key], cluster_by=key,
+                keep=keep, txn=(app_id, epoch) if app_id else None,
             )
             return
         if delete_via_dv:
@@ -291,12 +303,19 @@ def stream_cdc_apply_manifest(
             # micro-batch relations are pinned to the epoch's files, so
             # the two halves are consistent under recomputation
             if upserts.limit(1).count():
-                merge_manifest_table(spark, upserts, base_path, key, keep=keep)
+                merge_manifest_table(
+                    spark, upserts, base_path, key, keep=keep,
+                    txn=(f"{app_id}/u", epoch) if app_id else None,
+                )
             if tombs.limit(1).count():
-                delete_manifest_table(spark, tombs, base_path, key, keep=keep)
+                delete_manifest_table(
+                    spark, tombs, base_path, key, keep=keep,
+                    txn=(f"{app_id}/d", epoch) if app_id else None,
+                )
         else:
             merge_manifest_table(
-                spark, batch, base_path, key, delete_col=delete_col, keep=keep
+                spark, batch, base_path, key, delete_col=delete_col,
+                keep=keep, txn=(app_id, epoch) if app_id else None,
             )
         if compact_every and (epoch + 1) % compact_every == 0:
             compact_manifest_table(
