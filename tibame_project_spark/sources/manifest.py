@@ -209,7 +209,24 @@ def _begin(spark: SparkSession, base_path: str):
 
 
 def _meta(spark: SparkSession, base_path: str, version: int) -> dict:
-    return json.loads(_read_text(spark, f"{base_path}/meta/v={version}.json"))
+    """Commit metadata json. Read through pyarrow.fs when the scheme
+    allows (KB file; the py4j open/read round-trip costs more than the
+    read — and ``_finish`` now reads the head's meta once per commit
+    attempt for the txn watermark carry-forward, so this sits on every
+    commit): same-bytes, falls back to the Hadoop FS path on schemes
+    pyarrow doesn't speak. Missing-file errors surface unchanged."""
+    path = f"{base_path}/meta/v={version}.json"
+    ar = _arrow_fs(path)
+    if ar is not None:
+        fs, rel = ar
+        try:
+            with fs.open_input_stream(rel) as f:
+                return json.loads(f.read().decode("utf-8"))
+        except FileNotFoundError:
+            raise
+        except Exception:
+            pass  # scheme/permission quirk: the JVM path decides
+    return json.loads(_read_text(spark, path))
 
 
 def _local_dir(path: str) -> str | None:
