@@ -4307,3 +4307,50 @@ def test_stream_cdc_apply_manifest_app_id_makes_replays_versionless(
     run()  # re-delivers epoch 1: both halves no-op on their watermarks
     assert content() == expected
     assert read_manifest_version(spark, base) == head_before  # NO new version
+
+
+def test_timestamp_as_of_reads_and_monotone_clock(spark, tmp_path, monkeypatch):
+    """TIMESTAMP AS OF (Delta's public design): every commit stamps a
+    wall-clock ts in meta, forced MONOTONE per table (a later commit
+    from a skewed clock must not time-travel before its predecessor —
+    resolution is a scan for the latest ts <= requested, so a regression
+    would make the newer commit invisible to as-of reads between the two
+    stamps). ``as_of`` accepts epoch ms or datetime; before-history
+    raises (pruned retention must not silently snap forward); after the
+    newest commit resolves to the head."""
+    import datetime
+
+    import tibame_project_spark.sources.manifest as M
+    from tibame_project_spark.sources.manifest import (
+        manifest_history,
+        version_as_of,
+    )
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(0, 0)]), base, stats_cols=["id"], keep=10
+    )
+    append_manifest_table(spark, _mk(spark, [(1, 1)]), base, keep=10)
+    ts = {r["version"]: r["ts"] for r in manifest_history(spark, base).collect()}
+    assert ts[1] > ts[0] > 0
+    # a clock REGRESSION between commits: stored ts must still advance
+    monkeypatch.setattr(M, "_now_ms", lambda: ts[0] - 60_000)
+    append_manifest_table(spark, _mk(spark, [(2, 2)]), base, keep=10)
+    monkeypatch.undo()
+    ts = {r["version"]: r["ts"] for r in manifest_history(spark, base).collect()}
+    assert ts[2] == ts[1] + 1  # clamped to predecessor+1, not the skewed clock
+    # resolution: exact stamp, between stamps, after head, before history
+    assert version_as_of(spark, base, ts[0]) == 0
+    assert version_as_of(spark, base, ts[1] - 1) == 0
+    assert version_as_of(spark, base, ts[1]) == 1
+    assert version_as_of(spark, base, ts[2] + 10**9) == 2
+    with pytest.raises(ValueError, match="outside retention"):
+        version_as_of(spark, base, ts[0] - 1)
+    # read-side: content as of each instant; datetime accepted
+    assert _content(spark, base, as_of=ts[1]) == {(0, 0), (1, 1)}
+    when = datetime.datetime.fromtimestamp(
+        ts[0] / 1000.0, tz=datetime.timezone.utc
+    )
+    assert _content(spark, base, as_of=when) == {(0, 0)}
+    with pytest.raises(ValueError, match="at most one"):
+        read_manifest_table(spark, base, version=1, as_of=ts[1])

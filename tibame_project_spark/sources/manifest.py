@@ -229,6 +229,14 @@ def _meta(spark: SparkSession, base_path: str, version: int) -> dict:
     return json.loads(_read_text(spark, path))
 
 
+def _now_ms() -> int:
+    """Commit wall-clock (epoch ms) — a seam so tests can fake clock
+    regressions; ``_finish`` enforces per-table monotonicity on top."""
+    import time as _time
+
+    return int(_time.time() * 1000)
+
+
 def _local_dir(path: str) -> str | None:
     """The local-filesystem directory behind ``path``, or None when it
     lives on a remote store. Gates the driver-side Arrow metadata paths;
@@ -846,16 +854,16 @@ def _finish(
             # pre-restore head's map, so replayed batches never
             # double-apply into a restored table.
             head_txns: dict[str, int] = {}
+            head_ts = 0
             if head is not None:
                 try:
-                    head_txns = {
-                        k: int(v)
-                        for k, v in _meta(spark, base_path, head)
-                        .get("txns", {})
-                        .items()
-                    }
+                    hm = _meta(spark, base_path, head)
                 except Exception:
-                    head_txns = {}
+                    hm = {}
+                head_txns = {
+                    k: int(v) for k, v in hm.get("txns", {}).items()
+                }
+                head_ts = int(hm.get("ts", 0))
             if txn is not None and head_txns.get(str(txn[0]), -1) >= int(txn[1]):
                 return head  # replayed batch: already applied, no-op
             if head != base_head:
@@ -956,6 +964,11 @@ def _finish(
                     txns[app] = max(int(txn[1]), txns.get(app, -1))
                 if txns:
                     meta["txns"] = txns
+                # commit timestamp for TIMESTAMP-AS-OF reads: wall clock,
+                # forced monotone per table (commits serialize through the
+                # claim, but wall clocks may regress between writers —
+                # Delta canonicalizes commit times the same way)
+                meta["ts"] = max(_now_ms(), head_ts + 1)
                 _write_text(
                     spark, f"{base_path}/meta/v={version}.json", json.dumps(meta)
                 )
@@ -1546,6 +1559,38 @@ def manifest_file_paths(
     return [r["path"] for r in man.select("path").collect()]
 
 
+def version_as_of(spark: SparkSession, base_path: str, ts) -> int:
+    """The version a TIMESTAMP-AS-OF read resolves to: the LATEST retained
+    commit whose (monotone) commit timestamp is <= ``ts``. ``ts`` is epoch
+    milliseconds (int) or a datetime. Raises when ``ts`` predates every
+    retained commit — history that far back has been pruned (or never
+    existed), and silently snapping forward would misreport what the
+    table looked like. A ``ts`` after the newest commit resolves to the
+    head (reading "the table as of yesterday 23:59" must work even if
+    nothing committed since). Cost: one listing + one KB meta read per
+    retained version, driver-side."""
+    if hasattr(ts, "timestamp"):
+        ts = int(ts.timestamp() * 1000)
+    ts = int(ts)
+    fs, base, _ = _fs_for(spark, base_path)
+    listing = list(fs.listStatus(base)) if fs.exists(base) else []
+    committed = sorted(_committed_versions(listing))
+    if not committed:
+        raise FileNotFoundError(f"no committed manifest table under {base_path}")
+    best = None
+    for v in committed:
+        if int(_meta(spark, base_path, v).get("ts", 0)) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no retained commit at or before ts={ts} under {base_path} — "
+            f"the oldest retained version is v{committed[0]}; earlier "
+            "history is outside retention (raise keep= or pin releases "
+            "with tags)"
+        )
+    return best
+
+
 def read_manifest_table(
     spark: SparkSession,
     base_path: str,
@@ -1553,6 +1598,7 @@ def read_manifest_table(
     version: int | None = None,
     prune: str | None = None,
     tag: str | None = None,
+    as_of=None,
 ) -> DataFrame:
     """Read a committed version (default head; older = time travel within
     retention) as the union of its live files, optionally file-skipped by
@@ -1564,14 +1610,18 @@ def read_manifest_table(
     filter. An empty live set still returns a correctly-schemed empty
     DataFrame (schema travels in ``meta/``). ``tag=`` reads the version a
     named tag pins (release pinning — :func:`tag_manifest_version`);
-    mutually exclusive with ``version``."""
+    ``as_of=`` (epoch ms or datetime) reads the version live at that
+    wall-clock instant (:func:`version_as_of` — Delta's TIMESTAMP AS OF).
+    ``version``/``tag``/``as_of`` are mutually exclusive."""
+    if sum(x is not None for x in (version, tag, as_of)) > 1:
+        raise ValueError("pass at most one of version=, tag=, as_of=")
     if tag is not None:
-        if version is not None:
-            raise ValueError("pass version= or tag=, not both")
         tags = _manifest_tags(spark, base_path)
         if tag not in tags:
             raise FileNotFoundError(f"no tag {tag!r} under {base_path}")
         version = tags[tag]
+    if as_of is not None:
+        version = version_as_of(spark, base_path, as_of)
     if version is None:
         version = read_manifest_version(spark, base_path)
         if version is None:
@@ -3017,7 +3067,8 @@ def manifest_history(spark: SparkSession, base_path: str) -> DataFrame:
     committed = sorted(_committed_versions(listing))
     if not committed:
         raise FileNotFoundError(f"no committed manifest table under {base_path}")
-    ops = {v: _meta(spark, base_path, v).get("op") for v in committed}
+    metas = {v: _meta(spark, base_path, v) for v in committed}
+    ops = {v: metas[v].get("op") for v in committed}
     # ONE aggregation job over the union of retained manifests (they are
     # file-count-sized parquet) — not a job per version, which turns a
     # metadata view into a job-scheduling tax
@@ -3045,6 +3096,7 @@ def manifest_history(spark: SparkSession, base_path: str) -> DataFrame:
         (
             v,
             ops[v],
+            metas[v].get("ts"),
             agg[v]["files"] if v in agg else 0,
             agg[v]["rows"] if v in agg else 0,
             agg[v]["bytes"] if v in agg else 0,
@@ -3054,6 +3106,6 @@ def manifest_history(spark: SparkSession, base_path: str) -> DataFrame:
     ]
     return local_rows_df(
         spark, rows,
-        "version int, op string, files long, rows long, bytes long, "
-        "dv_files long",
+        "version int, op string, ts long, files long, rows long, "
+        "bytes long, dv_files long",
     )
