@@ -4354,3 +4354,50 @@ def test_timestamp_as_of_reads_and_monotone_clock(spark, tmp_path, monkeypatch):
     assert _content(spark, base, as_of=when) == {(0, 0)}
     with pytest.raises(ValueError, match="at most one"):
         read_manifest_table(spark, base, version=1, as_of=ts[1])
+
+
+def test_expire_txns_drops_only_stale_watermarks(spark, tmp_path, monkeypatch):
+    """Bounded txn-map growth (Delta's setTransactionRetentionDuration as
+    an explicit maintenance verb): a decommissioned stream's watermark
+    expires by last-activity age; a live stream's survives because its
+    own commits refresh the stamp. Expiry revokes replay protection for
+    the dropped app — that's the documented contract — and publishes a
+    real commit, so history records it and readers serialize against
+    it."""
+    import tibame_project_spark.sources.manifest as M
+    from tibame_project_spark.sources.manifest import (
+        expire_txns,
+        last_txn_version,
+        manifest_history,
+    )
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(0, 0)]), base, stats_cols=["id"], keep=10
+    )
+    # fake stamps must sit ABOVE the real clock: the monotone clamp
+    # (max(now, head_ts+1)) would silently override earlier ones
+    import time as _time
+
+    t0 = int(_time.time() * 1000) + 10**9
+    monkeypatch.setattr(M, "_now_ms", lambda: t0)
+    append_manifest_table(spark, _mk(spark, [(1, 1)]), base, txn=("old", 4), keep=10)
+    monkeypatch.setattr(M, "_now_ms", lambda: t0 + 10_000)
+    append_manifest_table(spark, _mk(spark, [(2, 2)]), base, txn=("live", 7), keep=10)
+    monkeypatch.undo()
+    # nothing stale at a wide horizon: no-op, head unchanged, no commit
+    head = read_manifest_version(spark, base)
+    assert expire_txns(spark, base, older_than_ms=60_000, keep=10) == (head, [])
+    # "old" stamped 10 s before the head commit: a 5 s horizon drops it
+    v, dropped = expire_txns(spark, base, older_than_ms=5_000, keep=10)
+    assert dropped == ["old"] and v == head + 1
+    assert last_txn_version(spark, base, "old") is None
+    assert last_txn_version(spark, base, "live") == 7
+    assert [r["op"] for r in manifest_history(spark, base).collect()][-1] == (
+        "expire_txns"
+    )
+    # content untouched (metadata-only commit)
+    assert _content(spark, base) == {(0, 0), (1, 1), (2, 2)}
+    # the documented hazard: a replay of the EXPIRED app now re-applies
+    append_manifest_table(spark, _mk(spark, [(9, 9)]), base, txn=("old", 4), keep=10)
+    assert (9, 9) in _content(spark, base)

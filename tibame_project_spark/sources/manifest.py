@@ -152,6 +152,9 @@ __all__ = [
     "tag_manifest_version",
     "delete_manifest_tag",
     "list_manifest_tags",
+    "last_txn_version",
+    "expire_txns",
+    "version_as_of",
 ]
 
 #: Manifest tables share the snapshot commit marker protocol; the head
@@ -789,6 +792,7 @@ def _finish(
     schemas: dict | None = None,
     schema_id: int = 0,
     txn: tuple[str, int] | None = None,
+    drop_txns: frozenset = frozenset(),
 ) -> int:
     """Publish a prepared commit with optimistic concurrency (version-CAS):
 
@@ -854,6 +858,7 @@ def _finish(
             # pre-restore head's map, so replayed batches never
             # double-apply into a restored table.
             head_txns: dict[str, int] = {}
+            head_txn_ts: dict[str, int] = {}
             head_ts = 0
             if head is not None:
                 try:
@@ -862,6 +867,9 @@ def _finish(
                     hm = {}
                 head_txns = {
                     k: int(v) for k, v in hm.get("txns", {}).items()
+                }
+                head_txn_ts = {
+                    k: int(v) for k, v in hm.get("txn_ts", {}).items()
                 }
                 head_ts = int(hm.get("ts", 0))
             if txn is not None and head_txns.get(str(txn[0]), -1) >= int(txn[1]):
@@ -958,17 +966,27 @@ def _finish(
                     meta["dv_key"] = dv_key
                 if bloom is not None:
                     meta["bloom"] = bloom
-                txns = dict(head_txns)
-                if txn is not None:
-                    app = str(txn[0])
-                    txns[app] = max(int(txn[1]), txns.get(app, -1))
-                if txns:
-                    meta["txns"] = txns
                 # commit timestamp for TIMESTAMP-AS-OF reads: wall clock,
                 # forced monotone per table (commits serialize through the
                 # claim, but wall clocks may regress between writers —
                 # Delta canonicalizes commit times the same way)
                 meta["ts"] = max(_now_ms(), head_ts + 1)
+                txns = {
+                    k: v for k, v in head_txns.items() if k not in drop_txns
+                }
+                txn_ts = dict(head_txn_ts)
+                if txn is not None:
+                    app = str(txn[0])
+                    txns[app] = max(int(txn[1]), txns.get(app, -1))
+                    # per-app last-activity stamp: what expire_txns ages
+                    # by, so a decommissioned stream's watermark can be
+                    # dropped without touching live writers'
+                    txn_ts[app] = meta["ts"]
+                if txns:
+                    meta["txns"] = txns
+                    meta["txn_ts"] = {
+                        k: txn_ts.get(k, 0) for k in txns
+                    }
                 _write_text(
                     spark, f"{base_path}/meta/v={version}.json", json.dumps(meta)
                 )
@@ -2696,6 +2714,59 @@ def restore_manifest_table(
         schemas=schemas,
         schema_id=schema_id,
     )
+
+
+def expire_txns(
+    spark: SparkSession,
+    base_path: str,
+    *,
+    older_than_ms: int,
+    keep: int = 2,
+) -> tuple[int, list[str]]:
+    """Drop idempotent-transaction watermarks whose last activity is more
+    than ``older_than_ms`` behind the head commit's timestamp — Delta's
+    ``setTransactionRetentionDuration``, as an explicit out-of-band
+    maintenance verb (like vacuum). A table written by many short-lived
+    streams otherwise accrues one KB-scale meta entry per ``app_id``
+    forever; live writers' watermarks are untouched because every commit
+    they make refreshes their stamp.
+
+    EXPIRY REVOKES REPLAY PROTECTION for the dropped apps: a batch from
+    an expired ``app_id`` redelivered after this commit re-applies as if
+    new. Expire only decommissioned streams, with a horizon comfortably
+    past any possible redelivery (days, not minutes). Publishes a
+    metadata-only commit (``op='expire_txns'``; zero data files touched;
+    no-op when nothing is stale — returns the current head). Returns
+    ``(version, expired_app_ids)``."""
+    fs, listing, head, _ = _begin(spark, base_path)
+    if head is None:
+        raise FileNotFoundError(f"no committed manifest table under {base_path}")
+    meta = _meta(spark, base_path, head)
+    cutoff = int(meta.get("ts", 0)) - int(older_than_ms)
+    stale = sorted(
+        app
+        for app in meta.get("txns", {})
+        if int(meta.get("txn_ts", {}).get(app, 0)) < cutoff
+    )
+    if not stale:
+        return head, []
+    schemas, schema_id = _registry(meta)
+    version = _finish(
+        spark,
+        base_path,
+        schema=StructType.fromJson(meta["schema"]),
+        stats_cols=meta["stats_cols"],
+        keep=keep,
+        base_head=head,
+        full_manifest=_load_manifest(spark, base_path, head),
+        dv_key=meta.get("dv_key"),
+        bloom=meta.get("bloom"),
+        op="expire_txns",
+        schemas=schemas,
+        schema_id=schema_id,
+        drop_txns=frozenset(stale),
+    )
+    return version, stale
 
 
 #: Lossless type promotions (parquet physical types stay readable
