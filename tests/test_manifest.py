@@ -2429,7 +2429,7 @@ def test_tags_pin_versions_past_retention_and_vacuum(spark, tmp_path):
         read_manifest_table(spark, base, tag="nope")
     with pytest.raises(ValueError, match="invalid"):
         tag_manifest_version(spark, base, "_bad")
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         read_manifest_table(spark, base, tag="release-1", version=0)
 
     # dropping the tag releases the pin: the next commit prunes v0
@@ -4401,3 +4401,42 @@ def test_expire_txns_drops_only_stale_watermarks(spark, tmp_path, monkeypatch):
     # the documented hazard: a replay of the EXPIRED app now re-applies
     append_manifest_table(spark, _mk(spark, [(9, 9)]), base, txn=("old", 4), keep=10)
     assert (9, 9) in _content(spark, base)
+
+
+def test_string_stats_truncate_but_never_false_skip(spark, tmp_path):
+    """String min/max in the manifest truncate to a bounded prefix
+    (Delta's string-stat truncation): a stats column holding long text
+    must not store document-sized values per file. Truncation only
+    WIDENS the range — min becomes a prefix (lower bound), max gets
+    U+10FFFF appended to its prefix (upper bound) — so pruned reads stay
+    supersets: every row the exact predicate matches must survive any
+    prune over the truncated stats."""
+    from tibame_project_spark.sources.manifest import _STATS_STRING_MAX
+
+    base = str(tmp_path / "t")
+    rows = [
+        (i, ("k%03d" % i) + "x" * 200)  # 200+ chars, distinct prefixes
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, doc string")
+    write_manifest_table(
+        spark, df, base, stats_cols=["id", "doc"], cluster_by="doc", n_files=4
+    )
+    man = manifest_stats(spark, base).collect()
+    for r in man:
+        assert len(r["min_doc"]) <= _STATS_STRING_MAX
+        assert len(r["max_doc"]) <= _STATS_STRING_MAX + 1
+        # bounds bracket the file's true values conservatively
+        assert r["min_doc"] <= r["max_doc"]
+    # a prune on the long column: the exact predicate's rows all survive
+    want = {t for t in rows if t[1] >= "k030"}
+    got = {
+        tuple(r)
+        for r in read_manifest_table(
+            spark, base, prune="max_doc >= 'k030'"
+        ).where("doc >= 'k030'").collect()
+    }
+    assert got == want
+    # and the prune genuinely skips: low-key files drop out of the scan
+    pruned = manifest_file_paths(spark, base, prune="max_doc >= 'k030'")
+    assert 0 < len(pruned) < 4

@@ -242,16 +242,21 @@ def load_manifest(
     *,
     version: int | None = None,
     prune: str | None = None,
+    tag: str | None = None,
+    as_of=None,
 ) -> DataFrame:
     """Read a manifest-backed table (``sources.manifest``) through the
     catalog — :func:`load_snapshot`'s twin for the incremental-commit
-    format: committed head (or ``version`` time travel) resolved through
-    the shared marker protocol, optionally file-skipped by a ``prune``
-    expression over the per-file min/max stats (see
+    format: committed head resolved through the shared marker protocol,
+    or time travel by ``version``, release ``tag``, or ``as_of`` instant
+    (epoch ms / datetime — TIMESTAMP AS OF); optionally file-skipped by a
+    ``prune`` expression over the per-file min/max stats (see
     ``sources.manifest.manifest_file_paths`` for the contract)."""
     from tibame_project_spark.sources.manifest import read_manifest_table
 
-    return read_manifest_table(spark, base_path, version=version, prune=prune)
+    return read_manifest_table(
+        spark, base_path, version=version, prune=prune, tag=tag, as_of=as_of
+    )
 
 
 def register_manifest(
@@ -261,10 +266,14 @@ def register_manifest(
     *,
     version: int | None = None,
     prune: str | None = None,
+    tag: str | None = None,
+    as_of=None,
 ) -> DataFrame:
     """:func:`load_manifest` + temp-view registration, mirroring
     :func:`register_snapshot`: the view binds to the file list resolved AT
     REGISTRATION — re-register to follow subsequent commits."""
-    df = load_manifest(spark, base_path, version=version, prune=prune)
+    df = load_manifest(
+        spark, base_path, version=version, prune=prune, tag=tag, as_of=as_of
+    )
     df.createOrReplaceTempView(view_name)
     return df

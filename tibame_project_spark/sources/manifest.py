@@ -111,7 +111,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from tibame_project_spark.localdf import local_rows_df
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructType
 
 from tibame_project_spark.sources.writers import (
     _COMMIT_PREFIX,
@@ -172,6 +172,11 @@ _ORDERABLE_KINDS = (
 #: condemnation of a huge corpus yields a condemned set no driver should
 #: be forced to broadcast.
 _DV_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+#: Per-file min/max stats for STRING columns are truncated to this many
+#: characters (conservatively — see ``_file_stats``): manifest rows must
+#: stay KB-scale even when a stats column holds documents.
+_STATS_STRING_MAX = 32
 
 
 def _fs_for(spark: SparkSession, path: str):
@@ -1134,8 +1139,33 @@ def _file_stats(
     )
     aggs = [F.count(F.lit(1)).alias("rows")]
     for c in stats_cols:
-        aggs.append(F.min(c).alias(f"min_{c}"))
-        aggs.append(F.max(c).alias(f"max_{c}"))
+        if isinstance(schema[c].dataType, StringType):
+            # bounded stats for text columns (Delta truncates string stats
+            # the same way): a stats column holding documents would
+            # otherwise store two document-sized values PER FILE in the
+            # manifest — at 100k files that turns KB metadata into GBs.
+            # min truncates to a prefix (a prefix is <= the value: still a
+            # lower bound); max appends U+10FFFF to its prefix (any string
+            # sharing the prefix compares below it at the first truncated
+            # char: still an upper bound) — except in the degenerate case
+            # where the first truncated char IS U+10FFFF, which keeps the
+            # full value rather than risk a false skip. Bounds only
+            # widen, so pruning/merge-candidate selection stay supersets.
+            n, top = _STATS_STRING_MAX, chr(0x10FFFF)
+            mn, mx = F.min(c), F.max(c)
+            aggs.append(F.substring(mn, 1, n).alias(f"min_{c}"))
+            aggs.append(
+                F.when(
+                    (F.length(mx) > n)
+                    & (F.substring(mx, n + 1, 1) < F.lit(top)),
+                    F.concat(F.substring(mx, 1, n), F.lit(top)),
+                )
+                .otherwise(mx)
+                .alias(f"max_{c}")
+            )
+        else:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
     out = (
         raw.groupBy("__path", "__bytes")
         .agg(*aggs)
