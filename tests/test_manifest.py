@@ -4440,3 +4440,93 @@ def test_string_stats_truncate_but_never_false_skip(spark, tmp_path):
     # and the prune genuinely skips: low-key files drop out of the scan
     pruned = manifest_file_paths(spark, base, prune="max_doc >= 'k030'")
     assert 0 < len(pruned) < 4
+
+
+def test_finish_fails_closed_on_head_meta_read_error(spark, tmp_path, monkeypatch):
+    """A transient IO failure reading the head's meta during a commit
+    must FAIL the commit, not fail open: continuing with an empty map
+    would let a replayed txn re-apply AND write the new meta without the
+    carried txns — erasing every application's replay protection. Only
+    a vanished meta (head pruned by racing commits; its marker went
+    with it, so the under-claim re-list rebases) is tolerable."""
+    import tibame_project_spark.sources.manifest as M
+
+    base = str(tmp_path / "t")
+    write_manifest_table(spark, _mk(spark, [(0, 0)]), base, stats_cols=["id"])
+    append_manifest_table(spark, _mk(spark, [(1, 1)]), base, txn=("app", 3))
+
+    real = M._meta
+    boom = {"armed": False}
+
+    def flaky(spark_, base_path, version):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise IOError("simulated object-store throttle")
+        return real(spark_, base_path, version)
+
+    monkeypatch.setattr(M, "_meta", flaky)
+    boom["armed"] = True
+    with pytest.raises(Exception, match="throttle"):
+        append_manifest_table(spark, _mk(spark, [(2, 2)]), base)
+    monkeypatch.undo()
+    # nothing published by the failed attempt; watermarks intact
+    assert read_manifest_version(spark, base) == 1
+    from tibame_project_spark.sources.manifest import last_txn_version
+
+    assert last_txn_version(spark, base, "app") == 3
+    # and the replay protection still holds after a clean retry
+    append_manifest_table(spark, _mk(spark, [(2, 2)]), base)
+    assert append_manifest_table(
+        spark, _mk(spark, [(9, 9)]), base, txn=("app", 3)
+    ) == read_manifest_version(spark, base)
+    assert (9, 9) not in _content(spark, base)
+
+
+def test_stream_cdc_dv_bootstrap_replay_publishes_nothing(spark, tmp_path):
+    """The DV-mode bootstrap records the BARE app_id while steady-state
+    epochs ride <app>/u and <app>/d — a crash-replayed epoch 0 must
+    still be a version-free no-op (the sink consults the bare watermark
+    before routing the batch), not a phantom merge+delete pair."""
+    import glob
+    import os
+
+    from tibame_project_spark.streaming.incremental import (
+        stream_cdc_apply_manifest,
+    )
+
+    src = tmp_path / "feed"
+    base = str(tmp_path / "mantab")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, name string, v long, dead boolean"
+    spark.createDataFrame(
+        [(1, "a", 10, False), (2, "b", 20, True)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        stream_cdc_apply_manifest(
+            stream, base, "id", checkpoint=ckpt, delete_col="dead",
+            delete_via_dv=True, app_id="cdc", keep=10,
+        )
+
+    run()  # epoch 0 bootstraps (tombstone stripped)
+    assert read_manifest_version(spark, base) == 0
+    commits = sorted(
+        (
+            p
+            for p in glob.glob(os.path.join(ckpt, "commits", "*"))
+            if os.path.basename(p).isdigit()
+        ),
+        key=lambda p: int(os.path.basename(p)),
+    )
+    os.remove(commits[-1])
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()  # re-delivers epoch 0
+    assert read_manifest_version(spark, base) == 0  # no phantom versions
+    assert {
+        tuple(r) for r in read_manifest_table(spark, base).collect()
+    } == {(1, "a", 10)}

@@ -868,7 +868,19 @@ def _finish(
             if head is not None:
                 try:
                     hm = _meta(spark, base_path, head)
-                except Exception:
+                except Exception as e:
+                    # ONLY a vanished meta is tolerable here: the head was
+                    # pruned by >=keep concurrent commits between the
+                    # listing and this read (its marker went with it, so
+                    # the under-claim re-list forces a rebase before
+                    # anything publishes). Anything else must FAIL the
+                    # commit loudly — continuing with an empty map would
+                    # fail OPEN: the replay check passes (duplicate
+                    # batch), the carry-forward writes meta without txns
+                    # (every app's replay protection erased), and head_ts
+                    # resets so a skewed clock can break as-of ordering.
+                    if not _is_file_not_found(e):
+                        raise
                     hm = {}
                 head_txns = {
                     k: int(v) for k, v in hm.get("txns", {}).items()
@@ -1626,9 +1638,13 @@ def version_as_of(spark: SparkSession, base_path: str, ts) -> int:
     if not committed:
         raise FileNotFoundError(f"no committed manifest table under {base_path}")
     best = None
-    for v in committed:
+    # commit stamps are monotone (enforced at publish), so walk newest →
+    # oldest and stop at the first qualifying version: a recent as_of
+    # costs ONE meta read, not one per retained version
+    for v in reversed(committed):
         if int(_meta(spark, base_path, v).get("ts", 0)) <= ts:
             best = v
+            break
     if best is None:
         raise ValueError(
             f"no retained commit at or before ts={ts} under {base_path} — "

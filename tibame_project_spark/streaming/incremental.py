@@ -274,6 +274,7 @@ def stream_cdc_apply_manifest(
     from tibame_project_spark.sources.manifest import (
         compact_manifest_table,
         delete_manifest_table,
+        last_txn_version,
         merge_manifest_table,
         read_manifest_version,
         write_manifest_table,
@@ -284,6 +285,15 @@ def stream_cdc_apply_manifest(
 
     def apply_batch(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
+        if app_id is not None and read_manifest_version(spark, base_path) is not None:
+            # the bootstrap commit records the BARE app_id (one commit,
+            # one txn) while steady-state DV epochs ride the derived
+            # <app>/u and <app>/d streams — so a crash-replayed epoch 0
+            # would otherwise miss its own watermark in the DV path and
+            # re-run both halves (publishing phantom versions)
+            bare = last_txn_version(spark, base_path, app_id)
+            if bare is not None and bare >= epoch:
+                return
         if read_manifest_version(spark, base_path) is None:
             first = _cdc_bootstrap(
                 batch, epoch, delete_col, f"stream_cdc_apply_manifest({base_path})"
