@@ -2843,6 +2843,11 @@ def q_curation_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
        whole ``curate_corpus`` analysis would re-scan the table for
        dedup losers the merge fixpoint guarantees don't exist (measured
        ~7 s of pure job overhead on this 6k-doc corpus at sf0.1).
+    3b. TIMESTAMP AS OF (r11): the instant v2 (the rebased merge
+       publish) committed is resolved from the history stamps and read
+       back with ``as_of=`` — the snapshot must equal dedup survivors +
+       the first append (``asof_v2_rows``), independently recomputed by
+       the oracle, so a wrong timestamp resolution fails the hash;
     4. the read-back takes the CONSUMER path: ``manifest_feed``
        bootstrap pinned at v0 (full pre-curation corpus as inserts),
        cursor committed, then the cursor→head CDC interval — now a
@@ -2867,7 +2872,9 @@ def q_curation_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_manifest_table,
         manifest_feed,
         manifest_feed_commit,
+        manifest_history,
         publish_staged_manifest,
+        read_manifest_table,
         read_staged_manifest,
         stage_delete_manifest_table,
         write_manifest_table,
@@ -2939,6 +2946,20 @@ def q_curation_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, base, token2, keep=6
     ))  # v4: rebased over v3
 
+    # TIMESTAMP-AS-OF witness (r11): resolve the instant the rebased
+    # merge-publish (v2) committed from the history stamps and read the
+    # table as of it — the resolved snapshot must be exactly dedup
+    # survivors + the first disjoint append, which the oracle recomputes
+    # independently; a wrong resolution (clock clamp, off-by-one on the
+    # monotone scan) lands on a neighboring version and fails the hash
+    ts_v2 = {
+        r["version"]: r["ts"]
+        for r in manifest_history(spark, base).collect()
+    }[2]
+    asof_v2_rows = leg("asof_v2", lambda: read_manifest_table(
+        spark, base, as_of=ts_v2
+    ).count())
+
     # cursor lives INSIDE the fresh table dir so a re-run (bench warmup)
     # resets table and cursor together; the name collides with no commit
     # marker / meta / data path
@@ -2957,6 +2978,7 @@ def q_curation_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_diff(pre, changes, "doc_id")
         .withColumn("audit_merge_rows", F.lit(audit_merge_rows).cast("long"))
         .withColumn("audit_dv_rows", F.lit(audit_dv_rows).cast("long"))
+        .withColumn("asof_v2_rows", F.lit(asof_v2_rows).cast("long"))
     )
 
 
@@ -3009,7 +3031,9 @@ final AS (
 SELECT f.*,
        (SELECT COUNT(*) FROM surv) AS audit_merge_rows,
        (SELECT COUNT(*) FROM clean) + (SELECT COUNT(*) FROM fresh1)
-         AS audit_dv_rows
+         AS audit_dv_rows,
+       (SELECT COUNT(*) FROM surv) + (SELECT COUNT(*) FROM fresh1)
+         AS asof_v2_rows
 FROM final f
 """
 
