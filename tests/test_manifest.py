@@ -4530,3 +4530,86 @@ def test_stream_cdc_dv_bootstrap_replay_publishes_nothing(spark, tmp_path):
     assert {
         tuple(r) for r in read_manifest_table(spark, base).collect()
     } == {(1, "a", 10)}
+
+
+def test_check_constraints_gate_every_writer(spark, tmp_path):
+    """Persisted CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT):
+    stored in table meta, enforced by EVERY commit gate — a writer that
+    forgets expect= can no longer land violating rows. SQL CHECK
+    semantics (FALSE violates, NULL passes), tombstones exempt in merge
+    batches, add validates existing data first, drop stops enforcement,
+    and an evolve renaming a constrained column refuses."""
+    from tibame_project_spark.sources.manifest import (
+        add_manifest_constraint,
+        delete_manifest_table,
+        drop_manifest_constraint,
+        evolve_manifest_table,
+        manifest_constraints,
+        manifest_history,
+    )
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(10)]), base,
+        stats_cols=["id"], keep=20, constraints={"v_nonneg": "v >= 0"},
+    )
+    assert manifest_constraints(spark, base) == {"v_nonneg": "v >= 0"}
+    # a create whose own data violates refuses to publish
+    with pytest.raises(ValueError, match="check\\(v_nonneg\\)"):
+        write_manifest_table(
+            spark, _mk(spark, [(0, -1)]), str(tmp_path / "bad"),
+            stats_cols=["id"], constraints={"v_nonneg": "v >= 0"},
+        )
+    # append: no expect= passed, the persisted constraint still gates
+    with pytest.raises(ValueError, match="check\\(v_nonneg\\)"):
+        append_manifest_table(spark, _mk(spark, [(100, -5)]), base, keep=20)
+    assert read_manifest_version(spark, base) == 0  # nothing published
+    append_manifest_table(spark, _mk(spark, [(100, 5)]), base, keep=20)
+    # merge: violating upsert refuses; tombstone rows are exempt
+    with pytest.raises(ValueError, match="check\\(v_nonneg\\)"):
+        merge_manifest_table(
+            spark,
+            spark.createDataFrame([(3, -1, False)], "id long, v long, dead boolean"),
+            base, "id", delete_col="dead", keep=20,
+        )
+    merge_manifest_table(
+        spark,
+        spark.createDataFrame(
+            [(3, 333, False), (4, None, True)], "id long, v long, dead boolean"
+        ),
+        base, "id", delete_col="dead", keep=20,
+    )
+    assert (3, 333) in _content(spark, base) and (4, 4) not in _content(spark, base)
+    # NULL passes CHECK (SQL semantics): a null v is not a violation
+    append_manifest_table(
+        spark,
+        spark.createDataFrame([(200, None)], "id long, v long"),
+        base, keep=20,
+    )
+    # add: validates the EXISTING table first (null row makes v<=400 fine,
+    # but a bound the data violates refuses without committing)
+    head = read_manifest_version(spark, base)
+    with pytest.raises(ValueError, match="existing rows violate"):
+        add_manifest_constraint(spark, base, "v_small", "v <= 300", keep=20)
+    assert read_manifest_version(spark, base) == head
+    add_manifest_constraint(spark, base, "v_cap", "v <= 400", keep=20)
+    assert [r["op"] for r in manifest_history(spark, base).collect()][-1] == (
+        "add_constraint(v_cap)"
+    )
+    with pytest.raises(ValueError, match="check\\(v_cap\\)"):
+        append_manifest_table(spark, _mk(spark, [(300, 401)]), base, keep=20)
+    # evolve refuses to rename a constrained column
+    with pytest.raises(ValueError, match="referenced by CHECK"):
+        evolve_manifest_table(spark, base, rename={"v": "val"}, keep=20)
+    # drop stops enforcement; unknown drop raises
+    drop_manifest_constraint(spark, base, "v_cap", keep=20)
+    with pytest.raises(ValueError, match="no constraint"):
+        drop_manifest_constraint(spark, base, "v_cap", keep=20)
+    append_manifest_table(spark, _mk(spark, [(300, 401)]), base, keep=20)
+    # v_nonneg still enforced after unrelated commits (carry-forward);
+    # deletes never constraint-check (they only remove)
+    delete_manifest_table(
+        spark, _mk(spark, [(300, 0)]).select("id"), base, "id", keep=20
+    )
+    with pytest.raises(ValueError, match="check\\(v_nonneg\\)"):
+        append_manifest_table(spark, _mk(spark, [(301, -1)]), base, keep=20)

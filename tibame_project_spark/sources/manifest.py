@@ -155,6 +155,9 @@ __all__ = [
     "last_txn_version",
     "expire_txns",
     "version_as_of",
+    "manifest_constraints",
+    "add_manifest_constraint",
+    "drop_manifest_constraint",
 ]
 
 #: Manifest tables share the snapshot commit marker protocol; the head
@@ -798,6 +801,7 @@ def _finish(
     schema_id: int = 0,
     txn: tuple[str, int] | None = None,
     drop_txns: frozenset = frozenset(),
+    constraints: dict | None = None,
 ) -> int:
     """Publish a prepared commit with optimistic concurrency (version-CAS):
 
@@ -889,6 +893,9 @@ def _finish(
                     k: int(v) for k, v in hm.get("txn_ts", {}).items()
                 }
                 head_ts = int(hm.get("ts", 0))
+                head_cons = hm.get("constraints") or {}
+            else:
+                head_cons = {}
             if txn is not None and head_txns.get(str(txn[0]), -1) >= int(txn[1]):
                 return head  # replayed batch: already applied, no-op
             if head != base_head:
@@ -1004,6 +1011,12 @@ def _finish(
                     meta["txn_ts"] = {
                         k: txn_ts.get(k, 0) for k in txns
                     }
+                # CHECK constraints carry forward like dv_key; None =
+                # inherit the head's, a dict = explicit override (create,
+                # add_/drop_manifest_constraint)
+                cons = constraints if constraints is not None else head_cons
+                if cons:
+                    meta["constraints"] = cons
                 _write_text(
                     spark, f"{base_path}/meta/v={version}.json", json.dumps(meta)
                 )
@@ -1226,6 +1239,29 @@ def _file_stats(
     return out
 
 
+def _constraint_rules(meta: dict, delete_col: str | None = None) -> list:
+    """Compile the table's persisted CHECK constraints (``meta
+    ["constraints"]``: name → boolean SQL expression that must hold) into
+    ``operators.expectations`` rules for the commit gate. SQL-standard
+    CHECK semantics: a row violates only when the expression evaluates
+    to FALSE (NULL passes — compose with ``not_null`` to forbid it).
+    Tombstone rows of a merge batch (``delete_col`` true) are exempt:
+    they remove rows, and their payload columns are legitimately
+    unset."""
+    cons = meta.get("constraints") or {}
+    if not cons:
+        return []
+    from tibame_project_spark.operators import expectations as X
+
+    rules = []
+    for name in sorted(cons):
+        viol = ~F.coalesce(F.expr(cons[name]), F.lit(True))
+        if delete_col is not None:
+            viol = viol & ~F.coalesce(F.col(delete_col), F.lit(False))
+        rules.append(X.custom(f"check({name})", name, viol))
+    return rules
+
+
 _GATE_SEQ = [0]
 
 
@@ -1338,6 +1374,7 @@ def write_manifest_table(
     bloom_k: int = 3,
     expect: list | None = None,
     txn: tuple[str, int] | None = None,
+    constraints: dict | None = None,
 ) -> int:
     """Full-content commit: version ``n`` whose live file set is exactly
     ``df``'s files. Creates the table at v0 (``stats_cols`` declares the
@@ -1389,6 +1426,24 @@ def write_manifest_table(
     _validate_stats_cols(df, stats_cols)
     if bloom:
         _validate_stats_cols(df, bloom["cols"])
+    if head is None:
+        cons = dict(constraints) if constraints else None
+        if cons:
+            for n_, e_ in cons.items():
+                F.expr(e_)  # fail fast on an unparseable constraint
+    else:
+        if constraints is not None:
+            raise ValueError(
+                "constraints are managed via add_manifest_constraint / "
+                "drop_manifest_constraint after creation"
+            )
+        cons = None  # _finish inherits the head's
+        prior_rules = _constraint_rules(prior)
+        if prior_rules:
+            expect = (list(expect) if expect else []) + prior_rules
+    if head is None and cons:
+        rules = _constraint_rules({"constraints": cons})
+        expect = (list(expect) if expect else []) + rules
     df, gate = _expect_gate(df, expect, f"write_manifest_table({base_path})")
     data_dir = f"data/c={_token()}"
     _write_data(df, base_path, data_dir, cluster_by, n_files, zorder_bits)
@@ -1444,7 +1499,7 @@ def write_manifest_table(
         spark, base_path, schema=df.schema, stats_cols=stats_cols,
         keep=keep, base_head=head, full_manifest=manifest,
         bloom=bloom, op="create", schemas=schemas, schema_id=schema_id,
-        txn=txn,
+        txn=txn, constraints=cons,
     )
 
 
@@ -1536,6 +1591,9 @@ def append_manifest_table(
         schema_id = max(schemas) + 1
         schemas[schema_id] = new_fields
     _validate_stats_cols(df, stats_cols)
+    rules = _constraint_rules(meta)
+    if rules:  # persisted CHECK constraints gate every writer, not just
+        expect = (list(expect) if expect else []) + rules  # expect= callers
     df, gate = _expect_gate(df, expect, f"append_manifest_table({base_path})")
     data_dir = f"data/c={_token()}"
     _write_data(df, base_path, data_dir, cluster_by, n_files, zorder_bits)
@@ -1848,6 +1906,9 @@ def _prepare_merge_edit(
     # projected to the CURRENT schema, so a merge doubles as the
     # migration pass for pre-evolution files it touches
     current = _read_live(spark, base_path, cand_files, meta)
+    rules = _constraint_rules(meta, delete_col)  # tombstones exempt
+    if rules:
+        expect = (list(expect) if expect else []) + rules
     source, gate = _expect_gate(source, expect, where)
     merged = merge_upsert(
         current, source, key, delete_col=delete_col, null_safe_keys=False
@@ -2815,6 +2876,98 @@ def expire_txns(
     return version, stale
 
 
+def manifest_constraints(spark: SparkSession, base_path: str) -> dict[str, str]:
+    """The table's persisted CHECK constraints (name → boolean SQL
+    expression every non-tombstone written row must satisfy)."""
+    fs, listing, head, _ = _begin(spark, base_path)
+    if head is None:
+        raise FileNotFoundError(f"no committed manifest table under {base_path}")
+    return dict(_meta(spark, base_path, head).get("constraints") or {})
+
+
+def add_manifest_constraint(
+    spark: SparkSession,
+    base_path: str,
+    name: str,
+    expr: str,
+    *,
+    keep: int = 2,
+    validate: bool = True,
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT (Delta's CHECK constraints on the
+    manifest tier): persist ``expr`` in table meta so EVERY writer's
+    commit gate enforces it — append, merge (tombstones exempt), full
+    refresh, and the streaming sinks that ride them — not just callers
+    who remember ``expect=``. SQL CHECK semantics: a row violates only
+    when the expression is FALSE (NULL passes; compose a not-null
+    constraint to forbid it).
+
+    ``validate=True`` (default, and Delta's behavior) first proves the
+    EXISTING table satisfies the constraint with one scan — adding a
+    constraint the history already violates would make every future
+    rewrite of an old row fail surprisingly. Publishes a metadata-only
+    commit (``op='add_constraint(<name>)'``); zero data files touched."""
+    fs, listing, head, _ = _begin(spark, base_path)
+    if head is None:
+        raise FileNotFoundError(f"no committed manifest table under {base_path}")
+    meta = _meta(spark, base_path, head)
+    cons = dict(meta.get("constraints") or {})
+    if name in cons:
+        raise ValueError(
+            f"constraint {name!r} already exists under {base_path} "
+            f"({cons[name]!r}); drop it first to replace"
+        )
+    F.expr(expr)  # fail fast on an unparseable expression
+    cons[name] = expr
+    if validate:
+        live = read_manifest_table(spark, base_path, version=head)
+        n_bad = live.where(
+            ~F.coalesce(F.expr(expr), F.lit(True))
+        ).limit(1).count()
+        if n_bad:
+            raise ValueError(
+                f"existing rows violate CHECK {name!r} ({expr!r}) under "
+                f"{base_path} — clean the data first or fix the expression"
+            )
+    schemas, schema_id = _registry(meta)
+    return _finish(
+        spark, base_path,
+        schema=StructType.fromJson(meta["schema"]),
+        stats_cols=meta["stats_cols"], keep=keep, base_head=head,
+        full_manifest=_load_manifest(spark, base_path, head),
+        dv_key=meta.get("dv_key"), bloom=meta.get("bloom"),
+        op=f"add_constraint({name})", schemas=schemas, schema_id=schema_id,
+        constraints=cons,
+    )
+
+
+def drop_manifest_constraint(
+    spark: SparkSession, base_path: str, name: str, *, keep: int = 2
+) -> int:
+    """ALTER TABLE DROP CONSTRAINT: metadata-only commit removing a
+    persisted CHECK; raises on an unknown name (a typo'd drop that
+    silently 'succeeds' leaves the caller believing enforcement
+    stopped)."""
+    fs, listing, head, _ = _begin(spark, base_path)
+    if head is None:
+        raise FileNotFoundError(f"no committed manifest table under {base_path}")
+    meta = _meta(spark, base_path, head)
+    cons = dict(meta.get("constraints") or {})
+    if name not in cons:
+        raise ValueError(f"no constraint {name!r} under {base_path}")
+    del cons[name]
+    schemas, schema_id = _registry(meta)
+    return _finish(
+        spark, base_path,
+        schema=StructType.fromJson(meta["schema"]),
+        stats_cols=meta["stats_cols"], keep=keep, base_head=head,
+        full_manifest=_load_manifest(spark, base_path, head),
+        dv_key=meta.get("dv_key"), bloom=meta.get("bloom"),
+        op=f"drop_constraint({name})", schemas=schemas, schema_id=schema_id,
+        constraints=cons,
+    )
+
+
 #: Lossless type promotions (parquet physical types stay readable
 #: through a cast): Spark jsonValue names.
 _WIDEN_OK = {
@@ -2870,6 +3023,21 @@ def evolve_manifest_table(
         raise ValueError(
             f"rename produces duplicate column names: {target_names}"
         )
+    # persisted CHECK expressions reference columns by NAME; renaming one
+    # out from under a constraint would make every later commit gate fail
+    # with a resolution error far from the cause. Conservative word-
+    # boundary match (a false positive costs a drop/re-add, a false
+    # negative costs silent breakage) — Delta blocks this the same way.
+    import re as _re
+
+    for old in rename:
+        for cname, cexpr in (meta.get("constraints") or {}).items():
+            if _re.search(rf"\b{_re.escape(old)}\b", cexpr):
+                raise ValueError(
+                    f"column {old!r} is referenced by CHECK constraint "
+                    f"{cname!r} ({cexpr!r}) — drop the constraint, rename, "
+                    "then re-add it against the new name"
+                )
     bloom = meta.get("bloom")
     new_fields = []
     for f in cur_fields:
