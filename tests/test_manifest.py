@@ -4613,3 +4613,49 @@ def test_check_constraints_gate_every_writer(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="check\\(v_nonneg\\)"):
         append_manifest_table(spark, _mk(spark, [(301, -1)]), base, keep=20)
+
+
+def test_constraint_change_mid_flight_refuses_unvalidated_rows(
+    spark, tmp_path, monkeypatch
+):
+    """An add_manifest_constraint is a zero-file-edit commit the rebase
+    path alone would wave through — but rows staged (or prepared) BEFORE
+    it were never gated against the new rule. The audit refuses (stale,
+    like a schema race), publish refuses under its claim, and even a
+    DIRECT merge racing the add between its gate and its claim refuses —
+    so no unvalidated row can ever land."""
+    import tibame_project_spark.sources.manifest as M
+    from tibame_project_spark.sources.manifest import (
+        ConcurrentCommitError,
+        add_manifest_constraint,
+        publish_staged_manifest,
+        read_staged_manifest,
+        stage_merge_manifest_table,
+    )
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(10)]), base,
+        stats_cols=["id"], keep=20,
+    )
+    # stage rows a future constraint forbids, then land that constraint
+    token = stage_merge_manifest_table(
+        spark, _mk(spark, [(3, -5)]), base, "id"
+    )
+    add_manifest_constraint(spark, base, "v_nonneg", "v >= 0", keep=20)
+    with pytest.raises(ConcurrentCommitError, match="CHECK constraint set"):
+        read_staged_manifest(spark, base, token)
+    with pytest.raises(ConcurrentCommitError, match="CHECK constraint set"):
+        publish_staged_manifest(spark, base, token, keep=20)
+    assert (3, -5) not in _content(spark, base)
+    # direct merge racing the add between gate and claim: refused too
+    def race():
+        add_manifest_constraint(spark, base, "v_cap", "v <= 1000", keep=20)
+
+    monkeypatch.setattr(M, "_TEST_PRECLAIM_HOOK", race)
+    with pytest.raises(ConcurrentCommitError, match="CHECK constraint set"):
+        merge_manifest_table(spark, _mk(spark, [(4, 444)]), base, "id", keep=20)
+    assert M._TEST_PRECLAIM_HOOK is None
+    # the retry validates against the new set and lands
+    merge_manifest_table(spark, _mk(spark, [(4, 444)]), base, "id", keep=20)
+    assert (4, 444) in _content(spark, base)

@@ -802,6 +802,7 @@ def _finish(
     txn: tuple[str, int] | None = None,
     drop_txns: frozenset = frozenset(),
     constraints: dict | None = None,
+    require_constraints: dict | None = None,
 ) -> int:
     """Publish a prepared commit with optimistic concurrency (version-CAS):
 
@@ -898,6 +899,20 @@ def _finish(
                 head_cons = {}
             if txn is not None and head_txns.get(str(txn[0]), -1) >= int(txn[1]):
                 return head  # replayed batch: already applied, no-op
+            # row-writing commits gate their batch against the CHECK
+            # constraint set they READ; if the set changed since (an
+            # add_manifest_constraint is a zero-file-edit commit the
+            # rebase path would otherwise wave through), the batch was
+            # never validated against the new rule — refuse, under the
+            # same CAS that makes the txn check airtight
+            if require_constraints is not None and head_cons != require_constraints:
+                raise ConcurrentCommitError(
+                    f"CHECK constraint set changed while this commit was in "
+                    f"flight under {base_path} (validated against "
+                    f"{sorted(require_constraints)}, head now has "
+                    f"{sorted(head_cons)}) — revalidate/re-stage against "
+                    "the current head"
+                )
             if head != base_head:
                 if base_head is None:
                     raise ConcurrentCommitError(
@@ -1500,6 +1515,9 @@ def write_manifest_table(
         keep=keep, base_head=head, full_manifest=manifest,
         bloom=bloom, op="create", schemas=schemas, schema_id=schema_id,
         txn=txn, constraints=cons,
+        require_constraints=(
+            None if head is None else (prior.get("constraints") or {})
+        ),
     )
 
 
@@ -1618,6 +1636,7 @@ def append_manifest_table(
         schemas=schemas,
         schema_id=schema_id,
         txn=txn,
+        require_constraints=meta.get("constraints") or {},
     )
 
 
@@ -1819,6 +1838,7 @@ def merge_manifest_table(
         schemas=edit["schemas"],
         schema_id=edit["schema_id"],
         txn=txn,
+        require_constraints=edit.get("constraints") or {},
     )
 
 
@@ -1879,6 +1899,7 @@ def _prepare_merge_edit(
         "bloom": meta.get("bloom"),
         "schemas": schemas,
         "schema_id": schema_id,
+        "constraints": meta.get("constraints") or {},
         "removed": [],
         "added": None,
         "bounds": None,
@@ -2012,6 +2033,10 @@ def _persist_stage(
         "bloom": edit["bloom"],
         "schemas": {str(k): v for k, v in edit["schemas"].items()},
         "schema_id": edit["schema_id"],
+        # the CHECK set the staged rows were validated against: publish
+        # refuses if it changed (a delete stages no new rows, but records
+        # it anyway for the audit's consistency check)
+        "constraints": edit.get("constraints") or {},
     }
     _write_text(
         spark, f"{base_path}/staged/{token}/stage.json", json.dumps(stage)
@@ -2055,6 +2080,17 @@ def read_staged_manifest(
             f"staged edit {token!r} under {base_path} was prepared against "
             "a different table schema — the stage is stale; abandon it and "
             "re-stage against the current head"
+        )
+    if st["op"] == "merge" and (
+        (head_meta.get("constraints") or {}) != (st.get("constraints") or {})
+    ):
+        # same staleness class: the staged rows were gated against the
+        # OLD constraint set, so the preview would bless rows publish
+        # must refuse (and does, under its claim)
+        raise ConcurrentCommitError(
+            f"staged edit {token!r} under {base_path} was validated against "
+            "a different CHECK constraint set — the stage is stale; abandon "
+            "it and re-stage against the current head"
         )
     man = _load_manifest(spark, base_path, head)
     if st["removed"]:
@@ -2117,6 +2153,14 @@ def publish_staged_manifest(
         op=st["op"],
         schemas={int(k): v for k, v in st["schemas"].items()},
         schema_id=st["schema_id"],
+        # a merge stages NEW ROWS validated against the constraint set it
+        # read; if an add_manifest_constraint landed since (zero file
+        # edits — the rebase path alone would wave it through), those
+        # rows were never checked against the new rule. Deletes stage no
+        # rows, so they publish regardless of constraint churn.
+        require_constraints=(
+            (st.get("constraints") or {}) if st["op"] == "merge" else None
+        ),
     )
     # the manifest now references the data files; the stage record (and
     # its copy of the added rows) is spent
