@@ -3079,7 +3079,12 @@ def test_random_multiwriter_histories_serialize(spark, tmp_path, seed, fs_kind):
     monotone watermark (a batch lands iff its version exceeds the
     watermark at its point in the interleaving — so duplicate deliveries
     count ONCE, and a version-1 commit that precedes version 0 legally
-    swallows it)."""
+    swallows it). Thread 2 may also ADD a (vacuously-true) CHECK
+    constraint mid-history: a zero-file-edit exclusive commit that every
+    in-flight row-writing commit must either serialize before or lose to
+    (the require_constraints claim check) — content is unchanged either
+    way, so the model treats it as a no-op and the property checks that
+    the protocol's refusals never corrupt the survivors."""
     import random
     import threading
     from collections import Counter
@@ -3170,6 +3175,14 @@ def test_random_multiwriter_histories_serialize(spark, tmp_path, seed, fs_kind):
         plans[2].insert(
             rnd.randrange(len(plans[2]) + 1), ("txn_append", (1, shared_txn[1]))
         )
+    # r11 constraint op: vacuously true (every generated row satisfies
+    # it), so it exercises ONLY the concurrency surface — the exclusive
+    # zero-file-edit commit and the require_constraints refusals it
+    # forces on racing row writers
+    plans[2].insert(
+        rnd.randrange(len(plans[2]) + 1),
+        ("add_constraint", f"c{seed}"),
+    )
     applied = {tid: [] for tid in range(3)}
     hard_errors = []
 
@@ -3200,6 +3213,14 @@ def test_random_multiwriter_histories_serialize(spark, tmp_path, seed, fs_kind):
                 spark.createDataFrame(rows, f"id long, `{vcol_now()}` long"),
                 base, keep=50, txn=("mw", ver),
             )
+        elif kind == "add_constraint":
+            from tibame_project_spark.sources.manifest import (
+                add_manifest_constraint,
+            )
+
+            add_manifest_constraint(
+                spark, base, payload, "id >= -1", keep=50, validate=False
+            )
         elif kind == "delete":
             delete_manifest_table(
                 spark,
@@ -3222,8 +3243,14 @@ def test_random_multiwriter_histories_serialize(spark, tmp_path, seed, fs_kind):
             try:
                 try:
                     run_op(kind, payload)
-                except ConcurrentCommitError:
-                    raise
+                except ConcurrentCommitError as e:
+                    if "CHECK constraint set" in str(e):
+                        # a constraint landed mid-flight: the refusal is
+                        # the protocol working; a real client re-gates
+                        # its batch against the new set and retries
+                        run_op(kind, payload)
+                    else:
+                        raise
                 except Exception:
                     # a naming race: the value column was renamed between
                     # this writer's schema read and its derive. The write
