@@ -4686,3 +4686,39 @@ def test_constraint_change_mid_flight_refuses_unvalidated_rows(
     # the retry validates against the new set and lands
     merge_manifest_table(spark, _mk(spark, [(4, 444)]), base, "id", keep=20)
     assert (4, 444) in _content(spark, base)
+
+
+def test_stream_append_sink_creates_constraints_and_enforces_them(
+    spark, tmp_path
+):
+    """The exactly-once sink persists CHECK constraints at bootstrap, so
+    the stream's own later batches — and any other writer — are gated:
+    a violating batch fails the stream (at-least-once redelivery would
+    just re-fail, the documented fix-upstream contract) and publishes
+    nothing."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from tibame_project_spark.sources.manifest import manifest_constraints
+    from tibame_project_spark.streaming.incremental import (
+        stream_append_manifest_table,
+    )
+
+    src = tmp_path / "src"
+    base, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    _mk(spark, [(1, 1), (2, 2)]).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+
+    def run():
+        stream = spark.readStream.schema("id long, v long").parquet(str(src))
+        stream_append_manifest_table(
+            stream, base, checkpoint=ckpt, stats_cols=["id"],
+            app_id="ingest", keep=10, constraints={"v_nonneg": "v >= 0"},
+        )
+
+    run()
+    assert manifest_constraints(spark, base) == {"v_nonneg": "v >= 0"}
+    _mk(spark, [(3, -3)]).coalesce(1).write.mode("append").parquet(str(src))
+    with pytest.raises(StreamingQueryException, match="v_nonneg"):
+        run()
+    assert _content(spark, base) == {(1, 1), (2, 2)}  # nothing landed

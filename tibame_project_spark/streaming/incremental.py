@@ -353,6 +353,8 @@ def stream_append_manifest_table(
     keep: int = 2,
     compact_every: int | None = None,
     small_bytes: int = 32 * 1024 * 1024,
+    expect: list | None = None,
+    constraints: dict | None = None,
 ) -> None:
     """EXACTLY-ONCE append-only streaming sink into a manifest-backed
     table — the ingest shape (reference: the daily crawler loads,
@@ -376,6 +378,12 @@ def stream_append_manifest_table(
     no-op append). ``compact_every=N`` folds small files every N epochs,
     riding the same watermark via a distinct app stream (compaction is
     content-identical, so its replay safety is fixpoint, not watermark).
+
+    ``expect=`` gates every micro-batch with per-epoch expectation rules
+    (a violating batch aborts the STREAM — at-least-once delivery means
+    it would just re-fail forever; fix upstream and restart);
+    ``constraints=`` persists CHECK constraints at table creation, so
+    every later writer — this stream or any other — is gated by them.
     """
     from tibame_project_spark.sources.manifest import (
         append_manifest_table,
@@ -390,12 +398,13 @@ def stream_append_manifest_table(
             write_manifest_table(
                 spark, batch, base_path, stats_cols=stats_cols,
                 cluster_by=cluster_by, n_files=n_files, keep=keep,
-                txn=(app_id, epoch),
+                txn=(app_id, epoch), expect=expect, constraints=constraints,
             )
         else:
             append_manifest_table(
                 spark, batch, base_path, cluster_by=cluster_by,
                 n_files=n_files, keep=keep, txn=(app_id, epoch),
+                expect=expect,
             )
         if compact_every and (epoch + 1) % compact_every == 0:
             compact_manifest_table(
