@@ -4722,3 +4722,156 @@ def test_stream_append_sink_creates_constraints_and_enforces_them(
     with pytest.raises(StreamingQueryException, match="v_nonneg"):
         run()
     assert _content(spark, base) == {(1, 1), (2, 2)}  # nothing landed
+
+
+def test_stream_append_sink_refuses_unpersisted_constraints_on_existing_table(
+    spark, tmp_path
+):
+    """``constraints=`` only persists at table CREATION; pointing the
+    sink at a pre-created table must fail closed instead of silently
+    dropping the argument — a caller who believed CHECK enforcement was
+    installed when nothing was persisted is the worst failure mode for
+    a safety feature. The error names the management verb; installing
+    the constraint for real unblocks the same stream unchanged."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from tibame_project_spark.sources.manifest import add_manifest_constraint
+    from tibame_project_spark.streaming.incremental import (
+        stream_append_manifest_table,
+    )
+
+    base, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    src = tmp_path / "src"
+    _mk(spark, [(1, 1)]).coalesce(1).write.mode("append").parquet(str(src))
+    # the table pre-exists, created WITHOUT constraints by another writer
+    write_manifest_table(
+        spark, _mk(spark, [(0, 0)]), base, stats_cols=["id"], keep=10
+    )
+
+    def run():
+        stream = spark.readStream.schema("id long, v long").parquet(str(src))
+        stream_append_manifest_table(
+            stream, base, checkpoint=ckpt, stats_cols=["id"],
+            app_id="ingest", keep=10, constraints={"v_nonneg": "v >= 0"},
+        )
+
+    with pytest.raises(StreamingQueryException, match="add_manifest_constraint"):
+        run()
+    assert _content(spark, base) == {(0, 0)}  # nothing landed
+    add_manifest_constraint(spark, base, "v_nonneg", "v >= 0", keep=10)
+    run()  # persisted set now satisfies the request: the stream proceeds
+    assert _content(spark, base) == {(0, 0), (1, 1)}
+
+
+def test_cdc_replayed_epoch_still_runs_scheduled_compaction(spark, tmp_path):
+    """A watermark-replayed epoch skips its merge/delete jobs but must
+    NOT skip a compaction fold scheduled for that epoch — an early
+    return there would defer the fold a full compact_every cycle, and
+    the fold is fixpoint-safe to replay. Forced here by accumulating
+    small files with compaction off, losing the newest commit-log ack,
+    and restarting with compact_every=1: the re-delivered epoch no-ops
+    its merge (head txn watermark already covers it) yet still folds."""
+    import glob
+    import os
+
+    from tibame_project_spark.sources.manifest import (
+        last_txn_version,
+        manifest_history,
+        manifest_stats,
+    )
+    from tibame_project_spark.streaming.incremental import (
+        stream_cdc_apply_manifest,
+    )
+
+    src = tmp_path / "feed"
+    base, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    for i in range(3):  # one file per micro-batch; disjoint key ranges
+        _mk(spark, [(i * 10 + j, i) for j in range(5)]).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    def run(compact_every=None):
+        stream = (
+            spark.readStream.schema("id long, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        stream_cdc_apply_manifest(
+            stream, base, "id", checkpoint=ckpt, app_id="cdc", keep=10,
+            compact_every=compact_every,
+        )
+
+    run()  # compaction off: each epoch's insert lands as its own file
+    head_before = read_manifest_version(spark, base)
+    files_before = manifest_stats(spark, base).count()
+    assert files_before >= 2  # something for the fold to do
+    commits = sorted(
+        (p for p in glob.glob(os.path.join(ckpt, "commits", "*"))
+         if os.path.basename(p).isdigit()),
+        key=lambda p: int(os.path.basename(p)),
+    )
+    os.remove(commits[-1])
+    crc = os.path.join(
+        os.path.dirname(commits[-1]), f".{os.path.basename(commits[-1])}.crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    run(compact_every=1)  # replayed epoch: merge no-ops, fold still runs
+    hist = [r["op"] for r in manifest_history(spark, base).collect()]
+    assert hist[-1] == "compact"
+    assert read_manifest_version(spark, base) == head_before + 1
+    assert manifest_stats(spark, base).count() < files_before
+    assert last_txn_version(spark, base, "cdc") == 2  # watermark untouched
+    assert _content(spark, base) == {
+        (i * 10 + j, i) for i in range(3) for j in range(5)
+    }
+
+
+def test_version_as_of_never_resolves_to_unstamped_commits(spark, tmp_path):
+    """On an upgraded table whose oldest retained commits predate commit
+    timestamps, an as_of earlier than every stamped commit must RAISE —
+    defaulting the missing stamp to 0 would silently resolve to the
+    newest legacy commit, whose real wall-clock time is unknown."""
+    import json
+
+    from tibame_project_spark.sources.manifest import _meta, version_as_of
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(0, 0)]), base, stats_cols=["id"], keep=10
+    )
+    append_manifest_table(spark, _mk(spark, [(1, 1)]), base, keep=10)
+    ts1 = int(_meta(spark, base, 1)["ts"])
+    # strip v0's stamp in place: the pre-feature meta shape
+    meta_path = tmp_path / "t" / "meta" / "v=0.json"
+    m = json.loads(meta_path.read_text())
+    del m["ts"]
+    meta_path.write_text(json.dumps(m))
+    crc = meta_path.parent / ".v=0.json.crc"
+    if crc.exists():  # local-FS checksum sidecar of the original bytes
+        crc.unlink()
+    assert version_as_of(spark, base, ts1) == 1  # stamped commits resolve
+    with pytest.raises(ValueError, match="no retained commit"):
+        version_as_of(spark, base, ts1 - 1)  # only legacy commits qualify
+
+
+def test_rename_guard_matches_constraints_case_insensitively(spark, tmp_path):
+    """Spark SQL resolves columns case-insensitively by default, so a
+    CHECK written ``ID > 0`` really references column ``id`` — the
+    rename-vs-constraint guard must block renaming ``id`` even though
+    the cases differ, or every later commit gate fails with a
+    resolution error far from the cause."""
+    from tibame_project_spark.sources.manifest import (
+        add_manifest_constraint,
+        evolve_manifest_table,
+    )
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"], keep=10
+    )
+    add_manifest_constraint(spark, base, "id_pos", "ID > 0", keep=10)
+    with pytest.raises(ValueError, match="id_pos"):
+        evolve_manifest_table(spark, base, rename={"id": "key"}, keep=10)
+    # the unreferenced column still renames freely
+    evolve_manifest_table(spark, base, rename={"v": "val"}, keep=10)

@@ -1700,12 +1700,14 @@ def version_as_of(spark: SparkSession, base_path: str, ts) -> int:
     """The version a TIMESTAMP-AS-OF read resolves to: the LATEST retained
     commit whose (monotone) commit timestamp is <= ``ts``. ``ts`` is epoch
     milliseconds (int) or a datetime. Raises when ``ts`` predates every
-    retained commit — history that far back has been pruned (or never
-    existed), and silently snapping forward would misreport what the
-    table looked like. A ``ts`` after the newest commit resolves to the
-    head (reading "the table as of yesterday 23:59" must work even if
-    nothing committed since). Cost: one listing + one KB meta read per
-    retained version, driver-side."""
+    retained STAMPED commit — history that far back has been pruned (or
+    never existed, or predates commit timestamps on an upgraded table:
+    an unstamped commit's real wall-clock time is unknown, so as_of
+    never resolves to one), and silently snapping forward or backward
+    would misreport what the table looked like. A ``ts`` after the
+    newest commit resolves to the head (reading "the table as of
+    yesterday 23:59" must work even if nothing committed since). Cost:
+    one listing + one KB meta read per retained version, driver-side."""
     if hasattr(ts, "timestamp"):
         ts = int(ts.timestamp() * 1000)
     ts = int(ts)
@@ -1719,7 +1721,15 @@ def version_as_of(spark: SparkSession, base_path: str, ts) -> int:
     # oldest and stop at the first qualifying version: a recent as_of
     # costs ONE meta read, not one per retained version
     for v in reversed(committed):
-        if int(_meta(spark, base_path, v).get("ts", 0)) <= ts:
+        stamp = _meta(spark, base_path, v).get("ts")
+        if stamp is None:
+            # pre-feature commit with no recorded timestamp: its real
+            # wall-clock time is unknown, so it can never satisfy an
+            # as_of — and everything older is unstamped too (stamps were
+            # introduced at one commit and are monotone after), so stop:
+            # resolving to it would misreport table state silently
+            break
+        if int(stamp) <= ts:
             best = v
             break
     if best is None:
@@ -3076,7 +3086,11 @@ def evolve_manifest_table(
 
     for old in rename:
         for cname, cexpr in (meta.get("constraints") or {}).items():
-            if _re.search(rf"\b{_re.escape(old)}\b", cexpr):
+            # IGNORECASE: Spark SQL resolves columns case-insensitively
+            # by default, so a constraint written 'ID > 0' references
+            # column 'id' — a case-sensitive guard would let that rename
+            # through and every later commit gate fail far from the cause
+            if _re.search(rf"\b{_re.escape(old)}\b", cexpr, flags=_re.IGNORECASE):
                 raise ValueError(
                     f"column {old!r} is referenced by CHECK constraint "
                     f"{cname!r} ({cexpr!r}) — drop the constraint, rename, "

@@ -285,16 +285,18 @@ def stream_cdc_apply_manifest(
 
     def apply_batch(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
-        if app_id is not None and read_manifest_version(spark, base_path) is not None:
+        # ONE head listing per micro-batch: every branch below keys off it
+        head = read_manifest_version(spark, base_path)
+        replayed = False
+        if app_id is not None and head is not None:
             # the bootstrap commit records the BARE app_id (one commit,
             # one txn) while steady-state DV epochs ride the derived
             # <app>/u and <app>/d streams — so a crash-replayed epoch 0
             # would otherwise miss its own watermark in the DV path and
             # re-run both halves (publishing phantom versions)
             bare = last_txn_version(spark, base_path, app_id)
-            if bare is not None and bare >= epoch:
-                return
-        if read_manifest_version(spark, base_path) is None:
+            replayed = bare is not None and bare >= epoch
+        if head is None:
             first = _cdc_bootstrap(
                 batch, epoch, delete_col, f"stream_cdc_apply_manifest({base_path})"
             )
@@ -302,8 +304,12 @@ def stream_cdc_apply_manifest(
                 spark, first, base_path, stats_cols=[key], cluster_by=key,
                 keep=keep, txn=(app_id, epoch) if app_id else None,
             )
-            return
-        if delete_via_dv:
+        elif replayed:
+            pass  # watermark hit: skip the merge/delete jobs, but fall
+            # through to the compaction cadence below — a replayed epoch
+            # that returned early would defer its scheduled fold a full
+            # compact_every cycle, and the fold is fixpoint-safe to replay
+        elif delete_via_dv:
             upserts = batch.filter(
                 ~F.coalesce(F.col(delete_col), F.lit(False))
             ).drop(delete_col)
@@ -383,11 +389,17 @@ def stream_append_manifest_table(
     (a violating batch aborts the STREAM — at-least-once delivery means
     it would just re-fail forever; fix upstream and restart);
     ``constraints=`` persists CHECK constraints at table creation, so
-    every later writer — this stream or any other — is gated by them.
+    every later writer — this stream or any other — is gated by them;
+    when the table ALREADY exists, each requested constraint must
+    already be persisted with the identical expression, else the batch
+    raises (fail closed — a sink that silently dropped the argument
+    would leave the caller believing enforcement was installed;
+    install on an existing table via ``add_manifest_constraint``).
     """
     from tibame_project_spark.sources.manifest import (
         append_manifest_table,
         compact_manifest_table,
+        manifest_constraints,
         read_manifest_version,
         write_manifest_table,
     )
@@ -401,6 +413,25 @@ def stream_append_manifest_table(
                 txn=(app_id, epoch), expect=expect, constraints=constraints,
             )
         else:
+            if constraints is not None:
+                # constraints only persist at CREATE; silently dropping
+                # them against a pre-created table would leave the caller
+                # believing CHECK enforcement was installed when nothing
+                # was — fail closed and point at the management verb
+                have = manifest_constraints(spark, base_path)
+                missing = {
+                    n: e for n, e in constraints.items()
+                    if have.get(n) != e
+                }
+                if missing:
+                    raise ValueError(
+                        f"table {base_path} already exists without the "
+                        f"requested CHECK constraints {sorted(missing)} "
+                        f"(persisted: {sorted(have)}) — constraints= only "
+                        "applies at table creation; use "
+                        "add_manifest_constraint to install them on an "
+                        "existing table"
+                    )
             append_manifest_table(
                 spark, batch, base_path, cluster_by=cluster_by,
                 n_files=n_files, keep=keep, txn=(app_id, epoch),
