@@ -2368,32 +2368,57 @@ FROM events GROUP BY CUBE (event_type, CAST(month(ts) AS INTEGER))
 def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACTLY-ONCE streaming ingest through the hard gate
     (`streaming/incremental.py stream_append_manifest_table` riding the
-    idempotent-transaction watermarks new to `sources/manifest.py` —
-    Delta's public txnAppId/txnVersion design on the manifest tier, this
-    round's new commit surface): events lands in a 4-file staging dir
-    and streams into a key-clustered manifest table 2 files per
-    micro-batch (epoch 0 CREATES the table with its txn recorded in the
-    same commit, epoch 1 appends; ``txn=(app, epoch)`` is re-checked
-    under the commit claim, so even a zombie driver racing its
-    replacement applies once). Then the crash window where a plain
-    append sink double-counts is FORCED: the newest entry of the
+    idempotent-transaction watermarks of `sources/manifest.py` —
+    Delta's public txnAppId/txnVersion design on the manifest tier):
+    events lands in a 4-file staging dir (ASSERTED — the epoch/version
+    constants below derive from it) and streams into a key-clustered
+    manifest table 2 files per micro-batch (epoch 0 CREATES the table
+    — with the ``value >= 0`` CHECK constraint persisted in the same
+    commit — epoch 1 appends; ``txn=(app, epoch)`` is re-checked under
+    the commit claim, so even a zombie driver racing its replacement
+    applies once). Every commit of the cycle routes through the
+    deployable `sources/commitfs.py CoordinatedCommitFS` adapter (the
+    S3DynamoDBLogStore design: an external coordination dir is the
+    create-new arbiter), so the object-store deployment path is priced
+    in this row's legs, not just pytest. Then the crash window where a
+    plain append sink double-counts is FORCED: the newest entry of the
     stream's commit log is deleted — exactly the state a driver leaves
     when it dies between the table commit and the checkpoint ack — and
-    the stream restarts, re-delivering the last batch. The returned
-    frame folds the per-type exact rollup (count, exact COUNT(DISTINCT)
-    — taking over the retired ``distinct_users`` key's A2 surface on
-    the same column — and the order-exact decimal sum) plus the table's
-    head version and the application's txn watermark: a replay that
-    double-applied shifts n_events/total_value AND head_v, failing the
-    hash. The oracle is the plain relational rollup — streamed
-    exactly-once content must equal batch content exactly."""
+    the stream restarts, re-delivering the last batch (watermark
+    no-op). r12 folds the two remaining pytest-only storage gates into
+    the same row: (1) a batch violating the PERSISTED CHECK constraint
+    must be REFUSED by the commit gate (``refused`` column — a writer
+    that stops enforcing persisted constraints both flips it to 0 and
+    shifts the rollup); (2) the txn-watermark registry must stay
+    BOUNDED: a decommissioned app's junk batch is appended then
+    DV-deleted under a fresh ``stream_sink`` txn, and `expire_txns`
+    must drop exactly the decommissioned watermark (``n_txns`` — a
+    regression that stops expiring, i.e. unbounded meta growth on a
+    long-lived table, shifts it to 2; deleting the junk under txn v2
+    also bumps ``txn_ver``, pricing the delete-side watermark). The
+    returned frame folds the per-type exact rollup (count, exact
+    COUNT(DISTINCT) — the retired ``distinct_users`` key's A2 surface
+    on the same column — and the order-exact decimal sum) plus head
+    version, txn watermark, registry size, persisted-constraint count
+    and the refusal witness. The oracle is the plain relational rollup
+    — streamed exactly-once curated content must equal batch content
+    exactly."""
     import glob
     import shutil
 
+    from tibame_project_spark.localdf import local_rows_df
+    from tibame_project_spark.sources.commitfs import CoordinatedCommitFS
     from tibame_project_spark.sources.manifest import (
+        _fs_for,
+        append_manifest_table,
+        delete_manifest_table,
+        expire_txns,
         last_txn_version,
+        manifest_constraints,
+        manifest_txns,
         read_manifest_table,
         read_manifest_version,
+        set_commit_fs,
     )
     from tibame_project_spark.streaming.incremental import (
         stream_append_manifest_table,
@@ -2410,6 +2435,15 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg("stage_src", lambda: ev.repartition(4).write.mode(
         "overwrite"
     ).parquet(src))
+    n_staged = len(glob.glob(os.path.join(src, "*.parquet")))
+    if n_staged != 4:
+        # the oracle's head_v/txn_ver constants assume ceil(4/2)=2 epochs;
+        # fail HERE, attributably, if a Spark file-layout change ever
+        # breaks that premise — not downstream as a bare hash mismatch
+        raise AssertionError(
+            f"staging produced {n_staged} files, expected 4 — the epoch "
+            "constants in _STREAM_SINK_SQL no longer hold"
+        )
 
     def run() -> None:
         stream = (
@@ -2420,10 +2454,8 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_append_manifest_table(
             stream, base, checkpoint=ckpt, stats_cols=["event_id"],
             cluster_by="event_id", n_files=2, app_id="stream_sink",
-            keep=10,
+            keep=10, constraints={"value_nonneg": "value >= 0"},
         )
-
-    leg("stream_all", run)
 
     def replay() -> None:
         # the forced crash: drop the newest commit-log ack (and its
@@ -2446,7 +2478,58 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.remove(crc)
         run()
 
-    leg("replay_last", replay)
+    def refuse() -> int:
+        # the persisted CHECK gates EVERY writer, not just the stream
+        # that created the table: a violating plain append must abort
+        # under the claim with nothing published
+        bad = local_rows_df(
+            spark, [(-9, -9, "junk", -1.0)],
+            "event_id long, user_id long, event_type string, value double",
+        )
+        try:
+            append_manifest_table(spark, bad, base, keep=10)
+        except ValueError:
+            return 1
+        return 0
+
+    def junk_then_retire() -> None:
+        # a decommissioned app commits once (v2), its junk is DV-deleted
+        # under the LIVE app's next txn (v3, watermark -> 2): content is
+        # back to exactly the streamed events, and the registry now
+        # carries one dead entry for expire_txns to prove itself on
+        rows = local_rows_df(
+            spark, [(-1, -1, "junk", 1.0), (-2, -2, "junk", 2.0)],
+            "event_id long, user_id long, event_type string, value double",
+        )
+        append_manifest_table(spark, rows, base, keep=10, txn=("ephemeral", 0))
+        keys = local_rows_df(spark, [(-1,), (-2,)], "event_id long")
+        delete_manifest_table(
+            spark, keys, base, "event_id", keep=10, txn=("stream_sink", 2)
+        )
+
+    # every commit below (claims, markers, tags) routes create-new
+    # through the external-coordination adapter — the deployment shape
+    # for object stores without atomic create-new
+    fs, _, jvm = _fs_for(spark, root)
+    prev = set_commit_fs(
+        CoordinatedCommitFS(fs, os.path.join(root, "_coord"), jvm)
+    )
+    try:
+        leg("stream_all", run)
+        leg("replay_last", replay)
+        refused = leg("constraint_refusal", refuse)
+        leg("junk_then_retire", junk_then_retire)
+        # head is v3 (create, append, junk, delete); ephemeral's stamp
+        # sits strictly below it (commit stamps are forced monotone), so
+        # a 0 ms horizon expires exactly the decommissioned app and the
+        # live app — whose stamp IS the head's — survives
+        leg("expire_txns", lambda: expire_txns(
+            spark, base, older_than_ms=0, keep=10
+        ))
+        n_txns = len(manifest_txns(spark, base))
+        n_cons = len(manifest_constraints(spark, base))
+    finally:
+        set_commit_fs(prev)
     head_v = read_manifest_version(spark, base)
     txn_ver = last_txn_version(spark, base, "stream_sink")
     shutil.rmtree(os.path.join(root, "src"), ignore_errors=True)
@@ -2462,14 +2545,22 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("head_v", F.lit(int(head_v)).cast("long"))
         .withColumn("txn_ver", F.lit(int(txn_ver)).cast("long"))
+        .withColumn("n_txns", F.lit(int(n_txns)).cast("long"))
+        .withColumn("n_constraints", F.lit(int(n_cons)).cast("long"))
+        .withColumn("refused", F.lit(int(refused)).cast("long"))
     )
 
 
+# head_v: v0 create, v1 append, v2 junk append, v3 DV delete, v4 expire;
+# txn_ver: epochs 0/1 then the retire delete at txn 2; n_txns: ephemeral
+# expired, stream_sink survives; refused: the violating append bounced.
 _STREAM_SINK_SQL = f"""
 SELECT event_type, COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
        {_DSUM("value")} AS total_value,
-       CAST(1 AS BIGINT) AS head_v, CAST(1 AS BIGINT) AS txn_ver
+       CAST(4 AS BIGINT) AS head_v, CAST(2 AS BIGINT) AS txn_ver,
+       CAST(1 AS BIGINT) AS n_txns, CAST(1 AS BIGINT) AS n_constraints,
+       CAST(1 AS BIGINT) AS refused
 FROM events GROUP BY event_type
 """
 
@@ -4344,22 +4435,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is ~1986 of the 1995-char budget — the registry is effectively FULL.
     # New operators should be pytest-covered (see README crosswalk rows
     # without a query key) unless a key is retired or the format shrinks.
-    # r11 window: block 1 = this round's changes — stream_sink is NEW
-    # (exactly-once streaming ingest over the idempotent-transaction
-    # watermarks new to sources/manifest.py, with the crash-replay
-    # window forced in-query; it took the slot freed by retiring
-    # distinct_users, whose exact COUNT(DISTINCT)-per-event_type surface
-    # stream_sink's n_users column re-gates verbatim on the same table),
-    # and curation_pass — gated r10 but CHANGED this round to the WAP
-    # stage→audit→publish apply path (r10 directive #1 demands an r11
-    # row of that shape) — re-enters the window. Block 2 = 48 of the 50
-    # r09-green entries, due back. Out-of-window: the 50 r10-green ones
-    # plus two deferred r09 keys (see the boundary note below).
+    # r12 window: block 1 = this round's changes — stream_sink CHANGED
+    # (now also prices the persisted-CHECK refusal, the txn-registry
+    # expiry bound, and routes every commit through the deployable
+    # CoordinatedCommitFS adapter — r11 directives 4/5/6 in one row) —
+    # plus the two keys whose latest green is r09 and which the r11
+    # boundary note explicitly deferred here: fuzzy_match (the cartesian
+    # correctness baseline of the fuzzy family) and approx_users (sketch
+    # certificates). Block 2 = 47 of the 48 r10-green entries, due back
+    # at their 2-round boundary. ONE r10-green key is deferred to r13:
+    # mart_star_trends — the entry() flagship, whose exact surface the
+    # driver ALREADY smoke-checks every round at sf0.001 and whose
+    # oracle test_oracle_parity re-proves every pytest run, so it is the
+    # only key with a per-round witness outside this window. Below the
+    # boundary: mart_star_trends first (priority at r13), then the 49
+    # r11-green entries.
     return {
-        # -- block 1: new/changed this round (must be witnessed) ----------
-        "stream_sink": q_stream_sink,  # new: exactly-once streaming ingest
-        "curation_pass": q_curation_pass,  # changed: WAP stage-audit-publish apply path
-        # -- block 2: the r09-green entries, due back ----------------------
+        # -- block 1: changed this round + the two deferred r09 keys ------
+        "stream_sink": q_stream_sink,  # changed: +constraint/txn-expiry/adapter gates
+        "fuzzy_match": q_fuzzy_match,  # r09 — deferred by r11's boundary note
+        "approx_users": q_approx_users,  # r09 — deferred by r11's boundary note
+        # -- block 2: the r10-green entries, due back ----------------------
+        "evolution_cycle": q_evolution_cycle,
+        "manifest_merge": q_manifest_merge,
+        "pagerank": q_pagerank,
+        "set_ops": q_set_ops,
+        "radius_grid": q_radius_grid,
+        "json_extract": q_json_extract,
+        "ivf_train": q_ivf_train,
+        "release_pipeline": q_release_pipeline,
+        "dedup_groups": q_dedup_groups,
+        "decontaminate": q_decontaminate,
+        "substring_dedup": q_substring_dedup,
+        "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "minhash_pairs": q_minhash_pairs,
+        "embedding_dups": q_embedding_dups,
+        "multimodal_features": q_multimodal_features,
+        "sessionize": q_sessionize,
+        "windowed_counts": q_windowed_counts,
+        "sql_entry": q_sql_entry,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "simhash_pairs": q_simhash_pairs,
+        "pack_sequences": q_pack_sequences,
+        "scd2_priority": q_scd2_priority,
+        "domain_mix": q_domain_mix,
+        "grouping_sets": q_grouping_sets,
+        "c4_filter": q_c4_filter,
+        "lm_score": q_lm_score,
+        "rolling_avg": q_rolling_avg,
+        "rank_functions": q_rank_functions,
+        "snapshot_diff": q_snapshot_diff,
+        "profile_table": q_profile_table,
+        "train_split": q_train_split,
+        "incremental_mart": q_incremental_mart,
+        "corpus_report": q_corpus_report,
+        "gap_fill": q_gap_fill,
+        "cohort_retention": q_cohort_retention,
+        "funnel": q_funnel,
+        "pearson_stats": q_pearson_stats,
+        "cube_rollup": q_cube_rollup,
+        "dedup_exact_text": q_dedup_exact_text,
+        "line_dedup": q_line_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "percentiles": q_percentiles,
+        "pivot_event_types": q_pivot_event_types,
+        "month_over_month": q_month_over_month,
+        # ---- 50-key window boundary; below: due back at r13 --------------
+        # mart_star_trends leads (the one r10-green key deferred past its
+        # boundary — uniquely safe: entry() runs this exact query every
+        # round as the driver's smoke check), then the r11-green block.
+        "mart_star_trends": q_mart_star_trends,
+        "curation_pass": q_curation_pass,
         "ivm_mart": q_ivm_mart,
         "merge_upsert": q_merge_upsert,
         "fuzzy_blocked": q_fuzzy_blocked,
@@ -4408,63 +4557,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "semantic_dedup": q_semantic_dedup,
         "sparse_topk": q_sparse_topk,
-        # ---- 50-key window boundary; below: the 50 r10-green entries ----
-        # (plus the two DEFERRED r09 keys, documented above: fuzzy_match —
-        # the cartesian correctness baseline whose scale sibling
-        # fuzzy_blocked is in-window computing the same top-1 — and
-        # approx_users, whose sketch-certificate surface approx_percentiles
-        # re-gates this round; both stay oracle-proved every run by
-        # tests/test_oracle_parity.py and come back in the r12 window.)
-        "evolution_cycle": q_evolution_cycle,
-        "manifest_merge": q_manifest_merge,
-        "pagerank": q_pagerank,
-        "set_ops": q_set_ops,
-        "radius_grid": q_radius_grid,
-        "json_extract": q_json_extract,
-        "ivf_train": q_ivf_train,
-        "release_pipeline": q_release_pipeline,
-        "dedup_groups": q_dedup_groups,
-        "decontaminate": q_decontaminate,
-        "substring_dedup": q_substring_dedup,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
-        "minhash_pairs": q_minhash_pairs,
-        "embedding_dups": q_embedding_dups,
-        "multimodal_features": q_multimodal_features,
-        "sessionize": q_sessionize,
-        "windowed_counts": q_windowed_counts,
-        "sql_entry": q_sql_entry,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "simhash_pairs": q_simhash_pairs,
-        "pack_sequences": q_pack_sequences,
-        "scd2_priority": q_scd2_priority,
-        "domain_mix": q_domain_mix,
-        "grouping_sets": q_grouping_sets,
-        "c4_filter": q_c4_filter,
-        "lm_score": q_lm_score,
-        "rolling_avg": q_rolling_avg,
-        "rank_functions": q_rank_functions,
-        "snapshot_diff": q_snapshot_diff,
-        "profile_table": q_profile_table,
-        "train_split": q_train_split,
-        "incremental_mart": q_incremental_mart,
-        "corpus_report": q_corpus_report,
-        "gap_fill": q_gap_fill,
-        "cohort_retention": q_cohort_retention,
-        "funnel": q_funnel,
-        "pearson_stats": q_pearson_stats,
-        "cube_rollup": q_cube_rollup,
-        "mart_star_trends": q_mart_star_trends,
-        "dedup_exact_text": q_dedup_exact_text,
-        "line_dedup": q_line_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "cosine_topk": q_cosine_topk,
-        "percentiles": q_percentiles,
-        "pivot_event_types": q_pivot_event_types,
-        "month_over_month": q_month_over_month,
-        "fuzzy_match": q_fuzzy_match,  # deferred to r12 (see boundary note)
-        "approx_users": q_approx_users,  # deferred to r12 (see boundary note)
     }
 
 

@@ -153,6 +153,7 @@ __all__ = [
     "delete_manifest_tag",
     "list_manifest_tags",
     "last_txn_version",
+    "manifest_txns",
     "expire_txns",
     "version_as_of",
     "manifest_constraints",
@@ -1651,6 +1652,21 @@ def last_txn_version(
         raise FileNotFoundError(f"no committed manifest table under {base_path}")
     v = _meta(spark, base_path, head).get("txns", {}).get(str(app_id))
     return int(v) if v is not None else None
+
+
+def manifest_txns(spark: SparkSession, base_path: str) -> dict[str, int]:
+    """Every application's idempotent-transaction watermark (``app_id`` →
+    highest committed txn version) — the monitoring surface for the
+    registry :func:`expire_txns` bounds: a long-lived table written by
+    short-lived streams should see this map stay O(live writers), not
+    grow one entry per decommissioned ``app_id`` forever."""
+    fs, listing, head, _ = _begin(spark, base_path)
+    if head is None:
+        raise FileNotFoundError(f"no committed manifest table under {base_path}")
+    return {
+        k: int(v)
+        for k, v in _meta(spark, base_path, head).get("txns", {}).items()
+    }
 
 
 def manifest_stats(
