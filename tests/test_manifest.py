@@ -4875,3 +4875,65 @@ def test_rename_guard_matches_constraints_case_insensitively(spark, tmp_path):
         evolve_manifest_table(spark, base, rename={"id": "key"}, keep=10)
     # the unreferenced column still renames freely
     evolve_manifest_table(spark, base, rename={"v": "val"}, keep=10)
+
+
+def test_arrow_metadata_fast_paths_on_registered_remote_scheme(spark, tmp_path):
+    """The driver-side Arrow metadata tier must hold where a 100 TB
+    table actually lives: schemes pyarrow's from_uri doesn't speak
+    plug in through register_arrow_fs. A SubTreeFileSystem stands in
+    for the remote store under a scheme Hadoop does NOT know ('mock'),
+    so every assertion below can only pass through the pyarrow path —
+    a silent fall-through to the JVM filesystem would raise instead.
+    Bytes-equivalence with the local tier is asserted for all three
+    fast paths: meta reads, manifest loads, and the pre-claim commit-
+    manifest materialization."""
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    import tibame_project_spark.sources.manifest as M
+
+    base_local = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(0, 0), (1, 1)]), base_local,
+        stats_cols=["id"], keep=10,
+    )
+
+    def resolver(path):
+        rel = path[len("mock://store/"):]
+        return (
+            pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem()),
+            rel,
+        )
+
+    prev = M.register_arrow_fs("mock", resolver)
+    try:
+        mock_base = "mock://store/t"
+        # commit-meta read: same dict through the remote scheme
+        assert M._meta(spark, mock_base, 0) == M._meta(spark, base_local, 0)
+        # manifest load: same relation through the remote scheme
+        tbl = M._manifest_arrow(mock_base, 0)
+        local_tbl = M._manifest_arrow(base_local, 0)
+        assert tbl is not None and local_tbl is not None
+        assert tbl.sort_by("path").equals(local_tbl.sort_by("path"))
+        # materialization: the pre-claim manifest write lands through
+        # the registered fs, same rows as the local writer would produce
+        man = M._load_manifest(spark, base_local, 0)
+        M._materialize_manifest(spark, man, mock_base, "manifest/tmp_mock")
+        out = tmp_path / "t" / "manifest" / "tmp_mock" / "part-00000.parquet"
+        assert out.exists()
+        assert pq.read_table(str(out)).num_rows == local_tbl.num_rows
+    finally:
+        if prev is None:
+            del M._ARROW_FS_RESOLVERS["mock"]
+        else:
+            M.register_arrow_fs("mock", prev)
+
+
+def test_arrow_metadata_tier_falls_back_on_unresolvable_scheme():
+    """A scheme neither pyarrow nor a registered resolver speaks must
+    resolve to None — the documented signal for the distributed
+    Spark read/write fallback — never raise out of the seam."""
+    import tibame_project_spark.sources.manifest as M
+
+    assert M._arrow_fs("noconnector://bucket/t") is None
+    assert M._manifest_arrow("noconnector://bucket/t", 0) is None

@@ -147,6 +147,7 @@ __all__ = [
     "ConcurrentCommitError",
     "CommitFS",
     "set_commit_fs",
+    "register_arrow_fs",
     "recover_manifest_table",
     "evolve_manifest_table",
     "tag_manifest_version",
@@ -259,20 +260,42 @@ def _local_dir(path: str) -> str | None:
     return None if "://" in path else path
 
 
+_ARROW_FS_RESOLVERS: dict = {}
+
+
+def register_arrow_fs(scheme: str, resolver):
+    """Extend the driver-side Arrow metadata fast paths (:func:`_meta`
+    reads, manifest loads, commit-manifest materialization) to a URI
+    scheme pyarrow's ``FileSystem.from_uri`` doesn't speak natively.
+    ``resolver(path) -> (pyarrow.fs.FileSystem, fs-relative path)`` —
+    e.g. map ``abfs://`` through ``pyarrow.fs.PyFileSystem(
+    FSSpecHandler(adlfs_fs))``, or a test scheme through a
+    ``SubTreeFileSystem``. Returns the previously registered resolver
+    (or None) so callers can restore it. Unresolvable schemes keep the
+    documented fallback: the distributed Spark read/write path."""
+    prev = _ARROW_FS_RESOLVERS.get(scheme)
+    _ARROW_FS_RESOLVERS[scheme] = resolver
+    return prev
+
+
 def _arrow_fs(path: str):
     """``(pyarrow.fs.FileSystem, fs-relative path)`` for the driver-side
     metadata paths, or None when pyarrow has no connector for the
     scheme. Local paths resolve to LocalFileSystem; ``s3://`` and
-    ``hdfs://`` resolve through pyarrow's own connectors (from_uri), so
-    the manifest read/materialize fast paths are one code path on every
-    store pyarrow speaks — anything else (abfs, custom Hadoop schemes)
-    falls back to the distributed read/write."""
+    ``hdfs://`` resolve through pyarrow's own connectors (from_uri);
+    other schemes resolve through :func:`register_arrow_fs` adapters —
+    so the manifest read/materialize fast paths are one code path on
+    every store pyarrow can reach. Anything unresolvable falls back to
+    the distributed read/write."""
     try:
         from pyarrow import fs as pafs
 
         local = _local_dir(path)
         if local is not None:
             return pafs.LocalFileSystem(), local
+        scheme = path.split("://", 1)[0]
+        if scheme in _ARROW_FS_RESOLVERS:
+            return _ARROW_FS_RESOLVERS[scheme](path)
         return pafs.FileSystem.from_uri(path)
     except Exception:
         return None
