@@ -4937,3 +4937,92 @@ def test_arrow_metadata_tier_falls_back_on_unresolvable_scheme():
 
     assert M._arrow_fs("noconnector://bucket/t") is None
     assert M._manifest_arrow("noconnector://bucket/t", 0) is None
+
+
+def test_drop_column_is_metadata_only_and_never_resurrects(spark, tmp_path):
+    """DROP COLUMN (Delta's column-mapping drop): a metadata-only commit
+    — zero data files rewritten — after which reads project the column
+    away across every schema era, its min/max stats leave the manifest,
+    and a column RE-ADDED later under the same name gets a FRESH field
+    id: old files' retired values must read as NULL, never resurrect as
+    the new column. Compaction then materializes the drop physically."""
+    from tibame_project_spark.localdf import local_rows_df
+    from tibame_project_spark.sources.manifest import (
+        compact_manifest_table,
+        evolve_manifest_table,
+    )
+
+    base = str(tmp_path / "t")
+    rows = local_rows_df(
+        spark, [(0, 10, 0.5), (1, 11, 1.5)], "id long, v long, score double"
+    )
+    write_manifest_table(spark, rows, base, stats_cols=["id", "v"], keep=20)
+    files_before = sorted(
+        r["path"] for r in manifest_stats(spark, base).collect()
+    )
+    evolve_manifest_table(spark, base, drop=["v"], keep=20)
+    # metadata-only: the live file set is bit-identical
+    assert sorted(
+        r["path"] for r in manifest_stats(spark, base).collect()
+    ) == files_before
+    got = read_manifest_table(spark, base)
+    assert got.columns == ["id", "score"]
+    assert {tuple(r) for r in got.collect()} == {(0, 0.5), (1, 1.5)}
+    # the dropped column's stats left the manifest with it
+    man_cols = manifest_stats(spark, base).columns
+    assert "min_v" not in man_cols and "max_v" not in man_cols
+    assert "min_id" in man_cols  # surviving stats intact
+    # re-add the NAME: fresh field id — old rows are NULL, not resurrected
+    append_manifest_table(
+        spark,
+        local_rows_df(spark, [(2, 0.0, 99)], "id long, score double, v long"),
+        base, allow_evolution=True, keep=20,
+    )
+    vals = {
+        (r["id"], r["v"])
+        for r in read_manifest_table(spark, base).collect()
+    }
+    assert vals == {(0, None), (1, None), (2, 99)}
+    # compaction rewrites every straggler to the head schema: the drop
+    # becomes physical and the read stays identical
+    compact_manifest_table(spark, base, keep=20)
+    vals2 = {
+        (r["id"], r["v"])
+        for r in read_manifest_table(spark, base).collect()
+    }
+    assert vals2 == vals
+
+
+def test_drop_column_refusals_guard_table_integrity(spark, tmp_path):
+    """The drops that would corrupt state are refused loudly: unknown
+    columns, dropping everything, drop+rename of one column in one
+    evolution, the deletion-vector key (sidecars join on it), and
+    columns a persisted CHECK constraint references."""
+    from tibame_project_spark.localdf import local_rows_df
+    from tibame_project_spark.sources.manifest import (
+        add_manifest_constraint,
+        delete_manifest_table,
+        evolve_manifest_table,
+    )
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(0, 0), (1, 1)]), base, stats_cols=["id"], keep=20
+    )
+    with pytest.raises(ValueError, match="no such column"):
+        evolve_manifest_table(spark, base, drop=["nope"], keep=20)
+    with pytest.raises(ValueError, match="every column"):
+        evolve_manifest_table(spark, base, drop=["id", "v"], keep=20)
+    with pytest.raises(ValueError, match="dropped and renamed"):
+        evolve_manifest_table(
+            spark, base, drop=["v"], rename={"v": "w"}, keep=20
+        )
+    add_manifest_constraint(spark, base, "v_nonneg", "v >= 0", keep=20)
+    with pytest.raises(ValueError, match="v_nonneg"):
+        evolve_manifest_table(spark, base, drop=["v"], keep=20)
+    # a DV delete pins the key column
+    delete_manifest_table(
+        spark, local_rows_df(spark, [(0,)], "id long"), base, "id", keep=20
+    )
+    with pytest.raises(ValueError, match="deletion-vector key"):
+        evolve_manifest_table(spark, base, drop=["id"], keep=20)

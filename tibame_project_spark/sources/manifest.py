@@ -3077,29 +3077,41 @@ def evolve_manifest_table(
     *,
     rename: dict[str, str] | None = None,
     widen: dict[str, str] | None = None,
+    drop: list[str] | None = None,
     keep: int = 2,
 ) -> int:
     """Schema evolution beyond add-column, as a METADATA-ONLY commit: no
     data file is read or rewritten. ``rename`` maps current column names
     to new ones; ``widen`` maps current column names to a wider type
     (int→long-class promotions and float→double — the drift cases a
-    year-long table WILL hit). Old files keep their write-era physical
-    schema; every read lifts them through a field-id projection
-    (rename + cast + NULL-fill), the public formats' column-mapping
-    design. Column DROPS stay rejected — they silently reinterpret
-    history.
+    year-long table WILL hit); ``drop`` removes columns from the CURRENT
+    schema (Delta's column-mapping DROP COLUMN). Old files keep their
+    write-era physical schema; every read lifts them through a field-id
+    projection (rename + cast + NULL-fill, dropped fields projected
+    away), the public formats' column-mapping design.
 
-    Renaming/widening cascades through the table's metadata: declared
-    stats columns, the Bloom-filter column list, the deletion-vector key,
-    and the manifest's ``min_``/``max_`` columns all follow. Widening a
-    BLOOM column stays exact because :func:`bloom_prune_expr` probes
-    per schema era (xxhash64 of int vs long differ, so each file is
-    probed with values hashed as the type it was written under). Returns
-    the committed version. Exclusive: a concurrent commit of any kind
-    conflicts (schema changes cannot be rebased)."""
+    DROP is safe against the classic resurrection hazard: field ids are
+    fresh across the whole registry, so a column RE-ADDED later under
+    the same name gets a NEW id and old files' retired values read as
+    NULL, never as the new column. The dropped bytes stay in the old
+    files until compaction/recluster rewrites them to the head schema
+    (the same lazy materialization Delta documents). Refused for the
+    deletion-vector key (sidecars join on it) and for columns a
+    persisted CHECK constraint references (drop the constraint first).
+
+    Renaming/widening/dropping cascades through the table's metadata:
+    declared stats columns, the Bloom-filter column list, the
+    deletion-vector key, and the manifest's ``min_``/``max_`` columns
+    all follow. Widening a BLOOM column stays exact because
+    :func:`bloom_prune_expr` probes per schema era (xxhash64 of int vs
+    long differ, so each file is probed with values hashed as the type
+    it was written under). Returns the committed version. Exclusive: a
+    concurrent commit of any kind conflicts (schema changes cannot be
+    rebased)."""
     rename = dict(rename or {})
     widen = dict(widen or {})
-    if not rename and not widen:
+    drop = list(drop or [])
+    if not rename and not widen and not drop:
         raise ValueError("evolve_manifest_table: nothing to do")
     fs, listing, head, _version = _begin(spark, base_path)
     if head is None:
@@ -3108,10 +3120,24 @@ def evolve_manifest_table(
     schemas, cur_id = _registry(meta)
     cur_fields = schemas[cur_id]
     names = [f["name"] for f in cur_fields]
-    for old in list(rename) + list(widen):
+    for old in list(rename) + list(widen) + drop:
         if old not in names:
             raise ValueError(f"no such column {old!r} (have {names})")
-    target_names = [rename.get(n, n) for n in names]
+    both = set(drop) & (set(rename) | set(widen))
+    if both:
+        raise ValueError(
+            f"columns {sorted(both)} cannot be dropped and renamed/"
+            "widened in the same evolution"
+        )
+    if set(drop) >= set(names):
+        raise ValueError("cannot drop every column of the table")
+    if meta.get("dv_key") in drop:
+        raise ValueError(
+            f"column {meta['dv_key']!r} is the deletion-vector key — "
+            "existing DV sidecars join on it; compact the table to "
+            "materialize the vectors before dropping it"
+        )
+    target_names = [rename.get(n, n) for n in names if n not in drop]
     if len(set(target_names)) != len(target_names):
         raise ValueError(
             f"rename produces duplicate column names: {target_names}"
@@ -3123,7 +3149,7 @@ def evolve_manifest_table(
     # negative costs silent breakage) — Delta blocks this the same way.
     import re as _re
 
-    for old in rename:
+    for old in list(rename) + drop:
         for cname, cexpr in (meta.get("constraints") or {}).items():
             # IGNORECASE: Spark SQL resolves columns case-insensitively
             # by default, so a constraint written 'ID > 0' references
@@ -3132,12 +3158,14 @@ def evolve_manifest_table(
             if _re.search(rf"\b{_re.escape(old)}\b", cexpr, flags=_re.IGNORECASE):
                 raise ValueError(
                     f"column {old!r} is referenced by CHECK constraint "
-                    f"{cname!r} ({cexpr!r}) — drop the constraint, rename, "
-                    "then re-add it against the new name"
+                    f"{cname!r} ({cexpr!r}) — drop the constraint, rename/"
+                    "drop the column, then re-add it as needed"
                 )
     bloom = meta.get("bloom")
     new_fields = []
     for f in cur_fields:
+        if f["name"] in drop:
+            continue  # the field id retires with the column, never reused
         t = f["type"]
         if f["name"] in widen:
             from pyspark.sql.types import _parse_datatype_string
@@ -3158,18 +3186,26 @@ def evolve_manifest_table(
         )
     new_id = max(schemas) + 1
     schemas[new_id] = new_fields
-    new_stats = [rename.get(c, c) for c in meta["stats_cols"]]
+    new_stats = [
+        rename.get(c, c) for c in meta["stats_cols"] if c not in drop
+    ]
     dv_key = meta.get("dv_key")
     new_dv_key = rename.get(dv_key, dv_key) if dv_key else None
     new_bloom = (
-        dict(bloom, cols=[rename.get(c, c) for c in bloom["cols"]])
+        dict(
+            bloom,
+            cols=[rename.get(c, c) for c in bloom["cols"] if c not in drop],
+        )
         if bloom
         else None
     )
+    if new_bloom is not None and not new_bloom["cols"]:
+        new_bloom = None  # every Bloom column dropped: retire the filter
     # manifest transform, still metadata-only: stats columns follow the
-    # rename/widen so prune expressions speak the new names/types. ONE
-    # projection — sequential withColumnRenamed would corrupt swap/chain
-    # renames (rename={'a':'b','b':'c'} transiently duplicates min_b)
+    # rename/widen (dropped columns' stats vanish with them) so prune
+    # expressions speak the new names/types. ONE projection — sequential
+    # withColumnRenamed would corrupt swap/chain renames
+    # (rename={'a':'b','b':'c'} transiently duplicates min_b)
     man = _load_manifest(spark, base_path, head)
     new_types = {f2["name"]: f2["type"] for f2 in new_fields}
     out_cols = []
@@ -3178,6 +3214,8 @@ def evolve_manifest_table(
         for prefix in ("min_", "max_", "bloom_"):
             if c.startswith(prefix):
                 src = c[len(prefix):]
+                if src in drop:
+                    break  # stats column of a dropped field: omit
                 nc = rename.get(src, src)
                 if prefix != "bloom_" and src in widen:
                     col = col.cast(_type_from_json(new_types[nc]))
