@@ -5026,3 +5026,78 @@ def test_drop_column_refusals_guard_table_integrity(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="deletion-vector key"):
         evolve_manifest_table(spark, base, drop=["id"], keep=20)
+
+
+def test_required_features_refuse_engines_that_lack_them(spark, tmp_path):
+    """Delta's protocol/table-features design on the manifest tier: a
+    table whose head commit REQUIRES a feature this engine doesn't
+    implement is refused for both read and write — silently ignoring a
+    deletion-vector or column-mapping feature would resurrect deleted
+    rows or misread renamed columns. Forced by stamping an unknown
+    feature into the head meta the way a future engine version would."""
+    import json
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(0, 0)]), base, stats_cols=["id"], keep=10
+    )
+    head = read_manifest_version(spark, base)
+    meta_path = tmp_path / "t" / "meta" / f"v={head}.json"
+    m = json.loads(meta_path.read_text())
+    m["require"] = list(m.get("require", [])) + ["vector-clustering-v9"]
+    meta_path.write_text(json.dumps(m))
+    crc = meta_path.parent / f".v={head}.json.crc"
+    if crc.exists():
+        crc.unlink()
+    with pytest.raises(ValueError, match="vector-clustering-v9"):
+        read_manifest_table(spark, base)
+    with pytest.raises(ValueError, match="vector-clustering-v9"):
+        append_manifest_table(spark, _mk(spark, [(1, 1)]), base, keep=10)
+    with pytest.raises(ValueError, match="vector-clustering-v9"):
+        compact_manifest_table(spark, base, keep=10)
+    # the raw manifest (paths/bytes/stats) stays listable by design — a
+    # diagnostic surface that interprets no feature-gated state
+    assert manifest_stats(spark, base).count() >= 1
+
+
+def test_required_features_track_state_and_self_heal(spark, tmp_path):
+    """The require list is recomputed from what each commit's state
+    actually carries: it appears when a gated feature first lands
+    (txn watermark, CHECK constraint, schema era, deletion vector) and
+    retires when the state stops needing it — so an old engine is only
+    locked out of tables that truly use newer features."""
+    import json
+
+    from tibame_project_spark.localdf import local_rows_df
+    from tibame_project_spark.sources.manifest import (
+        _meta,
+        add_manifest_constraint,
+        delete_manifest_table,
+        drop_manifest_constraint,
+        evolve_manifest_table,
+    )
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(0, 0), (1, 1)]), base, stats_cols=["id"], keep=20
+    )
+
+    def req():
+        head = read_manifest_version(spark, base)
+        return set(_meta(spark, base, head).get("require") or [])
+
+    assert req() == set()  # plain table: nothing required
+    append_manifest_table(
+        spark, _mk(spark, [(2, 2)]), base, keep=20, txn=("app", 0)
+    )
+    assert req() == {"txn-watermarks"}
+    evolve_manifest_table(spark, base, rename={"v": "val"}, keep=20)
+    assert req() == {"txn-watermarks", "column-mapping"}
+    add_manifest_constraint(spark, base, "v_ok", "val >= 0", keep=20)
+    assert req() == {"txn-watermarks", "column-mapping", "check-constraints"}
+    delete_manifest_table(
+        spark, local_rows_df(spark, [(0,)], "id long"), base, "id", keep=20
+    )
+    assert "deletion-vectors" in req()
+    drop_manifest_constraint(spark, base, "v_ok", keep=20)
+    assert "check-constraints" not in req()  # self-heals on retirement

@@ -221,25 +221,64 @@ def _begin(spark: SparkSession, base_path: str):
     return fs, listing, head, version
 
 
+#: Every table feature THIS engine implements. A commit whose state
+#: depends on one of these records it in ``meta["require"]``; an engine
+#: (this one, or an older/newer sibling operating the same table) that
+#: does not implement a required feature must refuse the table rather
+#: than misread it — Delta's protocol/table-features design: ignoring
+#: deletion vectors resurrects deleted rows, ignoring column mapping
+#: misreads renamed/dropped columns, skipping CHECK enforcement or txn
+#: watermarks corrupts state on write.
+_SUPPORTED_FEATURES = frozenset({
+    "deletion-vectors",
+    "column-mapping",
+    "check-constraints",
+    "txn-watermarks",
+})
+
+
+def _check_features(meta: dict, base_path: str) -> dict:
+    """Gate every meta load on the table's required-feature list: a
+    table written by an engine version with features this one lacks is
+    refused for BOTH read and write (coarse on purpose — the pre-
+    table-features Delta protocol was the same — a reader-only tool may
+    inspect ``require`` itself). Legacy metas without the key pass."""
+    unknown = sorted(set(meta.get("require") or []) - _SUPPORTED_FEATURES)
+    if unknown:
+        raise ValueError(
+            f"table {base_path} requires table features this engine does "
+            f"not implement: {unknown} (supported: "
+            f"{sorted(_SUPPORTED_FEATURES)}) — refusing to read or write "
+            "rather than misreport rows or corrupt state; operate this "
+            "table with the engine version that owns those features"
+        )
+    return meta
+
+
 def _meta(spark: SparkSession, base_path: str, version: int) -> dict:
     """Commit metadata json. Read through pyarrow.fs when the scheme
     allows (KB file; the py4j open/read round-trip costs more than the
     read — and ``_finish`` now reads the head's meta once per commit
     attempt for the txn watermark carry-forward, so this sits on every
     commit): same-bytes, falls back to the Hadoop FS path on schemes
-    pyarrow doesn't speak. Missing-file errors surface unchanged."""
+    pyarrow doesn't speak. Missing-file errors surface unchanged. Every
+    load passes the required-feature gate (:func:`_check_features`)."""
     path = f"{base_path}/meta/v={version}.json"
     ar = _arrow_fs(path)
     if ar is not None:
         fs, rel = ar
         try:
             with fs.open_input_stream(rel) as f:
-                return json.loads(f.read().decode("utf-8"))
+                return _check_features(
+                    json.loads(f.read().decode("utf-8")), base_path
+                )
         except FileNotFoundError:
             raise
+        except ValueError:
+            raise  # the feature gate: never fall through to a re-read
         except Exception:
             pass  # scheme/permission quirk: the JVM path decides
-    return json.loads(_read_text(spark, path))
+    return _check_features(json.loads(_read_text(spark, path)), base_path)
 
 
 def _now_ms() -> int:
@@ -1056,6 +1095,23 @@ def _finish(
                 cons = constraints if constraints is not None else head_cons
                 if cons:
                     meta["constraints"] = cons
+                # required-feature list (Delta's table-features design),
+                # recomputed from the state this commit actually carries:
+                # an engine lacking one of these must refuse the table
+                # (_check_features gates every meta load). Self-healing:
+                # dropping the last constraint / expiring the last txn
+                # retires its flag.
+                req = []
+                if dv_key is not None:
+                    req.append("deletion-vectors")
+                if schemas is not None and len(schemas) > 1:
+                    req.append("column-mapping")
+                if cons:
+                    req.append("check-constraints")
+                if txns:
+                    req.append("txn-watermarks")
+                if req:
+                    meta["require"] = req
                 _write_text(
                     spark, f"{base_path}/meta/v={version}.json", json.dumps(meta)
                 )
