@@ -5101,3 +5101,101 @@ def test_required_features_track_state_and_self_heal(spark, tmp_path):
     assert "deletion-vectors" in req()
     drop_manifest_constraint(spark, base, "v_ok", keep=20)
     assert "check-constraints" not in req()  # self-heals on retirement
+
+
+def test_shallow_clone_zero_copy_reads_and_diverges(spark, tmp_path):
+    """SHALLOW CLONE: the clone's v0 references the source's files in
+    place (zero data bytes copied), reads identically — including
+    through the source's deletion vectors — and then diverges freely:
+    appends, DV deletes on SHARED files, and compaction all land under
+    the clone and never touch the source. The copied CHECK constraint
+    keeps gating the clone's writers."""
+    import os as _os
+
+    from tibame_project_spark.localdf import local_rows_df
+    from tibame_project_spark.sources.manifest import (
+        add_manifest_constraint,
+        clone_manifest_table,
+        compact_manifest_table,
+        delete_manifest_table,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_manifest_table(
+        spark, _mk(spark, [(0, 0), (1, 1)]), src, stats_cols=["id"], keep=20
+    )
+    append_manifest_table(spark, _mk(spark, [(2, 2), (3, 3)]), src, keep=20)
+    add_manifest_constraint(spark, src, "v_nonneg", "v >= 0", keep=20)
+    # a source-side DV so the clone inherits dv_path references too
+    delete_manifest_table(
+        spark, local_rows_df(spark, [(1,)], "id long"), src, "id", keep=20
+    )
+    assert clone_manifest_table(spark, src, dst, keep=20) == 0
+    # zero copy: the clone holds no data files of its own yet
+    assert not _os.path.isdir(_os.path.join(dst, "data"))
+    assert _content(spark, dst) == {(0, 0), (2, 2), (3, 3)}
+    assert _content(spark, dst) == _content(spark, src)
+    # divergence 1: append lands under the clone only
+    append_manifest_table(spark, _mk(spark, [(9, 9)]), dst, keep=20)
+    assert (9, 9) in _content(spark, dst)
+    assert (9, 9) not in _content(spark, src)
+    # divergence 2: DV delete of a row in a SHARED (source-owned) file —
+    # the sidecar lands under the clone, keyed by the trailing path form
+    delete_manifest_table(
+        spark, local_rows_df(spark, [(2,)], "id long"), dst, "id", keep=20
+    )
+    assert _content(spark, dst) == {(0, 0), (3, 3), (9, 9)}
+    assert _content(spark, src) == {(0, 0), (2, 2), (3, 3)}  # untouched
+    # the copied constraint still gates the clone's writers
+    with pytest.raises(ValueError, match="v_nonneg"):
+        append_manifest_table(spark, _mk(spark, [(8, -8)]), dst, keep=20)
+    # compaction localizes: every live file moves under the clone's root
+    compact_manifest_table(spark, dst, keep=20)
+    paths = [r["path"] for r in manifest_stats(spark, dst).collect()]
+    assert all(not p.startswith("/") and "://" not in p for p in paths)
+    assert _content(spark, dst) == {(0, 0), (3, 3), (9, 9)}
+    # vacuum on the clone sweeps only its own root: source files survive
+    vacuum_manifest_table(spark, dst, min_age_s=0)
+    assert _content(spark, src) == {(0, 0), (2, 2), (3, 3)}
+
+
+def test_shallow_clone_pins_version_and_drops_txn_identity(spark, tmp_path):
+    """Cloning a PINNED version snapshots that state even after the
+    source evolves past it; the clone never inherits the source's txn
+    watermarks (a new table identity must not swallow a stream's first
+    batches); cloning onto an existing table refuses."""
+    from tibame_project_spark.sources.manifest import (
+        clone_manifest_table,
+        evolve_manifest_table,
+        last_txn_version,
+    )
+
+    src = str(tmp_path / "src")
+    write_manifest_table(
+        spark, _mk(spark, [(0, 0)]), src, stats_cols=["id"], keep=20
+    )
+    append_manifest_table(
+        spark, _mk(spark, [(1, 1)]), src, keep=20, txn=("ingest", 7)
+    )
+    evolve_manifest_table(spark, src, rename={"v": "val"}, keep=20)
+    dst0 = str(tmp_path / "dst0")
+    clone_manifest_table(spark, src, dst0, version=0, keep=20)
+    got = read_manifest_table(spark, dst0)
+    assert got.columns == ["id", "v"]  # pre-evolution schema, pinned
+    assert {tuple(r) for r in got.collect()} == {(0, 0)}
+    dst = str(tmp_path / "dst")
+    clone_manifest_table(spark, src, dst, keep=20)
+    assert read_manifest_table(spark, dst).columns == ["id", "val"]
+    assert last_txn_version(spark, dst, "ingest") is None
+    # replay protection belongs to the SOURCE: the same epoch applies
+    # fresh on the clone (and starts the clone's own watermark)
+    append_manifest_table(
+        spark, _mk(spark, [(7, 7)], "id long, val long"), dst,
+        keep=20, txn=("ingest", 7),
+    )
+    assert (7, 7) in {
+        tuple(r) for r in read_manifest_table(spark, dst).collect()
+    }
+    with pytest.raises(ValueError, match="already holds"):
+        clone_manifest_table(spark, src, dst, keep=20)

@@ -132,6 +132,7 @@ __all__ = [
     "list_staged_manifests",
     "delete_manifest_table",
     "compact_manifest_table",
+    "clone_manifest_table",
     "restore_manifest_table",
     "manifest_feed",
     "manifest_feed_commit",
@@ -479,6 +480,40 @@ def _by_schema_id(files: list) -> dict[int, list[tuple]]:
     return groups
 
 
+def _data_path(base_path: str, p: str) -> str:
+    """Resolve a manifest ``path``/``dv_path`` entry to a readable
+    location: normally table-relative, but a SHALLOW CLONE's manifest
+    references its SOURCE's files absolutely (``/``-rooted or
+    scheme-qualified — Delta's clone design), read in place with zero
+    bytes copied. Vacuum/retention only ever sweep files under the
+    table's own root, so external entries are never deleted by the
+    clone's lifecycle."""
+    return (
+        p
+        if p.startswith("/") or "://" in p or p.startswith("file:")
+        else f"{base_path}/{p}"
+    )
+
+
+_TRAIL_RE = None
+
+
+def _trail(p: str) -> str:
+    """The table-relative TRAILING form (``data/<dir>/<file>``) of a
+    data path — the join identity DV sidecars and ``_metadata``-derived
+    paths use. For a normal table this IS the manifest path verbatim; a
+    shallow clone's absolute source paths reduce to the same trailing
+    form the source's sidecars already carry (unique in practice: data
+    dirs are random tokens)."""
+    global _TRAIL_RE
+    if _TRAIL_RE is None:
+        import re as _re
+
+        _TRAIL_RE = _re.compile(r"(data/[^/]+/[^/]+)$")
+    m = _TRAIL_RE.search(p)
+    return m.group(1) if m else p
+
+
 def _read_dv_sidecars(
     spark: SparkSession, base_path: str, dirs: list[str], key_type
 ) -> DataFrame:
@@ -487,7 +522,7 @@ def _read_dv_sidecars(
     dir is read separately so parquet schema merging never has to
     reconcile int32 vs int64 across generations."""
     parts = [
-        spark.read.parquet(f"{base_path}/{d}").select(
+        spark.read.parquet(_data_path(base_path, d)).select(
             F.col("__path").alias("__dvp"),
             F.col("__key").cast(key_type).alias("__key"),
         )
@@ -531,7 +566,7 @@ def _read_live(
         if plain:
             parts.append(
                 spark.read.schema(phys)
-                .parquet(*[f"{base_path}/{p}" for p in plain])
+                .parquet(*[_data_path(base_path, p) for p in plain])
                 .select(*proj)
             )
         if dvd:
@@ -543,7 +578,7 @@ def _read_live(
             all_dirs.update(d for _, d in dvd)
             dv_parts.append(
                 spark.read.schema(phys)
-                .parquet(*[f"{base_path}/{p}" for p, _ in dvd])
+                .parquet(*[_data_path(base_path, p) for p, _ in dvd])
                 .select(
                     *proj,
                     F.regexp_extract(
@@ -560,7 +595,7 @@ def _read_live(
         fs, _, jvm = _fs_for(spark, base_path)
         dv_bytes = sum(
             fs.getContentSummary(
-                jvm.org.apache.hadoop.fs.Path(f"{base_path}/{d}")
+                jvm.org.apache.hadoop.fs.Path(_data_path(base_path, d))
             ).getLength()
             for d in dirs
         )
@@ -2597,7 +2632,7 @@ def _prepare_delete_edit(
         phys_name = next(f["name"] for f in phys_fields if f["id"] == key_id)
         raws.append(
             spark.read.schema(_schema_from_fields(phys_fields))
-            .parquet(*[f"{base_path}/{p}" for p, _ in members])
+            .parquet(*[_data_path(base_path, p) for p, _ in members])
             .select(
                 F.regexp_extract(
                     F.col("_metadata.file_path"), r"(data/[^/]+/[^/]+)$", 1
@@ -2614,12 +2649,15 @@ def _prepare_delete_edit(
     # union in the touched files' EXISTING vectors so each file's sidecar
     # generation is complete on its own (readers never chase chains);
     # per-dir reads + cast keep pre-widening sidecars unionable
+    # sidecars and _metadata extraction both speak the TRAILING form
+    # (== the manifest path on a normal table; a clone's absolute source
+    # paths reduce to it), so all comparisons below go through _trail
     old_dirs = sorted({r["dv_path"] for r in cand_files if r["dv_path"]})
     if old_dirs:
         olds = (
             _read_dv_sidecars(spark, base_path, old_dirs, key_type)
             .select(F.col("__dvp").alias("__path"), "__key")
-            .where(F.col("__path").isin(touched))
+            .where(F.col("__path").isin([_trail(p) for p in touched]))
         )
         present = present.unionByName(olds)
     dv_dir = f"dv/c={_token()}"
@@ -2639,7 +2677,7 @@ def _prepare_delete_edit(
         .distinct()
         .collect()
     }
-    repoint = [p for p in touched if p in hit]
+    repoint = [p for p in touched if _trail(p) in hit]
     if not repoint:
         return edit
     # the commit as a manifest edit: drop the repointed files' old
@@ -2730,6 +2768,101 @@ def compact_manifest_table(
         op=op,
         schemas=schemas,
         schema_id=schema_id,
+    )
+
+
+def clone_manifest_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    *,
+    version: int | None = None,
+    keep: int = 2,
+) -> int:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE ... SHALLOW CLONE``): make
+    ``dst_path`` a NEW table whose v0 manifest references the source's
+    data files and DV sidecars IN PLACE — zero data bytes copied,
+    O(live files) driver-side metadata, whatever the table's size. The
+    100 TB sandbox verb: experiment, validate a migration, or stage a
+    risky rewrite against production data for the cost of one commit.
+
+    Clone semantics, all divergence-safe:
+
+    * the clone's manifest holds the source files ABSOLUTELY
+      (``_data_path``), so later writes/merges/deletes/compactions on
+      the clone land under the clone and progressively LOCALIZE what
+      they rewrite — the source never observes any of it;
+    * the source keeps evolving independently — the clone pinned
+      ``version`` (default: the head) and never re-reads source meta;
+    * schema registry / field ids / stats / Bloom / dv_key / CHECK
+      constraints copy (reads and the commit gate behave identically);
+      txn watermarks do NOT copy — the clone is a new table identity,
+      and inheriting another table's replay protection would swallow
+      first batches (Delta clones drop txn identity the same way);
+    * the clone's retention/vacuum only sweeps files under ITS root —
+      external entries are never deleted by the clone's lifecycle.
+
+    HAZARD (Delta documents the same): VACUUM or retention pruning on
+    the SOURCE can delete files the clone still references. Pin the
+    cloned version on the source (``tag_manifest_version``) for as long
+    as the clone lives, or compact the clone to localize everything.
+
+    Raises if ``dst_path`` already holds a committed table (clone
+    creates; it does not overwrite)."""
+    import os as _os
+
+    fs, listing, src_head, _ = _begin(spark, src_path)
+    if src_head is None:
+        raise FileNotFoundError(f"no committed manifest table under {src_path}")
+    if version is None:
+        version = src_head
+    else:
+        _, _, jvm = _fs_for(spark, src_path)
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{src_path}/{_COMMIT_PREFIX}{version}"
+        )
+        if not fs.exists(marker):
+            raise FileNotFoundError(
+                f"manifest version {version} under {src_path} is not committed"
+            )
+    if _begin(spark, dst_path)[2] is not None:
+        raise ValueError(
+            f"clone destination {dst_path} already holds a committed table"
+        )
+    meta = _meta(spark, src_path, version)
+    schemas, schema_id = _registry(meta)
+    src_abs = (
+        src_path
+        if "://" in src_path or src_path.startswith(("/", "file:"))
+        else _os.path.abspath(src_path)
+    )
+
+    def _qualify(c):
+        # entries that are already external (the source is itself a
+        # clone) carry through verbatim; relative ones absolutize
+        return F.when(
+            c.startswith("/") | c.contains("://") | c.startswith("file:"),
+            c,
+        ).otherwise(F.concat(F.lit(f"{src_abs}/"), c))
+
+    man = (
+        _load_manifest(spark, src_path, version)
+        .withColumn("path", _qualify(F.col("path")))
+        .withColumn(
+            "dv_path",
+            F.when(
+                F.col("dv_path").isNotNull(), _qualify(F.col("dv_path"))
+            ),
+        )
+    )
+    return _finish(
+        spark, dst_path,
+        schema=StructType.fromJson(meta["schema"]),
+        stats_cols=meta["stats_cols"], keep=keep, base_head=None,
+        full_manifest=man, dv_key=meta.get("dv_key"),
+        bloom=meta.get("bloom"), op=f"clone({src_path}@v{version})",
+        schemas=schemas, schema_id=schema_id,
+        constraints=meta.get("constraints") or None,
     )
 
 
