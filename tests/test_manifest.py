@@ -5199,3 +5199,39 @@ def test_shallow_clone_pins_version_and_drops_txn_identity(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="already holds"):
         clone_manifest_table(spark, src, dst, keep=20)
+
+
+def test_racing_clones_to_one_destination_serialize(spark, tmp_path):
+    """Two writers shallow-cloning the same source into the same
+    destination race on the destination's v0 commit: exactly one may
+    win (create commits are exclusive), the loser surfaces loudly, and
+    the winner's clone reads the pinned source content exactly —
+    never a torn mix of two v0 attempts."""
+    import threading
+
+    from tibame_project_spark.sources.manifest import (
+        ConcurrentCommitError,
+        clone_manifest_table,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_manifest_table(
+        spark, _mk(spark, [(0, 0), (1, 1)]), src, stats_cols=["id"], keep=10
+    )
+    outcomes = []
+
+    def racer():
+        try:
+            clone_manifest_table(spark, src, dst, keep=10)
+            outcomes.append("won")
+        except (ConcurrentCommitError, ValueError):
+            outcomes.append("lost")
+
+    threads = [threading.Thread(target=racer) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(outcomes) == ["lost", "won"]
+    assert _content(spark, dst) == {(0, 0), (1, 1)}
