@@ -5235,3 +5235,87 @@ def test_racing_clones_to_one_destination_serialize(spark, tmp_path):
         t.join()
     assert sorted(outcomes) == ["lost", "won"]
     assert _content(spark, dst) == {(0, 0), (1, 1)}
+
+
+def test_update_rewrites_only_matching_files(spark, tmp_path):
+    """UPDATE ... SET on the manifest tier: a predicate confined to one
+    clustered file's key range rewrites exactly that file — every other
+    live file carries forward verbatim — and the result equals the
+    relational UPDATE. Assignments see ORIGINAL values (the swap case),
+    cast back to the column's declared type so the schema never drifts,
+    and NULL-predicate rows stay untouched."""
+    from tibame_project_spark.sources.manifest import (
+        manifest_history,
+        update_manifest_table,
+    )
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(30)]), base,
+        stats_cols=["id"], cluster_by="id", n_files=3, keep=10,
+    )
+    before = {r["path"] for r in manifest_stats(spark, base).collect()}
+    assert len(before) == 3
+    v = update_manifest_table(
+        spark, base, {"v": "v + 100 + v"}, "id >= 25", keep=10,
+    )
+    assert v == 1
+    after = {r["path"] for r in manifest_stats(spark, base).collect()}
+    # two files carried forward as metadata; one rewritten
+    assert len(before & after) == 2 and len(after - before) == 1
+    assert _content(spark, base) == {
+        (i, i) for i in range(25)
+    } | {(i, 2 * i + 100) for i in range(25, 30)}
+    assert [r["op"] for r in manifest_history(spark, base).collect()][-1] == (
+        "update"
+    )
+    # long column stays long even though the expression could widen
+    assert dict(read_manifest_table(spark, base).dtypes)["v"] == "bigint"
+    # prune= collapses the candidate scan and must not change the result
+    update_manifest_table(
+        spark, base, {"v": "0"}, "id < 3", prune="min_id < 3", keep=10
+    )
+    assert {(0, 0), (1, 0), (2, 0)} <= _content(spark, base)
+
+
+def test_update_applies_deletion_vectors_and_respects_constraints(
+    spark, tmp_path
+):
+    """An UPDATE rewriting a deletion-vectored file applies the vector
+    (condemned rows never resurrect; the rewritten file comes out
+    vector-free), no-ops without a commit when nothing matches, and
+    refuses — publishing nothing — when the assignment would violate a
+    persisted CHECK constraint."""
+    from tibame_project_spark.localdf import local_rows_df
+    from tibame_project_spark.sources.manifest import (
+        add_manifest_constraint,
+        delete_manifest_table,
+        update_manifest_table,
+    )
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(0, 0), (1, 1), (2, 2)]), base,
+        stats_cols=["id"], n_files=1, keep=10,  # one file: the DV'd file
+    )                                           # IS the update candidate
+    add_manifest_constraint(spark, base, "v_small", "v < 1000", keep=10)
+    delete_manifest_table(
+        spark, local_rows_df(spark, [(1,)], "id long"), base, "id", keep=10
+    )
+    head = read_manifest_version(spark, base)
+    # no-match: head unchanged, no commit published
+    assert update_manifest_table(
+        spark, base, {"v": "v"}, "id = 999", keep=10
+    ) == head
+    # the update hits the DV'd file: vector applied, row 1 stays gone
+    v = update_manifest_table(spark, base, {"v": "v + 10"}, "id = 0", keep=10)
+    assert v == head + 1
+    assert _content(spark, base) == {(0, 10), (2, 2)}
+    assert all(
+        r["dv_path"] is None for r in manifest_stats(spark, base).collect()
+    )
+    # a violating assignment refuses with nothing published
+    with pytest.raises(ValueError, match="v_small"):
+        update_manifest_table(spark, base, {"v": "v + 10000"}, "id = 0", keep=10)
+    assert read_manifest_version(spark, base) == v
+    assert _content(spark, base) == {(0, 10), (2, 2)}

@@ -132,6 +132,7 @@ __all__ = [
     "list_staged_manifests",
     "delete_manifest_table",
     "compact_manifest_table",
+    "update_manifest_table",
     "clone_manifest_table",
     "restore_manifest_table",
     "manifest_feed",
@@ -2768,6 +2769,128 @@ def compact_manifest_table(
         op=op,
         schemas=schemas,
         schema_id=schema_id,
+    )
+
+
+def update_manifest_table(
+    spark: SparkSession,
+    base_path: str,
+    assignments: dict[str, str],
+    where: str,
+    *,
+    prune: str | None = None,
+    keep: int = 2,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """UPDATE ... SET (Delta's UPDATE on the manifest tier): rewrite
+    ONLY the files holding at least one row matching ``where``; every
+    other live file carries forward as pure metadata. ``assignments``
+    maps column name → SQL expression evaluated against the ORIGINAL
+    row (standard UPDATE semantics: all assignments see pre-update
+    values; the result casts to the column's declared type, so the
+    schema never drifts). A row updates only when ``where`` is TRUE
+    (NULL rows are untouched, like SQL).
+
+    Cost tracks the matching set, not the table: one candidate scan
+    over (optionally ``prune``-skipped) files finds which files hold a
+    match, then only those rewrite — the same two-phase shape Delta's
+    UPDATE runs. ``prune`` is the manifest-stats skip expression of
+    :func:`read_manifest_table` (superset contract: it must keep every
+    file that MAY match, e.g. ``max_price >= 100`` for
+    ``where="price >= 100"``) and collapses the candidate scan to the
+    stats-intersecting files. Candidacy is judged on PHYSICAL rows
+    (deletion vectors not consulted — an over-selected file rewrites
+    content-identically with its vector applied and comes out
+    vector-free, compaction's semantics), so condemned rows can never
+    resurrect. Rewritten rows re-validate against the table's persisted
+    CHECK constraints — an UPDATE that would break one refuses with
+    nothing published. Returns the new version, or the current head
+    when nothing matches (no commit — like a no-op merge)."""
+    fs, listing, head, _ = _begin(spark, base_path)
+    if head is None:
+        raise FileNotFoundError(f"no committed manifest table under {base_path}")
+    meta = _meta(spark, base_path, head)
+    schemas, schema_id = _registry(meta)
+    cur_fields = schemas[schema_id]
+    names = [f["name"] for f in cur_fields]
+    if not assignments:
+        raise ValueError("update_manifest_table: no assignments")
+    for c, e in assignments.items():
+        if c not in names:
+            raise ValueError(f"no such column {c!r} (have {names})")
+        F.expr(e)  # fail fast on an unparseable expression
+    F.expr(where)
+    man = _load_manifest(spark, base_path, head)
+    if prune is not None:
+        man = man.where(F.coalesce(F.expr(prune), F.lit(True)))
+    files = man.select("path", "dv_path", "schema_id").collect()
+    if not files:
+        return head
+    # phase 1 — candidate files: any physical row matching `where`,
+    # read per schema era and lifted to the current schema first so the
+    # predicate speaks current names/types
+    parts = []
+    for sid, members in sorted(_by_schema_id(files).items()):
+        phys = _schema_from_fields(schemas[sid])
+        proj = _projection(schemas[sid], cur_fields)
+        parts.append(
+            spark.read.schema(phys)
+            .parquet(*[_data_path(base_path, p) for p, _ in members])
+            .select(
+                *proj,
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), r"(data/[^/]+/[^/]+)$", 1
+                ).alias("__path"),
+            )
+        )
+    raw = parts[0]
+    for p in parts[1:]:
+        raw = raw.unionByName(p)
+    hit = {
+        r["__path"]
+        for r in raw.where(F.coalesce(F.expr(where), F.lit(False)))
+        .select("__path")
+        .distinct()
+        .collect()
+    }
+    cand = [r for r in files if _trail(r["path"]) in hit]
+    if not cand:
+        return head
+    # phase 2 — rewrite the candidates only (DV applied, era-lifted)
+    folded = _read_live(spark, base_path, cand, meta)
+    pred = F.coalesce(F.expr(where), F.lit(False))
+    types = {f["name"]: f["type"] for f in cur_fields}
+    out_cols = [
+        F.when(pred, F.expr(assignments[c]).cast(_type_from_json(types[c])))
+        .otherwise(F.col(f"`{c}`"))
+        .alias(c)
+        if c in assignments
+        else F.col(f"`{c}`")
+        for c in names
+    ]
+    updated = folded.select(*out_cols)
+    rules = _constraint_rules(meta)
+    updated, gate = _expect_gate(
+        updated, rules, f"update_manifest_table({base_path})"
+    )
+    data_dir = f"data/c={_token()}"
+    _write_data(updated, base_path, data_dir, None, 0)
+    gate()
+    new_rows = _file_stats(
+        spark, base_path, data_dir, meta["stats_cols"],
+        _schema_from_fields(cur_fields), meta.get("bloom"),
+        schema_id=schema_id,
+    )
+    # read set = the rewritten files: _finish rebases over concurrent
+    # commits that left them alone and conflicts on ones that didn't
+    return _finish(
+        spark, base_path,
+        schema=StructType.fromJson(meta["schema"]),
+        stats_cols=meta["stats_cols"], keep=keep, base_head=head,
+        removed=frozenset(r["path"] for r in cand), added=new_rows,
+        dv_key=meta.get("dv_key"), bloom=meta.get("bloom"), op="update",
+        schemas=schemas, schema_id=schema_id, txn=txn,
+        require_constraints=meta.get("constraints") or {},
     )
 
 
