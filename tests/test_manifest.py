@@ -3072,6 +3072,12 @@ def test_random_multiwriter_histories_serialize(spark, tmp_path, seed, fs_kind):
     after evolution) and retry ONCE on a naming race — a second failure
     is a protocol bug.
 
+    r12 adds the UPDATE verb to thread 1's draw: a constant assignment
+    over two base keys — the file-rewriting read-set op whose candidate
+    files race every merge/delete/compact touching them; the model
+    replays it as a conditional overwrite of the keys present at its
+    point (UPDATE never inserts).
+
     r11 widens the alphabet again with IDEMPOTENT-TXN appends: threads 0
     and 1 both carry the SAME ``txn=("mw", 0)`` batch (the zombie-driver
     shape — one logical delivery raced from two writers) and thread 2
@@ -3124,6 +3130,11 @@ def test_random_multiwriter_histories_serialize(spark, tmp_path, seed, fs_kind):
         kinds = ["append", "merge", "delete", "compact", "stage_publish"]
         if tid == 0:
             kinds.append("evolve")
+        if tid == 1:
+            # r12: the UPDATE verb joins the alphabet — a constant
+            # assignment keyed to base ids, so the model replays it as
+            # a conditional overwrite of the keys present at its point
+            kinds.append("update")
         ops = []
         for j in range(3):
             kind = rnd.choice(kinds)
@@ -3144,6 +3155,11 @@ def test_random_multiwriter_histories_serialize(spark, tmp_path, seed, fs_kind):
             elif kind == "evolve":
                 evolve_n[0] += 1
                 ops.append(("evolve", f"w{evolve_n[0]}"))
+            elif kind == "update":
+                ops.append((
+                    "update",
+                    (rnd.sample(range(30), 2), rnd.randrange(100)),
+                ))
             else:
                 ops.append(("compact", None))
         return ops
@@ -3159,6 +3175,13 @@ def test_random_multiwriter_histories_serialize(spark, tmp_path, seed, fs_kind):
             "stage_publish",
             [(k, rnd.randrange(100), rnd.random() < 0.25)
              for k in rnd.sample(range(30), 3)],
+        )
+    if not any(op[0] == "update" for op in plans[1]):
+        slots = [
+            i for i, op in enumerate(plans[1]) if op[0] != "stage_publish"
+        ] or [0]
+        plans[1][rnd.choice(slots)] = (
+            "update", (rnd.sample(range(30), 2), rnd.randrange(100))
         )
     # r11 txn ops: the SAME (app, ver) delivery raced from two threads,
     # plus an optional later version from a third (ids disjoint from
@@ -3226,6 +3249,16 @@ def test_random_multiwriter_histories_serialize(spark, tmp_path, seed, fs_kind):
                 spark,
                 spark.createDataFrame([(k,) for k in payload], "id long"),
                 base, "id", keep=50,
+            )
+        elif kind == "update":
+            from tibame_project_spark.sources.manifest import (
+                update_manifest_table,
+            )
+
+            keys_, const = payload
+            update_manifest_table(
+                spark, base, {vcol_now(): str(const)},
+                f"id in ({keys_[0]}, {keys_[1]})", keep=50,
             )
         elif kind == "evolve":
             evolve_manifest_table(
@@ -3319,6 +3352,11 @@ def test_random_multiwriter_histories_serialize(spark, tmp_path, seed, fs_kind):
                     (k, v): c for (k, v), c in appended.items()
                     if k not in payload
                 })
+            elif kind == "update":
+                keys_, const = payload
+                for k in keys_:
+                    if k in merged:  # UPDATE never inserts
+                        merged[k] = const
             # evolve/compact: content no-ops
         return Counter(merged.items()) + appended
 
