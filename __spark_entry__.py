@@ -2630,7 +2630,13 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the merge relationally (FULL OUTER + CASE, the
     `merge_upsert` twin) and applies the same row filter — so write →
     skipping merge → file-skipping read must equal the relational MERGE
-    exactly. Replaces the retired ``hash_sample`` key (its deterministic
+    exactly. r12 folds the NEW ``update_manifest_table`` verb into the
+    same gate: after the vacuum, an UPDATE over the insert keyspace
+    (stats-``prune``-collapsed candidate scan, only the insert-holding
+    files rewrite, price ×2 exact-in-binary) runs as v6, and the oracle
+    replays it relationally — a candidate scan that misses a file, a
+    rewrite that loses carried rows, or a broken type-preserving cast
+    all fail the hash. Replaces the retired ``hash_sample`` key (its deterministic
     order-by-md5 surface stays gated via ``corpus_shuffle``/
     ``stratified_sample``)."""
     from tibame_project_spark.sources.manifest import (
@@ -2639,6 +2645,7 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_manifest_table,
         restore_manifest_table,
         tag_manifest_version,
+        update_manifest_table,
         vacuum_manifest_table,
         write_manifest_table,
     )
@@ -2707,6 +2714,19 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sweep count here, the pinned bytes via the rel0_rows read below
     if leg("vacuum", lambda: vacuum_manifest_table(spark, base)) < 1:
         raise AssertionError("vacuum swept nothing — stranded merge outputs expected")
+    # r12: the UPDATE verb enters the gate — rewrite ONLY the files
+    # holding the merge's inserts (stats-pruned candidate scan: the
+    # insert keyspace sits above every original file's range), doubling
+    # each inserted row's price and restamping its priority; every
+    # other file carries forward as metadata. ×2 is exact in binary
+    # floating point, so the oracle's replay stays bit-identical.
+    leg("update_v6", lambda: update_manifest_table(
+        spark, base,
+        {"o_totalprice": "o_totalprice * 2",
+         "o_orderpriority": "'UPDATED'"},
+        "o_orderkey >= 10000000",
+        prune="max_o_orderkey >= 10000000",
+    ))
     rel0 = read_manifest_table(spark, base, tag="rel0").agg(
         F.count(F.lit(1)).alias("rel0_rows")
     )
@@ -2756,8 +2776,17 @@ merged AS (
     CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
     CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
   FROM t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
-  WHERE NOT COALESCE(s.is_deleted, FALSE))
-SELECT m.*, r.rel0_rows FROM merged m
+  WHERE NOT COALESCE(s.is_deleted, FALSE)),
+updated AS (
+  -- the UPDATE leg: inserts (>= 10M) get price*2 and a new priority
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey >= 10000000 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate,
+         CASE WHEN o_orderkey >= 10000000 THEN 'UPDATED'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM merged)
+SELECT m.*, r.rel0_rows FROM updated m
 CROSS JOIN (SELECT COUNT(*) AS rel0_rows FROM orders) r
 WHERE (o_orderkey <= (SELECT hi FROM b) OR o_orderkey >= 10000000)
   AND o_custkey IN (SELECT o_custkey FROM (
@@ -4450,6 +4479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only key with a per-round witness outside this window. Below the
     # boundary: mart_star_trends first (priority at r13), then the 49
     # r11-green entries.
+    # NOTE r12 also CHANGED manifest_merge (the new UPDATE verb rides
+    # its gate as the update_v6 leg) — it sits in block 2 below, inside
+    # the window, so the changed-keys-witnessed rule holds for it too.
     return {
         # -- block 1: changed this round + the two deferred r09 keys ------
         "stream_sink": q_stream_sink,  # changed: +constraint/txn-expiry/adapter gates
