@@ -5357,3 +5357,25 @@ def test_update_applies_deletion_vectors_and_respects_constraints(
         update_manifest_table(spark, base, {"v": "v + 10000"}, "id = 0", keep=10)
     assert read_manifest_version(spark, base) == v
     assert _content(spark, base) == {(0, 10), (2, 2)}
+
+
+def test_update_with_txn_watermark_is_replay_safe(spark, tmp_path):
+    """UPDATE carries the same idempotent-transaction watermark as the
+    other writers: a redelivered update batch no-ops against the app's
+    high-water mark instead of re-applying (doubling `v + 10` twice
+    would corrupt), and the head version stays put."""
+    from tibame_project_spark.sources.manifest import update_manifest_table
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(0, 0), (1, 1)]), base, stats_cols=["id"], keep=10
+    )
+    v = update_manifest_table(
+        spark, base, {"v": "v + 10"}, "id = 0", keep=10, txn=("upd", 3)
+    )
+    assert _content(spark, base) == {(0, 10), (1, 1)}
+    # the replay: same app, same (or lower) version — zero effect
+    assert update_manifest_table(
+        spark, base, {"v": "v + 10"}, "id = 0", keep=10, txn=("upd", 3)
+    ) == v
+    assert _content(spark, base) == {(0, 10), (1, 1)}
