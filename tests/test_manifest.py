@@ -5379,3 +5379,27 @@ def test_update_with_txn_watermark_is_replay_safe(spark, tmp_path):
         spark, base, {"v": "v + 10"}, "id = 0", keep=10, txn=("upd", 3)
     ) == v
     assert _content(spark, base) == {(0, 10), (1, 1)}
+
+
+def test_vacuum_dry_run_counts_without_deleting(spark, tmp_path):
+    """VACUUM ... DRY RUN: the same unreferenced-file walk, same count,
+    zero deletions — then the real vacuum deletes exactly what the dry
+    run predicted and a second dry run reports a clean table."""
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(0, 0)]), base, stats_cols=["id"], keep=1
+    )
+    # two full refreshes at keep=1 prune v0's metadata: its file strands
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"], keep=1
+    )
+    write_manifest_table(
+        spark, _mk(spark, [(2, 2)]), base, stats_cols=["id"], keep=1
+    )
+    before = _content(spark, base)
+    predicted = vacuum_manifest_table(spark, base, dry_run=True)
+    assert predicted >= 1
+    assert _content(spark, base) == before  # nothing touched
+    assert vacuum_manifest_table(spark, base) == predicted
+    assert vacuum_manifest_table(spark, base, dry_run=True) == 0
+    assert _content(spark, base) == before

@@ -3075,7 +3075,11 @@ def manifest_changes(
 
 
 def vacuum_manifest_table(
-    spark: SparkSession, base_path: str, *, min_age_s: float | None = None
+    spark: SparkSession,
+    base_path: str,
+    *,
+    min_age_s: float | None = None,
+    dry_run: bool = False,
 ) -> int:
     """Delete data files referenced by NO retained (committed, unpruned)
     manifest, then sweep emptied data dirs — and likewise delete
@@ -3093,7 +3097,10 @@ def vacuum_manifest_table(
     data-write-to-marker window exceeds the threshold; size it generously
     (hours). Readers are always safe — every retained version's files
     survive. Returns the number of files deleted (DV dirs count as one
-    each)."""
+    each). ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``) walks the
+    same listing and returns the count WITHOUT deleting anything — the
+    pre-flight check before pointing retention at a production table,
+    and the cheap monitor for garbage accumulation."""
     import time as _time
 
     fs, base, jvm = _fs_for(spark, base_path)
@@ -3156,9 +3163,10 @@ def vacuum_manifest_table(
                 if rel in referenced or not old_enough(f):
                     kept_any = True
                 else:
-                    fs.delete(f.getPath(), False)
+                    if not dry_run:
+                        fs.delete(f.getPath(), False)
                     deleted += 1
-            if not kept_any:
+            if not kept_any and not dry_run:
                 fs.delete(d.getPath(), True)
     dv_root = jvm.org.apache.hadoop.fs.Path(f"{base_path}/dv")
     if fs.exists(dv_root):
@@ -3167,7 +3175,8 @@ def vacuum_manifest_table(
                 continue
             rel = f"dv/{d.getPath().getName()}"
             if rel not in dv_referenced and old_enough(d):
-                fs.delete(d.getPath(), True)
+                if not dry_run:
+                    fs.delete(d.getPath(), True)
                 deleted += 1
     # crashed writers' pre-claim manifest materializations: _finish
     # deletes its own tmp dir on every exit path, so anything still here
@@ -3177,7 +3186,8 @@ def vacuum_manifest_table(
     if fs.exists(tmp_root):
         for d in fs.listStatus(tmp_root):
             if old_enough(d):
-                fs.delete(d.getPath(), True)
+                if not dry_run:
+                    fs.delete(d.getPath(), True)
                 deleted += 1
     return deleted
 
