@@ -5403,3 +5403,45 @@ def test_vacuum_dry_run_counts_without_deleting(spark, tmp_path):
     assert vacuum_manifest_table(spark, base) == predicted
     assert vacuum_manifest_table(spark, base, dry_run=True) == 0
     assert _content(spark, base) == before
+
+
+def test_merge_schema_evolution_widens_on_flag_and_refuses_silently_dropping(
+    spark, tmp_path
+):
+    """MERGE with schema evolution (Delta's withSchemaEvolution): an
+    extra batch column REFUSES without the flag — before this guard the
+    relational merge silently projected it away, the worst outcome for
+    a CDC source that just added a field — and with
+    ``allow_evolution=True`` widens the schema as a new era: rewritten
+    candidates carry the column, untouched files read it NULL-filled,
+    and a later full-schema merge behaves normally."""
+    from tibame_project_spark.localdf import local_rows_df
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(i, i) for i in range(20)]), base,
+        stats_cols=["id"], cluster_by="id", n_files=2, keep=10,
+    )
+    batch = local_rows_df(
+        spark, [(0, 100, "x"), (50, 500, "y")], "id long, v long, w string"
+    )
+    with pytest.raises(ValueError, match="allow_evolution"):
+        merge_manifest_table(spark, batch, base, "id", keep=10)
+    merge_manifest_table(
+        spark, batch, base, "id", keep=10, allow_evolution=True
+    )
+    got = read_manifest_table(spark, base)
+    assert got.columns == ["id", "v", "w"]
+    rows = {(r["id"], r["v"], r["w"]) for r in got.collect()}
+    assert (0, 100, "x") in rows and (50, 500, "y") in rows  # update+insert
+    assert (15, 15, None) in rows  # untouched file: NULL-filled new column
+    # the widened schema is now the standing contract for plain merges
+    merge_manifest_table(
+        spark,
+        local_rows_df(spark, [(1, 11, "z")], "id long, v long, w string"),
+        base, "id", keep=10,
+    )
+    assert (1, 11, "z") in {
+        (r["id"], r["v"], r["w"])
+        for r in read_manifest_table(spark, base).collect()
+    }

@@ -1926,6 +1926,7 @@ def merge_manifest_table(
     keep: int = 2,
     expect: list | None = None,
     txn: tuple[str, int] | None = None,
+    allow_evolution: bool = False,
 ) -> int:
     """MERGE a change batch into the table, rewriting ONLY the files whose
     ``key`` range can contain a batch key (Delta/Iceberg's
@@ -1950,7 +1951,14 @@ def merge_manifest_table(
     :func:`append_manifest_table`. A replayed merge still prepares its
     rewrite files before the watermark check no-ops the publish; those
     unreferenced files are vacuum's to reclaim, the same as any losing
-    racer's."""
+    racer's.
+
+    ``allow_evolution=True`` (Delta's ``withSchemaEvolution`` MERGE):
+    batch columns the table lacks widen the schema as a new era —
+    candidates rewrite carrying the new columns, every untouched file
+    stays on its old era and reads NULL-filled. Without the flag an
+    extra batch column REFUSES loudly (the silent alternative would
+    drop a CDC source's new column without a trace)."""
     if txn is not None:
         _, _, h0, _ = _begin(spark, base_path)
         if h0 is not None:
@@ -1960,6 +1968,7 @@ def merge_manifest_table(
     edit = _prepare_merge_edit(
         spark, source, base_path, key, delete_col=delete_col, expect=expect,
         where=f"merge_manifest_table({base_path})",
+        allow_evolution=allow_evolution,
     )
     # read set = replace set = the candidate files; a concurrent commit
     # touching them, or any file in this batch's key range, conflicts
@@ -1992,6 +2001,7 @@ def _prepare_merge_edit(
     delete_col: str | None,
     expect: list | None,
     where: str,
+    allow_evolution: bool = False,
 ) -> dict:
     """Everything a MERGE does BEFORE publishing — candidate selection,
     the merge rewrite, data write, stats — packaged as the manifest EDIT
@@ -2031,6 +2041,37 @@ def _prepare_merge_edit(
         )
     dv_key = meta.get("dv_key")
     schemas, schema_id = _registry(meta)
+    # ADD-COLUMN schema evolution on MERGE (Delta's withSchemaEvolution):
+    # batch columns the table lacks either widen the schema (fresh field
+    # ids across the whole registry, candidates rewrite under the new
+    # era, carried files NULL-fill at read) or refuse LOUDLY — the
+    # silent alternative (merge_upsert projecting them away) would let a
+    # CDC source's new column vanish without a trace
+    extras = [
+        c for c in source.columns
+        if c != delete_col and c not in {f.name for f in schema.fields}
+    ]
+    if extras:
+        if not allow_evolution:
+            raise ValueError(
+                f"merge batch adds columns {extras}; pass "
+                "allow_evolution=True to widen the table schema "
+                "(without it they would be silently dropped)"
+            )
+        schema = StructType(
+            list(schema.fields) + [source.schema[c] for c in extras]
+        )
+        next_id = max(f["id"] for fl in schemas.values() for f in fl) + 1
+        new_fields = list(schemas[schema_id]) + [
+            {
+                "id": next_id + j,
+                "name": c,
+                "type": source.schema[c].dataType.jsonValue(),
+            }
+            for j, c in enumerate(extras)
+        ]
+        schema_id = max(schemas) + 1
+        schemas[schema_id] = new_fields
     edit = {
         "base_head": head,
         "key": key,
@@ -2068,6 +2109,10 @@ def _prepare_merge_edit(
     # projected to the CURRENT schema, so a merge doubles as the
     # migration pass for pre-evolution files it touches
     current = _read_live(spark, base_path, cand_files, meta)
+    for c in extras:  # candidates lift into the widened schema NULL-filled
+        current = current.withColumn(
+            c, F.lit(None).cast(source.schema[c].dataType)
+        )
     rules = _constraint_rules(meta, delete_col)  # tombstones exempt
     if rules:
         expect = (list(expect) if expect else []) + rules
@@ -2095,6 +2140,7 @@ def stage_merge_manifest_table(
     *,
     delete_col: str | None = None,
     expect: list | None = None,
+    allow_evolution: bool = False,
 ) -> str:
     """Write-audit-publish, stage one (Iceberg's WAP pattern, on the
     manifest protocol): run the ENTIRE merge — candidate selection,
@@ -2118,6 +2164,7 @@ def stage_merge_manifest_table(
     edit = _prepare_merge_edit(
         spark, source, base_path, key, delete_col=delete_col, expect=expect,
         where=f"stage_merge_manifest_table({base_path})",
+        allow_evolution=allow_evolution,
     )
     return _persist_stage(spark, base_path, edit, op="merge")
 
