@@ -4464,32 +4464,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is ~1986 of the 1995-char budget — the registry is effectively FULL.
     # New operators should be pytest-covered (see README crosswalk rows
     # without a query key) unless a key is retired or the format shrinks.
-    # r12 window: block 1 = this round's changes — stream_sink CHANGED
-    # (now also prices the persisted-CHECK refusal, the txn-registry
-    # expiry bound, and routes every commit through the deployable
-    # CoordinatedCommitFS adapter — r11 directives 4/5/6 in one row) —
-    # plus the two keys whose latest green is r09 and which the r11
-    # boundary note explicitly deferred here: fuzzy_match (the cartesian
-    # correctness baseline of the fuzzy family) and approx_users (sketch
-    # certificates). Block 2 = 47 of the 48 r10-green entries, due back
-    # at their 2-round boundary. ONE r10-green key is deferred to r13:
-    # mart_star_trends — the entry() flagship, whose exact surface the
-    # driver ALREADY smoke-checks every round at sf0.001 and whose
-    # oracle test_oracle_parity re-proves every pytest run, so it is the
-    # only key with a per-round witness outside this window. Below the
-    # boundary: mart_star_trends first (priority at r13), then the 49
-    # r11-green entries.
-    # NOTE r12 also CHANGED manifest_merge (the new UPDATE verb rides
-    # its gate as the update_v6 leg) — it sits in block 2 below, inside
-    # the window, so the changed-keys-witnessed rule holds for it too.
+    # r13 window: block 1 = mart_star_trends FIRST (the one key deferred
+    # past its 2-round boundary at r12; r12's VERDICT ordered it to lead)
+    # plus this round's two CHANGED keys — evolution_cycle (now also
+    # prices MERGE schema evolution and metadata-only DROP COLUMN as new
+    # legs) and manifest_merge (now also prices the SHALLOW CLONE
+    # lifecycle: clone, divergent write, both heads hashed) — r12
+    # directives 5/6. Block 2 = 47 of the 49 r11-green entries, due back
+    # at their 2-round boundary. TWO r11-green keys are deferred to r14:
+    # clean_chain and fb_dates — the only two keys whose exact surfaces
+    # are ALSO re-proven every pytest run by golden-file tests against
+    # the committed reference CSVs (tests/test_golden_*), i.e. the same
+    # independent-per-round-witness justification that carried
+    # mart_star_trends' r12 deferral. Below the boundary: clean_chain and
+    # fb_dates first (priority at r14), then the r12-green block.
     return {
-        # -- block 1: changed this round + the two deferred r09 keys ------
-        "stream_sink": q_stream_sink,  # changed: +constraint/txn-expiry/adapter gates
-        "fuzzy_match": q_fuzzy_match,  # r09 — deferred by r11's boundary note
-        "approx_users": q_approx_users,  # r09 — deferred by r11's boundary note
-        # -- block 2: the r10-green entries, due back ----------------------
-        "evolution_cycle": q_evolution_cycle,
-        "manifest_merge": q_manifest_merge,
+        # -- block 1: the deferred r10 key + this round's changed keys -----
+        "mart_star_trends": q_mart_star_trends,  # r10 — r12 VERDICT: lead r13
+        "evolution_cycle": q_evolution_cycle,  # changed: +drop-column/merge-evolution legs
+        "manifest_merge": q_manifest_merge,  # changed: +shallow-clone leg
+        # -- block 2: the r11-green entries, due back ----------------------
+        "curation_pass": q_curation_pass,
+        "ivm_mart": q_ivm_mart,
+        "merge_upsert": q_merge_upsert,
+        "fuzzy_blocked": q_fuzzy_blocked,
+        "corrections": q_corrections,
+        "stratified_sample": q_stratified_sample,
+        "pricing_summary": q_pricing_summary,
+        "dim_time": q_dim_time,
+        "dedup_keep_last": q_dedup_keep_last,
+        "customers_without_orders": q_customers_without_orders,
+        "relative_date": q_relative_date,
+        "window_topk": q_window_topk,
+        "semi_join": q_semi_join,
+        "unpivot_measures": q_unpivot,
+        "token_counts": q_token_counts,
+        "doc_stats": q_doc_stats,
+        "gopher_quality": q_gopher_quality,
+        "top_terms": q_top_terms,
+        "chunk_docs": q_chunk_docs,
+        "pii_scrub": q_pii_scrub,
+        "bpe_tokens": q_bpe_tokens,
+        "fingerprints": q_fingerprints,
+        "lang_id": q_lang_id,
+        "events_rollup": q_events_rollup,
+        "dedup_keep_first": q_dedup_keep_first,
+        "insert_missing": q_insert_missing,
+        "left_join_chain": q_left_join_chain,
+        "self_join": q_self_join,
+        "salted_rollup": q_salted_rollup,
+        "approx_percentiles": q_approx_percentiles,
+        "top_ngram": q_top_ngram,
+        "attribution": q_attribution,
+        "stream_enrich": q_stream_enrich,
+        "rp_ann": q_rp_ann,
+        "curriculum": q_curriculum,
+        "bigram_lm": q_bigram_lm,
+        "hybrid_rerank": q_hybrid_rerank,
+        "quantized_ann": q_quantized_ann,
+        "knn_eval": q_knn_eval,
+        "alpha_mix": q_alpha_mix,
+        "diverse_topk": q_diverse_topk,
+        "corpus_shuffle": q_corpus_shuffle,
+        "quality_sample": q_quality_sample,
+        "bpe_pairs": q_bpe_pairs,
+        "hard_negatives": q_hard_negatives,
+        "semantic_dedup": q_semantic_dedup,
+        "sparse_topk": q_sparse_topk,
+        # ---- 50-key window boundary; below: due back at r14 --------------
+        # clean_chain and fb_dates lead (the two r11-green keys deferred
+        # past their boundary — uniquely safe: golden-file tests against
+        # the committed reference CSVs re-prove their exact surfaces every
+        # pytest run, on top of oracle parity), then the r12-green block.
+        "clean_chain": q_clean_chain,  # r11 — golden-witnessed; priority at r14
+        "fb_dates": q_fb_dates,  # r11 — golden-witnessed; priority at r14
+        "stream_sink": q_stream_sink,
+        "fuzzy_match": q_fuzzy_match,
+        "approx_users": q_approx_users,
         "pagerank": q_pagerank,
         "set_ops": q_set_ops,
         "radius_grid": q_radius_grid,
@@ -4535,60 +4586,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "pivot_event_types": q_pivot_event_types,
         "month_over_month": q_month_over_month,
-        # ---- 50-key window boundary; below: due back at r13 --------------
-        # mart_star_trends leads (the one r10-green key deferred past its
-        # boundary — uniquely safe: entry() runs this exact query every
-        # round as the driver's smoke check), then the r11-green block.
-        "mart_star_trends": q_mart_star_trends,
-        "curation_pass": q_curation_pass,
-        "ivm_mart": q_ivm_mart,
-        "merge_upsert": q_merge_upsert,
-        "fuzzy_blocked": q_fuzzy_blocked,
-        "corrections": q_corrections,
-        "stratified_sample": q_stratified_sample,
-        "pricing_summary": q_pricing_summary,
-        "dim_time": q_dim_time,
-        "dedup_keep_last": q_dedup_keep_last,
-        "customers_without_orders": q_customers_without_orders,
-        "relative_date": q_relative_date,
-        "window_topk": q_window_topk,
-        "semi_join": q_semi_join,
-        "unpivot_measures": q_unpivot,
-        "token_counts": q_token_counts,
-        "doc_stats": q_doc_stats,
-        "gopher_quality": q_gopher_quality,
-        "top_terms": q_top_terms,
-        "chunk_docs": q_chunk_docs,
-        "pii_scrub": q_pii_scrub,
-        "bpe_tokens": q_bpe_tokens,
-        "fingerprints": q_fingerprints,
-        "lang_id": q_lang_id,
-        "events_rollup": q_events_rollup,
-        "dedup_keep_first": q_dedup_keep_first,
-        "insert_missing": q_insert_missing,
-        "left_join_chain": q_left_join_chain,
-        "self_join": q_self_join,
-        "fb_dates": q_fb_dates,
-        "clean_chain": q_clean_chain,
-        "salted_rollup": q_salted_rollup,
-        "approx_percentiles": q_approx_percentiles,
-        "top_ngram": q_top_ngram,
-        "attribution": q_attribution,
-        "stream_enrich": q_stream_enrich,
-        "rp_ann": q_rp_ann,
-        "curriculum": q_curriculum,
-        "bigram_lm": q_bigram_lm,
-        "hybrid_rerank": q_hybrid_rerank,
-        "quantized_ann": q_quantized_ann,
-        "knn_eval": q_knn_eval,
-        "alpha_mix": q_alpha_mix,
-        "diverse_topk": q_diverse_topk,
-        "corpus_shuffle": q_corpus_shuffle,
-        "quality_sample": q_quality_sample,
-        "bpe_pairs": q_bpe_pairs,
-        "hard_negatives": q_hard_negatives,
-        "semantic_dedup": q_semantic_dedup,
-        "sparse_topk": q_sparse_topk,
     }
 
 
