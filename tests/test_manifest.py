@@ -5445,3 +5445,153 @@ def test_merge_schema_evolution_widens_on_flag_and_refuses_silently_dropping(
         (r["id"], r["v"], r["w"])
         for r in read_manifest_table(spark, base).collect()
     }
+
+
+# ---------------------------------------------------------------------------
+# atomic metadata publish (the feed-cursor durability barrier)
+# ---------------------------------------------------------------------------
+
+
+def test_cursor_publish_is_atomic_under_concurrent_polling(spark, tmp_path):
+    """A raw (retry-free) poller racing a producer's cursor publishes must
+    never observe empty or torn JSON: _write_text publishes via temp +
+    atomic rename, so the only observable states are the previous value
+    and the new value. This is the witnessed r12 flake — a consumer
+    polling the cursor hit JSONDecodeError mid-publish."""
+    import json as _json
+    import threading
+
+    from tibame_project_spark.sources.manifest import _read_text, _write_text
+
+    state = str(tmp_path / "cursor.json")
+    _write_text(spark, state, _json.dumps({"version": 0}))
+
+    seen: list[int] = []
+    bad: list[str] = []
+    stop = threading.Event()
+
+    def poll() -> None:
+        while not stop.is_set():
+            raw = _read_text(spark, state)
+            try:
+                seen.append(_json.loads(raw)["version"])
+            except ValueError:
+                bad.append(raw)
+                return
+
+    t = threading.Thread(target=poll, daemon=True)
+    t.start()
+    # keep publishing until the poller has raced enough reads (the JVM
+    # read round-trip is ~100x slower than an os.replace publish)
+    v = 0
+    while not bad and len(seen) < 8 and v < 50_000:
+        v += 1
+        _write_text(spark, state, _json.dumps({"version": v}))
+    stop.set()
+    t.join(timeout=30)
+    assert not bad, f"poller observed torn cursor content: {bad[:3]!r}"
+    # the poller raced real publishes (not a vacuous pass) and versions
+    # were observed monotonically — no stale-after-fresh reordering
+    assert len(seen) >= 8
+    assert seen == sorted(seen)
+
+
+def test_torn_cursor_read_recovers_once_repaired(spark, tmp_path):
+    """_read_json_poll bounded-retries over empty/torn content (the
+    object-store fallback window) and succeeds when a concurrent
+    publisher lands the full value within the retry budget."""
+    import json as _json
+    import threading
+
+    from tibame_project_spark.sources.manifest import (
+        _read_json_poll,
+        _write_text,
+    )
+
+    state = str(tmp_path / "cursor.json")
+    (tmp_path / "cursor.json").write_text("")  # torn: crash mid-create
+
+    def repair() -> None:
+        _write_text(spark, state, _json.dumps({"version": 7}))
+
+    t = threading.Timer(0.2, repair)
+    t.start()
+    try:
+        assert _read_json_poll(
+            spark, state, "feed cursor", attempts=20
+        )["version"] == 7
+    finally:
+        t.cancel()
+
+
+def test_permanently_truncated_cursor_diagnoses_not_json_error(spark, tmp_path):
+    """A cursor left truncated forever (pre-atomic-publish crash) must
+    exhaust the bounded retries and surface a diagnosis naming the file
+    and the recovery, not a bare JSONDecodeError — both through the feed
+    and through the consumer drain loop."""
+    from tibame_project_spark.sources.manifest import manifest_feed
+    from tibame_project_spark.streaming.incremental import (
+        consume_manifest_feed,
+    )
+
+    base = str(tmp_path / "t")
+    state = str(tmp_path / "cursor.json")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"], keep=5
+    )
+    (tmp_path / "cursor.json").write_text("{\"vers")  # torn mid-write
+    with pytest.raises(ValueError, match="truncated by a crash mid-publish"):
+        manifest_feed(spark, base, "id", state_path=state)
+    with pytest.raises(ValueError, match="truncated by a crash mid-publish"):
+        consume_manifest_feed(
+            spark, base, "id", state_path=state,
+            apply_batch=lambda df, v: None, max_epochs=1,
+        )
+
+
+def test_meta_fast_path_torn_read_falls_back_to_jvm(spark, tmp_path, monkeypatch):
+    """A torn/quirky pyarrow fast-path read of a commit's meta json must
+    fall back to the Hadoop read path (which sees the full bytes), while
+    a feature-gate refusal surfaced BY the fast path must propagate —
+    json.JSONDecodeError subclasses ValueError, so the gate re-raise has
+    to be class-exact (UnsupportedTableFeatureError)."""
+    import tibame_project_spark.sources.manifest as man
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"], keep=5
+    )
+
+    class _TornStream:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self):
+            return b'{"schema": {"fi'  # truncated mid-publish
+
+    class _TornFS:
+        def open_input_stream(self, rel):
+            return _TornStream()
+
+    monkeypatch.setattr(man, "_arrow_fs", lambda path: (_TornFS(), "x"))
+    meta = man._meta(spark, base, 0)  # falls back, parses the real bytes
+    assert "schema" in meta
+
+    class _GateStream(_TornStream):
+        def read(self):
+            import json as _json
+
+            return _json.dumps({"require": ["time-crystals"]}).encode()
+
+    class _GateFS:
+        def open_input_stream(self, rel):
+            return _GateStream()
+
+    monkeypatch.setattr(man, "_arrow_fs", lambda path: (_GateFS(), "x"))
+    with pytest.raises(
+        man.UnsupportedTableFeatureError, match="time-crystals"
+    ):
+        man._meta(spark, base, 0)

@@ -106,6 +106,7 @@ from __future__ import annotations
 
 import json
 import math
+import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -194,12 +195,76 @@ def _fs_for(spark: SparkSession, path: str):
 
 def _write_text(spark: SparkSession, path: str, text: str) -> None:
     """Small metadata file through the Hadoop FS API (portable to object
-    stores, unlike ``open()``); overwrite-allowed — publication is the
-    marker, not this file."""
-    fs, p, _ = _fs_for(spark, path)
+    stores, unlike ``open()``), published via temp file + atomic rename.
+
+    A direct ``create(path, overwrite) .. write .. close`` exposes the
+    empty/partial window between create and close to concurrent readers,
+    and a crash inside it leaves a permanently truncated file. That is
+    fatal for the feed cursor: live consumers POLL it between producer
+    commits (:func:`manifest_feed` /
+    ``streaming.incremental.consume_manifest_feed``), and a torn cursor
+    bricks consumer restart instead of resuming — witnessed as a
+    ``JSONDecodeError`` under a loaded suite. So: write a dot-prefixed
+    temp sibling, then rename into place.
+
+    Local paths replace via ``os.replace``: POSIX ``rename(2)`` is the
+    real atomic overwrite, while Hadoop's LOCAL ``FileContext``
+    ``Rename.OVERWRITE`` is the default ``renameInternal`` — delete-
+    then-rename, observably NOT atomic (a racing poller catches the
+    missing-file window; only HDFS overrides it natively). The old
+    ``fs.create`` path may have left a ChecksumFileSystem ``.crc``
+    sidecar; drop it BEFORE the replace (stale crc + new bytes =
+    ChecksumException on read; no crc = plain read).
+
+    Remote paths: plain ``rename`` when the destination is fresh (the
+    meta/stage case: version-unique names), else ``FileContext``'s
+    ``Rename.OVERWRITE`` (atomic on HDFS). Schemes with no
+    ``AbstractFileSystem`` binding (s3a et al.) fall back to
+    delete+rename, then to the direct overwrite create — on object
+    stores a PUT only becomes visible at close, which is the atomicity
+    the rename provides elsewhere."""
+    local = _local_dir(path)
+    if local is not None:
+        import os as _os
+
+        d, name = _os.path.split(local)
+        _os.makedirs(d, exist_ok=True)
+        crc = _os.path.join(d, f".{name}.crc")
+        if _os.path.exists(crc):
+            _os.remove(crc)
+        tmp_local = _os.path.join(d, f".{name}.tmp-{uuid.uuid4().hex}")
+        with open(tmp_local, "w", encoding="utf-8") as f:
+            f.write(text)
+            f.flush()
+            _os.fsync(f.fileno())
+        _os.replace(tmp_local, local)
+        return
+    fs, p, jvm = _fs_for(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        p.getParent(), f".{p.getName()}.tmp-{uuid.uuid4().hex}"
+    )
+    out = fs.create(tmp, True)
+    out.write(bytearray(text.encode("utf-8")))
+    out.close()
+    if fs.rename(tmp, p):
+        return
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            p.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        ren = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = spark._sc._gateway.new_array(ren, 1)
+        opts[0] = ren.OVERWRITE
+        fc.rename(tmp, p, opts)
+        return
+    except Exception:
+        pass
+    if fs.delete(p, False) and fs.rename(tmp, p):
+        return
     out = fs.create(p, True)
     out.write(bytearray(text.encode("utf-8")))
     out.close()
+    fs.delete(tmp, False)
 
 
 def _read_text(spark: SparkSession, path: str) -> str:
@@ -209,6 +274,35 @@ def _read_text(spark: SparkSession, path: str) -> str:
         return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
     finally:
         stream.close()
+
+
+def _read_json_poll(
+    spark: SparkSession, path: str, what: str, *,
+    attempts: int = 5, delay_s: float = 0.05,
+) -> dict:
+    """Parse a small JSON metadata file whose readers poll it while a
+    writer may be publishing (the feed cursor): bounded retry on
+    empty/torn content. ``_write_text`` publishes atomically on
+    rename-capable stores, so a retry only fires on the object-store
+    fallback path or on a file truncated by a pre-atomic-publish crash —
+    the latter exhausts the retries and surfaces a diagnosis instead of
+    a bare ``JSONDecodeError``. Missing files are NOT retried (absence
+    is a state callers branch on, e.g. feed bootstrap)."""
+    import time as _time
+
+    last: ValueError | None = None
+    for i in range(attempts):
+        try:
+            return json.loads(_read_text(spark, path))
+        except ValueError as e:  # JSONDecodeError subclasses ValueError
+            last = e
+            _time.sleep(delay_s * (i + 1))
+    raise ValueError(
+        f"{what} at {path} is empty or unparseable after {attempts} "
+        "reads — likely truncated by a crash mid-publish (pre-atomic-"
+        "rename engine version); delete it to re-bootstrap, or restore "
+        "it from the consumer's last applied version"
+    ) from last
 
 
 def _begin(spark: SparkSession, base_path: str):
@@ -239,6 +333,15 @@ _SUPPORTED_FEATURES = frozenset({
 })
 
 
+class UnsupportedTableFeatureError(ValueError):
+    """A table's ``require`` list names features this engine lacks.
+
+    A dedicated class (not bare ``ValueError``) because ``_meta``'s
+    pyarrow fast path must re-raise exactly this while letting
+    ``json.JSONDecodeError`` — which SUBCLASSES ``ValueError`` — fall
+    through to the JVM read path on a quirky/torn fast-path read."""
+
+
 def _check_features(meta: dict, base_path: str) -> dict:
     """Gate every meta load on the table's required-feature list: a
     table written by an engine version with features this one lacks is
@@ -247,7 +350,7 @@ def _check_features(meta: dict, base_path: str) -> dict:
     inspect ``require`` itself). Legacy metas without the key pass."""
     unknown = sorted(set(meta.get("require") or []) - _SUPPORTED_FEATURES)
     if unknown:
-        raise ValueError(
+        raise UnsupportedTableFeatureError(
             f"table {base_path} requires table features this engine does "
             f"not implement: {unknown} (supported: "
             f"{sorted(_SUPPORTED_FEATURES)}) — refusing to read or write "
@@ -276,10 +379,13 @@ def _meta(spark: SparkSession, base_path: str, version: int) -> dict:
                 )
         except FileNotFoundError:
             raise
-        except ValueError:
+        except UnsupportedTableFeatureError:
             raise  # the feature gate: never fall through to a re-read
         except Exception:
-            pass  # scheme/permission quirk: the JVM path decides
+            # scheme/permission quirk OR a torn fast-path read (note
+            # json.JSONDecodeError subclasses ValueError, so the gate
+            # re-raise above must stay class-exact): the JVM path decides
+            pass
     return _check_features(json.loads(_read_text(spark, path)), base_path)
 
 
@@ -3815,7 +3921,7 @@ def manifest_feed(
             *[F.col(c).alias(f"new_{c}") for c in cols],
         )
         return boot, head
-    cursor = json.loads(_read_text(spark, state_path))["version"]
+    cursor = _read_json_poll(spark, state_path, "feed cursor")["version"]
     if cursor > head:
         raise ValueError(
             f"feed cursor {cursor} is ahead of table head {head} under "

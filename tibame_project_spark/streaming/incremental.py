@@ -495,11 +495,10 @@ def consume_manifest_feed(
                 f"no committed manifest table under {base_path}"
             )
         if fs.exists(fs_state):
-            import json as _json
+            from tibame_project_spark.sources.manifest import _read_json_poll
 
-            from tibame_project_spark.sources.manifest import _read_text
-
-            cursor = _json.loads(_read_text(spark, state_path))["version"]
+            # torn-tolerant: this poll races the producer's cursor publish
+            cursor = _read_json_poll(spark, state_path, "feed cursor")["version"]
             if cursor >= head:
                 break
             target = cursor + 1 if per_commit else head
