@@ -5595,3 +5595,66 @@ def test_meta_fast_path_torn_read_falls_back_to_jvm(spark, tmp_path, monkeypatch
         man.UnsupportedTableFeatureError, match="time-crystals"
     ):
         man._meta(spark, base, 0)
+
+
+def test_merge_evolution_matches_columns_case_insensitively(spark, tmp_path):
+    """Spark resolves columns case-insensitively, so a batch column
+    drifting only in case ('V' vs 'v') is NOT schema evolution: it must
+    merge without the flag and must never widen the table into duplicate
+    case-variant columns (which would make every later read ambiguous)."""
+    from tibame_project_spark.localdf import local_rows_df
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1), (2, 2)]), base, stats_cols=["id"], keep=10
+    )
+    batch = local_rows_df(spark, [(2, 20)], "id long, V long")
+    merge_manifest_table(spark, batch, base, "id", keep=10)  # no refusal
+    got = read_manifest_table(spark, base)
+    assert got.columns == ["id", "v"]  # no duplicate case-variant column
+    assert {(r["id"], r["v"]) for r in got.collect()} == {(1, 1), (2, 20)}
+    # same under the flag: the case variant still isn't an "extra"
+    merge_manifest_table(
+        spark, local_rows_df(spark, [(3, 30)], "id long, V long"),
+        base, "id", keep=10, allow_evolution=True,
+    )
+    got = read_manifest_table(spark, base)
+    assert got.columns == ["id", "v"]
+
+
+def test_stream_cdc_bootstrap_epoch_skips_compaction_cadence(spark, tmp_path):
+    """With compact_every=1, the bootstrap epoch must publish exactly ONE
+    version (v0): its write is already one clustered fold, and refolding
+    it would drift version numbers for callers pinning them. The cadence
+    starts at the first incremental epoch."""
+    from tibame_project_spark.streaming.incremental import (
+        stream_cdc_apply_manifest,
+    )
+
+    src = tmp_path / "feed"
+    base = str(tmp_path / "mantab")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, v long, dead boolean"
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        stream_cdc_apply_manifest(
+            stream, base, "id", checkpoint=ckpt, delete_col="dead",
+            compact_every=1, keep=10,
+        )
+
+    land([(1, 1, False), (2, 2, False)])
+    run()
+    assert read_manifest_version(spark, base) == 0  # bootstrap only: v0
+    # first incremental epoch: merge (v1) + its scheduled fold (v2)
+    land([(3, 3, False)])
+    run()
+    assert read_manifest_version(spark, base) == 2
+    assert {
+        (r["id"], r["v"]) for r in read_manifest_table(spark, base).collect()
+    } == {(1, 1), (2, 2), (3, 3)}

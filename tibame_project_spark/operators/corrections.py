@@ -86,7 +86,10 @@ def merge_upsert(
     if not keys:
         raise ValueError("merge_upsert needs at least one key column")
     tcols = target.columns
-    missing = set(tcols) - set(source.columns)
+    # case-insensitive, like Spark's own column resolution: a source
+    # carrying 'V' satisfies target column 'v' (F.col("v") resolves it)
+    src_ci = {c.casefold() for c in source.columns}
+    missing = {c for c in tcols if c.casefold() not in src_ci}
     if missing:
         raise ValueError(
             f"merge_upsert source must carry every target column; missing {sorted(missing)}"

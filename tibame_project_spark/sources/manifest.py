@@ -2153,9 +2153,15 @@ def _prepare_merge_edit(
     # era, carried files NULL-fill at read) or refuse LOUDLY — the
     # silent alternative (merge_upsert projecting them away) would let a
     # CDC source's new column vanish without a trace
+    # case-INSENSITIVE match, like Spark's own column resolution: a
+    # source column drifting only in case ('Price' vs 'price') must not
+    # evolve into a duplicate case-variant column that makes every later
+    # read ambiguous (mirrors the IGNORECASE constraint-reference guard
+    # in evolve_manifest_table)
+    have_ci = {f.name.casefold() for f in schema.fields}
     extras = [
         c for c in source.columns
-        if c != delete_col and c not in {f.name for f in schema.fields}
+        if c != delete_col and c.casefold() not in have_ci
     ]
     if extras:
         if not allow_evolution:
@@ -2958,7 +2964,18 @@ def update_manifest_table(
     resurrect. Rewritten rows re-validate against the table's persisted
     CHECK constraints — an UPDATE that would break one refuses with
     nothing published. Returns the new version, or the current head
-    when nothing matches (no commit — like a no-op merge)."""
+    when nothing matches (no commit — like a no-op merge).
+
+    Isolation is WRITE-SERIALIZABLE, not serializable (Delta's default,
+    same trade): the commit passes no key ``bounds`` to ``_finish``, so
+    a CONCURRENT append/merge that lands rows matching ``where`` after
+    this op's candidate scan rebases cleanly and those rows keep their
+    original values — the UPDATE applied to the snapshot it read, not
+    to the interleaved writer's rows. Writers needing the stricter
+    guarantee should route the update through
+    :func:`merge_manifest_table` keyed on the rows to change (its
+    keyspace bounds conflict with overlapping concurrent commits), or
+    serialize externally via ``txn=``."""
     fs, listing, head, _ = _begin(spark, base_path)
     if head is None:
         raise FileNotFoundError(f"no committed manifest table under {base_path}")

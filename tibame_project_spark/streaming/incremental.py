@@ -304,7 +304,16 @@ def stream_cdc_apply_manifest(
                 spark, first, base_path, stats_cols=[key], cluster_by=key,
                 keep=keep, txn=(app_id, epoch) if app_id else None,
             )
-        elif replayed:
+            # the bootstrap write IS one clustered fold — running the
+            # compaction cadence on it (compact_every=1) would refold the
+            # just-written files into an extra version, drifting version
+            # numbers for callers that pin them. The cadence starts at the
+            # first incremental epoch. (A crash-REPLAYED bootstrap takes
+            # the `replayed` branch below and still reaches the cadence —
+            # the fold is fixpoint-safe, and deferring it there would cost
+            # a full compact_every cycle.)
+            return
+        if replayed:
             pass  # watermark hit: skip the merge/delete jobs, but fall
             # through to the compaction cadence below — a replayed epoch
             # that returned early would defer its scheduled fold a full
