@@ -2636,7 +2636,15 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     files rewrite, price ×2 exact-in-binary) runs as v6, and the oracle
     replays it relationally — a candidate scan that misses a file, a
     rewrite that loses carried rows, or a broken type-preserving cast
-    all fail the hash. Replaces the retired ``hash_sample`` key (its deterministic
+    all fail the hash. r13 folds the SHALLOW CLONE lifecycle in after
+    the UPDATE: the cloned version is tag-pinned on the source
+    (``clone0`` — the documented clone-liveness discipline), the head is
+    zero-copy cloned, a divergent batch is appended to the CLONE only,
+    and the source is vacuumed again; both heads' row counts ride the
+    frame (``src_rows``/``clone_rows``), so divergence leaking into the
+    source, a clone that missed carried rows, or a source vacuum that
+    swept a clone-referenced byte all fail the hash. Replaces the
+    retired ``hash_sample`` key (its deterministic
     order-by-md5 surface stays gated via ``corpus_shuffle``/
     ``stratified_sample``)."""
     from tibame_project_spark.sources.manifest import (
@@ -2711,9 +2719,18 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     leg("restore_v5", lambda: restore_manifest_table(spark, base, 4))
     # vacuum must reclaim the stranded first-merge outputs (≥1 file) and
     # must NOT touch the tagged release's files — both asserted: the
-    # sweep count here, the pinned bytes via the rel0_rows read below
-    if leg("vacuum", lambda: vacuum_manifest_table(spark, base)) < 1:
+    # sweep count here, the pinned bytes via the rel0_rows read below.
+    # r13: DRY RUN is priced first — it must predict the real sweep
+    # exactly while deleting nothing (a dry run that deleted would break
+    # the later reads; one that miscounted breaks this assertion)
+    dry = leg("vacuum_dry", lambda: vacuum_manifest_table(
+        spark, base, dry_run=True
+    ))
+    swept = leg("vacuum", lambda: vacuum_manifest_table(spark, base))
+    if swept < 1:
         raise AssertionError("vacuum swept nothing — stranded merge outputs expected")
+    if dry != swept:
+        raise AssertionError(f"dry run predicted {dry} files, vacuum swept {swept}")
     # r12: the UPDATE verb enters the gate — rewrite ONLY the files
     # holding the merge's inserts (stats-pruned candidate scan: the
     # insert keyspace sits above every original file's range), doubling
@@ -2727,9 +2744,38 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey >= 10000000",
         prune="max_o_orderkey >= 10000000",
     ))
+    # r13: the SHALLOW CLONE lifecycle enters the gate. Pin the cloned
+    # version on the source first (the documented clone-liveness
+    # discipline), zero-copy clone the head, commit a DIVERGENT append
+    # to the clone, then vacuum the SOURCE again: divergence leaking
+    # into the source shifts src_rows, a vacuum that swept a clone-
+    # referenced (tag-pinned) byte breaks clone_rows — both hashed.
+    clone_base = _fresh_table_dir("manifest_merge_clone")
+    leg("tag_clone0", lambda: tag_manifest_version(spark, base, "clone0", 6))
+    from tibame_project_spark.sources.manifest import (
+        append_manifest_table,
+        clone_manifest_table,
+    )
+    leg("clone_v", lambda: clone_manifest_table(spark, base, clone_base))
+    diverge = orders.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+        "o_custkey", "o_totalprice", "o_orderdate",
+        F.lit("CLONED").alias("o_orderpriority"),
+    )
+    leg("clone_diverge", lambda: append_manifest_table(
+        spark, diverge, clone_base
+    ))
+    leg("vacuum_src_postclone", lambda: vacuum_manifest_table(spark, base))
+    heads = read_manifest_table(spark, base).agg(
+        F.count(F.lit(1)).alias("src_rows")
+    ).crossJoin(
+        read_manifest_table(spark, clone_base).agg(
+            F.count(F.lit(1)).alias("clone_rows")
+        )
+    )
     rel0 = read_manifest_table(spark, base, tag="rel0").agg(
         F.count(F.lit(1)).alias("rel0_rows")
-    )
+    ).crossJoin(heads)
     half = hi
     probe = [
         r["o_custkey"]
@@ -2786,8 +2832,13 @@ updated AS (
          CASE WHEN o_orderkey >= 10000000 THEN 'UPDATED'
               ELSE o_orderpriority END AS o_orderpriority
   FROM merged)
-SELECT m.*, r.rel0_rows FROM updated m
+SELECT m.*, r.rel0_rows, s.src_rows, c.clone_rows FROM updated m
 CROSS JOIN (SELECT COUNT(*) AS rel0_rows FROM orders) r
+CROSS JOIN (SELECT COUNT(*) AS src_rows FROM updated) s
+CROSS JOIN (
+  -- the clone = the source head at clone time + the divergent append
+  SELECT (SELECT COUNT(*) FROM updated) + COUNT(*) AS clone_rows
+  FROM t WHERE o_orderkey % 101 = 0) c
 WHERE (o_orderkey <= (SELECT hi FROM b) OR o_orderkey >= 10000000)
   AND o_custkey IN (SELECT o_custkey FROM (
         SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey LIMIT 8))
@@ -2816,7 +2867,19 @@ def q_evolution_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rename mapping, cast, NULL-fill, Bloom probe) corrupts values and
     fails the hash. Takes the slot of the retired ``multimodal_meta``
     key (trivial metadata projection; its surface stays covered by
-    ``multimodal_features`` and the sources pytest suite)."""
+    ``multimodal_features`` and the sources pytest suite).
+
+    r13 extends the cycle with the r12 storage verbs (the r12 verdict's
+    leg directive): v4 is a MERGE under ``allow_evolution=True`` that
+    lands a NEW ``channel`` column on a disjoint key slice (a new era,
+    NULL-filled on every untouched file — ``n_channel`` prices it); v5
+    is a metadata-only DROP COLUMN of the original ``cust`` (field id
+    retires, zero files touched); v6 re-adds the dropped NAME as a
+    STRING via merge evolution — the registry must mint a fresh field
+    id, so every pre-v6 file reads ``cust`` as NULL. A drop that
+    recycles the id resurrects the old bigint values into ``n_cust``
+    (or breaks the schema) and fails the hash; an evolution that loses
+    carried rows shifts ``n``/``total``."""
     from tibame_project_spark.sources.manifest import (
         append_manifest_table,
         bloom_prune_expr,
@@ -2871,15 +2934,73 @@ def q_evolution_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, upd.unionByName(wide), base, "okey", delete_col="dead",
         keep=10,
     ))
+    # r13 legs — the r12 storage verbs, driver-priced:
+    # v4: MERGE schema evolution (allow_evolution=True) lands a NEW
+    # column `channel` on a disjoint key slice — extras refuse without
+    # the flag, widen as a new era with it; untouched files read NULL
+    lo2, hi2 = (mx * 7) // 10, (mx * 3) // 4
+    chan = orders.filter(
+        (F.col("okey") % 23 == 0) & F.col("okey").between(lo2, hi2)
+    ).select(
+        F.col("okey").cast("bigint").alias("okey"),
+        "cust",
+        F.col("price").alias("amount"),
+        F.lit("EVO-CHAN").alias("o_orderpriority"),
+        F.when(F.col("okey") % 2 == 0, "web").otherwise("app").alias("channel"),
+    )
+    leg("merge_evo_v4", lambda: merge_manifest_table(
+        spark, chan, base, "okey", keep=10, allow_evolution=True
+    ))
+    # v5: metadata-only DROP COLUMN — zero data files touched; the
+    # field id retires with the column
+    leg("drop_v5", lambda: evolve_manifest_table(
+        spark, base, drop=["cust"], keep=10
+    ))
+    # v6: re-add the DROPPED name as a different type (string) via merge
+    # evolution — the registry must mint a FRESH field id, so every
+    # pre-v6 file reads cust=NULL; a recycled id would resurrect the old
+    # bigint values into n_cust and fail the hash
+    lo3, hi3 = (mx * 8) // 10, (mx * 85) // 100
+    recust = orders.filter(
+        (F.col("okey") % 31 == 0) & F.col("okey").between(lo3, hi3)
+    ).select(
+        F.col("okey").cast("bigint").alias("okey"),
+        F.col("price").alias("amount"),
+        F.lit("EVO-CUST").alias("o_orderpriority"),
+        F.lit(None).cast("string").alias("channel"),
+        F.concat(F.lit("C"), F.col("cust").cast("string")).alias("cust"),
+    )
+    leg("merge_cust_v6", lambda: merge_manifest_table(
+        spark, recust, base, "okey", keep=10, allow_evolution=True
+    ))
     # the read below must genuinely span eras: untouched era-0 files AND
-    # post-evolution merge output live side by side in the head manifest
+    # output of the v3/v4/v6 rewrites live side by side in the head
     eras = manifest_stats(spark, base).select("schema_id").distinct().count()
-    if eras < 2:
-        raise AssertionError(f"expected >=2 live schema eras, got {eras}")
+    if eras < 3:
+        raise AssertionError(f"expected >=3 live schema eras, got {eras}")
+    # r13: the required-feature gate is priced too — a multi-era table's
+    # commits must record 'column-mapping' in meta['require'] (an engine
+    # without the field-id registry would misread renamed/dropped
+    # columns; the gate refuses such tables instead)
+    from tibame_project_spark.sources.manifest import (
+        _meta,
+        read_manifest_version,
+    )
+    req = _meta(
+        spark, base, read_manifest_version(spark, base)
+    ).get("require") or []
+    if "column-mapping" not in req:
+        raise AssertionError(
+            f"multi-era table did not record its required features: {req}"
+        )
     full = read_manifest_table(spark, base)
+    if full.columns != ["okey", "amount", "o_orderpriority", "channel", "cust"]:
+        raise AssertionError(f"unexpected post-evolution schema: {full.columns}")
     agg = full.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("amount").cast("double").alias("total"),
+        F.count("channel").alias("n_channel"),
+        F.count("cust").alias("n_cust"),
     )
     probe = [lo + 1, lo + 2, 3000000000, 3000000037]
     probed = read_manifest_table(
@@ -2925,12 +3046,45 @@ merged AS (
          ELSE t.o_orderpriority END AS o_orderpriority
   FROM t FULL OUTER JOIN src s ON t.okey = s.okey
   WHERE NOT COALESCE(s.dead, FALSE)),
+-- v4: merge evolution adds `channel` on a disjoint slice
+b2 AS (
+  SELECT (max(o_orderkey) * 7) // 10 AS lo2, (max(o_orderkey) * 3) // 4 AS hi2,
+         (max(o_orderkey) * 8) // 10 AS lo3, (max(o_orderkey) * 85) // 100 AS hi3
+  FROM orders),
+src2 AS (
+  SELECT okey, price AS amount, 'EVO-CHAN' AS o_orderpriority,
+         CASE WHEN okey % 2 = 0 THEN 'web' ELSE 'app' END AS channel
+  FROM t0 WHERE okey % 23 = 0
+    AND okey BETWEEN (SELECT lo2 FROM b2) AND (SELECT hi2 FROM b2)),
+m2 AS (
+  SELECT COALESCE(s.okey, m.okey) AS okey,
+         CASE WHEN s.okey IS NOT NULL THEN s.amount ELSE m.amount END AS amount,
+         CASE WHEN s.okey IS NOT NULL THEN s.o_orderpriority
+              ELSE m.o_orderpriority END AS o_orderpriority,
+         s.channel AS channel
+  FROM merged m FULL OUTER JOIN src2 s ON m.okey = s.okey),
+-- v5 drops `cust` (it never reached the folded columns), v6 re-adds the
+-- name as a string: ONLY v6's rows carry it — pre-v6 files read NULL
+src3 AS (
+  SELECT okey, price AS amount, 'EVO-CUST' AS o_orderpriority,
+         'C' || CAST(cust AS VARCHAR) AS cust
+  FROM t0 WHERE okey % 31 = 0
+    AND okey BETWEEN (SELECT lo3 FROM b2) AND (SELECT hi3 FROM b2)),
+m3 AS (
+  SELECT COALESCE(s.okey, m.okey) AS okey,
+         CASE WHEN s.okey IS NOT NULL THEN s.amount ELSE m.amount END AS amount,
+         CASE WHEN s.okey IS NOT NULL THEN s.o_orderpriority
+              ELSE m.o_orderpriority END AS o_orderpriority,
+         CASE WHEN s.okey IS NOT NULL THEN NULL ELSE m.channel END AS channel,
+         s.cust AS cust
+  FROM m2 m FULL OUTER JOIN src3 s ON m.okey = s.okey),
 agg AS (
-  SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(amount) AS DOUBLE) AS total
-  FROM merged GROUP BY 1),
+  SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(amount) AS DOUBLE) AS total,
+         COUNT(channel) AS n_channel, COUNT(cust) AS n_cust
+  FROM m3 GROUP BY 1),
 p AS (
   SELECT COUNT(*) AS probe_hits, CAST(SUM(amount) AS DOUBLE) AS probe_amount
-  FROM merged
+  FROM m3
   WHERE okey IN ((SELECT lo + 1 FROM b), (SELECT lo + 2 FROM b),
                  3000000000, 3000000037))
 SELECT * FROM agg CROSS JOIN p
