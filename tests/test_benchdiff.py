@@ -129,3 +129,30 @@ def test_bench_line_keeps_detail_at_current_query_count():
     realistic = {name: 1.234 for name in entry_mod.queries()}
     rec = json.loads(compact_line(54.18, realistic, 0.1))
     assert len(rec["queries"]) == len(realistic) and "q_dropped" not in rec
+
+
+def test_noisy_query_with_high_minimum_run_escalates_to_regression(tmp_path):
+    """The r12 sql_entry hole: a query whose spread exceeds the steal
+    ratio but whose MINIMUM raw run still exceeds threshold*old cannot be
+    explained by a steal burst (bursts inflate some runs, not all) — it
+    must land in the REGRESSION table, annotated, not be parked as noisy.
+    Without raw runs in the record the min is unknowable and the old
+    noisy triage stands."""
+    old = _write(
+        tmp_path, "old.json",
+        {"value": 2.0, "queries": {"a": 0.4, "b": 0.4},
+         "run_spread": {"a": 1.0, "b": 1.0}},
+    )
+    new = _write(
+        tmp_path, "new.json",
+        # both spread-noisy and 5x on the median; a's min run (1.9) is
+        # itself ~5x old, b's min run (0.5) is burst-explainable
+        {"value": 4.0, "queries": {"a": 2.0, "b": 2.0},
+         "run_spread": {"a": 2.6, "b": 8.0},
+         "runs": {"a": [1.9, 2.0, 4.9], "b": [0.5, 2.0, 4.0]}},
+    )
+    report = diff(old, new, 1.5, 1.5)
+    reg_section = report.split("REGRESSION?")[1].split("##")[0]
+    assert "| a |" in reg_section and "min run 1.90" in reg_section
+    assert "| b |" not in reg_section
+    assert "| b |" in report.split("steal-noisy")[1].split("##")[0]

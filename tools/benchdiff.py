@@ -48,6 +48,18 @@ def load_legs(path: str) -> dict[str, dict[str, float]]:
     return legs if isinstance(legs, dict) else {}
 
 
+def load_runs(path: str) -> dict[str, list[float]]:
+    """Raw per-query run lists, when the record carries them (bench.py's
+    BENCH_LOCAL.json; driver tails don't)."""
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+    except Exception:
+        return {}
+    runs = rec.get("runs")
+    return runs if isinstance(runs, dict) else {}
+
+
 def load_timings(path: str) -> tuple[dict[str, float], dict[str, float], float | None]:
     """Return (timings, run_spread, total) from either record format."""
     with open(path) as f:
@@ -110,6 +122,7 @@ def diff(
                 f"({common_new / common_old:.2f}x)."
             )
             lines.append("")
+    new_runs = load_runs(new_path)
     flagged, improved, noisy = [], [], []
     for q in overlap:
         if old[q] <= 0:
@@ -118,7 +131,21 @@ def diff(
         spread = max(old_spread.get(q, 1.0), new_spread.get(q, 1.0))
         row = f"| {q} | {old[q]:.2f} | {new[q]:.2f} | {ratio:.2f}x | {spread:.2f} |"
         if ratio > threshold:
-            (noisy if spread > steal_ratio else flagged).append(row)
+            # "unstable" must not mean "unexamined" (the r12 sql_entry
+            # hole): a steal burst inflates SOME runs, so when even the
+            # MINIMUM new run exceeds threshold*old the drift cannot be
+            # explained by noise — escalate it to the regression table
+            # with the min annotated instead of parking it as noisy.
+            qruns = new_runs.get(q)
+            floor = min(qruns) if qruns else None
+            if spread > steal_ratio and (
+                floor is None or floor <= threshold * old[q]
+            ):
+                noisy.append(row)
+            else:
+                if spread > steal_ratio:
+                    row = row[:-1] + f" min run {floor:.2f} > {threshold}x old |"
+                flagged.append(row)
         elif ratio < 1 / threshold:
             improved.append(row)
     header = "| query | old s | new s | ratio | max spread |\n|---|---|---|---|---|"
