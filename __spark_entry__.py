@@ -2648,7 +2648,9 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-by-md5 surface stays gated via ``corpus_shuffle``/
     ``stratified_sample``)."""
     from tibame_project_spark.sources.manifest import (
+        append_manifest_table,
         bloom_prune_expr,
+        clone_manifest_table,
         merge_manifest_table,
         read_manifest_table,
         restore_manifest_table,
@@ -2752,10 +2754,6 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # referenced (tag-pinned) byte breaks clone_rows — both hashed.
     clone_base = _fresh_table_dir("manifest_merge_clone")
     leg("tag_clone0", lambda: tag_manifest_version(spark, base, "clone0", 6))
-    from tibame_project_spark.sources.manifest import (
-        append_manifest_table,
-        clone_manifest_table,
-    )
     leg("clone_v", lambda: clone_manifest_table(spark, base, clone_base))
     diverge = orders.filter(F.col("o_orderkey") % 101 == 0).select(
         (F.col("o_orderkey") + 20000000).alias("o_orderkey"),

@@ -5658,3 +5658,63 @@ def test_stream_cdc_bootstrap_epoch_skips_compaction_cadence(spark, tmp_path):
     assert {
         (r["id"], r["v"]) for r in read_manifest_table(spark, base).collect()
     } == {(1, 1), (2, 2), (3, 3)}
+
+
+def test_merge_delete_col_case_drift_is_not_schema_evolution(spark, tmp_path):
+    """A case-drifted tombstone column ('Dead' for delete_col='dead') must
+    not land in the evolution extras: without the flag the merge must not
+    refuse, and with it the tombstone must never be persisted as a junk
+    table column."""
+    from tibame_project_spark.localdf import local_rows_df
+    from tibame_project_spark.sources.manifest import delete_manifest_table  # noqa: F401
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1), (2, 2)]), base, stats_cols=["id"], keep=10
+    )
+    batch = local_rows_df(
+        spark, [(1, 10, False), (2, 2, True)], "id long, v long, Dead boolean"
+    )
+    merge_manifest_table(
+        spark, batch, base, "id", delete_col="dead", keep=10
+    )
+    got = read_manifest_table(spark, base)
+    assert got.columns == ["id", "v"]  # tombstone never persisted
+    assert {(r["id"], r["v"]) for r in got.collect()} == {(1, 10)}
+
+
+def test_stream_cdc_replayed_bootstrap_also_skips_compaction(spark, tmp_path):
+    """Version numbers must not depend on whether a crash happened: a
+    crash-REPLAYED bootstrap epoch (checkpoint lost, txn watermark hits)
+    skips the compaction cadence exactly like the clean bootstrap path,
+    leaving the table at v0."""
+    import shutil
+
+    from tibame_project_spark.streaming.incremental import (
+        stream_cdc_apply_manifest,
+    )
+
+    src = tmp_path / "feed"
+    base = str(tmp_path / "mantab")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, v long, dead boolean"
+    spark.createDataFrame(
+        [(1, 1, False), (2, 2, False)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        stream_cdc_apply_manifest(
+            stream, base, "id", checkpoint=ckpt, delete_col="dead",
+            compact_every=1, keep=10, app_id="boot-replay",
+        )
+
+    run()
+    assert read_manifest_version(spark, base) == 0
+    shutil.rmtree(ckpt)  # lose the checkpoint: epoch 0 re-delivers
+    run()
+    # the watermark catches the replay AND the cadence stays skipped
+    assert read_manifest_version(spark, base) == 0
+    assert {
+        (r["id"], r["v"]) for r in read_manifest_table(spark, base).collect()
+    } == {(1, 1), (2, 2)}

@@ -219,10 +219,12 @@ def _write_text(spark: SparkSession, path: str, text: str) -> None:
     Remote paths: plain ``rename`` when the destination is fresh (the
     meta/stage case: version-unique names), else ``FileContext``'s
     ``Rename.OVERWRITE`` (atomic on HDFS). Schemes with no
-    ``AbstractFileSystem`` binding (s3a et al.) fall back to
-    delete+rename, then to the direct overwrite create — on object
-    stores a PUT only becomes visible at close, which is the atomicity
-    the rename provides elsewhere."""
+    ``AbstractFileSystem`` binding (s3a et al.) fall back to the direct
+    overwrite create — on object stores a PUT only becomes visible at
+    close, which is the same old-or-new atomicity the rename provides
+    elsewhere. NEVER delete-then-recreate: a poller observing the
+    missing-file window would misread absence as 'no cursor' and
+    re-bootstrap (duplicate downstream application)."""
     local = _local_dir(path)
     if local is not None:
         import os as _os
@@ -259,8 +261,6 @@ def _write_text(spark: SparkSession, path: str, text: str) -> None:
         return
     except Exception:
         pass
-    if fs.delete(p, False) and fs.rename(tmp, p):
-        return
     out = fs.create(p, True)
     out.write(bytearray(text.encode("utf-8")))
     out.close()
@@ -2159,10 +2159,9 @@ def _prepare_merge_edit(
     # read ambiguous (mirrors the IGNORECASE constraint-reference guard
     # in evolve_manifest_table)
     have_ci = {f.name.casefold() for f in schema.fields}
-    extras = [
-        c for c in source.columns
-        if c != delete_col and c.casefold() not in have_ci
-    ]
+    if delete_col is not None:
+        have_ci.add(delete_col.casefold())  # the tombstone is never an extra
+    extras = [c for c in source.columns if c.casefold() not in have_ci]
     if extras:
         if not allow_evolution:
             raise ValueError(

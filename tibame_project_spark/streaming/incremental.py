@@ -308,12 +308,16 @@ def stream_cdc_apply_manifest(
             # compaction cadence on it (compact_every=1) would refold the
             # just-written files into an extra version, drifting version
             # numbers for callers that pin them. The cadence starts at the
-            # first incremental epoch. (A crash-REPLAYED bootstrap takes
-            # the `replayed` branch below and still reaches the cadence —
-            # the fold is fixpoint-safe, and deferring it there would cost
-            # a full compact_every cycle.)
+            # first incremental epoch.
             return
         if replayed:
+            if head == 0:
+                # the replayed epoch IS the bootstrap (only its commit
+                # exists): skip the cadence here too, or the crash-replay
+                # path would publish the very extra version the clean
+                # path above just stopped producing — version numbers
+                # must not depend on whether a crash happened
+                return
             pass  # watermark hit: skip the merge/delete jobs, but fall
             # through to the compaction cadence below — a replayed epoch
             # that returned early would defer its scheduled fold a full

@@ -150,7 +150,11 @@ def diff(
             improved.append(row)
     header = "| query | old s | new s | ratio | max spread |\n|---|---|---|---|---|"
     if flagged:
-        lines += ["## REGRESSION? (ratio > threshold, runs were stable)", "", header, *flagged, ""]
+        lines += [
+            "## REGRESSION? (ratio > threshold; runs stable, or even the "
+            "min run exceeds it)",
+            "", header, *flagged, "",
+        ]
     else:
         lines += ["No stable-run regressions above threshold.", ""]
     if noisy:
