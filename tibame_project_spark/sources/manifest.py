@@ -163,6 +163,7 @@ __all__ = [
     "manifest_constraints",
     "add_manifest_constraint",
     "drop_manifest_constraint",
+    "UnsupportedTableFeatureError",
 ]
 
 #: Manifest tables share the snapshot commit marker protocol; the head
