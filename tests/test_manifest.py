@@ -3691,6 +3691,7 @@ def test_recover_min_age_spares_young_claims(spark, tmp_path):
             st.tuples(st.just("compact"), st.just(None)),
             st.tuples(st.just("rename"), st.just(None)),
             st.tuples(st.just("widen"), st.just(None)),
+            st.tuples(st.just("dropreadd"), st.just(None)),
         ),
         min_size=2,
         max_size=6,
@@ -3784,7 +3785,7 @@ def test_evolution_sequence_matches_dict_model(
                 spark, base, rename={vname(): f"v{gen + 1}"}, keep=10
             )
             gen += 1
-        else:  # widen
+        elif kind == "widen":
             if key_type == "int":
                 evolve_manifest_table(spark, base, widen={"id": "bigint"}, keep=10)
                 key_type = "bigint"
@@ -3793,6 +3794,24 @@ def test_evolution_sequence_matches_dict_model(
                     evolve_manifest_table(
                         spark, base, widen={"id": "bigint"}, keep=10
                     )
+        else:  # dropreadd: DROP the measure, re-add the SAME NAME via
+            # append evolution — the registry must mint a fresh field id,
+            # so every pre-drop row reads NULL under the re-added name;
+            # a recycled id resurrects old values and breaks the model
+            evolve_manifest_table(spark, base, drop=[vname()], keep=10)
+            append_manifest_table(
+                spark,
+                spark.createDataFrame(
+                    [(61, 4242)], f"id {key_type}, {vname()} long"
+                ),
+                base, allow_evolution=True, keep=10,
+            )
+            merged_model = {k: None for k in merged_model}
+            nulled: Counter = Counter()
+            for (k, _v), c in appended_model.items():
+                nulled[(k, None)] += c
+            appended_model = nulled
+            appended_model[(61, 4242)] += 1
         got_df = read_manifest_table(spark, base)
         assert sorted(got_df.columns) == sorted(["id", vname()])
         got = Counter((r["id"], r[vname()]) for r in got_df.collect())
