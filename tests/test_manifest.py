@@ -5737,3 +5737,79 @@ def test_stream_cdc_replayed_bootstrap_also_skips_compaction(spark, tmp_path):
     assert {
         (r["id"], r["v"]) for r in read_manifest_table(spark, base).collect()
     } == {(1, 1), (2, 2)}
+
+
+def test_null_stats_tier_prunes_and_survives_every_commit_kind(spark, tmp_path):
+    """Per-file nullCount (Delta's stats twin, opt-in at create): files
+    with no non-NULL value in a stats column are skipped for IS NOT NULL
+    reads via prune="nulls_c < rows" (min/max is blind to NULLs), the
+    counts ride every later commit kind (append/merge/compact/rename/
+    clone), manifest_table_stats folds the global count for free, and a
+    mid-life enable refuses."""
+    from tibame_project_spark.localdf import local_rows_df
+    from tibame_project_spark.sources.manifest import (
+        clone_manifest_table,
+        compact_manifest_table,
+        evolve_manifest_table,
+        manifest_table_stats,
+    )
+
+    base = str(tmp_path / "t")
+    # file 1: ids 0-9, c all NULL; file 2: ids 10-19, c set
+    rows = [(i, None) for i in range(10)] + [(i, i * 10) for i in range(10, 20)]
+    df = local_rows_df(spark, rows, "id long, c long").repartitionByRange(
+        2, "id"
+    )
+    write_manifest_table(
+        spark, df, base, stats_cols=["id", "c"], null_stats=True, keep=10
+    )
+    man = manifest_stats(spark, base)
+    assert {"nulls_id", "nulls_c"} <= set(man.columns)
+    assert sorted(
+        (r["nulls_c"], r["rows"]) for r in man.collect()
+    ) == [(0, 10), (10, 10)]
+    # IS NOT NULL read: the all-NULL file is skipped, rows identical
+    pruned = read_manifest_table(spark, base, prune="nulls_c < rows")
+    assert pruned.where(F.col("c").isNotNull()).count() == 10
+    assert len(pruned.inputFiles()) == 1
+    # IS NULL read: the NULL-free file is skipped
+    assert len(
+        read_manifest_table(spark, base, prune="nulls_c > 0").inputFiles()
+    ) == 1
+    stats = manifest_table_stats(spark, base)
+    assert stats["nulls_c"] == 10 and stats["nulls_id"] == 0
+    # every later commit kind keeps the counts coherent
+    append_manifest_table(
+        spark, local_rows_df(spark, [(20, None)], "id long, c long"),
+        base, keep=10,
+    )
+    merge_manifest_table(
+        spark, local_rows_df(spark, [(0, 7)], "id long, c long"),
+        base, "id", keep=10,
+    )
+    assert manifest_table_stats(spark, base)["nulls_c"] == 10  # +1 -1
+    compact_manifest_table(spark, base, keep=10)
+    assert manifest_table_stats(spark, base)["nulls_c"] == 10
+    # metadata-only rename: the null column follows the name
+    evolve_manifest_table(spark, base, rename={"c": "score"}, keep=10)
+    man2 = manifest_stats(spark, base)
+    assert "nulls_score" in man2.columns and "nulls_c" not in man2.columns
+    # clone inherits the flag: the clone's next commit still computes it
+    clone = str(tmp_path / "c")
+    clone_manifest_table(spark, base, clone)
+    append_manifest_table(
+        spark, local_rows_df(spark, [(30, None)], "id long, score long"),
+        clone, keep=10,
+    )
+    assert manifest_table_stats(spark, clone)["nulls_score"] == 11
+    # mid-life enable refuses loudly (manifests since v0 lack the columns)
+    legacy = str(tmp_path / "legacy")
+    write_manifest_table(
+        spark, local_rows_df(spark, [(1, 1)], "id long, v long"),
+        legacy, stats_cols=["id"], keep=10,
+    )
+    with pytest.raises(ValueError, match="null_stats is fixed"):
+        write_manifest_table(
+            spark, local_rows_df(spark, [(2, 2)], "id long, v long"),
+            legacy, null_stats=True, keep=10,
+        )

@@ -1009,6 +1009,7 @@ def _finish(
     drop_txns: frozenset = frozenset(),
     constraints: dict | None = None,
     require_constraints: dict | None = None,
+    null_stats: bool = False,
 ) -> int:
     """Publish a prepared commit with optimistic concurrency (version-CAS):
 
@@ -1101,6 +1102,10 @@ def _finish(
                 }
                 head_ts = int(hm.get("ts", 0))
                 head_cons = hm.get("constraints") or {}
+                # the null-stats flag is a create-time table property:
+                # carry it forward like constraints so every commit kind
+                # preserves it without per-call-site plumbing
+                null_stats = null_stats or bool(hm.get("null_stats"))
             else:
                 head_cons = {}
             if txn is not None and head_txns.get(str(txn[0]), -1) >= int(txn[1]):
@@ -1211,6 +1216,8 @@ def _finish(
                     meta["dv_key"] = dv_key
                 if bloom is not None:
                     meta["bloom"] = bloom
+                if null_stats:
+                    meta["null_stats"] = True
                 # commit timestamp for TIMESTAMP-AS-OF reads: wall clock,
                 # forced monotone per table (commits serialize through the
                 # claim, but wall clocks may regress between writers —
@@ -1379,6 +1386,8 @@ def _file_stats(
     schema: StructType,
     bloom: dict | None = None,
     schema_id: int = 0,
+    *,
+    null_stats: bool = False,
 ) -> DataFrame:
     """Manifest rows for the files a commit just wrote into its
     attempt-unique ``data_dir``: one distributed groupBy keyed on the
@@ -1394,7 +1403,15 @@ def _file_stats(
     surviving words into a map<int,bigint> — the filter lives in the
     manifest as ~set-bits/64 entries, so an unsaturated filter costs KBs
     per file and a saturated one degrades to keep-everything, never to
-    wrong answers."""
+    wrong answers.
+
+    ``null_stats`` (a create-time table flag, Delta's nullCount) adds a
+    per-file ``nulls_<col>`` count per stats column on the SAME single
+    scan: ``prune="nulls_x < rows"`` keeps only files that may hold a
+    non-NULL value (IS NOT NULL predicates), ``prune="nulls_x > 0"``
+    only files that may hold a NULL (IS NULL — min/max is blind to NULLs
+    on both sides), and :func:`manifest_table_stats` folds the global
+    nullCount for free."""
     raw = spark.read.schema(schema).parquet(f"{base_path}/{data_dir}").select(
         "*",
         F.col("_metadata.file_path").alias("__path"),
@@ -1429,6 +1446,10 @@ def _file_stats(
         else:
             aggs.append(F.min(c).alias(f"min_{c}"))
             aggs.append(F.max(c).alias(f"max_{c}"))
+        if null_stats:
+            aggs.append(
+                (F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{c}")
+            )
     out = (
         raw.groupBy("__path", "__bytes")
         .agg(*aggs)
@@ -1437,6 +1458,7 @@ def _file_stats(
             F.col("__bytes").alias("bytes"),
             "rows",
             *[c for sc in stats_cols for c in (f"min_{sc}", f"max_{sc}")],
+            *([f"nulls_{sc}" for sc in stats_cols] if null_stats else []),
             F.lit(None).cast("string").alias("dv_path"),
             F.lit(schema_id).alias("schema_id"),
         )
@@ -1610,6 +1632,7 @@ def write_manifest_table(
     bloom_cols: list[str] | None = None,
     bloom_m: int = 1 << 15,
     bloom_k: int = 3,
+    null_stats: bool = False,
     expect: list | None = None,
     txn: tuple[str, int] | None = None,
     constraints: dict | None = None,
@@ -1628,7 +1651,16 @@ def write_manifest_table(
     every file). ``bloom_m`` bits / ``bloom_k`` hashes per filter; size
     ``bloom_m`` at ~8-16 bits per expected distinct key per file (the
     false-positive knob — too small only degrades skipping, never
-    correctness). Probe with :func:`bloom_prune_expr`."""
+    correctness). Probe with :func:`bloom_prune_expr`.
+
+    ``null_stats=True`` (create-time only, fixed like ``stats_cols``)
+    records a per-file ``nulls_<col>`` count for every stats column —
+    Delta's nullCount: ``prune="nulls_x < rows"`` skips all-NULL files
+    for IS NOT NULL predicates, ``prune="nulls_x > 0"`` skips NULL-free
+    files for IS NULL ones (min/max is blind to NULLs either way), and
+    :func:`manifest_table_stats` folds the table-wide null count at
+    metadata cost. Every later commit kind computes it on its new files'
+    single stats scan; legacy tables never grow the columns."""
     if keep < 1:
         raise ValueError(f"keep must be >= 1, got {keep}")
     fs, listing, head, version = _begin(spark, base_path)
@@ -1661,6 +1693,13 @@ def write_manifest_table(
                 f"bloom_cols are fixed at table creation "
                 f"({bloom['cols'] if bloom else None}); got {list(bloom_cols)}"
             )
+        if null_stats and not prior.get("null_stats"):
+            raise ValueError(
+                "null_stats is fixed at table creation; this table was "
+                "created without it (manifests since v0 lack the "
+                "nulls_<col> columns a mid-life enable would need)"
+            )
+        null_stats = bool(prior.get("null_stats"))
     _validate_stats_cols(df, stats_cols)
     if bloom:
         _validate_stats_cols(df, bloom["cols"])
@@ -1729,7 +1768,7 @@ def write_manifest_table(
                 schemas[schema_id] = refreshed
     manifest = _file_stats(
         spark, base_path, data_dir, stats_cols, df.schema, bloom,
-        schema_id=schema_id,
+        schema_id=schema_id, null_stats=null_stats,
     )
     # full-content commits are EXCLUSIVE: a create racing another create,
     # or a full refresh racing anything, has no meaningful rebase
@@ -1737,7 +1776,7 @@ def write_manifest_table(
         spark, base_path, schema=df.schema, stats_cols=stats_cols,
         keep=keep, base_head=head, full_manifest=manifest,
         bloom=bloom, op="create", schemas=schemas, schema_id=schema_id,
-        txn=txn, constraints=cons,
+        txn=txn, constraints=cons, null_stats=null_stats,
         require_constraints=(
             None if head is None else (prior.get("constraints") or {})
         ),
@@ -1841,7 +1880,7 @@ def append_manifest_table(
     gate()
     new_rows = _file_stats(
         spark, base_path, data_dir, stats_cols, df.schema, meta.get("bloom"),
-        schema_id=schema_id,
+        schema_id=schema_id, null_stats=bool(meta.get("null_stats")),
     )
     # append reads nothing and removes nothing → commutes with every
     # concurrent append/merge/delete; _finish auto-rebases on a moved head
@@ -2238,7 +2277,7 @@ def _prepare_merge_edit(
     edit["removed"] = touched
     edit["added"] = _file_stats(
         spark, base_path, data_dir, stats_cols, schema, meta.get("bloom"),
-        schema_id=schema_id,
+        schema_id=schema_id, null_stats=bool(meta.get("null_stats")),
     )
     edit["bounds"] = (key, bounds["lo"], bounds["hi"])
     return edit
@@ -2529,6 +2568,11 @@ def manifest_table_stats(
     for c in stats_cols:
         aggs.append(F.min(f"min_{c}").alias(f"min_{c}"))
         aggs.append(F.max(f"max_{c}").alias(f"max_{c}"))
+        if f"nulls_{c}" in man.columns:
+            # null_stats tables: the global nullCount is a free fold too
+            aggs.append(
+                F.coalesce(F.sum(f"nulls_{c}"), F.lit(0)).alias(f"nulls_{c}")
+            )
     row = man.agg(*aggs).first()
     return dict(row.asDict())
 
@@ -2909,7 +2953,7 @@ def compact_manifest_table(
     _write_data(folded, base_path, data_dir, recluster, n_out, zorder_bits)
     new_rows = _file_stats(
         spark, base_path, data_dir, stats_cols, schema, meta.get("bloom"),
-        schema_id=schema_id,
+        schema_id=schema_id, null_stats=bool(meta.get("null_stats")),
     )
     # read set = the folded files; concurrent appends of NEW files rebase
     # cleanly (they just stay uncompacted this round), but a concurrent
@@ -3049,7 +3093,7 @@ def update_manifest_table(
     new_rows = _file_stats(
         spark, base_path, data_dir, meta["stats_cols"],
         _schema_from_fields(cur_fields), meta.get("bloom"),
-        schema_id=schema_id,
+        schema_id=schema_id, null_stats=bool(meta.get("null_stats")),
     )
     # read set = the rewritten files: _finish rebases over concurrent
     # commits that left them alone and conflicts on ones that didn't
@@ -3156,6 +3200,7 @@ def clone_manifest_table(
         bloom=meta.get("bloom"), op=f"clone({src_path}@v{version})",
         schemas=schemas, schema_id=schema_id,
         constraints=meta.get("constraints") or None,
+        null_stats=bool(meta.get("null_stats")),
     )
 
 
@@ -3703,13 +3748,15 @@ def evolve_manifest_table(
     out_cols = []
     for c in man.columns:
         col = F.col(f"`{c}`")
-        for prefix in ("min_", "max_", "bloom_"):
+        for prefix in ("min_", "max_", "bloom_", "nulls_"):
             if c.startswith(prefix):
                 src = c[len(prefix):]
                 if src in drop:
                     break  # stats column of a dropped field: omit
                 nc = rename.get(src, src)
-                if prefix != "bloom_" and src in widen:
+                # null/bloom stats are type-independent; only the value
+                # bounds follow a widening cast
+                if prefix in ("min_", "max_") and src in widen:
                     col = col.cast(_type_from_json(new_types[nc]))
                 out_cols.append(col.alias(f"{prefix}{nc}"))
                 break
