@@ -1962,9 +1962,12 @@ def manifest_file_paths(
     """Relative paths of the files a read would open, after ``prune``.
 
     ``prune`` is a boolean SQL expression over the manifest columns
-    (``min_<c>``/``max_<c>``/``rows``/``bytes``/``path``) selecting files
-    that MAY contain matching rows — e.g. a row filter ``price > 100``
-    skips via ``max_price > 100``. NULL-safe conservative: a file whose
+    (``min_<c>``/``max_<c>``/``rows``/``bytes``/``path``, plus
+    ``nulls_<c>`` on tables created with ``null_stats=True``) selecting
+    files that MAY contain matching rows — e.g. a row filter
+    ``price > 100`` skips via ``max_price > 100``, ``price IS NOT NULL``
+    via ``nulls_price < rows``, ``price IS NULL`` via
+    ``nulls_price > 0``. NULL-safe conservative: a file whose
     stats leave the expression NULL (all-null column chunk) is KEPT, so
     pruning can only ever be a superset of the matching rows."""
     man = manifest_stats(spark, base_path, version=version)
