@@ -2643,7 +2643,10 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the source is vacuumed again; both heads' row counts ride the
     frame (``src_rows``/``clone_rows``), so divergence leaking into the
     source, a clone that missed carried rows, or a source vacuum that
-    swept a clone-referenced byte all fail the hash. Replaces the
+    swept a clone-referenced byte all fail the hash. The table is
+    created with ``null_stats=True`` and the folded table-wide
+    ``nulls_o_orderkey`` rides the frame (``src_null_keys``) — a commit
+    kind that drops the flag or the columns breaks the stats fold. Replaces the
     retired ``hash_sample`` key (its deterministic
     order-by-md5 surface stays gated via ``corpus_shuffle``/
     ``stratified_sample``)."""
@@ -2673,6 +2676,11 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # o_orderkey clustering, so its min/max is blind — the read
         # below probes the per-file Bloom filters instead
         bloom_cols=["o_custkey"],
+        # r13 null-count stats tier: per-file nulls_<col>; the folded
+        # table-wide count rides the hashed frame below, so any of this
+        # cycle's 12 commit kinds dropping the flag (or the columns)
+        # breaks the stats fold and fails the driver row
+        null_stats=True,
     ))
     # r10: pin the pristine table as a release BEFORE any rewrite — the
     # pin must survive retention pruning AND the vacuum below
@@ -2771,9 +2779,16 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("clone_rows")
         )
     )
+    # null-stats carriage witness: KeyError here (flag or columns lost by
+    # any commit in the cycle) fails the driver run; the value itself is
+    # oracle-checked (physical == logical: this cycle's deletes rewrite)
+    from tibame_project_spark.sources.manifest import manifest_table_stats
+    null_keys = int(manifest_table_stats(spark, base)["nulls_o_orderkey"])
     rel0 = read_manifest_table(spark, base, tag="rel0").agg(
         F.count(F.lit(1)).alias("rel0_rows")
-    ).crossJoin(heads)
+    ).crossJoin(heads).withColumn(
+        "src_null_keys", F.lit(null_keys).cast("long")
+    )
     half = hi
     probe = [
         r["o_custkey"]
@@ -2830,8 +2845,12 @@ updated AS (
          CASE WHEN o_orderkey >= 10000000 THEN 'UPDATED'
               ELSE o_orderpriority END AS o_orderpriority
   FROM merged)
-SELECT m.*, r.rel0_rows, s.src_rows, c.clone_rows FROM updated m
+SELECT m.*, r.rel0_rows, s.src_rows, c.clone_rows, n.src_null_keys
+FROM updated m
 CROSS JOIN (SELECT COUNT(*) AS rel0_rows FROM orders) r
+CROSS JOIN (
+  SELECT COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS src_null_keys
+  FROM updated) n
 CROSS JOIN (SELECT COUNT(*) AS src_rows FROM updated) s
 CROSS JOIN (
   -- the clone = the source head at clone time + the divergent append
