@@ -5813,3 +5813,128 @@ def test_null_stats_tier_prunes_and_survives_every_commit_kind(spark, tmp_path):
             spark, local_rows_df(spark, [(2, 2)], "id long, v long"),
             legacy, null_stats=True, keep=10,
         )
+
+
+def test_data_skipping_expr_translates_predicates_conservatively(spark, tmp_path):
+    """The predicate->prune compiler: ranges and IN from min/max,
+    equality composing the Bloom tier, IS [NOT] NULL from null-count
+    stats, AND keeping any translatable side, OR requiring both, and
+    everything unprovable (NOT, functions, unknown columns) yielding no
+    constraint rather than a wrong one."""
+    from tibame_project_spark.localdf import local_rows_df
+    from tibame_project_spark.sources.manifest import data_skipping_expr
+
+    base = str(tmp_path / "t")
+    rows = [(i, i * 10 if i % 3 else None, f"u{i % 7}") for i in range(40)]
+    write_manifest_table(
+        spark,
+        local_rows_df(spark, rows, "id long, price long, user string")
+        .repartitionByRange(4, "id"),
+        base, stats_cols=["id", "price"], bloom_cols=["user"],
+        null_stats=True, keep=10,
+    )
+
+    def skip(pred):
+        return data_skipping_expr(spark, base, pred)
+
+    assert skip("id > 30") == "max_id > 30"
+    assert skip("25 <= id") == "max_id >= 25"
+    assert skip("price < 100") == "min_price < 100"
+    assert skip("id = 7") == "(min_id <= 7 AND max_id >= 7)"
+    assert skip("id IN (3, 33)") == (
+        "((min_id <= 3 AND max_id >= 3) OR (min_id <= 33 AND max_id >= 33))"
+    )
+    assert skip("price IS NULL") == "nulls_price > 0"
+    assert skip("price IS NOT NULL") == "nulls_price < rows"
+    # AND keeps the translatable side; the udf-ish side adds nothing
+    assert skip("id > 30 AND length(user) > 1") == "(max_id > 30)"
+    # OR with an untranslatable side proves nothing about files
+    assert skip("id > 30 OR length(user) > 1") is None
+    assert skip("NOT (id > 30)") is None
+    assert skip("unknown_col = 5") is None
+    both = skip("id > 30 OR price < 10")
+    assert both == "(max_id > 30) OR (min_price < 10)"
+    # equality on a Bloom-ONLY column (not a stats col) still skips via
+    # the per-era probe — and it provably excludes some files
+    eq = skip("user = 'u3'")
+    assert eq is not None and "min_user" not in eq
+    got = read_manifest_table(spark, base, where="user = 'u3'")
+    assert {r["user"] for r in got.collect()} == {"u3"}
+
+
+def test_read_manifest_table_where_prunes_and_filters_exactly(spark, tmp_path):
+    """where= is the transparent read: rows equal the exact filter, and
+    the scan provably skips files the derived prune excludes."""
+    from tibame_project_spark.localdf import local_rows_df
+
+    base = str(tmp_path / "t")
+    rows = [(i, None if i < 20 else i * 10) for i in range(40)]
+    write_manifest_table(
+        spark,
+        local_rows_df(spark, rows, "id long, price long")
+        .repartitionByRange(4, "id"),
+        base, stats_cols=["id", "price"], null_stats=True, keep=10,
+    )
+    full = read_manifest_table(spark, base)
+    for pred in (
+        "id >= 30",
+        "id = 5",
+        "price IS NULL",
+        "price IS NOT NULL AND id < 15",
+        "id IN (1, 39)",
+        "id < 10 OR id > 35",
+    ):
+        got = read_manifest_table(spark, base, where=pred)
+        want = full.where(pred)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), pred
+        assert len(got.inputFiles()) < 4, pred  # skipping actually bites
+    # an untranslatable predicate still answers exactly (no skipping)
+    got = read_manifest_table(spark, base, where="pmod(id, 7) = 3")
+    assert got.count() == sum(1 for i in range(40) if i % 7 == 3)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from([
+            "id > {v}", "id >= {v}", "id < {v}", "id <= {v}", "id = {v}",
+            "price > {v}", "price IS NULL", "price IS NOT NULL",
+            "id IN ({v}, {w})",
+        ]).map(lambda t: t),
+        min_size=1, max_size=3,
+    ),
+    st.integers(0, 45), st.integers(0, 45),
+    st.sampled_from([" AND ", " OR "]),
+)
+def test_data_skipping_where_is_always_exact(
+    spark_global, tmp_path_factory, parts, v, w, joiner
+):
+    """Superset property under random predicates: where= must always
+    return exactly the filtered rows, no matter what the derived prune
+    keeps or skips."""
+    spark = spark_global
+    base = getattr(test_data_skipping_where_is_always_exact, "_base", None)
+    if base is None:
+        from tibame_project_spark.localdf import local_rows_df
+
+        base = str(tmp_path_factory.mktemp("skip") / "t")
+        rows = [(i, None if i % 4 == 0 else i * 3) for i in range(48)]
+        write_manifest_table(
+            spark,
+            local_rows_df(spark, rows, "id long, price long")
+            .repartitionByRange(5, "id"),
+            base, stats_cols=["id", "price"], null_stats=True, keep=10,
+        )
+        test_data_skipping_where_is_always_exact._base = base
+    pred = joiner.join(
+        p.format(v=v, w=w) for p in parts
+    )
+    got = sorted(
+        map(tuple, read_manifest_table(spark, base, where=pred).collect())
+    )
+    want = sorted(
+        map(tuple, read_manifest_table(spark, base).where(pred).collect())
+    )
+    assert got == want, pred

@@ -163,6 +163,7 @@ __all__ = [
     "manifest_constraints",
     "add_manifest_constraint",
     "drop_manifest_constraint",
+    "data_skipping_expr",
     "UnsupportedTableFeatureError",
 ]
 
@@ -2028,6 +2029,7 @@ def read_manifest_table(
     *,
     version: int | None = None,
     prune: str | None = None,
+    where: str | None = None,
     tag: str | None = None,
     as_of=None,
 ) -> DataFrame:
@@ -2035,7 +2037,12 @@ def read_manifest_table(
     retention) as the union of its live files, optionally file-skipped by
     ``prune`` (see :func:`manifest_file_paths` for the contract — the
     caller still applies the exact row filter; pruning only shrinks the
-    scan). Files carrying a deletion vector are anti-joined against their
+    scan). ``where`` is the TRANSPARENT form: one row-predicate string
+    that is BOTH applied exactly to the rows and compiled into a prune
+    expression via :func:`data_skipping_expr` (Delta-style automatic
+    data skipping — ranges from min/max, equality/IN through the Bloom
+    tier, IS [NOT] NULL through null-count stats), composing with any
+    explicit ``prune=``. Files carrying a deletion vector are anti-joined against their
     sidecars (one broadcast anti-join for the whole read); min/max stats
     of DV'd files stay conservative, so ``prune`` remains a superset
     filter. An empty live set still returns a correctly-schemed empty
@@ -2060,9 +2067,14 @@ def read_manifest_table(
     man = manifest_stats(spark, base_path, version=version)
     if prune is not None:
         man = man.where(F.coalesce(F.expr(prune), F.lit(True)))
+    if where is not None:
+        auto = data_skipping_expr(spark, base_path, where, version=version)
+        if auto is not None:
+            man = man.where(F.coalesce(F.expr(auto), F.lit(True)))
     files = man.select("path", "dv_path", "schema_id").collect()
     meta = _meta(spark, base_path, version)
-    return _read_live(spark, base_path, files, meta)
+    out = _read_live(spark, base_path, files, meta)
+    return out.where(where) if where is not None else out
 
 
 def merge_manifest_table(
@@ -2701,6 +2713,193 @@ def bloom_prune_expr(
     if not branches:
         return f"(bloom_{col} IS NULL)"
     return f"(bloom_{col} IS NULL OR {' OR '.join(branches)})"
+
+
+_SKIP_CMP = {
+    # simpleName -> (stats template when the attribute is on the LEFT)
+    "GreaterThan": "max_{c} > {v}",
+    "GreaterThanOrEqual": "max_{c} >= {v}",
+    "LessThan": "min_{c} < {v}",
+    "LessThanOrEqual": "min_{c} <= {v}",
+}
+#: literal-on-the-left comparisons flip to these
+_SKIP_FLIP = {
+    "GreaterThan": "LessThan",
+    "GreaterThanOrEqual": "LessThanOrEqual",
+    "LessThan": "GreaterThan",
+    "LessThanOrEqual": "GreaterThanOrEqual",
+}
+
+
+def _skip_attr_lit(kids):
+    """(stats-attr-name, literal-node, flipped) for a comparison's two
+    children when one side is a plain column and the other a non-NULL
+    literal — anything else (expressions over columns, casts, NULL) is
+    untranslatable and returns None."""
+    a, b = kids
+    an = a.getClass().getSimpleName()
+    bn = b.getClass().getSimpleName()
+    if an == "UnresolvedAttribute" and bn == "Literal" and b.value() is not None:
+        return a.name(), b, False
+    if bn == "UnresolvedAttribute" and an == "Literal" and a.value() is not None:
+        return b.name(), a, True
+    return None
+
+
+def _skip_py_value(lit):
+    """The Python value of a Catalyst Literal for Bloom probing — ints
+    and strings only (the two types the Bloom tier hashes losslessly
+    from a probe list); None means 'skip the Bloom leg'."""
+    try:
+        v = lit.value()
+    except Exception:
+        return None
+    if isinstance(v, int):
+        return v
+    dt = lit.dataType().getClass().getSimpleName()
+    if dt.startswith("StringType"):
+        return str(v)
+    return None
+
+
+def _skip_walk(spark, base_path, version, node, stats, null_stats, bloom_cols):
+    """One prune conjunct for ``node``'s subtree, or None when the
+    subtree proves nothing about file-level stats (conservative: no
+    constraint). Every returned expression is a SUPERSET filter — a file
+    that may hold a matching row always survives it."""
+    kind = node.getClass().getSimpleName()
+    ch = node.children()
+    kids = [ch.apply(i) for i in range(ch.size())]
+    if kind == "And":
+        parts = [
+            _skip_walk(spark, base_path, version, k, stats, null_stats, bloom_cols)
+            for k in kids
+        ]
+        parts = [p for p in parts if p is not None]
+        return " AND ".join(f"({p})" for p in parts) if parts else None
+    if kind == "Or":
+        parts = [
+            _skip_walk(spark, base_path, version, k, stats, null_stats, bloom_cols)
+            for k in kids
+        ]
+        if any(p is None for p in parts) or not parts:
+            return None  # one untranslatable side voids the disjunction
+        return " OR ".join(f"({p})" for p in parts)
+    if kind in ("EqualTo", "EqualNullSafe") and len(kids) == 2:
+        hit = _skip_attr_lit(kids)
+        if hit is None:
+            return None
+        name, lit, _ = hit
+        parts = []
+        c = stats.get(name.casefold())
+        if c is not None:
+            v = lit.sql()
+            parts.append(f"min_{c} <= {v} AND max_{c} >= {v}")
+        bc = bloom_cols.get(name.casefold())  # Bloom-only columns count too
+        pv = _skip_py_value(lit) if bc else None
+        if pv is not None:
+            try:
+                parts.append(
+                    bloom_prune_expr(spark, base_path, bc, [pv], version=version)
+                )
+            except Exception:
+                pass  # the range tier alone is still a safe superset
+        return " AND ".join(f"({p})" for p in parts) if parts else None
+    if kind in _SKIP_CMP and len(kids) == 2:
+        hit = _skip_attr_lit(kids)
+        if hit is None:
+            return None
+        name, lit, flipped = hit
+        c = stats.get(name.casefold())
+        if c is None:
+            return None
+        op = _SKIP_FLIP[kind] if flipped else kind
+        return _SKIP_CMP[op].format(c=c, v=lit.sql())
+    if kind == "In" and len(kids) >= 2:
+        if kids[0].getClass().getSimpleName() != "UnresolvedAttribute":
+            return None
+        name = kids[0].name()
+        vals = []
+        for k in kids[1:]:
+            if k.getClass().getSimpleName() != "Literal":
+                return None
+            if k.value() is None:
+                continue  # NULL in-list element never matches a row
+            vals.append(k)
+        if not vals:
+            return None
+        parts = []
+        c = stats.get(name.casefold())
+        if c is not None:
+            parts.append(" OR ".join(
+                f"(min_{c} <= {k.sql()} AND max_{c} >= {k.sql()})"
+                for k in vals
+            ))
+        bc = bloom_cols.get(name.casefold())  # Bloom-only columns count too
+        if bc:
+            pvs = [_skip_py_value(k) for k in vals]
+            if all(p is not None for p in pvs):
+                try:
+                    parts.append(bloom_prune_expr(
+                        spark, base_path, bc, pvs, version=version
+                    ))
+                except Exception:
+                    pass
+        return " AND ".join(f"({p})" for p in parts) if parts else None
+    if kind == "IsNull" and len(kids) == 1 and null_stats:
+        if kids[0].getClass().getSimpleName() != "UnresolvedAttribute":
+            return None
+        c = stats.get(kids[0].name().casefold())
+        return f"nulls_{c} > 0" if c is not None else None
+    if kind == "IsNotNull" and len(kids) == 1 and null_stats:
+        if kids[0].getClass().getSimpleName() != "UnresolvedAttribute":
+            return None
+        c = stats.get(kids[0].name().casefold())
+        return f"nulls_{c} < rows" if c is not None else None
+    return None  # NOT, functions, casts, subqueries: no constraint
+
+
+def data_skipping_expr(
+    spark: SparkSession,
+    base_path: str,
+    predicate: str,
+    *,
+    version: int | None = None,
+) -> str | None:
+    """Derive a ``prune=`` expression FROM a row predicate — Delta's
+    transparent data skipping as an explicit verb. Walks the Catalyst
+    parse tree of ``predicate`` and translates every part it can prove
+    file-level: comparisons and IN-lists against stats columns become
+    min/max range checks (plus per-era Bloom probes for equality/IN on
+    Bloom columns), IS [NOT] NULL becomes a null-count check on
+    ``null_stats`` tables, AND keeps any translatable side, OR requires
+    both. Everything else — NOT, functions, casts, column-to-column —
+    contributes NO constraint, so the derived expression is always a
+    SUPERSET of the files holding matching rows (the caller still
+    applies the exact row filter). Returns None when nothing translates
+    (scan everything, exactly as without it).
+
+    ``read_manifest_table(where=...)`` applies this automatically; this
+    verb exists for callers composing the expression with their own
+    ``prune=`` terms or inspecting what a predicate buys them."""
+    if version is None:
+        version = read_manifest_version(spark, base_path)
+        if version is None:
+            raise FileNotFoundError(
+                f"no committed manifest table under {base_path}"
+            )
+    meta = _meta(spark, base_path, version)
+    stats = {c.casefold(): c for c in meta["stats_cols"]}
+    bloom = meta.get("bloom") or {}
+    bloom_cols = {c.casefold(): c for c in bloom.get("cols", [])}
+    node = (
+        spark._jsparkSession.sessionState().sqlParser()
+        .parseExpression(predicate)
+    )
+    return _skip_walk(
+        spark, base_path, version, node, stats,
+        bool(meta.get("null_stats")), bloom_cols,
+    )
 
 
 def delete_manifest_table(
