@@ -2795,20 +2795,22 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in orders.select("o_custkey").distinct()
         .orderBy("o_custkey").limit(8).collect()
     ]
+    # r13: the read goes through the TRANSPARENT form — one predicate
+    # string both filters the rows exactly and COMPILES into the prune
+    # (data_skipping_expr): the o_orderkey range disjunction lands on
+    # min/max stats and the o_custkey IN-list on the per-era Bloom
+    # probes — the same plan the hand-written prune+where pair produced
+    # through r12, now derived, so a compiler that under-prunes only
+    # slows the row and one that OVER-prunes loses rows and fails the
+    # hash. (bloom_prune_expr stays imported for its own pytest surface.)
+    _ = bloom_prune_expr  # the compiler now renders the probes
     out = read_manifest_table(
         spark,
         base,
-        # file may hold a matching row iff its KEY range reaches below
-        # `half` or into the insert keyspace (min/max contract) AND its
-        # o_custkey Bloom filter may contain a probed customer — the
-        # equality-skipping tier composed with the range tier
-        prune=f"(min_o_orderkey <= {half} OR max_o_orderkey >= 10000000)"
-        f" AND {bloom_prune_expr(spark, base, 'o_custkey', probe)}",
+        where=f"(o_orderkey <= {half} OR o_orderkey >= 10000000)"
+        f" AND o_custkey IN ({', '.join(str(p) for p in probe)})",
     )
-    return out.where(
-        ((F.col("o_orderkey") <= half) | (F.col("o_orderkey") >= 10000000))
-        & F.col("o_custkey").isin(probe)
-    ).crossJoin(F.broadcast(rel0))
+    return out.crossJoin(F.broadcast(rel0))
 
 
 _MANIFEST_MERGE_SQL = """
