@@ -2652,8 +2652,8 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``stratified_sample``)."""
     from tibame_project_spark.sources.manifest import (
         append_manifest_table,
-        bloom_prune_expr,
         clone_manifest_table,
+        manifest_table_stats,
         merge_manifest_table,
         read_manifest_table,
         restore_manifest_table,
@@ -2782,7 +2782,6 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # null-stats carriage witness: KeyError here (flag or columns lost by
     # any commit in the cycle) fails the driver run; the value itself is
     # oracle-checked (physical == logical: this cycle's deletes rewrite)
-    from tibame_project_spark.sources.manifest import manifest_table_stats
     null_keys = int(manifest_table_stats(spark, base)["nulls_o_orderkey"])
     rel0 = read_manifest_table(spark, base, tag="rel0").agg(
         F.count(F.lit(1)).alias("rel0_rows")
@@ -2802,8 +2801,7 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probes — the same plan the hand-written prune+where pair produced
     # through r12, now derived, so a compiler that under-prunes only
     # slows the row and one that OVER-prunes loses rows and fails the
-    # hash. (bloom_prune_expr stays imported for its own pytest surface.)
-    _ = bloom_prune_expr  # the compiler now renders the probes
+    # hash.
     out = read_manifest_table(
         spark,
         base,

@@ -5938,3 +5938,72 @@ def test_data_skipping_where_is_always_exact(
         map(tuple, read_manifest_table(spark, base).where(pred).collect())
     )
     assert got == want, pred
+
+
+def test_data_skipping_refuses_cross_type_coercion(spark, tmp_path):
+    """The one way the compiler could over-prune: a literal whose type
+    family differs from the column's compares numerically row-side but
+    would compare raw stats prune-side. String stats column '10' vs '9'
+    (lex max '9'), string Bloom column '05' (canonical probe would hash
+    '5'): both predicates must translate to NO constraint and still
+    answer exactly — these were confirmed silent-row-loss bugs before
+    the type gates."""
+    from tibame_project_spark.localdf import local_rows_df
+    from tibame_project_spark.sources.manifest import data_skipping_expr
+
+    base = str(tmp_path / "t")
+    # numeric-looking strings: the coerced ROW filter works (ANSI casts
+    # succeed) while the raw stats ('9' > '10' lexicographically, Bloom
+    # of '05' != canonical '5') would mislead a naive translation
+    rows = [("9", "05"), ("10", "05"), ("7", "07")]
+    write_manifest_table(
+        spark,
+        local_rows_df(spark, rows, "code string, user string").coalesce(1),
+        base, stats_cols=["code"], bloom_cols=["user"],
+        null_stats=True, keep=10,
+    )
+    # cross-family comparisons contribute no constraint
+    assert data_skipping_expr(spark, base, "code > 9") is None
+    assert data_skipping_expr(spark, base, "code = 10") is None
+    assert data_skipping_expr(spark, base, "code IN (9, 10)") is None
+    assert data_skipping_expr(spark, base, "user = 5") is None
+    assert data_skipping_expr(spark, base, "user IN (5, 7)") is None
+    # and the transparent read stays exact (full scan, coerced filter)
+    assert read_manifest_table(spark, base, where="code > 9").count() == 1
+    assert read_manifest_table(spark, base, where="code = 10").count() == 1
+    assert read_manifest_table(spark, base, where="user = 5").count() == 2
+    # same-family still translates: string literal on the string column
+    assert data_skipping_expr(spark, base, "code = '10'") is not None
+    assert (
+        read_manifest_table(spark, base, where="code = '10'").count() == 1
+    )
+    # numeric widening within the family stays safe and translated
+    base2 = str(tmp_path / "n")
+    write_manifest_table(
+        spark,
+        local_rows_df(spark, [(1,), (12,)], "id int").coalesce(1),
+        base2, stats_cols=["id"], keep=10,
+    )
+    assert data_skipping_expr(spark, base2, "id > 5.5") == "max_id > 5.5BD"
+    assert read_manifest_table(spark, base2, where="id > 5.5").count() == 1
+
+
+def test_data_skipping_bloom_probe_matches_declared_type(spark, tmp_path):
+    """Bloom legs hash the probe as the column's declared type: integral
+    literal against an integral Bloom column probes (files provably
+    skipped), while a boolean or cross-type literal skips the leg."""
+    from tibame_project_spark.localdf import local_rows_df
+    from tibame_project_spark.sources.manifest import data_skipping_expr
+
+    base = str(tmp_path / "t")
+    rows = [(i, i % 5) for i in range(40)]
+    write_manifest_table(
+        spark,
+        local_rows_df(spark, rows, "id long, bucket long")
+        .repartitionByRange(4, "id"),
+        base, stats_cols=["id"], bloom_cols=["bucket"], keep=10,
+    )
+    expr = data_skipping_expr(spark, base, "bucket = 3")
+    assert expr is not None and "bloom_bucket" in expr
+    got = read_manifest_table(spark, base, where="bucket = 3")
+    assert got.count() == 8 and {r["bucket"] for r in got.collect()} == {3}

@@ -2065,14 +2065,16 @@ def read_manifest_table(
         if version is None:
             raise FileNotFoundError(f"no committed manifest table under {base_path}")
     man = manifest_stats(spark, base_path, version=version)
+    meta = _meta(spark, base_path, version)
     if prune is not None:
         man = man.where(F.coalesce(F.expr(prune), F.lit(True)))
     if where is not None:
-        auto = data_skipping_expr(spark, base_path, where, version=version)
+        auto = data_skipping_expr(
+            spark, base_path, where, version=version, meta=meta
+        )
         if auto is not None:
             man = man.where(F.coalesce(F.expr(auto), F.lit(True)))
     files = man.select("path", "dv_path", "schema_id").collect()
-    meta = _meta(spark, base_path, version)
     out = _read_live(spark, base_path, files, meta)
     return out.where(where) if where is not None else out
 
@@ -2731,6 +2733,57 @@ _SKIP_FLIP = {
 }
 
 
+#: type families whose mutual comparisons coerce IDENTICALLY in the row
+#: predicate and in the min/max prune (both sides widen within the family)
+_SKIP_NUMERIC = frozenset({
+    "ByteType", "ShortType", "IntegerType", "LongType",
+    "FloatType", "DoubleType", "DecimalType",
+})
+_SKIP_TIME = frozenset({"DateType", "TimestampType", "TimestampNTZType"})
+
+
+def _skip_order_compatible(col_dt, lit) -> bool:
+    """True when comparing ``lit`` against the column's min/max stats
+    orders the SAME way as the row predicate orders the column itself.
+    A cross-family pair is the confirmed over-prune class: e.g. a string
+    column against an int literal compares numerically row-side
+    (cast('10')=10 > 9) but lexicographically stats-side (max='9'),
+    so the orders disagree and a matching file gets skipped. Same-family
+    numeric/time pairs widen identically on both sides; exact matches
+    are trivially safe; everything else contributes no constraint."""
+    col = type(col_dt).__name__
+    name = lit.dataType().getClass().getSimpleName().rstrip("$")
+    if col == name:
+        return True
+    return (col in _SKIP_NUMERIC and name in _SKIP_NUMERIC) or (
+        col in _SKIP_TIME and name in _SKIP_TIME
+    )
+
+
+def _skip_bloom_value(col_dt, lit):
+    """The Python probe value for the Bloom leg, or None to skip it.
+    Stricter than the range legs: the probe is HASHED as the column's
+    declared type, so the literal must already BE that family — a string
+    column probed with int 5 would hash the canonical '5' and miss files
+    holding '05', rows the coerced row equality accepts (confirmed
+    silent row loss). Strings probe string columns, integral literals
+    probe integral columns, booleans never probe."""
+    try:
+        v = lit.value()
+    except Exception:
+        return None
+    col = type(col_dt).__name__
+    name = lit.dataType().getClass().getSimpleName().rstrip("$")
+    if isinstance(v, bool) or name == "BooleanType":
+        return None
+    if col == "StringType" and name == "StringType":
+        return str(v)
+    integral = {"ByteType", "ShortType", "IntegerType", "LongType"}
+    if col in integral and name in integral and isinstance(v, int):
+        return v
+    return None
+
+
 def _skip_attr_lit(kids):
     """(stats-attr-name, literal-node, flipped) for a comparison's two
     children when one side is a plain column and the other a non-NULL
@@ -2746,23 +2799,7 @@ def _skip_attr_lit(kids):
     return None
 
 
-def _skip_py_value(lit):
-    """The Python value of a Catalyst Literal for Bloom probing — ints
-    and strings only (the two types the Bloom tier hashes losslessly
-    from a probe list); None means 'skip the Bloom leg'."""
-    try:
-        v = lit.value()
-    except Exception:
-        return None
-    if isinstance(v, int):
-        return v
-    dt = lit.dataType().getClass().getSimpleName()
-    if dt.startswith("StringType"):
-        return str(v)
-    return None
-
-
-def _skip_walk(spark, base_path, version, node, stats, null_stats, bloom_cols):
+def _skip_walk(spark, base_path, version, node, stats, null_stats, bloom_cols, types):
     """One prune conjunct for ``node``'s subtree, or None when the
     subtree proves nothing about file-level stats (conservative: no
     constraint). Every returned expression is a SUPERSET filter — a file
@@ -2772,14 +2809,20 @@ def _skip_walk(spark, base_path, version, node, stats, null_stats, bloom_cols):
     kids = [ch.apply(i) for i in range(ch.size())]
     if kind == "And":
         parts = [
-            _skip_walk(spark, base_path, version, k, stats, null_stats, bloom_cols)
+            _skip_walk(
+                spark, base_path, version, k, stats, null_stats,
+                bloom_cols, types,
+            )
             for k in kids
         ]
         parts = [p for p in parts if p is not None]
         return " AND ".join(f"({p})" for p in parts) if parts else None
     if kind == "Or":
         parts = [
-            _skip_walk(spark, base_path, version, k, stats, null_stats, bloom_cols)
+            _skip_walk(
+                spark, base_path, version, k, stats, null_stats,
+                bloom_cols, types,
+            )
             for k in kids
         ]
         if any(p is None for p in parts) or not parts:
@@ -2790,13 +2833,14 @@ def _skip_walk(spark, base_path, version, node, stats, null_stats, bloom_cols):
         if hit is None:
             return None
         name, lit, _ = hit
+        dt = types.get(name.casefold())
         parts = []
         c = stats.get(name.casefold())
-        if c is not None:
+        if c is not None and _skip_order_compatible(dt, lit):
             v = lit.sql()
             parts.append(f"min_{c} <= {v} AND max_{c} >= {v}")
         bc = bloom_cols.get(name.casefold())  # Bloom-only columns count too
-        pv = _skip_py_value(lit) if bc else None
+        pv = _skip_bloom_value(dt, lit) if bc else None
         if pv is not None:
             try:
                 parts.append(
@@ -2811,7 +2855,9 @@ def _skip_walk(spark, base_path, version, node, stats, null_stats, bloom_cols):
             return None
         name, lit, flipped = hit
         c = stats.get(name.casefold())
-        if c is None:
+        if c is None or not _skip_order_compatible(
+            types.get(name.casefold()), lit
+        ):
             return None
         op = _SKIP_FLIP[kind] if flipped else kind
         return _SKIP_CMP[op].format(c=c, v=lit.sql())
@@ -2828,16 +2874,19 @@ def _skip_walk(spark, base_path, version, node, stats, null_stats, bloom_cols):
             vals.append(k)
         if not vals:
             return None
+        dt = types.get(name.casefold())
         parts = []
         c = stats.get(name.casefold())
-        if c is not None:
+        if c is not None and all(
+            _skip_order_compatible(dt, k) for k in vals
+        ):
             parts.append(" OR ".join(
                 f"(min_{c} <= {k.sql()} AND max_{c} >= {k.sql()})"
                 for k in vals
             ))
         bc = bloom_cols.get(name.casefold())  # Bloom-only columns count too
         if bc:
-            pvs = [_skip_py_value(k) for k in vals]
+            pvs = [_skip_bloom_value(dt, k) for k in vals]
             if all(p is not None for p in pvs):
                 try:
                     parts.append(bloom_prune_expr(
@@ -2865,6 +2914,7 @@ def data_skipping_expr(
     predicate: str,
     *,
     version: int | None = None,
+    meta: dict | None = None,
 ) -> str | None:
     """Derive a ``prune=`` expression FROM a row predicate — Delta's
     transparent data skipping as an explicit verb. Walks the Catalyst
@@ -2873,11 +2923,18 @@ def data_skipping_expr(
     min/max range checks (plus per-era Bloom probes for equality/IN on
     Bloom columns), IS [NOT] NULL becomes a null-count check on
     ``null_stats`` tables, AND keeps any translatable side, OR requires
-    both. Everything else — NOT, functions, casts, column-to-column —
-    contributes NO constraint, so the derived expression is always a
-    SUPERSET of the files holding matching rows (the caller still
-    applies the exact row filter). Returns None when nothing translates
-    (scan everything, exactly as without it).
+    both. Everything else — NOT, functions, casts, column-to-column,
+    and any literal whose TYPE FAMILY differs from the column's
+    (cross-family predicates coerce numerically row-side but would
+    compare raw stats prune-side: ``string_col > 9`` matches '10'
+    numerically while lexicographic max '9' skips its file — the one
+    confirmed over-prune class, refused by :func:`_skip_order_compatible`
+    / :func:`_skip_bloom_value`) — contributes NO constraint, so the
+    derived expression is always a SUPERSET of the files holding
+    matching rows (the caller still applies the exact row filter).
+    Returns None when nothing translates (scan everything, exactly as
+    without it). ``meta=`` lets a caller that already loaded the
+    version's commit meta skip the re-read.
 
     ``read_manifest_table(where=...)`` applies this automatically; this
     verb exists for callers composing the expression with their own
@@ -2888,17 +2945,24 @@ def data_skipping_expr(
             raise FileNotFoundError(
                 f"no committed manifest table under {base_path}"
             )
-    meta = _meta(spark, base_path, version)
+    if meta is None:
+        meta = _meta(spark, base_path, version)
     stats = {c.casefold(): c for c in meta["stats_cols"]}
     bloom = meta.get("bloom") or {}
     bloom_cols = {c.casefold(): c for c in bloom.get("cols", [])}
+    schema = StructType.fromJson(meta["schema"])
+    types = {
+        f.name.casefold(): f.dataType
+        for f in schema.fields
+        if f.name.casefold() in stats or f.name.casefold() in bloom_cols
+    }
     node = (
         spark._jsparkSession.sessionState().sqlParser()
         .parseExpression(predicate)
     )
     return _skip_walk(
         spark, base_path, version, node, stats,
-        bool(meta.get("null_stats")), bloom_cols,
+        bool(meta.get("null_stats")), bloom_cols, types,
     )
 
 
