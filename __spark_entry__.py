@@ -2877,9 +2877,10 @@ def q_evolution_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (int→bigint cast + rename), era-N files natively. The
     returned frame folds (a) the full-table per-priority aggregate —
     every era's projection feeds it — and (b) a range+Bloom-pruned point
-    lookup whose probes are hashed PER ERA (`bloom_prune_expr` branches
+    lookup whose probes are hashed PER ERA (the Bloom tier branches
     on schema_id: xxhash64 of int ≠ long, so a widened table keeps
-    equality skipping exactly). The oracle replays append+rename+widen+
+    equality skipping exactly; r13 derives the whole prune from a
+    where= IN-list via data_skipping_expr). The oracle replays append+rename+widen+
     merge relationally on the final schema — a wrong era projection
     (rename mapping, cast, NULL-fill, Bloom probe) corrupts values and
     fails the hash. Takes the slot of the retired ``multimodal_meta``
@@ -2899,7 +2900,6 @@ def q_evolution_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried rows shifts ``n``/``total``."""
     from tibame_project_spark.sources.manifest import (
         append_manifest_table,
-        bloom_prune_expr,
         evolve_manifest_table,
         manifest_stats,
         merge_manifest_table,
@@ -3020,14 +3020,17 @@ def q_evolution_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("cust").alias("n_cust"),
     )
     probe = [lo + 1, lo + 2, 3000000000, 3000000037]
+    # r13: the transparent form — the IN-list compiles to per-value
+    # min/max ranges (tighter than the old hand-written range
+    # disjunction) AND the era-branched Bloom probe (int-hashed for
+    # era-0 files, long-hashed post-widening), derived by
+    # data_skipping_expr instead of hand-composed; over-pruning would
+    # lose probe_hits/probe_amount and fail the hash
     probed = read_manifest_table(
         spark,
         base,
-        # range tier ∨ the widened insert keyspace, ∧ the era-branched
-        # Bloom probe (int-hashed for era-0 files, long-hashed for new)
-        prune=f"(min_okey <= {hi} OR max_okey >= 3000000000)"
-        f" AND {bloom_prune_expr(spark, base, 'okey', probe)}",
-    ).where(F.col("okey").isin(probe))
+        where=f"okey IN ({', '.join(str(p) for p in probe)})",
+    )
     pc = probed.agg(
         F.count(F.lit(1)).alias("probe_hits"),
         F.sum("amount").cast("double").alias("probe_amount"),
