@@ -6007,3 +6007,41 @@ def test_data_skipping_bloom_probe_matches_declared_type(spark, tmp_path):
     assert expr is not None and "bloom_bucket" in expr
     got = read_manifest_table(spark, base, where="bucket = 3")
     assert got.count() == 8 and {r["bucket"] for r in got.collect()} == {3}
+
+
+def test_data_skipping_like_prefix_and_isnotnull_fallback(spark, tmp_path):
+    """LIKE 'abc%' translates to the [prefix, incremented-prefix) range
+    check (Delta's startsWith); wildcards mid-pattern or a leading %
+    prove nothing. IS NOT NULL on a table WITHOUT null_stats falls back
+    to the min/max proxy: only an all-NULL file folds min to NULL."""
+    from tibame_project_spark.localdf import local_rows_df
+    from tibame_project_spark.sources.manifest import data_skipping_expr
+
+    base = str(tmp_path / "t")
+    rows = (
+        [(i, f"apple{i}") for i in range(10)]
+        + [(i, f"melon{i}") for i in range(10, 20)]
+        + [(i, None) for i in range(20, 30)]
+    )
+    write_manifest_table(
+        spark,
+        local_rows_df(spark, rows, "id long, name string")
+        .repartitionByRange(3, "id"),
+        base, stats_cols=["id", "name"], keep=10,
+    )
+    assert data_skipping_expr(spark, base, "name LIKE 'apple%'") == (
+        "max_name >= 'apple' AND min_name < 'applf'"
+    )
+    assert data_skipping_expr(spark, base, "name LIKE '%apple'") is None
+    assert data_skipping_expr(spark, base, "name LIKE 'ap_le%'") is None
+    assert data_skipping_expr(spark, base, "id LIKE '1%'") is None  # non-string
+    got = read_manifest_table(spark, base, where="name LIKE 'melon%'")
+    assert got.count() == 10
+    assert len(got.inputFiles()) < 3  # skipping bites
+    # IS NOT NULL without null_stats: min/max proxy skips the all-NULL file
+    assert data_skipping_expr(spark, base, "name IS NOT NULL") == (
+        "min_name IS NOT NULL"
+    )
+    got = read_manifest_table(spark, base, where="name IS NOT NULL")
+    assert got.count() == 20
+    assert len(got.inputFiles()) < 3

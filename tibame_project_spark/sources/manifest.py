@@ -2900,11 +2900,46 @@ def _skip_walk(spark, base_path, version, node, stats, null_stats, bloom_cols, t
             return None
         c = stats.get(kids[0].name().casefold())
         return f"nulls_{c} > 0" if c is not None else None
-    if kind == "IsNotNull" and len(kids) == 1 and null_stats:
+    if kind == "IsNotNull" and len(kids) == 1:
         if kids[0].getClass().getSimpleName() != "UnresolvedAttribute":
             return None
         c = stats.get(kids[0].name().casefold())
-        return f"nulls_{c} < rows" if c is not None else None
+        if c is None:
+            return None
+        if null_stats:
+            return f"nulls_{c} < rows"
+        # min/max proxy, no null_stats needed: an all-NULL file's min
+        # folds to NULL (and only an all-NULL file can be skipped here)
+        return f"min_{c} IS NOT NULL"
+    if kind == "Like" and len(kids) == 2:
+        # pure-PREFIX patterns only ('abc%'): matching values sort in
+        # [prefix, next-string-after-all-prefixed), so the file range
+        # check is max_c >= prefix AND min_c < incremented(prefix) —
+        # Delta's startsWith translation. Wildcards mid-pattern, escape
+        # chars, quotes, or a leading % prove nothing file-level.
+        hit = _skip_attr_lit(kids)
+        if hit is None:
+            return None
+        name, lit, flipped = hit
+        c = stats.get(name.casefold())
+        dt = types.get(name.casefold())
+        if flipped or c is None or type(dt).__name__ != "StringType":
+            return None
+        pat = str(lit.value())
+        if not pat.endswith("%"):
+            return None
+        prefix = pat[:-1]
+        if any(ch in prefix for ch in ("%", "_", "\\", "'")) or not prefix:
+            return None
+        upper = None
+        for i in range(len(prefix) - 1, -1, -1):
+            if ord(prefix[i]) < 0x10FFFF:
+                upper = prefix[:i] + chr(ord(prefix[i]) + 1)
+                break
+        expr = f"max_{c} >= '{prefix}'"
+        if upper is not None and "'" not in upper:
+            expr += f" AND min_{c} < '{upper}'"
+        return expr
     return None  # NOT, functions, casts, subqueries: no constraint
 
 
