@@ -6045,3 +6045,57 @@ def test_data_skipping_like_prefix_and_isnotnull_fallback(spark, tmp_path):
     got = read_manifest_table(spark, base, where="name IS NOT NULL")
     assert got.count() == 20
     assert len(got.inputFiles()) < 3
+
+
+def test_merge_update_condition_gates_matched_rows(spark, tmp_path):
+    """Conditional MERGE (Delta's whenMatched(condition)): only matched
+    source rows whose condition holds apply — stale out-of-order CDC
+    images AND stale deletes are ignored, inserts are never gated, and
+    replaying the same batch stays a fixpoint."""
+    from tibame_project_spark.localdf import local_rows_df
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark,
+        local_rows_df(
+            spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "id long, v string, ts long",
+        ),
+        base, stats_cols=["id"], keep=10,
+    )
+    batch = local_rows_df(
+        spark,
+        [
+            (1, "A", 11, False),   # newer: applies
+            (2, "stale", 5, False),  # older: ignored
+            (3, "x", 7, True),     # stale DELETE: ignored
+            (4, "d", 40, False),   # unmatched: inserts regardless
+        ],
+        "id long, v string, ts long, dead boolean",
+    )
+    merge_manifest_table(
+        spark, batch, base, "id", delete_col="dead", keep=10,
+        update_condition="ts > t_ts",
+    )
+    def content():
+        return {
+            (r["id"], r["v"], r["ts"])
+            for r in read_manifest_table(spark, base).collect()
+        }
+    expected = {(1, "A", 11), (2, "b", 20), (3, "c", 30), (4, "d", 40)}
+    assert content() == expected
+    # replay is a fixpoint: every row now compares against itself
+    merge_manifest_table(
+        spark, batch, base, "id", delete_col="dead", keep=10,
+        update_condition="ts > t_ts",
+    )
+    assert content() == expected
+    # a genuinely newer delete goes through the same gate
+    merge_manifest_table(
+        spark,
+        local_rows_df(spark, [(3, "x", 99, True)],
+                      "id long, v string, ts long, dead boolean"),
+        base, "id", delete_col="dead", keep=10,
+        update_condition="ts > t_ts",
+    )
+    assert content() == expected - {(3, "c", 30)}

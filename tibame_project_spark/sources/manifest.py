@@ -2090,6 +2090,7 @@ def merge_manifest_table(
     expect: list | None = None,
     txn: tuple[str, int] | None = None,
     allow_evolution: bool = False,
+    update_condition: str | None = None,
 ) -> int:
     """MERGE a change batch into the table, rewriting ONLY the files whose
     ``key`` range can contain a batch key (Delta/Iceberg's
@@ -2121,7 +2122,17 @@ def merge_manifest_table(
     candidates rewrite carrying the new columns, every untouched file
     stays on its old era and reads NULL-filled. Without the flag an
     extra batch column REFUSES loudly (the silent alternative would
-    drop a CDC source's new column without a trace)."""
+    drop a CDC source's new column without a trace).
+
+    ``update_condition`` (Delta's ``whenMatched(condition)``): a boolean
+    SQL expression gating every MATCHED source row — source columns by
+    name, the matched current row's as ``t_<name>`` — e.g.
+    ``"ts > t_ts"`` applies only strictly-newer images (last-writer-wins
+    for out-of-order CDC feeds). A false/NULL condition keeps the
+    current row; unmatched rows always insert; tombstones are gated too,
+    so a stale delete cannot undo a newer image. Cost: one extra join of
+    the batch against the candidate rows (bounded by the batch's key
+    ranges), nothing table-wide."""
     if txn is not None:
         _, _, h0, _ = _begin(spark, base_path)
         if h0 is not None:
@@ -2131,7 +2142,7 @@ def merge_manifest_table(
     edit = _prepare_merge_edit(
         spark, source, base_path, key, delete_col=delete_col, expect=expect,
         where=f"merge_manifest_table({base_path})",
-        allow_evolution=allow_evolution,
+        allow_evolution=allow_evolution, update_condition=update_condition,
     )
     # read set = replace set = the candidate files; a concurrent commit
     # touching them, or any file in this batch's key range, conflicts
@@ -2165,6 +2176,7 @@ def _prepare_merge_edit(
     expect: list | None,
     where: str,
     allow_evolution: bool = False,
+    update_condition: str | None = None,
 ) -> dict:
     """Everything a MERGE does BEFORE publishing — candidate selection,
     the merge rewrite, data write, stats — packaged as the manifest EDIT
@@ -2281,6 +2293,34 @@ def _prepare_merge_edit(
         current = current.withColumn(
             c, F.lit(None).cast(source.schema[c].dataType)
         )
+    if update_condition is not None:
+        # WHEN MATCHED AND <condition> (Delta's conditional merge) as a
+        # SOURCE PRE-FILTER, so the fixpoint-critical full-row upsert
+        # stays untouched: a matched source row whose condition is
+        # false/NULL is dropped BEFORE the merge and the current row
+        # carries forward; unmatched rows always insert (conditions
+        # never gate WHEN NOT MATCHED); tombstones are gated too, so a
+        # stale out-of-order CDC delete cannot undo a newer image. The
+        # condition references source columns by NAME and the matched
+        # current row's as t_<name> (e.g. "ts > t_ts" = last-writer-
+        # wins). Replay stays a fixpoint: after the first apply the
+        # condition compares a row against itself and keeps the target.
+        cur_t = current.select(
+            F.col(key).alias("__mck"),
+            *[
+                F.col(c).alias(f"t_{c}")
+                for c in current.columns
+                if c != key
+            ],
+        )
+        src_cols = source.columns
+        cand_j = source.join(
+            cur_t, source[key] == cur_t["__mck"], "left"
+        )
+        source = cand_j.where(
+            F.col("__mck").isNull()
+            | F.coalesce(F.expr(update_condition), F.lit(False))
+        ).select(*[source[c] for c in src_cols])
     rules = _constraint_rules(meta, delete_col)  # tombstones exempt
     if rules:
         expect = (list(expect) if expect else []) + rules
