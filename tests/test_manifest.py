@@ -3636,6 +3636,52 @@ def test_vacuum_sweeps_crashed_manifest_tmp_dirs(spark, tmp_path):
     assert _content(spark, base) == {(1, 1)}
 
 
+def test_vacuum_sweeps_crashed_write_text_tmp_siblings(spark, tmp_path):
+    """A crash between _write_text's temp-sibling create and the rename
+    leaks '.<name>.tmp-<uuid>' beside the meta files forever — vacuum
+    sweeps aged ones (dry run counts them without deleting, keeping its
+    prediction exact); a YOUNG temp under min_age_s is a live publish's
+    in-flight rename and survives. The feed cursor lives outside the
+    table, so manifest_feed_commit sweeps its own directory instead."""
+    import time
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark, _mk(spark, [(1, 1)]), base, stats_cols=["id"], keep=10
+    )
+    dead = f"{base}/meta/.v=9.json.tmp-deadbeef"
+    open(dead, "w").close()
+    assert vacuum_manifest_table(spark, base, min_age_s=3600) == 0
+    assert os.path.exists(dead)  # young (or generously retained): spared
+    time.sleep(1.1)
+    assert vacuum_manifest_table(
+        spark, base, min_age_s=1.0, dry_run=True
+    ) == 1
+    assert os.path.exists(dead)  # dry run deletes nothing
+    assert vacuum_manifest_table(spark, base, min_age_s=1.0) == 1
+    assert not os.path.exists(dead)
+    assert _content(spark, base) == {(1, 1)}
+    # the cursor's own directory: an aged crashed temp beside the state
+    # file is reclaimed by the next successful advance
+    from tibame_project_spark.sources.manifest import manifest_feed_commit
+
+    state_dir = tmp_path / "state"
+    state_dir.mkdir()
+    state = str(state_dir / "cursor.json")
+    stale = state_dir / ".cursor.json.tmp-cafe"
+    stale.touch()
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    fresh = state_dir / ".cursor.json.tmp-beef"
+    fresh.touch()
+    manifest_feed_commit(spark, state, 1)
+    assert not stale.exists()  # hour-aged crash leftover swept
+    assert fresh.exists()  # a live racer's temp untouched
+    import json as _json
+
+    assert _json.loads(open(state).read()) == {"version": 1}
+
+
 def test_recover_min_age_spares_young_claims(spark, tmp_path):
     """recover_manifest_table(min_age_s=...) — the automated-recovery
     form: a claim younger than the threshold might belong to a live
@@ -6047,6 +6093,52 @@ def test_data_skipping_like_prefix_and_isnotnull_fallback(spark, tmp_path):
     assert len(got.inputFiles()) < 3
 
 
+def test_data_skipping_like_prefix_skips_unsafe_increment_chars(spark, tmp_path):
+    """The LIKE-prefix UPPER bound must never emit a codepoint that breaks
+    the SQL literal or the transport: incrementing 'ab[' lands on the
+    backslash (U+005C) and 'ab&' on the quote (U+0027) — both must skip
+    FORWARD to the next safe char (superset-safe: a larger upper admits
+    more files, never fewer); a prefix ending at U+D7FF must jump the
+    whole surrogate block to U+E000; a prefix of U+10FFFF chars has no
+    successor and keeps only the lower bound."""
+    from tibame_project_spark.localdf import local_rows_df
+    from tibame_project_spark.sources.manifest import data_skipping_expr
+
+    base = str(tmp_path / "t")
+    rows = (
+        [(i, f"ab[{i}") for i in range(10)]
+        + [(i, f"zz{i}") for i in range(10, 20)]
+    )
+    write_manifest_table(
+        spark,
+        local_rows_df(spark, rows, "id long, name string")
+        .repartitionByRange(2, "id"),
+        base, stats_cols=["id", "name"], keep=10,
+    )
+    # '[' + 1 = '\' (refused) -> ']'
+    assert data_skipping_expr(spark, base, "name LIKE 'ab[%'") == (
+        "max_name >= 'ab[' AND min_name < 'ab]'"
+    )
+    # '&' + 1 = ''' (refused) -> '('
+    assert data_skipping_expr(spark, base, "name LIKE 'ab&%'") == (
+        "max_name >= 'ab&' AND min_name < 'ab('"
+    )
+    # U+D7FF + 1 = U+D800 (lone surrogate, refused) -> U+E000
+    hi = chr(0xD7FF)
+    assert data_skipping_expr(spark, base, f"name LIKE 'a{hi}%'") == (
+        f"max_name >= 'a{hi}' AND min_name < 'a'"
+    )
+    # no successor at all: lower bound alone (still a valid prune)
+    top = chr(0x10FFFF) * 2
+    assert data_skipping_expr(spark, base, f"name LIKE '{top}%'") == (
+        f"max_name >= '{top}'"
+    )
+    # end-to-end: the predicate that used to raise ParseException
+    got = read_manifest_table(spark, base, where="name LIKE 'ab[%'")
+    assert got.count() == 10
+    assert len(got.inputFiles()) < 2  # the zz-file is pruned
+
+
 def test_merge_update_condition_gates_matched_rows(spark, tmp_path):
     """Conditional MERGE (Delta's whenMatched(condition)): only matched
     source rows whose condition holds apply — stale out-of-order CDC
@@ -6099,3 +6191,86 @@ def test_merge_update_condition_gates_matched_rows(spark, tmp_path):
         update_condition="ts > t_ts",
     )
     assert content() == expected - {(3, "c", 30)}
+
+
+def test_merge_refuses_duplicate_key_batch(spark, tmp_path):
+    """A batch carrying TWO images of one key must refuse loudly — the
+    merge's full-outer join would fan both out into duplicate target
+    rows. With update_condition the hole is wider (two stale-ordered
+    images both newer than the target both survive the pre-filter), so
+    the refusal must fire on that path too — and BEFORE any rewrite:
+    the table is unchanged afterwards."""
+    from tibame_project_spark.localdf import local_rows_df
+
+    base = str(tmp_path / "t")
+    write_manifest_table(
+        spark,
+        local_rows_df(spark, [(1, "a", 10), (2, "b", 20)],
+                      "id long, v string, ts long"),
+        base, stats_cols=["id"], keep=10,
+    )
+    dup = local_rows_df(
+        spark,
+        [(1, "img1", 11), (1, "img2", 12), (2, "b2", 21)],
+        "id long, v string, ts long",
+    )
+    with pytest.raises(ValueError, match="duplicate 'id' keys"):
+        merge_manifest_table(spark, dup, base, "id", keep=10)
+    with pytest.raises(ValueError, match="duplicate 'id' keys"):
+        merge_manifest_table(
+            spark, dup, base, "id", keep=10, update_condition="ts > t_ts"
+        )
+    got = {(r["id"], r["v"], r["ts"])
+           for r in read_manifest_table(spark, base).collect()}
+    assert got == {(1, "a", 10), (2, "b", 20)}
+    # collapsed keep-last on the ordering column, the documented fix:
+    from tibame_project_spark.operators.dedup import dedup_keep_last
+
+    merge_manifest_table(
+        spark, dedup_keep_last(dup, ["id"], [F.col("ts")]), base, "id",
+        keep=10, update_condition="ts > t_ts",
+    )
+    got = {(r["id"], r["v"], r["ts"])
+           for r in read_manifest_table(spark, base).collect()}
+    assert got == {(1, "img2", 12), (2, "b2", 21)}
+
+
+def test_merge_update_condition_refuses_alias_collisions(spark, tmp_path):
+    """A source column spelled t_<target-col> (or __mck) would make the
+    condition's alias binding ambiguous — refuse with names instead of
+    an AnalysisException deep in the join (or a misbound reference)."""
+    from tibame_project_spark.localdf import local_rows_df
+
+    base = str(tmp_path / "t")
+    # the ADVICE case: the TABLE itself carries both ts and t_ts, so the
+    # matched-row alias of ts ('t_ts') collides with the genuine source
+    # column t_ts and "ts > t_ts" binds ambiguously
+    write_manifest_table(
+        spark,
+        local_rows_df(spark, [(1, "a", 10, 9)],
+                      "id long, v string, ts long, t_ts long"),
+        base, stats_cols=["id"], keep=10,
+    )
+    bad = local_rows_df(
+        spark, [(1, "A", 11, 10)], "id long, v string, ts long, t_ts long",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        merge_manifest_table(
+            spark, bad, base, "id", keep=10, update_condition="ts > t_ts",
+        )
+    # a source column adding a NEW t_<name> under evolution collides too
+    # (the NULL-filled lift would alias the target's v as t_v)
+    with pytest.raises(ValueError, match="collide"):
+        merge_manifest_table(
+            spark,
+            local_rows_df(spark, [(1, "A", 11, 10, "x")],
+                          "id long, v string, ts long, t_ts long, t_v string"),
+            base, "id", keep=10, allow_evolution=True,
+            update_condition="ts > t_ts",
+        )
+    # without a condition there is no t_-alias join at all: the same
+    # shape merges fine (t_ts is just a column)
+    merge_manifest_table(spark, bad, base, "id", keep=10)
+    got = {(r["id"], r["v"], r["ts"], r["t_ts"])
+           for r in read_manifest_table(spark, base).collect()}
+    assert got == {(1, "A", 11, 10)}

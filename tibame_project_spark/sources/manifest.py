@@ -269,6 +269,36 @@ def _write_text(spark: SparkSession, path: str, text: str) -> None:
     fs.delete(tmp, False)
 
 
+def _sweep_tmp_siblings(
+    fs, jvm, dir_path: str, floor_ms: float, *, dry_run: bool = False
+) -> int:
+    """Delete aged ``.<name>.tmp-<uuid>`` siblings :func:`_write_text`'s
+    crashed attempts leave beside metadata files — nothing else reclaims
+    them (vacuum and retention sweep data/manifest files only), so
+    crashed writers would accumulate junk next to the cursor/meta files
+    forever. Age-guarded like vacuum's data sweep: a LIVE writer's temp
+    exists for milliseconds between create and rename, so anything older
+    than the floor is a crash's leftover, never a racer's in-flight
+    publish. ``dry_run`` counts without deleting, so vacuum's dry run
+    predicts the real sweep exactly. Returns the number of files."""
+    d = jvm.org.apache.hadoop.fs.Path(dir_path)
+    if not fs.exists(d):
+        return 0
+    swept = 0
+    for st in fs.listStatus(d):
+        name = st.getPath().getName()
+        if (
+            not st.isDirectory()
+            and name.startswith(".")
+            and ".tmp-" in name
+            and st.getModificationTime() <= floor_ms
+        ):
+            if not dry_run:
+                fs.delete(st.getPath(), False)
+            swept += 1
+    return swept
+
+
 def _read_text(spark: SparkSession, path: str) -> str:
     fs, p, jvm = _fs_for(spark, path)
     stream = fs.open(p)
@@ -2109,7 +2139,14 @@ def merge_manifest_table(
     (NULL has no place in a min/max range; the batch is validated and the
     merge runs ``null_safe_keys=False`` — enforce non-null upstream with
     an expectations rule). Composite keys: pre-concatenate a surrogate.
-    Returns the committed version.
+    The batch must also be KEY-UNIQUE — the merge is a full-outer join
+    on ``key``, so two images of one key in a single batch would fan out
+    into two output rows (silent duplicate-key corruption); the batch is
+    validated (count vs count-distinct, folded into the bounds agg) and
+    a duplicated key refuses loudly. Multi-image CDC feeds: collapse
+    per-batch with ``operators.dedup.dedup_keep_last`` on an
+    explicit ordering column, then gate staleness against the TABLE with
+    ``update_condition``. Returns the committed version.
 
     ``txn=(app_id, version)`` makes the commit idempotent — see
     :func:`append_manifest_table`. A replayed merge still prepares its
@@ -2201,18 +2238,38 @@ def _prepare_merge_edit(
             "— file skipping needs its min/max"
         )
     # one batch scan for bounds AND the NULL-key guard (count(*) vs
-    # count(key)) — not a separate limit(1) job per commit
+    # count(key)) AND the key-uniqueness guard (count vs count distinct)
+    # — not a separate limit(1) job per commit
     bounds = source.agg(
         F.min(key).alias("lo"),
         F.max(key).alias("hi"),
         F.count(F.lit(1)).alias("n"),
         F.count(key).alias("nk"),
+        F.countDistinct(key).alias("ndk"),
     ).first()
     if bounds["n"] != bounds["nk"]:
         raise ValueError(
             f"merge batch contains NULL {key!r} keys; manifest merge requires "
             "non-null keys (a NULL never lands in a min/max range, so it "
             "would silently re-insert on every application)"
+        )
+    if bounds["nk"] != bounds["ndk"]:
+        # REFUSE, never fan out: the merge is a full-outer join on the
+        # key, so two images of one key in a single batch would emit two
+        # output rows — silent duplicate-key corruption of a table whose
+        # every other verb (UPDATE candidates, DV deletes, later merges,
+        # update_condition's own target join) assumes key uniqueness.
+        # Out-of-order CDC feeds deliver exactly such batches: collapse
+        # them upstream (operators.dedup.dedup_keep_last on an
+        # explicit ordering column), then gate staleness vs the TABLE
+        # with update_condition.
+        raise ValueError(
+            f"merge batch carries duplicate {key!r} keys "
+            f"({bounds['nk']} rows, {bounds['ndk']} distinct): a "
+            "duplicated key would fan out in the merge join and corrupt "
+            "the table; collapse the batch first (e.g. dedup_keep_last "
+            "on an ordering column), then use update_condition to gate "
+            "staleness against the table"
         )
     dv_key = meta.get("dv_key")
     schemas, schema_id = _registry(meta)
@@ -2305,6 +2362,22 @@ def _prepare_merge_edit(
         # current row's as t_<name> (e.g. "ts > t_ts" = last-writer-
         # wins). Replay stays a fixpoint: after the first apply the
         # condition compares a row against itself and keeps the target.
+        # the t_<name> aliases are API (the condition references them),
+        # so a source column that ALREADY spells t_<target-col> (or the
+        # join key's internal __mck) would make the condition ambiguous
+        # — AnalysisException deep in the join at best, a silently
+        # misbound reference at worst. Refuse up front with names.
+        taken = {
+            f"t_{c}".casefold() for c in current.columns if c != key
+        } | {"__mck"}
+        clash = sorted(c for c in source.columns if c.casefold() in taken)
+        if clash:
+            raise ValueError(
+                f"update_condition cannot bind: source columns {clash} "
+                "collide with the t_<name> aliases of the matched target "
+                "row (or the internal __mck key); rename them in the "
+                "batch before the merge"
+            )
         cur_t = current.select(
             F.col(key).alias("__mck"),
             *[
@@ -2839,6 +2912,26 @@ def _skip_attr_lit(kids):
     return None
 
 
+def _skip_next_literal_char(o: int) -> str | None:
+    """The smallest codepoint > ``o`` that can sit inside a single-quoted
+    Spark SQL string literal unescaped AND survive the py4j transport:
+    skips the quote and backslash (either would corrupt the emitted
+    ``min_c < '<upper>'`` literal) and the whole surrogate block
+    (U+D800–DFFF — a lone surrogate is not valid UTF-8 and breaks the
+    gateway). None above U+10FFFF. Used for the LIKE-prefix upper bound,
+    where any successor codepoint is superset-safe."""
+    o += 1
+    while o <= 0x10FFFF:
+        if o in (0x27, 0x5C):  # ' and \
+            o += 1
+            continue
+        if 0xD800 <= o <= 0xDFFF:
+            o = 0xE000
+            continue
+        return chr(o)
+    return None
+
+
 def _skip_walk(spark, base_path, version, node, stats, null_stats, bloom_cols, types):
     """One prune conjunct for ``node``'s subtree, or None when the
     subtree proves nothing about file-level stats (conservative: no
@@ -2971,13 +3064,21 @@ def _skip_walk(spark, base_path, version, node, stats, null_stats, bloom_cols, t
         prefix = pat[:-1]
         if any(ch in prefix for ch in ("%", "_", "\\", "'")) or not prefix:
             return None
+        # Upper bound: increment the last char, SKIPPING codepoints that
+        # cannot ride a Spark SQL string literal — a quote or backslash
+        # breaks the quoting ('ab[' + 1 = 'ab\\' would backslash-escape
+        # the closing quote: ParseException on a valid predicate) and a
+        # lone surrogate (U+D800–DFFF, e.g. U+D7FF + 1) breaks the py4j
+        # transport. Skipping FORWARD stays superset-safe: any upper >
+        # the exact increment admits more files, never fewer.
         upper = None
         for i in range(len(prefix) - 1, -1, -1):
-            if ord(prefix[i]) < 0x10FFFF:
-                upper = prefix[:i] + chr(ord(prefix[i]) + 1)
+            nxt = _skip_next_literal_char(ord(prefix[i]))
+            if nxt is not None:
+                upper = prefix[:i] + nxt
                 break
         expr = f"max_{c} >= '{prefix}'"
-        if upper is not None and "'" not in upper:
+        if upper is not None:
             expr += f" AND min_{c} < '{upper}'"
         return expr
     return None  # NOT, functions, casts, subqueries: no constraint
@@ -3745,6 +3846,21 @@ def vacuum_manifest_table(
                 if not dry_run:
                     fs.delete(d.getPath(), True)
                 deleted += 1
+    # crashed _write_text attempts: a death between creating the
+    # dot-prefixed '.<name>.tmp-<uuid>' sibling and the rename leaks it
+    # beside the meta/stage files permanently — sweep aged ones here
+    # (same age contract: a live publish's temp is milliseconds old;
+    # dry_run counts them without deleting, keeping its prediction exact)
+    sweep_floor = floor_ms if floor_ms is not None else _time.time() * 1000.0
+    deleted += _sweep_tmp_siblings(
+        fs, jvm, f"{base_path}/meta", sweep_floor, dry_run=dry_run
+    )
+    if fs.exists(staged_root):
+        for st in fs.listStatus(staged_root):
+            if st.isDirectory():
+                deleted += _sweep_tmp_siblings(
+                    fs, jvm, str(st.getPath()), sweep_floor, dry_run=dry_run
+                )
     return deleted
 
 def restore_manifest_table(
@@ -4350,8 +4466,23 @@ def manifest_feed(
 
 def manifest_feed_commit(spark: SparkSession, state_path: str, version: int) -> None:
     """Advance a :func:`manifest_feed` cursor — call AFTER the interval's
-    changes are durably applied downstream (the at-least-once barrier)."""
+    changes are durably applied downstream (the at-least-once barrier).
+
+    The cursor lives OUTSIDE the table, so table vacuum never visits its
+    directory — each successful advance therefore opportunistically
+    sweeps aged ``.*.tmp-*`` siblings a crashed predecessor left beside
+    the cursor (an hour is generations older than any live publish's
+    create-to-rename window)."""
     _write_text(spark, state_path, json.dumps({"version": version}))
+    import time as _time
+
+    try:
+        fs, p, jvm = _fs_for(spark, state_path)
+        _sweep_tmp_siblings(
+            fs, jvm, str(p.getParent()), (_time.time() - 3600.0) * 1000.0
+        )
+    except Exception:
+        pass  # housekeeping must never fail a successful cursor advance
 
 def manifest_history(spark: SparkSession, base_path: str) -> DataFrame:
     """Commit history of the retained versions — the observability twin of
