@@ -155,4 +155,14 @@ def test_noisy_query_with_high_minimum_run_escalates_to_regression(tmp_path):
     reg_section = report.split("REGRESSION?")[1].split("##")[0]
     assert "| a |" in reg_section and "min run 1.90" in reg_section
     assert "| b |" not in reg_section
-    assert "| b |" in report.split("steal-noisy")[1].split("##")[0]
+    noisy_section = report.split("steal-noisy")[1].split("##")[0]
+    assert "| b |" in noisy_section
+    # the annotation rides its own `note` column: every row in these
+    # tables must carry exactly the header's cell count (a glued-on
+    # annotation used to merge into the spread cell / add a sixth cell
+    # against a five-column header, rendering misaligned markdown)
+    for section in (reg_section, noisy_section):
+        widths = {
+            ln.count("|") for ln in section.splitlines() if ln.startswith("|")
+        }
+        assert widths == {7}, f"misaligned table rows: {widths}"

@@ -129,26 +129,36 @@ def diff(
             continue
         ratio = new[q] / old[q]
         spread = max(old_spread.get(q, 1.0), new_spread.get(q, 1.0))
-        row = f"| {q} | {old[q]:.2f} | {new[q]:.2f} | {ratio:.2f}x | {spread:.2f} |"
+        def _row(note: str = "") -> str:
+            return (
+                f"| {q} | {old[q]:.2f} | {new[q]:.2f} | {ratio:.2f}x "
+                f"| {spread:.2f} | {note} |"
+            )
         if ratio > threshold:
             # "unstable" must not mean "unexamined" (the r12 sql_entry
             # hole): a steal burst inflates SOME runs, so when even the
             # MINIMUM new run exceeds threshold*old the drift cannot be
             # explained by noise — escalate it to the regression table
-            # with the min annotated instead of parking it as noisy.
+            # with the min noted in its own column (a cell-count-true
+            # row, not an annotation glued onto the spread cell).
             qruns = new_runs.get(q)
             floor = min(qruns) if qruns else None
             if spread > steal_ratio and (
                 floor is None or floor <= threshold * old[q]
             ):
-                noisy.append(row)
+                noisy.append(_row())
             else:
-                if spread > steal_ratio:
-                    row = row[:-1] + f" min run {floor:.2f} > {threshold}x old |"
-                flagged.append(row)
+                note = (
+                    f"min run {floor:.2f} > {threshold}x old"
+                    if spread > steal_ratio else ""
+                )
+                flagged.append(_row(note))
         elif ratio < 1 / threshold:
-            improved.append(row)
-    header = "| query | old s | new s | ratio | max spread |\n|---|---|---|---|---|"
+            improved.append(_row())
+    header = (
+        "| query | old s | new s | ratio | max spread | note |\n"
+        "|---|---|---|---|---|---|"
+    )
     if flagged:
         lines += [
             "## REGRESSION? (ratio > threshold; runs stable, or even the "
