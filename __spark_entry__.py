@@ -2646,7 +2646,15 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     swept a clone-referenced byte all fail the hash. The table is
     created with ``null_stats=True`` and the folded table-wide
     ``nulls_o_orderkey`` rides the frame (``src_null_keys``) — a commit
-    kind that drops the flag or the columns breaks the stats fold. Replaces the
+    kind that drops the flag or the columns breaks the stats fold.
+    r14 folds the CONDITIONAL MERGE (``update_condition``, Delta's
+    ``whenMatched(condition)``) in as an out-of-order CDC epoch after
+    the clone lifecycle: four disjoint key buckets (stale image with a
+    poisoned price, fresh image, stale tombstone, fresh tombstone)
+    plus unconditional inserts, gated on ``o_orderdate >
+    t_o_orderdate`` — a stale image applied, a fresh one missed, a
+    stale delete honored, a fresh delete missed, or a lost insert each
+    shifts the hashed rows (see ``merge_cdc_v7``). Replaces the
     retired ``hash_sample`` key (its deterministic
     order-by-md5 surface stays gated via ``corpus_shuffle``/
     ``stratified_sample``)."""
@@ -2772,8 +2780,66 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, diverge, clone_base
     ))
     leg("vacuum_src_postclone", lambda: vacuum_manifest_table(spark, base))
+    # r14: CONDITIONAL MERGE (update_condition, Delta's
+    # whenMatched(condition)) enters the gate as an out-of-order CDC
+    # epoch over the insert keyspace (the r13 verdict's missing #1).
+    # The batch partitions the >=10M keys into four disjoint buckets by
+    # original key mod 4 — a STALE image (date-1, poisoned price -999),
+    # a FRESH image (date+1, price 2x+7, 'CDC-FRESH'), a STALE tombstone
+    # (date-1), a FRESH tombstone (date+1) — plus unconditional inserts
+    # at +30M ('CDC-NEW'). Under "o_orderdate > t_o_orderdate" the two
+    # stale buckets must bounce off the matched rows (a gate that lets
+    # the stale image through lands -999 in the hashed frame; one that
+    # honors the stale delete loses rows), the fresh buckets must apply
+    # (missed image keeps the pre-CDC price; missed delete keeps a dead
+    # row), and the inserts always land — every outcome rides the final
+    # pruned read's full row values, so each failure mode breaks the
+    # driver hash, not just a pytest.
+    tenm = orders.filter(F.col("o_orderkey") % 37 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority",
+        (F.col("o_orderkey") % 4).alias("__b"),
+    )
+    cdc = tenm.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("__b") == 0, F.lit(-999.0))
+        .when(F.col("__b") == 1, F.col("o_totalprice") * 2 + 7)
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(
+            F.col("__b").isin(0, 2),
+            F.expr("o_orderdate - INTERVAL 1 DAY"),
+        ).otherwise(F.expr("o_orderdate + INTERVAL 1 DAY"))
+        .alias("o_orderdate"),
+        F.when(F.col("__b") == 0, "CDC-STALE")
+        .when(F.col("__b") == 1, "CDC-FRESH")
+        .otherwise("CDC-DEAD").alias("o_orderpriority"),
+        F.col("__b").isin(2, 3).alias("is_deleted"),
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 41 == 0).select(
+            (F.col("o_orderkey") + 30000000).alias("o_orderkey"),
+            "o_custkey", "o_totalprice", "o_orderdate",
+            F.lit("CDC-NEW").alias("o_orderpriority"),
+            F.lit(False).alias("is_deleted"),
+        )
+    )
+    leg("merge_cdc_v7", lambda: merge_manifest_table(
+        spark, cdc, base, "o_orderkey", delete_col="is_deleted",
+        update_condition="o_orderdate > t_o_orderdate",
+    ))
+    # cdc_price_sum folds the WHOLE CDC keyspace's prices into the frame
+    # (decimal partial sum, the _SQL_ENTRY bit-exactness pattern): the
+    # probed read's custkey filter may keep no bucket-1 row at a given
+    # sf, so a missed fresh image would otherwise be invisible — the
+    # sum shifts for every mis-gated bucket.
     heads = read_manifest_table(spark, base).agg(
-        F.count(F.lit(1)).alias("src_rows")
+        F.count(F.lit(1)).alias("src_rows"),
+        F.sum(
+            F.when(
+                F.col("o_orderkey").between(10000000, 19999999),
+                F.col("o_totalprice"),
+            ).cast("decimal(18,2)")
+        ).cast("double").alias("cdc_price_sum"),
     ).crossJoin(
         read_manifest_table(spark, clone_base).agg(
             F.count(F.lit(1)).alias("clone_rows")
@@ -2844,16 +2910,46 @@ updated AS (
          o_orderdate,
          CASE WHEN o_orderkey >= 10000000 THEN 'UPDATED'
               ELSE o_orderpriority END AS o_orderpriority
-  FROM merged)
-SELECT m.*, r.rel0_rows, s.src_rows, c.clone_rows, n.src_null_keys
-FROM updated m
+  FROM merged),
+-- the r14 conditional-MERGE CDC epoch ("o_orderdate > t_o_orderdate"):
+-- bucket 1 (fresh image) applies, bucket 3 (fresh tombstone) deletes,
+-- buckets 0/2 (stale image / stale delete) bounce off the newer target
+-- rows; the +30M rows insert unconditionally
+cdcimg AS (
+  SELECT o_orderkey + 10000000 AS k, o_orderkey % 4 AS bb,
+         o_totalprice, o_orderdate
+  FROM orders WHERE o_orderkey % 37 = 0),
+after_cdc AS (
+  SELECT u.o_orderkey, u.o_custkey,
+         CASE WHEN c.bb = 1 THEN c.o_totalprice * 2 + 7
+              ELSE u.o_totalprice END AS o_totalprice,
+         CASE WHEN c.bb = 1 THEN c.o_orderdate + INTERVAL 1 DAY
+              ELSE u.o_orderdate END AS o_orderdate,
+         CASE WHEN c.bb = 1 THEN 'CDC-FRESH'
+              ELSE u.o_orderpriority END AS o_orderpriority
+  FROM updated u LEFT JOIN cdcimg c ON u.o_orderkey = c.k
+  WHERE c.bb IS NULL OR c.bb <> 3
+  UNION ALL
+  SELECT o_orderkey + 30000000, o_custkey, o_totalprice, o_orderdate,
+         'CDC-NEW'
+  FROM orders WHERE o_orderkey % 41 = 0)
+SELECT m.*, r.rel0_rows, s.src_rows, s.cdc_price_sum, c.clone_rows,
+       n.src_null_keys
+FROM after_cdc m
 CROSS JOIN (SELECT COUNT(*) AS rel0_rows FROM orders) r
 CROSS JOIN (
   SELECT COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS src_null_keys
-  FROM updated) n
-CROSS JOIN (SELECT COUNT(*) AS src_rows FROM updated) s
+  FROM after_cdc) n
 CROSS JOIN (
-  -- the clone = the source head at clone time + the divergent append
+  SELECT COUNT(*) AS src_rows,
+         CAST(CAST(SUM(CAST(CASE WHEN o_orderkey BETWEEN 10000000
+                                       AND 19999999
+                            THEN o_totalprice END AS DECIMAL(18,2)))
+              AS STRING) AS DOUBLE) AS cdc_price_sum
+  FROM after_cdc) s
+CROSS JOIN (
+  -- the clone = the source head at clone time (pre-CDC) + the
+  -- divergent append
   SELECT (SELECT COUNT(*) FROM updated) + COUNT(*) AS clone_rows
   FROM t WHERE o_orderkey % 101 = 0) c
 WHERE (o_orderkey <= (SELECT hi FROM b) OR o_orderkey >= 10000000)
@@ -2897,7 +2993,17 @@ def q_evolution_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     id, so every pre-v6 file reads ``cust`` as NULL. A drop that
     recycles the id resurrects the old bigint values into ``n_cust``
     (or breaks the schema) and fails the hash; an evolution that loses
-    carried rows shifts ``n``/``total``."""
+    carried rows shifts ``n``/``total``.
+
+    r14 driver-prices the compiler's LIKE-prefix translation (the r13
+    verdict's missing #2): ``o_orderpriority`` joins the stats columns
+    and the probed read's ``where=`` carries ``AND o_orderpriority LIKE
+    'EVO-%'`` — compiled into the [prefix, next-prefix) string-range
+    prune, truncated-max interaction included. Probe key 7 is an
+    untouched era-0 row whose priority keeps its source value, so the
+    conjunct genuinely filters: dropping it row-side or over-pruning
+    file-side shifts ``probe_hits``/``probe_amount`` and fails the
+    hash."""
     from tibame_project_spark.sources.manifest import (
         append_manifest_table,
         evolve_manifest_table,
@@ -2915,9 +3021,12 @@ def q_evolution_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     )
     leg = _leg_recorder("evolution_cycle")
+    # r14: o_orderpriority joins the stats columns so the probed read's
+    # LIKE-'EVO-%' conjunct compiles into a string-range prune (the
+    # r13 compiler's LIKE-prefix leg, now driver-gated)
     leg("write_v0", lambda: write_manifest_table(
-        spark, orders, base, stats_cols=["okey"], cluster_by="okey",
-        n_files=4, keep=10, bloom_cols=["okey"],
+        spark, orders, base, stats_cols=["okey", "o_orderpriority"],
+        cluster_by="okey", n_files=4, keep=10, bloom_cols=["okey"],
     ))
     extra = orders.filter(F.col("okey") % 41 == 0).select(
         (F.col("okey") + 1000000).cast("int").alias("okey"),
@@ -3019,17 +3128,26 @@ def q_evolution_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("channel").alias("n_channel"),
         F.count("cust").alias("n_cust"),
     )
-    probe = [lo + 1, lo + 2, 3000000000, 3000000037]
+    probe = [7, lo + 1, lo + 2, 3000000000, 3000000037]
     # r13: the transparent form — the IN-list compiles to per-value
     # min/max ranges (tighter than the old hand-written range
     # disjunction) AND the era-branched Bloom probe (int-hashed for
     # era-0 files, long-hashed post-widening), derived by
     # data_skipping_expr instead of hand-composed; over-pruning would
-    # lose probe_hits/probe_amount and fail the hash
+    # lose probe_hits/probe_amount and fail the hash.
+    # r14: a LIKE-'EVO-%' conjunct rides the same where= — it compiles
+    # into the string-range prune [prefix, next-prefix) over the new
+    # o_orderpriority stats (including the truncated-max interaction),
+    # and it genuinely FILTERS: probe key 7 is an untouched era-0 row
+    # whose priority keeps its source value, so a dropped conjunct
+    # (row-side) or an over-tight bound (prune-side: the files holding
+    # the EVO rows also carry non-EVO mins, so a wrong interval skips
+    # them) shifts probe_hits/probe_amount and fails the hash.
     probed = read_manifest_table(
         spark,
         base,
-        where=f"okey IN ({', '.join(str(p) for p in probe)})",
+        where=f"okey IN ({', '.join(str(p) for p in probe)})"
+        " AND o_orderpriority LIKE 'EVO-%'",
     )
     pc = probed.agg(
         F.count(F.lit(1)).alias("probe_hits"),
@@ -3105,8 +3223,9 @@ agg AS (
 p AS (
   SELECT COUNT(*) AS probe_hits, CAST(SUM(amount) AS DOUBLE) AS probe_amount
   FROM m3
-  WHERE okey IN ((SELECT lo + 1 FROM b), (SELECT lo + 2 FROM b),
-                 3000000000, 3000000037))
+  WHERE okey IN (7, (SELECT lo + 1 FROM b), (SELECT lo + 2 FROM b),
+                 3000000000, 3000000037)
+    AND o_orderpriority LIKE 'EVO-%')
 SELECT * FROM agg CROSS JOIN p
 """
 
@@ -4638,26 +4757,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is ~1986 of the 1995-char budget — the registry is effectively FULL.
     # New operators should be pytest-covered (see README crosswalk rows
     # without a query key) unless a key is retired or the format shrinks.
-    # r13 window: block 1 = mart_star_trends FIRST (the one key deferred
-    # past its 2-round boundary at r12; r12's VERDICT ordered it to lead)
-    # plus this round's two CHANGED keys — evolution_cycle (now also
-    # prices MERGE schema evolution and metadata-only DROP COLUMN as new
-    # legs) and manifest_merge (now also prices the SHALLOW CLONE
-    # lifecycle: clone, divergent write, both heads hashed) — r12
-    # directives 5/6. Block 2 = 47 of the 49 r11-green entries, due back
-    # at their 2-round boundary. TWO r11-green keys are deferred to r14:
-    # clean_chain and fb_dates — the only two keys whose exact surfaces
-    # are ALSO re-proven every pytest run by golden-file tests against
-    # the committed reference CSVs (tests/test_golden_*), i.e. the same
-    # independent-per-round-witness justification that carried
-    # mart_star_trends' r12 deferral. Below the boundary: clean_chain and
-    # fb_dates first (priority at r14), then the r12-green block.
+    # r14 window: block 1 = clean_chain + fb_dates FIRST (the two
+    # r11-green deferrals, 3 rounds stale — r13's VERDICT ordered them
+    # to lead) plus this round's two CHANGED keys — manifest_merge (now
+    # also prices the CONDITIONAL MERGE out-of-order-CDC epoch,
+    # update_condition + cdc_price_sum fold) and evolution_cycle (now
+    # also prices the compiler's LIKE-prefix string-range prune via the
+    # probed read's where=) — r13 directives 4/5. Block 2 = 46 of the
+    # 48 r12-green entries, due back at their 2-round boundary. TWO
+    # r12-green keys are deferred to r15, each with an r13-green
+    # surface twin: cosine_topk (its exact operator — same k, same
+    # query/item split — executes INSIDE knn_eval, r13-green) and
+    # fuzzy_match (the documented cartesian baseline whose scoring
+    # kernel is the same code as fuzzy_blocked, r13-green, with the
+    # banded-prune-≡-full-DP unit test on top); both, like every key,
+    # stay oracle-checked every pytest run. Below the boundary they
+    # lead (priority at r15), then the r13-green block.
     return {
-        # -- block 1: the deferred r10 key + this round's changed keys -----
-        "mart_star_trends": q_mart_star_trends,  # r10 — r12 VERDICT: lead r13
-        "evolution_cycle": q_evolution_cycle,  # changed: +drop-column/merge-evolution legs
-        "manifest_merge": q_manifest_merge,  # changed: +shallow-clone leg
-        # -- block 2: the r11-green entries, due back ----------------------
+        # -- block 1: the two deferrals + this round's changed keys -------
+        "clean_chain": q_clean_chain,  # r11 — r13 VERDICT: lead r14
+        "fb_dates": q_fb_dates,  # r11 — r13 VERDICT: lead r14
+        "manifest_merge": q_manifest_merge,  # changed: +conditional-MERGE CDC leg
+        "evolution_cycle": q_evolution_cycle,  # changed: +LIKE-prefix derived prune
+        # -- block 2: the r12-green entries, due back ----------------------
+        "stream_sink": q_stream_sink,
+        "approx_users": q_approx_users,
+        "pagerank": q_pagerank,
+        "set_ops": q_set_ops,
+        "radius_grid": q_radius_grid,
+        "json_extract": q_json_extract,
+        "ivf_train": q_ivf_train,
+        "release_pipeline": q_release_pipeline,
+        "dedup_groups": q_dedup_groups,
+        "decontaminate": q_decontaminate,
+        "substring_dedup": q_substring_dedup,
+        "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "minhash_pairs": q_minhash_pairs,
+        "embedding_dups": q_embedding_dups,
+        "multimodal_features": q_multimodal_features,
+        "sessionize": q_sessionize,
+        "windowed_counts": q_windowed_counts,
+        "sql_entry": q_sql_entry,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "simhash_pairs": q_simhash_pairs,
+        "pack_sequences": q_pack_sequences,
+        "scd2_priority": q_scd2_priority,
+        "domain_mix": q_domain_mix,
+        "grouping_sets": q_grouping_sets,
+        "c4_filter": q_c4_filter,
+        "lm_score": q_lm_score,
+        "rolling_avg": q_rolling_avg,
+        "rank_functions": q_rank_functions,
+        "snapshot_diff": q_snapshot_diff,
+        "profile_table": q_profile_table,
+        "train_split": q_train_split,
+        "incremental_mart": q_incremental_mart,
+        "corpus_report": q_corpus_report,
+        "gap_fill": q_gap_fill,
+        "cohort_retention": q_cohort_retention,
+        "funnel": q_funnel,
+        "pearson_stats": q_pearson_stats,
+        "cube_rollup": q_cube_rollup,
+        "dedup_exact_text": q_dedup_exact_text,
+        "line_dedup": q_line_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "percentiles": q_percentiles,
+        "pivot_event_types": q_pivot_event_types,
+        "month_over_month": q_month_over_month,
+        # ---- 50-key window boundary; below: due back at r15 --------------
+        # fuzzy_match and cosine_topk lead (the two r12-green keys
+        # deferred past their boundary — each with an r13-green surface
+        # twin: fuzzy_blocked shares fuzzy_match's scoring kernel,
+        # knn_eval executes cosine_topk verbatim), then the r13-green
+        # block.
+        "fuzzy_match": q_fuzzy_match,  # r12 — twin fuzzy_blocked r13; priority at r15
+        "cosine_topk": q_cosine_topk,  # r12 — twin knn_eval r13; priority at r15
+        "mart_star_trends": q_mart_star_trends,  # also entry()'s every-round smoke
         "curation_pass": q_curation_pass,
         "ivm_mart": q_ivm_mart,
         "merge_upsert": q_merge_upsert,
@@ -4705,61 +4882,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "semantic_dedup": q_semantic_dedup,
         "sparse_topk": q_sparse_topk,
-        # ---- 50-key window boundary; below: due back at r14 --------------
-        # clean_chain and fb_dates lead (the two r11-green keys deferred
-        # past their boundary — uniquely safe: golden-file tests against
-        # the committed reference CSVs re-prove their exact surfaces every
-        # pytest run, on top of oracle parity), then the r12-green block.
-        "clean_chain": q_clean_chain,  # r11 — golden-witnessed; priority at r14
-        "fb_dates": q_fb_dates,  # r11 — golden-witnessed; priority at r14
-        "stream_sink": q_stream_sink,
-        "fuzzy_match": q_fuzzy_match,
-        "approx_users": q_approx_users,
-        "pagerank": q_pagerank,
-        "set_ops": q_set_ops,
-        "radius_grid": q_radius_grid,
-        "json_extract": q_json_extract,
-        "ivf_train": q_ivf_train,
-        "release_pipeline": q_release_pipeline,
-        "dedup_groups": q_dedup_groups,
-        "decontaminate": q_decontaminate,
-        "substring_dedup": q_substring_dedup,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
-        "minhash_pairs": q_minhash_pairs,
-        "embedding_dups": q_embedding_dups,
-        "multimodal_features": q_multimodal_features,
-        "sessionize": q_sessionize,
-        "windowed_counts": q_windowed_counts,
-        "sql_entry": q_sql_entry,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "simhash_pairs": q_simhash_pairs,
-        "pack_sequences": q_pack_sequences,
-        "scd2_priority": q_scd2_priority,
-        "domain_mix": q_domain_mix,
-        "grouping_sets": q_grouping_sets,
-        "c4_filter": q_c4_filter,
-        "lm_score": q_lm_score,
-        "rolling_avg": q_rolling_avg,
-        "rank_functions": q_rank_functions,
-        "snapshot_diff": q_snapshot_diff,
-        "profile_table": q_profile_table,
-        "train_split": q_train_split,
-        "incremental_mart": q_incremental_mart,
-        "corpus_report": q_corpus_report,
-        "gap_fill": q_gap_fill,
-        "cohort_retention": q_cohort_retention,
-        "funnel": q_funnel,
-        "pearson_stats": q_pearson_stats,
-        "cube_rollup": q_cube_rollup,
-        "dedup_exact_text": q_dedup_exact_text,
-        "line_dedup": q_line_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "cosine_topk": q_cosine_topk,
-        "percentiles": q_percentiles,
-        "pivot_event_types": q_pivot_event_types,
-        "month_over_month": q_month_over_month,
     }
 
 
