@@ -19,10 +19,130 @@ import json
 import os
 import statistics
 import sys
+import threading
 import time
 
 import __spark_entry__ as entry_mod
 from tibame_project_spark.session import get_spark
+
+
+class QueryHang(Exception):
+    """A query execution exceeded the watchdog timeout — the r13 round's
+    py4j transport deadlock class (idle JVM, Python blocked forever in a
+    command read). The exception carries on after diagnostics are
+    captured; the bench records the query as hung and keeps going."""
+
+
+def _jvm_pid(spark) -> int | None:
+    """The backing JVM's pid, captured EAGERLY while the transport is
+    healthy — once a hang fires, the gateway cannot be asked anything."""
+    try:
+        return int(spark._jvm.java.lang.ProcessHandle.current().pid())
+    except Exception:
+        return None
+
+
+def _capture_hang_diag(name: str, jvm_pid: int | None, waited_s: float) -> str:
+    """Append a diagnosis of the hung query to BENCH_DIAG.log BEFORE any
+    kill: the Python-side stack of every thread (where the blocked py4j
+    call sits) plus a JVM thread dump (jstack, falling back to SIGQUIT's
+    stderr dump) — the evidence the r13 hang had to be jstack'd for by
+    hand before being killed undiagnosed."""
+    import faulthandler
+    import signal
+    import subprocess
+    from datetime import datetime, timezone
+
+    path = os.path.join(os.path.dirname(__file__), "BENCH_DIAG.log")
+    with open(path, "a") as f:
+        f.write(
+            f"\n=== HANG query={name} waited={waited_s:.0f}s "
+            f"jvm_pid={jvm_pid} at={datetime.now(timezone.utc).isoformat()} ===\n"
+        )
+        f.write("--- python threads ---\n")
+        f.flush()
+        faulthandler.dump_traceback(file=f)
+        f.flush()
+        if jvm_pid is not None:
+            jstack = os.path.join(
+                os.environ.get("JAVA_HOME", ""), "bin", "jstack"
+            )
+            try:
+                if os.path.exists(jstack):
+                    out = subprocess.run(
+                        [jstack, "-l", str(jvm_pid)],
+                        capture_output=True, text=True, timeout=60,
+                    )
+                    f.write("--- jstack ---\n")
+                    f.write(out.stdout or "")
+                    f.write(out.stderr or "")
+                else:
+                    os.kill(jvm_pid, signal.SIGQUIT)
+                    f.write("(no jstack binary; SIGQUIT thread dump sent "
+                            "to the JVM's stderr)\n")
+            except Exception as e:  # diagnosis must never mask the hang
+                f.write(f"(jvm dump failed: {e})\n")
+    return path
+
+
+def _kill_jvm(jvm_pid: int | None) -> None:
+    import signal
+
+    if jvm_pid is None:
+        return
+    try:
+        os.kill(jvm_pid, signal.SIGKILL)
+    except OSError:
+        pass
+
+
+def _rebuild_session():
+    """Fresh SparkSession after the deadlocked JVM was SIGKILLed: clear
+    the py4j/SparkContext singletons the dead gateway poisons, then build
+    anew — the remaining queries record instead of losing the window."""
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+
+    try:
+        SparkContext._gateway.shutdown()
+    except Exception:
+        pass
+    SparkSession._instantiatedSession = None
+    try:
+        SparkSession._activeSession = None
+    except Exception:
+        pass
+    SparkContext._active_spark_context = None
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+    spark = get_spark("tibame-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _run_guarded(fn, spark, sf_dir: str, name: str, timeout_s: float,
+                 hang_names: set[str]) -> None:
+    """Execute one query materialization under the watchdog: the py4j
+    call runs on a daemon worker; if it has not returned within
+    timeout_s the caller gets QueryHang (the worker stays parked on the
+    dead transport — killing the JVM is the caller's move)."""
+    err: list[BaseException] = []
+
+    def work():
+        try:
+            if name in hang_names:  # test seam: SPARK_GRAFT_INJECT_HANG
+                time.sleep(timeout_s * 100)
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except BaseException as e:  # noqa: BLE001 — reraised on the caller
+            err.append(e)
+
+    t = threading.Thread(target=work, daemon=True, name=f"bench-{name}")
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        raise QueryHang(name)
+    if err:
+        raise err[0]
 
 
 def main() -> None:
@@ -54,26 +174,50 @@ def main() -> None:
     only = {
         s for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if s
     }
+    # per-query watchdog (r13 verdict item 6): one py4j transport
+    # deadlock must not silently eat the whole recording window — on
+    # timeout the hang is DIAGNOSED (python stacks + jstack into
+    # BENCH_DIAG.log), the dead JVM is killed, a fresh session carries
+    # the remaining queries, and the record names the hung query. Sized
+    # to clear even a 60x steal burst on the heaviest ~10s query; only a
+    # true deadlock waits this long.
+    timeout_s = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "900"))
+    inject = {
+        s for s in os.environ.get("SPARK_GRAFT_INJECT_HANG", "").split(",")
+        if s
+    }
+    hung: list[str] = []
+    jvm_pid = _jvm_pid(spark)
     for name, fn in entry_mod.queries().items():
         if only and name not in only:
             continue
-        for _ in range(warmup):
-            # untimed: compiles the query's codegen classes (kept by the
-            # JVM across runs) without polluting the measurement; caches
-            # are dropped so the timed runs stay self-contained
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            spark.catalog.clearCache()
-        times: list[float] = []
-        while len(times) < runs or (
-            len(times) < runs + extra and max(times) / min(times) > steal_ratio
-        ):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            times.append(time.perf_counter() - t0)
-            # operators persist() shared join bases; drop them between runs
-            # so each measurement is self-contained and cached blocks from
-            # earlier queries can't squeeze later ones
-            spark.catalog.clearCache()
+        try:
+            for _ in range(warmup):
+                # untimed: compiles the query's codegen classes (kept by
+                # the JVM across runs) without polluting the measurement;
+                # caches are dropped so the timed runs stay self-contained
+                _run_guarded(fn, spark, sf_dir, name, timeout_s, inject)
+                spark.catalog.clearCache()
+            times: list[float] = []
+            while len(times) < runs or (
+                len(times) < runs + extra
+                and max(times) / min(times) > steal_ratio
+            ):
+                t0 = time.perf_counter()
+                _run_guarded(fn, spark, sf_dir, name, timeout_s, inject)
+                times.append(time.perf_counter() - t0)
+                # operators persist() shared join bases; drop them between
+                # runs so each measurement is self-contained and cached
+                # blocks from earlier queries can't squeeze later ones
+                spark.catalog.clearCache()
+        except QueryHang:
+            _capture_hang_diag(name, jvm_pid, timeout_s)
+            hung.append(name)
+            inject.discard(name)  # the test seam hangs a query ONCE
+            _kill_jvm(jvm_pid)
+            spark = _rebuild_session()
+            jvm_pid = _jvm_pid(spark)
+            continue
         timings[name] = round(statistics.median(times), 3)
         spreads[name] = round(max(times) / min(times), 2)
         all_runs[name] = [round(t, 3) for t in times]
@@ -95,6 +239,8 @@ def main() -> None:
         "legs": getattr(entry_mod, "_LAST_LEGS", {}),
         "sf": sf,
     }
+    if hung:
+        full["hung"] = hung  # see BENCH_DIAG.log for the captured dumps
     with open(os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json"), "w") as f:
         json.dump(full, f)
         f.write("\n")
@@ -105,11 +251,12 @@ def main() -> None:
     # full-detail line overflowed the tail and lost its opening brace.
     spark.stop()
     sys.stderr.flush()
-    print(compact_line(total, timings, sf), flush=True)
+    print(compact_line(total, timings, sf, hung=hung), flush=True)
 
 
 def compact_line(
-    total: float, timings: dict[str, float], sf: float, limit: int = 1995
+    total: float, timings: dict[str, float], sf: float, limit: int = 1995,
+    hung: list[str] | None = None,
 ) -> str:
     """The driver-facing JSON line: compact separators, no run_spread (that
     lives in BENCH_LOCAL.json), and guaranteed to fit the driver's capture
@@ -131,6 +278,10 @@ def compact_line(
             compact["queries"] = queries
         if dropped:
             compact["q_dropped"] = dropped
+        if hung:
+            # a watchdog-killed deadlock must be VISIBLE in the driver's
+            # record, not just a silently missing query key
+            compact["hung"] = sorted(hung)
         compact["sf"] = sf
         return json.dumps(compact, separators=(",", ":"))
 

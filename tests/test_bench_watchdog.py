@@ -1,0 +1,68 @@
+"""The bench watchdog (r13 verdict item 6): a py4j transport deadlock —
+one bench process this round hung forever in a command read against an
+idle JVM — must not silently eat a recording window. On a per-query
+timeout the bench captures diagnostics (python thread stacks + a JVM
+jstack) to BENCH_DIAG.log, kills the dead JVM, rebuilds the session, and
+records the REMAINING queries with the hung one named in both records.
+
+Driven end-to-end as a subprocess with an injected hang (the
+SPARK_GRAFT_INJECT_HANG seam blocks exactly like the real deadlock: the
+worker thread never returns), because the recovery path — SIGKILL +
+gateway teardown + fresh JVM — only means anything across a real
+process."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_watchdog_diagnoses_hang_and_records_remaining_queries():
+    bench_local = os.path.join(REPO, "BENCH_LOCAL.json")
+    diag = os.path.join(REPO, "BENCH_DIAG.log")
+    saved = open(bench_local, "rb").read()
+    diag_existed = os.path.exists(diag)
+    diag_size = os.path.getsize(diag) if diag_existed else 0
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_ONLY="pricing_summary,dim_time",
+        SPARK_GRAFT_INJECT_HANG="pricing_summary",
+        SPARK_GRAFT_QUERY_TIMEOUT="8",
+        SPARK_GRAFT_RUNS="1",
+        SPARK_GRAFT_EXTRA_RUNS="0",
+        SPARK_GRAFT_WARMUP="0",
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, text=True, timeout=420, env=env, cwd=REPO,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        line = out.stdout.strip().splitlines()[-1]
+        rec = json.loads(line)
+        # the hung query is NAMED, not silently missing; the survivor
+        # recorded through the rebuilt session
+        assert rec["hung"] == ["pricing_summary"]
+        assert "pricing_summary" not in rec["queries"]
+        assert rec["queries"]["dim_time"] > 0
+        full = json.load(open(bench_local))
+        assert full["hung"] == ["pricing_summary"]
+        assert "dim_time" in full["queries"]
+        # diagnostics were captured BEFORE the kill: python stacks always,
+        # and the header names the query and the JVM pid
+        tail = open(diag).read()[diag_size:]
+        assert "HANG query=pricing_summary" in tail
+        assert "python threads" in tail
+        assert ("jstack" in tail) or ("SIGQUIT" in tail)
+    finally:
+        open(bench_local, "wb").write(saved)
+        if not diag_existed and os.path.exists(diag):
+            os.remove(diag)
+        elif diag_existed and os.path.exists(diag):
+            with open(diag, "r+") as f:
+                f.truncate(diag_size)
