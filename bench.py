@@ -120,19 +120,19 @@ def _rebuild_session():
     return spark
 
 
-def _run_guarded(fn, spark, sf_dir: str, name: str, timeout_s: float,
-                 hang_names: set[str]) -> None:
-    """Execute one query materialization under the watchdog: the py4j
-    call runs on a daemon worker; if it has not returned within
-    timeout_s the caller gets QueryHang (the worker stays parked on the
-    dead transport — killing the JVM is the caller's move)."""
+def _guarded(thunk, name: str, timeout_s: float) -> None:
+    """Run one py4j-touching thunk under the watchdog: the call runs on
+    a daemon worker; if it has not returned within timeout_s the caller
+    gets QueryHang (the worker stays parked on the dead transport —
+    killing the JVM is the caller's move). EVERY transport call in the
+    per-query loop goes through this — the deadlock class strikes any
+    py4j command, so an unguarded clearCache() after a guarded save
+    would reopen the silent-hang window."""
     err: list[BaseException] = []
 
     def work():
         try:
-            if name in hang_names:  # test seam: SPARK_GRAFT_INJECT_HANG
-                time.sleep(timeout_s * 100)
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            thunk()
         except BaseException as e:  # noqa: BLE001 — reraised on the caller
             err.append(e)
 
@@ -145,14 +145,42 @@ def _run_guarded(fn, spark, sf_dir: str, name: str, timeout_s: float,
         raise err[0]
 
 
+def _run_guarded(fn, spark, sf_dir: str, name: str, timeout_s: float,
+                 hang_names: set[str]) -> None:
+    """One query materialization under the watchdog."""
+    def save():
+        if name in hang_names:  # test seam: SPARK_GRAFT_INJECT_HANG
+            time.sleep(timeout_s * 100)
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    _guarded(save, name, timeout_s)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark("tibame-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: trivial job to absorb session/codegen startup
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    timeout_s = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "900"))
+    # the pid is captured EAGERLY while the transport is healthy — once a
+    # hang fires, the gateway cannot be asked anything (not even its pid)
+    jvm_pid = _jvm_pid(spark)
+    # warmup: trivial job to absorb session/codegen startup — under the
+    # watchdog too (a transport deadlock before the first query would
+    # otherwise still hang the window); one rebuild attempt, then give up
+    try:
+        _guarded(
+            lambda: spark.read.parquet(
+                os.path.join(sf_dir, "region.parquet")
+            ).count(),
+            "startup-warmup", timeout_s,
+        )
+    except QueryHang:
+        _capture_hang_diag("startup-warmup", jvm_pid, timeout_s)
+        _kill_jvm(jvm_pid)
+        spark = _rebuild_session()
+        jvm_pid = _jvm_pid(spark)
 
     runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
     # this host shows minutes-long CPU-steal bursts (10-60x single-query
@@ -180,14 +208,13 @@ def main() -> None:
     # BENCH_DIAG.log), the dead JVM is killed, a fresh session carries
     # the remaining queries, and the record names the hung query. Sized
     # to clear even a 60x steal burst on the heaviest ~10s query; only a
-    # true deadlock waits this long.
-    timeout_s = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "900"))
+    # true deadlock waits this long. (timeout_s and jvm_pid were set
+    # before the startup warmup above.)
     inject = {
         s for s in os.environ.get("SPARK_GRAFT_INJECT_HANG", "").split(",")
         if s
     }
     hung: list[str] = []
-    jvm_pid = _jvm_pid(spark)
     for name, fn in entry_mod.queries().items():
         if only and name not in only:
             continue
@@ -197,7 +224,7 @@ def main() -> None:
                 # the JVM across runs) without polluting the measurement;
                 # caches are dropped so the timed runs stay self-contained
                 _run_guarded(fn, spark, sf_dir, name, timeout_s, inject)
-                spark.catalog.clearCache()
+                _guarded(spark.catalog.clearCache, name, timeout_s)
             times: list[float] = []
             while len(times) < runs or (
                 len(times) < runs + extra
@@ -207,13 +234,14 @@ def main() -> None:
                 _run_guarded(fn, spark, sf_dir, name, timeout_s, inject)
                 times.append(time.perf_counter() - t0)
                 # operators persist() shared join bases; drop them between
-                # runs so each measurement is self-contained and cached
-                # blocks from earlier queries can't squeeze later ones
-                spark.catalog.clearCache()
+                # runs (guarded, OUTSIDE the timed span — methodology
+                # unchanged vs prior rounds) so each measurement is
+                # self-contained and cached blocks from earlier queries
+                # can't squeeze later ones
+                _guarded(spark.catalog.clearCache, name, timeout_s)
         except QueryHang:
             _capture_hang_diag(name, jvm_pid, timeout_s)
             hung.append(name)
-            inject.discard(name)  # the test seam hangs a query ONCE
             _kill_jvm(jvm_pid)
             spark = _rebuild_session()
             jvm_pid = _jvm_pid(spark)

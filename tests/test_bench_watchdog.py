@@ -55,7 +55,9 @@ def test_watchdog_diagnoses_hang_and_records_remaining_queries():
         assert "dim_time" in full["queries"]
         # diagnostics were captured BEFORE the kill: python stacks always,
         # and the header names the query and the JVM pid
-        tail = open(diag).read()[diag_size:]
+        # byte-offset slice on BYTES (a pre-existing log with multi-byte
+        # UTF-8 would misalign a char-indexed slice of a decoded read)
+        tail = open(diag, "rb").read()[diag_size:].decode("utf-8", "replace")
         assert "HANG query=pricing_summary" in tail
         assert "python threads" in tail
         assert ("jstack" in tail) or ("SIGQUIT" in tail)

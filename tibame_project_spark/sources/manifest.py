@@ -3850,8 +3850,15 @@ def vacuum_manifest_table(
     # dot-prefixed '.<name>.tmp-<uuid>' sibling and the rename leaks it
     # beside the meta/stage files permanently — sweep aged ones here
     # (same age contract: a live publish's temp is milliseconds old;
-    # dry_run counts them without deleting, keeping its prediction exact)
-    sweep_floor = floor_ms if floor_ms is not None else _time.time() * 1000.0
+    # dry_run counts them without deleting, keeping its prediction
+    # exact). Unlike the data sweep, a temp has no referenced-set
+    # protection — only age — so the bare-vacuum floor keeps a 60s
+    # margin: even under the exclusive-vacuum contract, a racing
+    # committer's in-flight temp must never be yanked between its
+    # create and rename (the rename fallback is a non-atomic overwrite).
+    sweep_floor = (
+        floor_ms if floor_ms is not None else (_time.time() - 60.0) * 1000.0
+    )
     deleted += _sweep_tmp_siblings(
         fs, jvm, f"{base_path}/meta", sweep_floor, dry_run=dry_run
     )
