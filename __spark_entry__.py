@@ -2654,10 +2654,13 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus unconditional inserts, gated on ``o_orderdate >
     t_o_orderdate`` — a stale image applied, a fresh one missed, a
     stale delete honored, a fresh delete missed, or a lost insert each
-    shifts the hashed rows (see ``merge_cdc_v7``). Replaces the
-    retired ``hash_sample`` key (its deterministic
-    order-by-md5 surface stays gated via ``corpus_shuffle``/
-    ``stratified_sample``)."""
+    shifts the hashed rows (see ``merge_cdc_v7``). The duplicate-key
+    batch CONTRACT rides the same gate (``dup_refusal``): a two-image
+    batch must bounce off the merge guard with nothing published —
+    ``dup_refused`` witnesses the refusal and the content reads witness
+    the no-publish. Replaces the retired ``hash_sample`` key (its
+    deterministic order-by-md5 surface stays gated via
+    ``corpus_shuffle``/``stratified_sample``)."""
     from tibame_project_spark.sources.manifest import (
         append_manifest_table,
         clone_manifest_table,
@@ -2827,6 +2830,38 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, cdc, base, "o_orderkey", delete_col="is_deleted",
         update_condition="o_orderdate > t_o_orderdate",
     ))
+
+    # r14: the duplicate-key-batch CONTRACT is priced, not just pytested
+    # (the r13 verdict's What's-wrong #1): a batch carrying TWO images
+    # for one key must be REFUSED by the merge gate with nothing
+    # published — the full-outer merge join would otherwise fan the key
+    # out into duplicate target rows, exactly the corruption the
+    # out-of-order CDC feeds update_condition is pitched at can deliver.
+    # The witness rides the hashed frame (dup_refused), and the final
+    # reads below hash the table's content, so a guard that half-
+    # committed (or silently merged the fan-out) fails the row either
+    # way.
+    def refuse_dup() -> int:
+        one = orders.filter(F.col("o_orderkey") % 37 == 0).limit(1).select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority",
+            F.lit(False).alias("is_deleted"),
+        )
+        two = one.unionByName(
+            one.withColumn(
+                "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+            )
+        )
+        try:
+            merge_manifest_table(
+                spark, two, base, "o_orderkey", delete_col="is_deleted",
+                update_condition="o_orderdate > t_o_orderdate",
+            )
+        except ValueError:
+            return 1
+        return 0
+
+    dup_refused = leg("dup_refusal", refuse_dup)
     # cdc_price_sum folds the WHOLE CDC keyspace's prices into the frame
     # (decimal partial sum, the _SQL_ENTRY bit-exactness pattern): the
     # probed read's custkey filter may keep no bucket-1 row at a given
@@ -2853,6 +2888,8 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("rel0_rows")
     ).crossJoin(heads).withColumn(
         "src_null_keys", F.lit(null_keys).cast("long")
+    ).withColumn(
+        "dup_refused", F.lit(int(dup_refused)).cast("long")
     )
     half = hi
     probe = [
@@ -2934,7 +2971,10 @@ after_cdc AS (
          'CDC-NEW'
   FROM orders WHERE o_orderkey % 41 = 0)
 SELECT m.*, r.rel0_rows, s.src_rows, s.cdc_price_sum, c.clone_rows,
-       n.src_null_keys
+       n.src_null_keys,
+       -- the duplicate-key batch bounced: the guard refused, nothing
+       -- published (the content columns above already prove the latter)
+       CAST(1 AS BIGINT) AS dup_refused
 FROM after_cdc m
 CROSS JOIN (SELECT COUNT(*) AS rel0_rows FROM orders) r
 CROSS JOIN (
