@@ -2221,6 +2221,40 @@ def _prepare_merge_edit(
     stats_cols, dv_key, bloom, schemas, schema_id}``. Shared by the
     immediate :func:`merge_manifest_table` and the staged
     :func:`stage_merge_manifest_table` (write-audit-publish)."""
+    # the batch is evaluated up to three times below (bounds agg,
+    # key broadcast, merge rewrite — four with update_condition's
+    # target join): persist it ONCE so a batch derived from an
+    # expensive upstream pipeline (a CDC join, a staged read) is not
+    # re-computed per evaluation — the first bounds agg materializes
+    # the cache; released before return on every path. A batch the
+    # CALLER already persisted is left alone (persist would no-op and
+    # the unpersist would silently drop their cache).
+    ours = not source.is_cached
+    if ours:
+        source = source.persist()
+    try:
+        return _prepare_merge_edit_impl(
+            spark, source, base_path, key, delete_col=delete_col,
+            expect=expect, where=where, allow_evolution=allow_evolution,
+            update_condition=update_condition,
+        )
+    finally:
+        if ours:
+            source.unpersist()
+
+
+def _prepare_merge_edit_impl(
+    spark: SparkSession,
+    source: DataFrame,
+    base_path: str,
+    key: str,
+    *,
+    delete_col: str | None,
+    expect: list | None,
+    where: str,
+    allow_evolution: bool = False,
+    update_condition: str | None = None,
+) -> dict:
     from tibame_project_spark.operators.corrections import merge_upsert
 
     fs, listing, head, version = _begin(spark, base_path)
@@ -2330,7 +2364,10 @@ def _prepare_merge_edit(
         (F.col(f"max_{key}") >= F.lit(bounds["lo"]))
         & (F.col(f"min_{key}") <= F.lit(bounds["hi"]))
     )
-    keys = source.select(F.col(key).alias("__mk")).distinct()
+    # no distinct: the key-uniqueness guard above already proved the
+    # batch's keys distinct and non-null — a distinct here would be a
+    # pure extra shuffle of the whole key set
+    keys = source.select(F.col(key).alias("__mk"))
     cand = coarse.join(
         F.broadcast(keys),
         (F.col("__mk") >= F.col(f"min_{key}"))
@@ -2378,6 +2415,10 @@ def _prepare_merge_edit(
                 "row (or the internal __mck key); rename them in the "
                 "batch before the merge"
             )
+        # the candidate rows are evaluated twice with a condition (the
+        # t_<name> join here AND the merge rewrite below) — persist
+        # them so the candidate parquet files are read once
+        current = current.persist()
         cur_t = current.select(
             F.col(key).alias("__mck"),
             *[
@@ -2394,16 +2435,20 @@ def _prepare_merge_edit(
             F.col("__mck").isNull()
             | F.coalesce(F.expr(update_condition), F.lit(False))
         ).select(*[source[c] for c in src_cols])
-    rules = _constraint_rules(meta, delete_col)  # tombstones exempt
-    if rules:
-        expect = (list(expect) if expect else []) + rules
-    source, gate = _expect_gate(source, expect, where)
-    merged = merge_upsert(
-        current, source, key, delete_col=delete_col, null_safe_keys=False
-    )
-    data_dir = f"data/c={_token()}"
-    _write_data(merged, base_path, data_dir, key, max(1, len(touched)))
-    gate()  # batch violations abort pre-marker: the partial v is invisible
+    try:
+        rules = _constraint_rules(meta, delete_col)  # tombstones exempt
+        if rules:
+            expect = (list(expect) if expect else []) + rules
+        source, gate = _expect_gate(source, expect, where)
+        merged = merge_upsert(
+            current, source, key, delete_col=delete_col, null_safe_keys=False
+        )
+        data_dir = f"data/c={_token()}"
+        _write_data(merged, base_path, data_dir, key, max(1, len(touched)))
+        gate()  # batch violations abort pre-marker: partial v is invisible
+    finally:
+        if update_condition is not None:
+            current.unpersist()
     edit["removed"] = touched
     edit["added"] = _file_stats(
         spark, base_path, data_dir, stats_cols, schema, meta.get("bloom"),
