@@ -2842,10 +2842,25 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # committed (or silently merged the fan-out) fails the row either
     # way.
     def refuse_dup() -> int:
-        one = orders.filter(F.col("o_orderkey") % 37 == 0).limit(1).select(
-            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
-            "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority",
-            F.lit(False).alias("is_deleted"),
+        # the duplicated row is pinned by MIN key, collected once, and
+        # rebuilt as a 2-row local frame: an unordered limit(1) evaluated
+        # independently per union branch could pick two DIFFERENT rows —
+        # two distinct keys would sail past the dup guard and COMMIT,
+        # flakily corrupting the hashed reads below
+        r0 = (
+            orders.filter(F.col("o_orderkey") % 37 == 0)
+            .orderBy("o_orderkey").limit(1).collect()[0]
+        )
+        one = spark.createDataFrame(
+            [(
+                r0["o_orderkey"] + 10000000, r0["o_custkey"],
+                r0["o_totalprice"], r0["o_orderdate"],
+                r0["o_orderpriority"], False,
+            )],
+            orders.select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+                "o_orderpriority",
+            ).withColumn("is_deleted", F.lit(False)).schema,
         )
         two = one.unionByName(
             one.withColumn(

@@ -78,6 +78,10 @@ def _capture_hang_diag(name: str, jvm_pid: int | None, waited_s: float) -> str:
                     f.write(out.stderr or "")
                 else:
                     os.kill(jvm_pid, signal.SIGQUIT)
+                    # give the JVM a moment to format and flush the dump —
+                    # the caller's very next move is SIGKILL, which would
+                    # otherwise truncate the dump it just asked for
+                    time.sleep(2.0)
                     f.write("(no jstack binary; SIGQUIT thread dump sent "
                             "to the JVM's stderr)\n")
             except Exception as e:  # diagnosis must never mask the hang
@@ -163,6 +167,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timeout_s = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "900"))
+    # hung-query names land in BENCH_LOCAL.json AND the driver line —
+    # created before the warmup so even a pre-first-query deadlock is
+    # visible in the record, not just in the local diag log
+    hung: list[str] = []
     # the pid is captured EAGERLY while the transport is healthy — once a
     # hang fires, the gateway cannot be asked anything (not even its pid)
     jvm_pid = _jvm_pid(spark)
@@ -178,6 +186,7 @@ def main() -> None:
         )
     except QueryHang:
         _capture_hang_diag("startup-warmup", jvm_pid, timeout_s)
+        hung.append("startup-warmup")
         _kill_jvm(jvm_pid)
         spark = _rebuild_session()
         jvm_pid = _jvm_pid(spark)
@@ -214,7 +223,6 @@ def main() -> None:
         s for s in os.environ.get("SPARK_GRAFT_INJECT_HANG", "").split(",")
         if s
     }
-    hung: list[str] = []
     for name, fn in entry_mod.queries().items():
         if only and name not in only:
             continue
@@ -277,7 +285,15 @@ def main() -> None:
     # (a) be the absolute last stdout line — stop Spark first, flush stderr —
     # and (b) fit the tail. Rounds 2-3 recorded "parsed: null" because the
     # full-detail line overflowed the tail and lost its opening brace.
-    spark.stop()
+    # stop() is a py4j transport call like any other — the deadlock class
+    # can strike it too, and an unguarded hang HERE would lose the whole
+    # recorded window moments before it prints; on a hang, diagnose, kill
+    # the JVM, and print anyway (the record is already complete).
+    try:
+        _guarded(spark.stop, "session-stop", timeout_s)
+    except QueryHang:
+        _capture_hang_diag("session-stop", jvm_pid, timeout_s)
+        _kill_jvm(jvm_pid)
     sys.stderr.flush()
     print(compact_line(total, timings, sf, hung=hung), flush=True)
 

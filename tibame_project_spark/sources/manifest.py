@@ -2415,10 +2415,6 @@ def _prepare_merge_edit_impl(
                 "row (or the internal __mck key); rename them in the "
                 "batch before the merge"
             )
-        # the candidate rows are evaluated twice with a condition (the
-        # t_<name> join here AND the merge rewrite below) — persist
-        # them so the candidate parquet files are read once
-        current = current.persist()
         cur_t = current.select(
             F.col(key).alias("__mck"),
             *[
@@ -2435,6 +2431,15 @@ def _prepare_merge_edit_impl(
             F.col("__mck").isNull()
             | F.coalesce(F.expr(update_condition), F.lit(False))
         ).select(*[source[c] for c in src_cols])
+        # the candidate rows are evaluated twice with a condition (the
+        # t_<name> join above AND the merge rewrite below) — persist them
+        # so the candidate parquet files are read once; marked only now,
+        # AFTER the condition expression parsed (an unparseable condition
+        # raises during plan construction above, which would leak a
+        # persist taken any earlier), and released in the finally. Cache
+        # lookup is plan-based, so cur_t's already-built plan still hits
+        # this cache when it materializes inside the try.
+        current = current.persist()
     try:
         rules = _constraint_rules(meta, delete_col)  # tombstones exempt
         if rules:
