@@ -171,19 +171,27 @@ def main() -> None:
     # created before the warmup so even a pre-first-query deadlock is
     # visible in the record, not just in the local diag log
     hung: list[str] = []
+    # test seam (SPARK_GRAFT_INJECT_HANG): besides query names, the
+    # sentinels 'startup-warmup' and 'session-stop' simulate the
+    # transport deadlock in the warmup/stop guards — parsed up front so
+    # every guarded phase shares it
+    inject = {
+        s for s in os.environ.get("SPARK_GRAFT_INJECT_HANG", "").split(",")
+        if s
+    }
     # the pid is captured EAGERLY while the transport is healthy — once a
     # hang fires, the gateway cannot be asked anything (not even its pid)
     jvm_pid = _jvm_pid(spark)
     # warmup: trivial job to absorb session/codegen startup — under the
     # watchdog too (a transport deadlock before the first query would
     # otherwise still hang the window); one rebuild attempt, then give up
+    def startup_warmup():
+        if "startup-warmup" in inject:
+            time.sleep(timeout_s * 100)
+        spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
     try:
-        _guarded(
-            lambda: spark.read.parquet(
-                os.path.join(sf_dir, "region.parquet")
-            ).count(),
-            "startup-warmup", timeout_s,
-        )
+        _guarded(startup_warmup, "startup-warmup", timeout_s)
     except QueryHang:
         _capture_hang_diag("startup-warmup", jvm_pid, timeout_s)
         hung.append("startup-warmup")
@@ -219,10 +227,6 @@ def main() -> None:
     # to clear even a 60x steal burst on the heaviest ~10s query; only a
     # true deadlock waits this long. (timeout_s and jvm_pid were set
     # before the startup warmup above.)
-    inject = {
-        s for s in os.environ.get("SPARK_GRAFT_INJECT_HANG", "").split(",")
-        if s
-    }
     for name, fn in entry_mod.queries().items():
         if only and name not in only:
             continue
@@ -289,8 +293,13 @@ def main() -> None:
     # can strike it too, and an unguarded hang HERE would lose the whole
     # recorded window moments before it prints; on a hang, diagnose, kill
     # the JVM, and print anyway (the record is already complete).
+    def session_stop():
+        if "session-stop" in inject:
+            time.sleep(timeout_s * 100)
+        spark.stop()
+
     try:
-        _guarded(spark.stop, "session-stop", timeout_s)
+        _guarded(session_stop, "session-stop", timeout_s)
     except QueryHang:
         _capture_hang_diag("session-stop", jvm_pid, timeout_s)
         _kill_jvm(jvm_pid)

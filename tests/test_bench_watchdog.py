@@ -68,3 +68,47 @@ def test_watchdog_diagnoses_hang_and_records_remaining_queries():
         elif diag_existed and os.path.exists(diag):
             with open(diag, "r+") as f:
                 f.truncate(diag_size)
+
+
+def test_watchdog_covers_warmup_and_session_stop():
+    """The deadlock class strikes ANY py4j command — a hang during the
+    startup warmup must be recorded in `hung` (not just the local diag),
+    and a hang during spark.stop() must not eat the driver line moments
+    before it prints (the record is already complete by then)."""
+    bench_local = os.path.join(REPO, "BENCH_LOCAL.json")
+    diag = os.path.join(REPO, "BENCH_DIAG.log")
+    saved = open(bench_local, "rb").read()
+    diag_existed = os.path.exists(diag)
+    diag_size = os.path.getsize(diag) if diag_existed else 0
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_ONLY="dim_time",
+        SPARK_GRAFT_INJECT_HANG="startup-warmup,session-stop",
+        SPARK_GRAFT_QUERY_TIMEOUT="8",
+        SPARK_GRAFT_RUNS="1",
+        SPARK_GRAFT_EXTRA_RUNS="0",
+        SPARK_GRAFT_WARMUP="0",
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, text=True, timeout=420, env=env, cwd=REPO,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        line = out.stdout.strip().splitlines()[-1]
+        rec = json.loads(line)
+        # the warmup hang is visible in the driver-facing record, and the
+        # stop hang did not prevent the line from printing at all
+        assert rec["hung"] == ["startup-warmup"]
+        assert rec["queries"]["dim_time"] > 0
+        tail = open(diag, "rb").read()[diag_size:].decode("utf-8", "replace")
+        assert "HANG query=startup-warmup" in tail
+        assert "HANG query=session-stop" in tail
+    finally:
+        open(bench_local, "wb").write(saved)
+        if not diag_existed and os.path.exists(diag):
+            os.remove(diag)
+        elif diag_existed and os.path.exists(diag):
+            with open(diag, "r+") as f:
+                f.truncate(diag_size)
