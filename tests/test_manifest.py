@@ -6274,3 +6274,88 @@ def test_merge_update_condition_refuses_alias_collisions(spark, tmp_path):
     got = {(r["id"], r["v"], r["ts"], r["t_ts"])
            for r in read_manifest_table(spark, base).collect()}
     assert got == {(1, "A", 11, 10)}
+
+
+def test_footer_stats_match_scan_stats_exactly(spark, tmp_path):
+    """The r14 footer-based stats path (parquet metadata, zero data
+    bytes re-read) must produce BIT-IDENTICAL manifest rows to the
+    distributed scan path it replaces, across every decodable type —
+    including the string truncation contract, an all-NULL column, a
+    zero-row part file (no manifest row — the scan's groupBy drops empty
+    groups), and NULL-bearing columns."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from tibame_project_spark.sources import manifest as M
+
+    base = str(tmp_path / "t")
+    df = spark.range(0, 5000).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(
+            F.lit("s"), F.lpad((F.col("id") % 997).cast("string"), 40, "0")
+        ).alias("s"),
+        F.when(F.col("id") % 7 == 0, None).otherwise(F.col("id") * 2).alias("v"),
+        F.date_add(
+            F.lit("2020-01-01").cast("date"), (F.col("id") % 500).cast("int")
+        ).alias("dt"),
+        (F.col("id") % 2 == 0).alias("b"),
+    )
+    cols = ["k", "s", "v", "dt", "b"]
+    M._write_data(df, base, "data/c=ab", "k", 3)
+    assert M._footer_file_stats(
+        spark, base, "data/c=ab", cols, df.schema, 0, null_stats=True
+    ) is not None, "footer path must serve these types"
+
+    def both(data_dir, stats_cols, schema, null_stats):
+        foot = sorted(
+            tuple(r)
+            for r in M._file_stats(
+                spark, base, data_dir, stats_cols, schema, None,
+                null_stats=null_stats,
+            ).collect()
+        )
+        orig = M._footer_file_stats
+        M._footer_file_stats = lambda *a, **kw: None
+        try:
+            scan = sorted(
+                tuple(r)
+                for r in M._file_stats(
+                    spark, base, data_dir, stats_cols, schema, None,
+                    null_stats=null_stats,
+                ).collect()
+            )
+        finally:
+            M._footer_file_stats = orig
+        return foot, scan
+
+    foot, scan = both("data/c=ab", cols, df.schema, True)
+    assert foot == scan and len(foot) == 3
+
+    # all-NULL column + zero-row part file (repartition 3 over 2 rows)
+    df2 = spark.createDataFrame([(1, None), (2, None)], "k int, s string")
+    M._write_data(df2, base, "data/c=e1", None, 3)
+    foot, scan = both("data/c=e1", ["k", "s"], df2.schema, True)
+    assert foot == scan
+    assert all(r[5] is None and r[6] is None for r in foot)  # min_s/max_s
+
+    # degenerate truncation: the 33rd char of max IS U+10FFFF — the full
+    # value must be kept (appending the sentinel would under-bound)
+    top = chr(0x10FFFF)
+    df3 = spark.createDataFrame([("a" * 32 + top + "z",), ("b",)], "s string")
+    M._write_data(df3, base, "data/c=e3", None, 1)
+    foot, scan = both("data/c=e3", ["s"], df3.schema, False)
+    assert foot == scan
+
+    # a float stats column refuses the footer path (NaN makes parquet
+    # min/max undefined) and the scan fallback serves it
+    df4 = spark.createDataFrame([(1, 1.5)], "k int, x double")
+    M._write_data(df4, base, "data/c=e4", None, 1)
+    assert M._footer_file_stats(
+        spark, base, "data/c=e4", ["k", "x"], df4.schema, 0,
+        null_stats=False,
+    ) is None
+    rows = M._file_stats(
+        spark, base, "data/c=e4", ["k", "x"], df4.schema, None
+    ).collect()
+    assert len(rows) == 1 and rows[0]["min_x"] == 1.5
