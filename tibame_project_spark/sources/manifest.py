@@ -89,9 +89,11 @@ the same pluggable-LogStore split Delta Lake documents. Layout under
                        stage.json); invisible to readers, its data files
                        spared by vacuum until published or abandoned
 
-File statistics are collected Spark-side from the ``_metadata`` hidden
-columns (``file_path``/``file_size``) with one distributed groupBy over
-the newly written files only — never a re-scan of the whole table.
+File statistics come from the parquet FOOTERS the commit just wrote
+(min/max/null-count/row-count — zero data bytes re-read); columns whose
+footer stats are not exactly decodable (floats, decimals, timestamps)
+fall back to one distributed groupBy over the newly written files only
+(``_metadata`` hidden columns) — never a re-scan of the whole table.
 
 Scale notes: manifests are one row per FILE (a 100 TB table at 1 GB
 files is a 100k-row manifest — KBs of parquet), so reading one is free
