@@ -13,61 +13,77 @@ process."""
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH_LOCAL = os.path.join(REPO, "BENCH_LOCAL.json")
+DIAG = os.path.join(REPO, "BENCH_DIAG.log")
 
 
-def test_watchdog_diagnoses_hang_and_records_remaining_queries():
-    bench_local = os.path.join(REPO, "BENCH_LOCAL.json")
-    diag = os.path.join(REPO, "BENCH_DIAG.log")
-    saved = open(bench_local, "rb").read()
-    diag_existed = os.path.exists(diag)
-    diag_size = os.path.getsize(diag) if diag_existed else 0
-    env = dict(
-        os.environ,
-        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-        SPARK_GRAFT_ONLY="pricing_summary,dim_time",
-        SPARK_GRAFT_INJECT_HANG="pricing_summary",
-        SPARK_GRAFT_QUERY_TIMEOUT="8",
-        SPARK_GRAFT_RUNS="1",
-        SPARK_GRAFT_EXTRA_RUNS="0",
-        SPARK_GRAFT_WARMUP="0",
-    )
-    try:
+@contextlib.contextmanager
+def bench_run_preserving_records():
+    """Snapshot BENCH_LOCAL.json and the diag log, yield a
+    ``run(env_overrides) -> (record, diag_tail)`` helper that executes
+    bench.py as a subprocess, and restore both files afterwards (the
+    diag tail is sliced by BYTE offset — a pre-existing log with
+    multi-byte UTF-8 would misalign a char-indexed slice)."""
+    saved = open(BENCH_LOCAL, "rb").read()
+    diag_existed = os.path.exists(DIAG)
+    diag_size = os.path.getsize(DIAG) if diag_existed else 0
+
+    def run(env_overrides: dict) -> tuple[dict, str]:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+            SPARK_GRAFT_QUERY_TIMEOUT="8",
+            SPARK_GRAFT_RUNS="1",
+            SPARK_GRAFT_EXTRA_RUNS="0",
+            SPARK_GRAFT_WARMUP="0",
+            **env_overrides,
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             capture_output=True, text=True, timeout=420, env=env, cwd=REPO,
         )
         assert out.returncode == 0, out.stderr[-2000:]
-        line = out.stdout.strip().splitlines()[-1]
-        rec = json.loads(line)
+        rec = json.loads(out.stdout.strip().splitlines()[-1])
+        tail = open(DIAG, "rb").read()[diag_size:].decode("utf-8", "replace")
+        return rec, tail
+
+    try:
+        yield run
+    finally:
+        open(BENCH_LOCAL, "wb").write(saved)
+        if not diag_existed and os.path.exists(DIAG):
+            os.remove(DIAG)
+        elif diag_existed and os.path.exists(DIAG):
+            with open(DIAG, "r+") as f:
+                f.truncate(diag_size)
+
+
+def test_watchdog_diagnoses_hang_and_records_remaining_queries():
+    with bench_run_preserving_records() as run:
+        rec, tail = run({
+            "SPARK_GRAFT_ONLY": "pricing_summary,dim_time",
+            "SPARK_GRAFT_INJECT_HANG": "pricing_summary",
+        })
         # the hung query is NAMED, not silently missing; the survivor
         # recorded through the rebuilt session
         assert rec["hung"] == ["pricing_summary"]
         assert "pricing_summary" not in rec["queries"]
         assert rec["queries"]["dim_time"] > 0
-        full = json.load(open(bench_local))
+        full = json.load(open(BENCH_LOCAL))
         assert full["hung"] == ["pricing_summary"]
         assert "dim_time" in full["queries"]
         # diagnostics were captured BEFORE the kill: python stacks always,
         # and the header names the query and the JVM pid
-        # byte-offset slice on BYTES (a pre-existing log with multi-byte
-        # UTF-8 would misalign a char-indexed slice of a decoded read)
-        tail = open(diag, "rb").read()[diag_size:].decode("utf-8", "replace")
         assert "HANG query=pricing_summary" in tail
         assert "python threads" in tail
         assert ("jstack" in tail) or ("SIGQUIT" in tail)
-    finally:
-        open(bench_local, "wb").write(saved)
-        if not diag_existed and os.path.exists(diag):
-            os.remove(diag)
-        elif diag_existed and os.path.exists(diag):
-            with open(diag, "r+") as f:
-                f.truncate(diag_size)
 
 
 def test_watchdog_covers_warmup_and_session_stop():
@@ -75,40 +91,14 @@ def test_watchdog_covers_warmup_and_session_stop():
     startup warmup must be recorded in `hung` (not just the local diag),
     and a hang during spark.stop() must not eat the driver line moments
     before it prints (the record is already complete by then)."""
-    bench_local = os.path.join(REPO, "BENCH_LOCAL.json")
-    diag = os.path.join(REPO, "BENCH_DIAG.log")
-    saved = open(bench_local, "rb").read()
-    diag_existed = os.path.exists(diag)
-    diag_size = os.path.getsize(diag) if diag_existed else 0
-    env = dict(
-        os.environ,
-        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-        SPARK_GRAFT_ONLY="dim_time",
-        SPARK_GRAFT_INJECT_HANG="startup-warmup,session-stop",
-        SPARK_GRAFT_QUERY_TIMEOUT="8",
-        SPARK_GRAFT_RUNS="1",
-        SPARK_GRAFT_EXTRA_RUNS="0",
-        SPARK_GRAFT_WARMUP="0",
-    )
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            capture_output=True, text=True, timeout=420, env=env, cwd=REPO,
-        )
-        assert out.returncode == 0, out.stderr[-2000:]
-        line = out.stdout.strip().splitlines()[-1]
-        rec = json.loads(line)
+    with bench_run_preserving_records() as run:
+        rec, tail = run({
+            "SPARK_GRAFT_ONLY": "dim_time",
+            "SPARK_GRAFT_INJECT_HANG": "startup-warmup,session-stop",
+        })
         # the warmup hang is visible in the driver-facing record, and the
         # stop hang did not prevent the line from printing at all
         assert rec["hung"] == ["startup-warmup"]
         assert rec["queries"]["dim_time"] > 0
-        tail = open(diag, "rb").read()[diag_size:].decode("utf-8", "replace")
         assert "HANG query=startup-warmup" in tail
         assert "HANG query=session-stop" in tail
-    finally:
-        open(bench_local, "wb").write(saved)
-        if not diag_existed and os.path.exists(diag):
-            os.remove(diag)
-        elif diag_existed and os.path.exists(diag):
-            with open(diag, "r+") as f:
-                f.truncate(diag_size)

@@ -6359,3 +6359,44 @@ def test_footer_stats_match_scan_stats_exactly(spark, tmp_path):
         spark, base, "data/c=e4", ["k", "x"], df4.schema, None
     ).collect()
     assert len(rows) == 1 and rows[0]["min_x"] == 1.5
+
+
+def test_footer_stats_hadoop_twin_matches_arrow_branch(spark, tmp_path):
+    """The object-store (parquet-mr/py4j) footer branch must produce the
+    same rows as the Arrow branch — it is otherwise only reachable on
+    scheme'd paths no test exercises. Driven directly on a local path
+    (Hadoop FS speaks those too)."""
+    from pyspark.sql import functions as F
+
+    from tibame_project_spark.sources import manifest as M
+
+    base = str(tmp_path / "t")
+    df = spark.range(0, 3000).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("s"),
+        F.date_add(
+            F.lit("2021-06-01").cast("date"), (F.col("id") % 99).cast("int")
+        ).alias("dt"),
+    )
+    cols = ["k", "s", "dt"]
+    M._write_data(df, base, "data/c=tw", "k", 2)
+    arrow = M._footer_file_stats(
+        spark, base, "data/c=tw", cols, df.schema, 5, null_stats=True
+    )
+    hadoop = M._footer_file_stats_hadoop(
+        spark, base, "data/c=tw", cols, df.schema, 5, null_stats=True
+    )
+    assert arrow == hadoop and len(arrow) == 2
+
+    # all-NULL column parity between the twins
+    df2 = spark.createDataFrame([(1, None), (2, None)], "k int, s string")
+    M._write_data(df2, base, "data/c=tw2", None, 1)
+    a2 = M._footer_file_stats(
+        spark, base, "data/c=tw2", ["k", "s"], df2.schema, 0,
+        null_stats=True,
+    )
+    h2 = M._footer_file_stats_hadoop(
+        spark, base, "data/c=tw2", ["k", "s"], df2.schema, 0,
+        null_stats=True,
+    )
+    assert a2 == h2 and len(a2) == 1

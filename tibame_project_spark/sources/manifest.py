@@ -1476,27 +1476,27 @@ def _footer_file_stats(
     # still O(files) metadata reads, just py4j-priced (~ms per call vs
     # Arrow's µs), which at 1 GB files beats a re-scan by orders of
     # magnitude either way
-    if "://" in base_path and not base_path.startswith("file:"):
+    local_base = _local_dir(base_path)
+    if local_base is None:
         return _footer_file_stats_hadoop(
             spark, base_path, data_dir, stats_cols, schema, schema_id,
             null_stats=null_stats,
         )
-    import glob as _glob
     import os as _os
 
     import pyarrow.parquet as _pq
 
-    local_base = base_path[len("file:"):] if base_path.startswith(
-        "file:"
-    ) else base_path
     root = f"{local_base}/{data_dir}"
     if not _os.path.isdir(root):
         return []
     out: list[tuple] = []
-    for p in sorted(_glob.glob(f"{root}/*.parquet")):
-        name = _os.path.basename(p)
-        if name.startswith(("_", ".")):
+    # listdir, NOT glob: a glob metacharacter in the table path ([, ?, *)
+    # would silently list a DIFFERENT directory and publish an empty
+    # manifest where the scan path failed loudly
+    for name in sorted(_os.listdir(root)):
+        if not name.endswith(".parquet") or name.startswith(("_", ".")):
             continue
+        p = _os.path.join(root, name)
         md = _pq.ParquetFile(p).metadata
         nrows = md.num_rows
         if nrows == 0:
@@ -1611,6 +1611,14 @@ def _footer_file_stats_hadoop(
                         return None
                     nulls[c] += s.getNumNulls()
                     if not s.hasNonNullValue():
+                        # bound-less chunk: legitimate ONLY when every
+                        # value is NULL — a value-bearing chunk without
+                        # min/max would publish NULL bounds, which the
+                        # prune layer reads as "all-NULL file" (IS NOT
+                        # NULL skips it): silent row loss. Same guard as
+                        # the Arrow branch's null_count == num_rows.
+                        if s.getNumNulls() != ch.getValueCount():
+                            return None
                         continue  # all-NULL chunk: nulls only
                     lo = decode(c, s.genericGetMin())
                     hi = decode(c, s.genericGetMax())
