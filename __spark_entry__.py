@@ -2842,16 +2842,22 @@ def q_manifest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # committed (or silently merged the fan-out) fails the row either
     # way.
     def refuse_dup() -> int:
-        # the duplicated row is pinned by MIN key, collected once, and
-        # rebuilt as a 2-row local frame: an unordered limit(1) evaluated
-        # independently per union branch could pick two DIFFERENT rows —
-        # two distinct keys would sail past the dup guard and COMMIT,
-        # flakily corrupting the hashed reads below
-        r0 = (
-            orders.filter(F.col("o_orderkey") % 37 == 0)
-            .orderBy("o_orderkey").limit(1).collect()[0]
-        )
-        one = spark.createDataFrame(
+        # ONE row is collected and rebuilt as a 2-row local frame with a
+        # duplicated key: building the pair as two union branches over
+        # an unordered limit(1) would evaluate the limit independently
+        # per branch and could pick two DIFFERENT rows — two distinct
+        # keys would sail past the dup guard and COMMIT, flakily
+        # corrupting the hashed reads below. Collect-once makes WHICH
+        # row irrelevant (the batch is refused; no value ever lands), so
+        # a plain limit(1) single-partition read does — no sort pass.
+        from tibame_project_spark.localdf import local_rows_df
+
+        r0 = orders.limit(1).collect()[0]
+        # local_rows_df (Arrow), not createDataFrame: the plain list
+        # path rides a Python RDD that schedules worker stages on every
+        # action — ~0.5s of pure tax on the guard's bounds agg
+        one = local_rows_df(
+            spark,
             [(
                 r0["o_orderkey"] + 10000000, r0["o_custkey"],
                 r0["o_totalprice"], r0["o_orderdate"],
