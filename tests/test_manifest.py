@@ -6388,6 +6388,31 @@ def test_footer_stats_hadoop_twin_matches_arrow_branch(spark, tmp_path):
     )
     assert arrow == hadoop and len(arrow) == 2
 
+    # the Arrow branch must also serve a REGISTERED remote scheme (the
+    # 100 TB deployment shape): same rows through a register_arrow_fs
+    # resolver that Hadoop does not speak
+    from pyarrow import fs as pafs
+
+    def resolver(path):
+        rel = path[len("mock://store/"):]
+        return (
+            pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem()),
+            rel,
+        )
+
+    prev = M.register_arrow_fs("mock", resolver)
+    try:
+        remote = M._footer_file_stats(
+            spark, "mock://store/t", "data/c=tw", cols, df.schema, 5,
+            null_stats=True,
+        )
+        assert remote == arrow
+    finally:
+        if prev is None:
+            del M._ARROW_FS_RESOLVERS["mock"]
+        else:
+            M.register_arrow_fs("mock", prev)
+
     # all-NULL column parity between the twins
     df2 = spark.createDataFrame([(1, None), (2, None)], "k int, s string")
     M._write_data(df2, base, "data/c=tw2", None, 1)

@@ -1471,33 +1471,38 @@ def _footer_file_stats(
         kind = schema[c].dataType.simpleString().split("(")[0]
         if kind not in _FOOTER_STATS_KINDS:
             return None
-    # the Arrow footer reader needs a locally-resolvable path; a
-    # scheme'd store (s3a://, abfs://…) takes the Hadoop branch below —
-    # still O(files) metadata reads, just py4j-priced (~ms per call vs
-    # Arrow's µs), which at 1 GB files beats a re-scan by orders of
-    # magnitude either way
-    local_base = _local_dir(base_path)
-    if local_base is None:
+    # footers are read through the _arrow_fs seam — ONE Arrow code path
+    # for local paths, s3://'/hdfs:// (pyarrow's own connectors), and
+    # register_arrow_fs adapters; a scheme Arrow cannot reach takes the
+    # parquet-mr/py4j twin below — still O(files) metadata reads (~ms
+    # per call vs Arrow's µs), which at 1 GB files beats a re-scan by
+    # orders of magnitude either way
+    resolved = _arrow_fs(base_path)
+    if resolved is None:
         return _footer_file_stats_hadoop(
             spark, base_path, data_dir, stats_cols, schema, schema_id,
             null_stats=null_stats,
         )
-    import os as _os
-
     import pyarrow.parquet as _pq
+    from pyarrow.fs import FileSelector, FileType
 
-    root = f"{local_base}/{data_dir}"
-    if not _os.path.isdir(root):
-        return []
+    afs, abase = resolved
+    root = f"{abase.rstrip('/')}/{data_dir}"
+    # an explicit listing, NOT a glob: a glob metacharacter in the table
+    # path ([, ?, *) would silently list a DIFFERENT directory and
+    # publish an empty manifest where the scan path failed loudly
+    infos = afs.get_file_info(FileSelector(root, allow_not_found=True))
     out: list[tuple] = []
-    # listdir, NOT glob: a glob metacharacter in the table path ([, ?, *)
-    # would silently list a DIFFERENT directory and publish an empty
-    # manifest where the scan path failed loudly
-    for name in sorted(_os.listdir(root)):
-        if not name.endswith(".parquet") or name.startswith(("_", ".")):
+    for fi in sorted(infos, key=lambda i: i.path):
+        name = fi.path.rsplit("/", 1)[-1]
+        if (
+            fi.type != FileType.File
+            or not name.endswith(".parquet")
+            or name.startswith(("_", "."))
+        ):
             continue
-        p = _os.path.join(root, name)
-        md = _pq.ParquetFile(p).metadata
+        with afs.open_input_file(fi.path) as f:
+            md = _pq.ParquetFile(f).metadata
         nrows = md.num_rows
         if nrows == 0:
             continue
@@ -1532,7 +1537,7 @@ def _footer_file_stats(
         for c in stats_cols:
             if isinstance(schema[c].dataType, StringType):
                 mins[c], maxs[c] = _truncate_string_stats(mins[c], maxs[c])
-        row: list = [f"{data_dir}/{name}", _os.path.getsize(p), int(nrows)]
+        row: list = [f"{data_dir}/{name}", int(fi.size), int(nrows)]
         for c in stats_cols:
             row += [mins[c], maxs[c]]
         if null_stats:
