@@ -820,3 +820,66 @@ def test_snapshot_changes_cdc_roundtrip_is_identity(
     )
     got = {r.id: r.v for r in read_snapshot(spark_global, dst_base).collect()}
     assert got == head
+
+
+# ---------------------------------------------------------------------------
+# r14 footer-based commit stats: for ARBITRARY data (adversarial unicode
+# incl. astral chars, NULL patterns, negative ints, boundary dates) the
+# parquet-footer stats rows must be BIT-IDENTICAL to the distributed-scan
+# rows — the prune layer's row-loss safety rides on this equivalence.
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+            st.one_of(
+                st.none(),
+                st.text(
+                    alphabet=st.characters(
+                        blacklist_categories=("Cs",),  # no lone surrogates
+                        max_codepoint=0x10FFFF,
+                    ),
+                    max_size=40,
+                ),
+            ),
+            st.one_of(
+                st.none(),
+                st.dates(dt.date(1, 1, 1), dt.date(9999, 12, 31)),
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    n_files=st.integers(1, 3),
+)
+@settings(max_examples=25, deadline=None)
+def test_footer_stats_equal_scan_stats_for_arbitrary_data(
+    spark_global, tmp_path_factory, rows, n_files
+):
+    from tibame_project_spark.sources import manifest as M
+
+    spark = spark_global
+    base = str(tmp_path_factory.mktemp("footer_prop"))
+    df = spark.createDataFrame(rows, "k int, s string, dt date")
+    M._write_data(df, base, "data/c=p", None, n_files)
+    cols = ["k", "s", "dt"]
+    foot = sorted(
+        tuple(r)
+        for r in M._file_stats(
+            spark, base, "data/c=p", cols, df.schema, None, null_stats=True
+        ).collect()
+    )
+    orig = M._footer_file_stats
+    M._footer_file_stats = lambda *a, **kw: None
+    try:
+        scan = sorted(
+            tuple(r)
+            for r in M._file_stats(
+                spark, base, "data/c=p", cols, df.schema, None,
+                null_stats=True,
+            ).collect()
+        )
+    finally:
+        M._footer_file_stats = orig
+    assert foot == scan
