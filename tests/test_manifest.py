@@ -6425,3 +6425,45 @@ def test_footer_stats_hadoop_twin_matches_arrow_branch(spark, tmp_path):
         null_stats=True,
     )
     assert a2 == h2 and len(a2) == 1
+
+
+def test_footer_stats_fall_back_to_hadoop_twin_on_arrow_io_error(
+    spark, tmp_path
+):
+    """An Arrow filesystem that constructs but cannot ACCESS the store
+    (credentials only in Spark's Hadoop conf, transient store errors)
+    must fall through to the parquet-mr twin, not crash the commit —
+    the same fallback discipline as every sibling _arrow_fs consumer."""
+    from pyarrow import fs as pafs
+
+    from tibame_project_spark.sources import manifest as M
+
+    def resolver(path):
+        class Raising:
+            def get_file_info(self, *a, **k):
+                raise OSError("AWS Error ACCESS_DENIED")
+
+        return Raising(), path.split("://", 1)[1]
+
+    called = {}
+
+    def fake_hadoop(*a, **k):
+        called["hit"] = True
+        return [("sentinel",)]
+
+    orig = M._footer_file_stats_hadoop
+    M._footer_file_stats_hadoop = fake_hadoop
+    prev = M.register_arrow_fs("deny", resolver)
+    try:
+        got = M._footer_file_stats(
+            spark, "deny://x/t", "data/c=z", ["k"],
+            spark.range(1).select(F.col("id").cast("int").alias("k")).schema,
+            0, null_stats=False,
+        )
+        assert got == [("sentinel",)] and "hit" in called
+    finally:
+        M._footer_file_stats_hadoop = orig
+        if prev is None:
+            del M._ARROW_FS_RESOLVERS["deny"]
+        else:
+            M.register_arrow_fs("deny", prev)

@@ -1473,16 +1473,42 @@ def _footer_file_stats(
             return None
     # footers are read through the _arrow_fs seam — ONE Arrow code path
     # for local paths, s3://'/hdfs:// (pyarrow's own connectors), and
-    # register_arrow_fs adapters; a scheme Arrow cannot reach takes the
-    # parquet-mr/py4j twin below — still O(files) metadata reads (~ms
-    # per call vs Arrow's µs), which at 1 GB files beats a re-scan by
-    # orders of magnitude either way
+    # register_arrow_fs adapters; a scheme Arrow cannot reach — or can
+    # construct but not ACCESS (credentials living only in Spark's
+    # Hadoop conf, transient store errors, adapter quirks) — takes the
+    # parquet-mr/py4j twin, exactly like every sibling _arrow_fs
+    # consumer (_meta, _manifest_arrow, _materialize_manifest) falls
+    # back on Arrow I/O errors. Still O(files) metadata reads either
+    # way (~ms per call vs Arrow's µs), which at 1 GB files beats a
+    # re-scan by orders of magnitude.
     resolved = _arrow_fs(base_path)
-    if resolved is None:
-        return _footer_file_stats_hadoop(
-            spark, base_path, data_dir, stats_cols, schema, schema_id,
-            null_stats=null_stats,
-        )
+    if resolved is not None:
+        try:
+            return _footer_file_stats_arrow(
+                resolved, data_dir, stats_cols, schema, schema_id,
+                null_stats=null_stats,
+            )
+        except Exception:
+            pass  # the JVM path below is authoritative for this store
+    return _footer_file_stats_hadoop(
+        spark, base_path, data_dir, stats_cols, schema, schema_id,
+        null_stats=null_stats,
+    )
+
+
+def _footer_file_stats_arrow(
+    resolved,
+    data_dir: str,
+    stats_cols: list[str],
+    schema: StructType,
+    schema_id: int,
+    *,
+    null_stats: bool,
+) -> list[tuple] | None:
+    """The Arrow body of :func:`_footer_file_stats`: raises on store I/O
+    errors (the caller falls back to the Hadoop twin), returns None when
+    footers cannot serve the stats exactly (caller falls back to the
+    scan), else the manifest rows."""
     import pyarrow.parquet as _pq
     from pyarrow.fs import FileSelector, FileType
 
@@ -1565,13 +1591,16 @@ def _footer_file_stats_hadoop(
     fs, root, jvm = _fs_for(spark, f"{base_path}/{data_dir}")
     if not fs.exists(root):
         return []
-    statuses = [
-        st
-        for st in fs.listStatus(root)
-        if not st.isDirectory()
-        and st.getPath().getName().endswith(".parquet")
-        and not st.getPath().getName().startswith(("_", "."))
-    ]
+    statuses = sorted(
+        (
+            st
+            for st in fs.listStatus(root)
+            if not st.isDirectory()
+            and st.getPath().getName().endswith(".parquet")
+            and not st.getPath().getName().startswith(("_", "."))
+        ),
+        key=lambda st: st.getPath().getName(),
+    )
     conf = spark._jsc.hadoopConfiguration()
     hif = jvm.org.apache.parquet.hadoop.util.HadoopInputFile
     pfr = jvm.org.apache.parquet.hadoop.ParquetFileReader
