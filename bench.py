@@ -100,10 +100,18 @@ def _kill_jvm(jvm_pid: int | None) -> None:
         pass
 
 
-def _rebuild_session():
+def _rebuild_session(sf_dir: str, timeout_s: float):
     """Fresh SparkSession after the deadlocked JVM was SIGKILLed: clear
     the py4j/SparkContext singletons the dead gateway poisons, then build
-    anew — the remaining queries record instead of losing the window."""
+    anew — the remaining queries record instead of losing the window.
+
+    The fresh session is WARMED before it is handed back (one trivial
+    parquet count, guarded): without it the first query after a recovery
+    pays the whole JVM boot + first-job codegen inside its own guarded
+    run — several seconds that either distort its recorded time or, on a
+    tight watchdog timeout, fire a FALSE second hang. A hang during this
+    warmup is left for the next query's own watchdog to diagnose (a
+    rebuild loop here could never terminate)."""
     from pyspark import SparkContext
     from pyspark.sql import SparkSession
 
@@ -121,6 +129,16 @@ def _rebuild_session():
     SparkContext._jvm = None
     spark = get_spark("tibame-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    try:
+        _guarded(
+            lambda: spark.read.parquet(
+                os.path.join(sf_dir, "region.parquet")
+            ).count(),
+            "post-rebuild-warmup",
+            timeout_s,
+        )
+    except QueryHang:
+        pass  # next guarded call diagnoses it with full context
     return spark
 
 
@@ -196,7 +214,7 @@ def main() -> None:
         _capture_hang_diag("startup-warmup", jvm_pid, timeout_s)
         hung.append("startup-warmup")
         _kill_jvm(jvm_pid)
-        spark = _rebuild_session()
+        spark = _rebuild_session(sf_dir, timeout_s)
         jvm_pid = _jvm_pid(spark)
 
     runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
@@ -255,7 +273,7 @@ def main() -> None:
             _capture_hang_diag(name, jvm_pid, timeout_s)
             hung.append(name)
             _kill_jvm(jvm_pid)
-            spark = _rebuild_session()
+            spark = _rebuild_session(sf_dir, timeout_s)
             jvm_pid = _jvm_pid(spark)
             continue
         timings[name] = round(statistics.median(times), 3)
