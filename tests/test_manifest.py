@@ -282,6 +282,88 @@ def test_merge_deletes_and_empty_batch_noop(spark, tmp_path):
     assert v2 == 2 and _content(spark, base) == want
 
 
+@pytest.mark.parametrize("fold", [True, False])
+def test_merge_candidate_fold_matches_semijoin(spark, tmp_path, monkeypatch, fold):
+    """The folded per-file candidacy flags (r14: candidate detection rides
+    the bounds agg) must pick exactly the files the broadcast semi-join
+    picks — same carried-forward set, same surviving content."""
+    from tibame_project_spark.sources import manifest as M
+
+    if not fold:
+        monkeypatch.setattr(M, "_CAND_FOLD_MAX_FILES", 0)
+    base = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(F.col("id"), F.lit(0).cast("long").alias("v"))
+    write_manifest_table(
+        spark, df, base, stats_cols=["id"], cluster_by="id", n_files=8
+    )
+    before = set(manifest_file_paths(spark, base))
+    batch = spark.createDataFrame(
+        [(i, 7, False) for i in range(10, 20)] + [(1900, 7, False)],
+        "id long, v long, dead boolean",
+    )
+    merge_manifest_table(spark, batch, base, "id", delete_col="dead")
+    carried = before & set(manifest_file_paths(spark, base))
+    # 10..19 lives in one of the 8 clustered files; 1900 is out of every
+    # file's range — both paths must rewrite exactly that one file
+    assert len(carried) == len(before) - 1
+    want = {(i, 7 if 10 <= i < 20 else 0) for i in range(1000)} | {(1900, 7)}
+    assert _content(spark, base) == want
+
+
+def test_merge_candidate_fold_string_key_and_unsafe_type_fallback(
+    spark, tmp_path, monkeypatch
+):
+    """String keys fold (literal-safe); timestamp keys must NOT fold
+    (naive-literal coercion is not provably the join's) — and the
+    fallback semi-join path still produces the right content."""
+    from tibame_project_spark.sources import manifest as M
+
+    base = str(tmp_path / "s")
+    rows = [(f"k{i:03d}", i) for i in range(100)]
+    write_manifest_table(
+        spark,
+        spark.createDataFrame(rows, "id string, v long"),
+        base,
+        stats_cols=["id"],
+        cluster_by="id",
+        n_files=4,
+    )
+    assert M._cand_fold_files(base, read_manifest_version(spark, base), "id")
+    before = set(manifest_file_paths(spark, base))
+    batch = spark.createDataFrame(
+        [("k005", -5, False), ("zzz", 1, False)], "id string, v long, dead boolean"
+    )
+    merge_manifest_table(spark, batch, base, "id", delete_col="dead")
+    assert len(before & set(manifest_file_paths(spark, base))) == len(before) - 1
+    want = {(f"k{i:03d}", -5 if i == 5 else i) for i in range(100)} | {("zzz", 1)}
+    assert {
+        (r["id"], r["v"]) for r in read_manifest_table(spark, base).collect()
+    } == want
+
+    tbase = str(tmp_path / "ts")
+    write_manifest_table(
+        spark,
+        spark.sql(
+            "SELECT timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id) AS id,"
+            " id AS v FROM range(10)"
+        ),
+        tbase,
+        stats_cols=["id"],
+    )
+    assert (
+        M._cand_fold_files(tbase, read_manifest_version(spark, tbase), "id") is None
+    )
+    tb = spark.sql(
+        "SELECT timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,3) AS id,"
+        " CAST(99 AS bigint) AS v, false AS dead"
+    )
+    merge_manifest_table(spark, tb, tbase, "id", delete_col="dead")
+    got = {
+        r["v"] for r in read_manifest_table(spark, tbase).collect()
+    }
+    assert got == {0, 1, 2, 99, 4, 5, 6, 7, 8, 9}
+
+
 def test_merge_guards(spark, tmp_path):
     base = str(tmp_path / "t")
     write_manifest_table(

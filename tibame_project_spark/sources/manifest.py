@@ -108,6 +108,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import uuid
 
 import pyspark.sql.functions as F
@@ -2437,6 +2438,68 @@ def read_manifest_table(
     return out.where(where) if where is not None else out
 
 
+#: Max live files whose candidacy folds into the merge's bounds agg as
+#: per-file BETWEEN flags (one agg expr per file). Above it the broadcast
+#: semi-join path scales arbitrarily; the fold only exists to keep small
+#: tables' commits at one batch scan. Cluster deployments can raise or
+#: zero it (0 disables the fold).
+_CAND_FOLD_MAX_FILES = int(os.environ.get("TIBAME_MERGE_CAND_FOLD_MAX", "96"))
+
+#: stat value types whose F.lit() comparison provably coerces like the
+#: semi-join's column-vs-column comparison (int family, string, bool,
+#: float family, Decimal, date). datetimes are excluded: a naive literal
+#: binds as TIMESTAMP while the column may be TIMESTAMP_NTZ.
+_CAND_FOLD_LIT_TYPES = (bool, int, float, str)
+
+
+def _cand_fold_files(base_path: str, head: int, key: str):
+    """The live file set as driver-side dicts with ``__lo``/``__hi`` key
+    bounds — when the manifest is Arrow-reachable, small enough to fold
+    into the bounds agg, and the key's stat values are literal-safe;
+    else None (callers keep the broadcast semi-join). Files with NULL
+    key stats (zero-row files) are dropped: no batch key can land in a
+    NULL range, matching the semi-join's NULL comparison semantics."""
+    import datetime
+    import decimal
+
+    if _CAND_FOLD_MAX_FILES <= 0:
+        return None
+    tbl = _manifest_arrow(base_path, head)
+    if tbl is None or tbl.num_rows > _CAND_FOLD_MAX_FILES:
+        return None
+    names = set(tbl.schema.names)
+    if f"min_{key}" not in names or f"max_{key}" not in names:
+        return None
+    cols = ["path", f"min_{key}", f"max_{key}"]
+    cols += [c for c in ("dv_path", "schema_id") if c in names]
+    out = []
+    for r in tbl.select(cols).to_pylist():
+        lo, hi = r[f"min_{key}"], r[f"max_{key}"]
+        if lo is None or hi is None:
+            continue
+        ok = all(
+            isinstance(v, _CAND_FOLD_LIT_TYPES)
+            or isinstance(v, (decimal.Decimal,))
+            or (
+                isinstance(v, datetime.date)
+                and not isinstance(v, datetime.datetime)
+            )
+            for v in (lo, hi)
+        )
+        if not ok:
+            return None
+        out.append(
+            {
+                "path": r["path"],
+                "dv_path": r.get("dv_path"),
+                "schema_id": r.get("schema_id", 0),
+                "__lo": lo,
+                "__hi": hi,
+            }
+        )
+    return out
+
+
 def merge_manifest_table(
     spark: SparkSession,
     source: DataFrame,
@@ -2601,14 +2664,31 @@ def _prepare_merge_edit_impl(
         )
     # one batch scan for bounds AND the NULL-key guard (count(*) vs
     # count(key)) AND the key-uniqueness guard (count vs count distinct)
-    # — not a separate limit(1) job per commit
-    bounds = source.agg(
+    # — not a separate limit(1) job per commit.
+    # r14: per-file CANDIDACY rides the SAME scan when the live file set
+    # is small enough to fold — one max(key BETWEEN min_i AND max_i)
+    # flag per live file, exactly the semi-join's "does any batch key
+    # land in this file's range" — so the separate broadcast-build +
+    # semi-join jobs disappear from the commit; big tables (or stores
+    # the driver-side Arrow reader can't reach, or stat types whose
+    # literal coercion isn't provably identical to the join's) keep the
+    # scale-proof broadcast semi-join below.
+    fold_files = _cand_fold_files(base_path, head, key)
+    aggs = [
         F.min(key).alias("lo"),
         F.max(key).alias("hi"),
         F.count(F.lit(1)).alias("n"),
         F.count(key).alias("nk"),
         F.countDistinct(key).alias("ndk"),
-    ).first()
+    ]
+    if fold_files is not None:
+        aggs += [
+            F.max(
+                F.col(key).between(F.lit(f["__lo"]), F.lit(f["__hi"]))
+            ).alias(f"__cand{i}")
+            for i, f in enumerate(fold_files)
+        ]
+    bounds = source.agg(*aggs).first()
     if bounds["n"] != bounds["nk"]:
         raise ValueError(
             f"merge batch contains NULL {key!r} keys; manifest merge requires "
@@ -2687,22 +2767,27 @@ def _prepare_merge_edit_impl(
     }
     if bounds["lo"] is None:  # empty batch: a metadata-only no-op edit
         return edit
-    man = _load_manifest(spark, base_path, head)
-    coarse = man.where(
-        (F.col(f"max_{key}") >= F.lit(bounds["lo"]))
-        & (F.col(f"min_{key}") <= F.lit(bounds["hi"]))
-    )
-    # no distinct: the key-uniqueness guard above already proved the
-    # batch's keys distinct and non-null — a distinct here would be a
-    # pure extra shuffle of the whole key set
-    keys = source.select(F.col(key).alias("__mk"))
-    cand = coarse.join(
-        F.broadcast(keys),
-        (F.col("__mk") >= F.col(f"min_{key}"))
-        & (F.col("__mk") <= F.col(f"max_{key}")),
-        "leftsemi",
-    )
-    cand_files = cand.select("path", "dv_path", "schema_id").collect()
+    if fold_files is not None:
+        cand_files = [
+            f for i, f in enumerate(fold_files) if bounds[f"__cand{i}"]
+        ]
+    else:
+        man = _load_manifest(spark, base_path, head)
+        coarse = man.where(
+            (F.col(f"max_{key}") >= F.lit(bounds["lo"]))
+            & (F.col(f"min_{key}") <= F.lit(bounds["hi"]))
+        )
+        # no distinct: the key-uniqueness guard above already proved the
+        # batch's keys distinct and non-null — a distinct here would be a
+        # pure extra shuffle of the whole key set
+        keys = source.select(F.col(key).alias("__mk"))
+        cand = coarse.join(
+            F.broadcast(keys),
+            (F.col("__mk") >= F.col(f"min_{key}"))
+            & (F.col("__mk") <= F.col(f"max_{key}")),
+            "leftsemi",
+        )
+        cand_files = cand.select("path", "dv_path", "schema_id").collect()
     touched = [r["path"] for r in cand_files]
 
     # candidate rows with their deletion vectors APPLIED — a merge must
