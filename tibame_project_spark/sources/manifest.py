@@ -501,16 +501,156 @@ def _manifest_arrow(base_path: str, version: int):
         return None  # unreadable/corrupt: the Spark path raises properly
 
 
+def _is_local_relation(df: DataFrame) -> bool:
+    """True when the frame's optimized plan is a pure LocalRelation —
+    driver-resident rows (createDataFrame / local_rows_df, possibly
+    with optimizer-folded projections/filters on top) whose
+    re-evaluation costs no cluster work. Gates the skip-the-persist and
+    single-partition-agg fast paths in the merge: both only make sense
+    when the batch provably lives on the driver."""
+    try:
+        return (
+            df._jdf.queryExecution().optimizedPlan().getClass().getSimpleName()
+            == "LocalRelation"
+        )
+    except Exception:
+        return False
+
+
+def _rows_to_arrow(rows: list[tuple], schema: StructType):
+    """Driver-local rows as a pyarrow Table typed by the Spark schema —
+    the Arrow TWIN of ``local_rows_df`` over the same rows — or None
+    when the conversion can't be proven faithful (exotic types). Rides
+    the same pandas→Arrow conversion ``local_rows_df`` itself ships to
+    the JVM, so twin and DataFrame agree value-for-value."""
+    try:
+        import pandas as pd
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        pdf = pd.DataFrame.from_records(
+            list(rows), columns=[f.name for f in schema.fields]
+        ).astype(object)
+        pdf = pdf.where(pd.notna(pdf), None)
+        return pa.Table.from_pandas(
+            pdf, schema=to_arrow_schema(schema), preserve_index=False
+        ).replace_schema_metadata(None)
+    except Exception:
+        return None
+
+
+def _twin_filter_removed(twin, removed):
+    """``manifest.where(~path.isin(removed))`` on the Arrow twin, or
+    None (twin lost → Spark path materializes)."""
+    if twin is None:
+        return None
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(
+            twin.column("path"),
+            value_set=pa.array(list(removed), type=pa.string()),
+        )
+        return twin.filter(pc.invert(pc.fill_null(mask, False)))
+    except Exception:
+        return None
+
+
+def _twin_union(twin, added_twin):
+    """``manifest.unionByName(added)`` on the Arrow twins: reorder the
+    added block to the manifest's column order and concatenate. Types
+    must MATCH FIELD-FOR-FIELD — unionByName would reconcile differing
+    types by promotion, and silently diverging from that here could
+    change stored stat types, so any mismatch drops the twin (None →
+    the Spark path materializes, always correct)."""
+    if twin is None or added_twin is None:
+        return None
+    try:
+        import pyarrow as pa
+
+        names = twin.schema.names
+        if set(added_twin.schema.names) != set(names):
+            return None
+        added_twin = added_twin.select(names)
+        for a, b in zip(twin.schema, added_twin.schema):
+            if a.type != b.type:
+                return None
+        return pa.concat_tables(
+            [twin, added_twin], promote_options="default"
+        )
+    except Exception:
+        return None
+
+
+def _write_arrow_parquet(base_path: str, rel_dir: str, tbl) -> bool:
+    """Write a driver-side pyarrow Table as ``<base_path>/<rel_dir>/
+    part-00000.parquet`` (snappy — the same shape the distributed
+    single-file writers produce). True on success; False when the store
+    is Arrow-unreachable or the write failed (caller takes the Spark
+    path). ``rel_dir`` must be attempt-unique — nothing is cleared."""
+    if tbl is None:
+        return False
+    resolved = _arrow_fs(base_path)
+    if resolved is None:
+        return False
+    try:
+        import pyarrow.parquet as pq
+
+        fs, d = resolved
+        out = f"{d.rstrip('/')}/{rel_dir}"
+        fs.create_dir(out, recursive=True)
+        pq.write_table(
+            tbl.replace_schema_metadata(None),
+            f"{out}/part-00000.parquet",
+            compression="snappy", filesystem=fs,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _read_parquet_local(spark: SparkSession, path: str):
+    """A small metadata parquet dir (staged manifest rows, bounds) as a
+    driver-loaded LocalRelation DataFrame with its Arrow table attached
+    as ``_tibame_arrow``, or None (caller takes the distributed read).
+    The local relation keeps every downstream action job-free and lets
+    ``_finish`` materialize through the twin."""
+    resolved = _arrow_fs(path)
+    if resolved is None:
+        return None
+    fs, d = resolved
+    try:
+        import pyarrow.dataset as ds
+
+        tbl = ds.dataset(d, format="parquet", filesystem=fs).to_table()
+        df = spark.createDataFrame(tbl)
+        df._tibame_arrow = tbl
+        return df
+    except Exception:
+        return None
+
+
 def _materialize_manifest(
-    spark: SparkSession, manifest: DataFrame, base_path: str, tmp_dir: str
+    spark: SparkSession,
+    manifest: DataFrame,
+    base_path: str,
+    tmp_dir: str,
+    twin=None,
 ) -> None:
     """Write a prepared manifest relation to ``tmp_dir`` (the pre-claim
-    materialization ``_finish`` renames into place). Local tables take
+    materialization ``_finish`` renames into place). When ``_finish``
+    carried the commit's Arrow TWIN (``twin``: the same rows as a
+    driver-side pyarrow Table — head manifest read through Arrow, minus
+    removed paths, plus footer-derived added rows), the write is pure
+    driver-side pyarrow: ZERO Spark jobs. Otherwise local tables take
     the driver-side Arrow writer — ``toArrow()`` runs the one inherent
     job (the new files' stats scan feeding the union) and the parquet
     write itself skips the distributed writer's output-committer dance;
-    remote stores take the distributed write. Same bytes either way
+    remote stores take the distributed write. Same rows either way
     (snappy parquet, one file)."""
+    if _write_arrow_parquet(base_path, tmp_dir, twin):
+        return
     resolved = _arrow_fs(base_path)
     if resolved is not None:
         try:
@@ -521,7 +661,8 @@ def _materialize_manifest(
             out = f"{d.rstrip('/')}/{tmp_dir}"
             fs.create_dir(out, recursive=True)
             pq.write_table(
-                tbl, f"{out}/part-00000.parquet",
+                tbl.replace_schema_metadata(None),
+                f"{out}/part-00000.parquet",
                 compression="snappy", filesystem=fs,
             )
             return
@@ -540,10 +681,28 @@ def _load_manifest(spark: SparkSession, base_path: str, version: int) -> DataFra
     Local tables load driver-side through Arrow into a JVM local
     relation: every downstream action (candidate-selection joins, file
     listings, rebase diffs) then skips the per-consumer manifest scan
-    job. Remote stores fall back to the distributed read."""
+    job. The Arrow table rides along as ``_tibame_arrow`` (normalized
+    identically) so ``_finish`` can materialize the next commit's
+    manifest without any Spark job. Remote stores fall back to the
+    distributed read."""
     tbl = _manifest_arrow(base_path, version)
     if tbl is not None:
-        man = spark.createDataFrame(tbl)
+        try:
+            import pyarrow as pa
+
+            if "dv_path" not in tbl.schema.names:
+                tbl = tbl.append_column(
+                    "dv_path", pa.nulls(tbl.num_rows, type=pa.string())
+                )
+            if "schema_id" not in tbl.schema.names:
+                tbl = tbl.append_column(
+                    "schema_id", pa.array([0] * tbl.num_rows, type=pa.int32())
+                )
+            man = spark.createDataFrame(tbl)
+            man._tibame_arrow = tbl
+            return man
+        except Exception:
+            man = spark.createDataFrame(tbl)
     else:
         man = spark.read.parquet(f"{base_path}/manifest/v={version}")
     if "dv_path" not in man.columns:
@@ -1179,16 +1338,27 @@ def _finish(
                 manifest = full_manifest
             else:
                 manifest = _load_manifest(spark, base_path, base_head)
+            # the commit's Arrow twin: head manifest (driver-side Arrow
+            # read) minus removed paths plus the footer-derived added
+            # rows — when every ingredient is Arrow-local the
+            # materialization below runs ZERO Spark jobs; any gap in the
+            # chain (distributed stats, remote store, type drift) drops
+            # the twin and the Spark path materializes as before
+            twin = getattr(manifest, "_tibame_arrow", None)
             if full_manifest is None:
                 if removed:
                     manifest = manifest.where(~F.col("path").isin(list(removed)))
+                    twin = _twin_filter_removed(twin, removed)
                 if added is not None:
                     manifest = manifest.unionByName(added)
+                    twin = _twin_union(
+                        twin, getattr(added, "_tibame_arrow", None)
+                    )
             version = (head if head is not None else -1) + 1
             # materialize BEFORE claiming (docstring step 2): the claimed
             # window below is pure filesystem metadata, so _CLAIM_WAIT_S
             # bounds a rename + two small writes + a prune — not a job
-            _materialize_manifest(spark, manifest, base_path, tmp_dir)
+            _materialize_manifest(spark, manifest, base_path, tmp_dir, twin=twin)
             global _TEST_PRECLAIM_HOOK
             if _TEST_PRECLAIM_HOOK is not None:
                 hook, _TEST_PRECLAIM_HOOK = _TEST_PRECLAIM_HOOK, None
@@ -1723,7 +1893,12 @@ def _file_stats(
     the distributed scan below is the fallback for the remaining types
     and for files missing chunk statistics. A Bloom-configured table
     still scans for its filters, but reading ONLY the Bloom columns."""
-    from pyspark.sql.types import IntegerType, LongType, StructField
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        MapType,
+        StructField,
+    )
 
     footer_rows = _footer_file_stats(
         spark, base_path, data_dir, stats_cols, schema, schema_id,
@@ -1750,8 +1925,11 @@ def _file_stats(
         # a Python RDD whose every downstream action (the manifest write,
         # a stage persist) schedules Python-runner stages — measured 4-6s
         # per tiny write on local[32]; the Arrow path stays JVM-only
-        out = local_rows_df(spark, footer_rows, StructType(fields))
         if not bloom:
+            out = local_rows_df(spark, footer_rows, StructType(fields))
+            # the Arrow twin of the same rows lets _finish materialize
+            # the commit manifest with zero Spark jobs
+            out._tibame_arrow = _rows_to_arrow(footer_rows, StructType(fields))
             return out
         # the Bloom filters still need the values — but ONLY the Bloom
         # columns' bytes, not every stats column's
@@ -1763,7 +1941,31 @@ def _file_stats(
                 F.col("_metadata.file_path").alias("__path"),
             )
         )
-        return _attach_bloom(out, raw, bloom)
+        # the filters are KBs per file: COLLECT them (one small job per
+        # Bloom column — the inherent value scan) and fold driver-side,
+        # so the manifest rows stay a LocalRelation with an Arrow twin
+        # instead of a distributed join the commit materialization would
+        # re-run as its own multi-stage job
+        bfields = list(fields) + [
+            StructField(
+                f"bloom_{c}", MapType(IntegerType(), LongType())
+            )
+            for c in bloom["cols"]
+        ]
+        bmaps: dict = {}
+        for c in bloom["cols"]:
+            for r in _bloom_words(raw, c, bloom["m"], bloom["k"]).collect():
+                bmaps.setdefault(r["path"], {})[c] = r[f"bloom_{c}"]
+        brows = [
+            row
+            + tuple(
+                bmaps.get(row[0], {}).get(c) for c in bloom["cols"]
+            )
+            for row in footer_rows
+        ]
+        out = local_rows_df(spark, brows, StructType(bfields))
+        out._tibame_arrow = _rows_to_arrow(brows, StructType(bfields))
+        return out
     raw = spark.read.schema(schema).parquet(f"{base_path}/{data_dir}").select(
         "*",
         F.col("_metadata.file_path").alias("__path"),
@@ -1820,42 +2022,46 @@ def _file_stats(
     return _attach_bloom(out, raw, bloom)
 
 
+def _bloom_words(raw: DataFrame, c: str, m: int, k: int) -> DataFrame:
+    """The per-file sparse Bloom filter for one column as
+    ``(path, bloom_<c>: map<int,bigint>)``: each row's k positions
+    explode to (word, bit) pairs, a (file, word) ``bit_or`` folds them,
+    a per-file collect packs the words."""
+    pos = raw.select(
+        F.regexp_extract("__path", r"(data/[^/]+/[^/]+)$", 1).alias("path"),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(m)).cast(
+                        "int"
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("p"),
+    )
+    return (
+        pos.select(
+            "path",
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, p % 64)").alias("b"),
+        )
+        .groupBy("path", "w")
+        .agg(F.bit_or("b").alias("bits"))
+        .groupBy("path")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "bits"))
+            ).alias(f"bloom_{c}")
+        )
+    )
+
+
 def _attach_bloom(out: DataFrame, raw: DataFrame, bloom: dict) -> DataFrame:
-    """Join the per-file sparse Bloom filters onto the stats rows:
-    each row's k positions explode to (word, bit) pairs, a (file, word)
-    ``bit_or`` folds them, a per-file collect packs the words. ``raw``
-    needs only the Bloom columns plus ``__path``."""
-    m, k = bloom["m"], bloom["k"]
+    """Join the per-file sparse Bloom filters onto the stats rows.
+    ``raw`` needs only the Bloom columns plus ``__path``."""
     for c in bloom["cols"]:
-        pos = raw.select(
-            F.regexp_extract("__path", r"(data/[^/]+/[^/]+)$", 1).alias("path"),
-            F.explode(
-                F.array(
-                    *[
-                        F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(m)).cast(
-                            "int"
-                        )
-                        for i in range(k)
-                    ]
-                )
-            ).alias("p"),
-        )
-        words = (
-            pos.select(
-                "path",
-                (F.col("p") / 64).cast("int").alias("w"),
-                F.expr("shiftleft(1L, p % 64)").alias("b"),
-            )
-            .groupBy("path", "w")
-            .agg(F.bit_or("b").alias("bits"))
-            .groupBy("path")
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("w", "bits"))
-                ).alias(f"bloom_{c}")
-            )
-        )
-        out = out.join(words, "path", "left")
+        out = out.join(_bloom_words(raw, c, bloom["m"], bloom["k"]), "path", "left")
     return out
 
 
@@ -1966,14 +2172,25 @@ def _write_data(
         from tibame_project_spark.sources.writers import zorder_key
 
         df = df.withColumn("__zk", zorder_key(cols, bits=zorder_bits))
-        df = (
-            df.repartitionByRange(max(1, n_files), "__zk")
-            .sortWithinPartitions("__zk")
-            .drop("__zk")
-        )
+        if n_files <= 1:
+            df = df.coalesce(1).sortWithinPartitions("__zk").drop("__zk")
+        else:
+            df = (
+                df.repartitionByRange(n_files, "__zk")
+                .sortWithinPartitions("__zk")
+                .drop("__zk")
+            )
     elif cols:
-        df = df.repartitionByRange(max(1, n_files), F.col(cols[0]))
-        df = df.sortWithinPartitions(cols[0])
+        if n_files <= 1:
+            # one output file: range partitioning into ONE partition
+            # degenerates to "everything together", so the range
+            # exchange (and its sampling pass, which re-evaluates the
+            # whole upstream plan) buys nothing a narrow coalesce
+            # doesn't — the within-file sort is what the stats need
+            df = df.coalesce(1).sortWithinPartitions(cols[0])
+        else:
+            df = df.repartitionByRange(n_files, F.col(cols[0]))
+            df = df.sortWithinPartitions(cols[0])
     elif n_files:
         df = df.repartition(max(1, n_files))
     df.write.mode("overwrite").parquet(f"{base_path}/{data_dir}")
@@ -2619,8 +2836,12 @@ def _prepare_merge_edit(
     # re-computed per evaluation — the first bounds agg materializes
     # the cache; released before return on every path. A batch the
     # CALLER already persisted is left alone (persist would no-op and
-    # the unpersist would silently drop their cache).
-    ours = not source.is_cached
+    # the unpersist would silently drop their cache). A batch that is
+    # already a DRIVER-LOCAL relation (optimizer-folded LocalRelation —
+    # the common CDC-micro-batch shape) is never persisted: each
+    # re-evaluation replays in-memory rows, while the persist would
+    # cost a materialization job per commit.
+    ours = not source.is_cached and not _is_local_relation(source)
     if ours:
         source = source.persist()
     try:
@@ -2688,7 +2909,12 @@ def _prepare_merge_edit_impl(
             ).alias(f"__cand{i}")
             for i, f in enumerate(fold_files)
         ]
-    bounds = source.agg(*aggs).first()
+    # a driver-local batch aggregates in ONE partition: no exchange, so
+    # AQE has no stage boundaries and the whole guard scan is a single
+    # job instead of one per shuffle stage; distributed batches keep
+    # their parallel partial aggregation
+    agg_src = source.coalesce(1) if _is_local_relation(source) else source
+    bounds = agg_src.agg(*aggs).first()
     if bounds["n"] != bounds["nk"]:
         raise ValueError(
             f"merge batch contains NULL {key!r} keys; manifest merge requires "
@@ -2937,21 +3163,38 @@ def _persist_stage(
     token = _token()
     key = edit["key"]
     if edit["added"] is not None:
-        edit["added"].coalesce(1).write.mode("overwrite").parquet(
-            f"{base_path}/staged/{token}/add"
-        )
+        # the Arrow twin (carried from the footer-stats path) writes the
+        # staged rows driver-side — no Spark job; twinless edits keep
+        # the distributed write
+        if not _write_arrow_parquet(
+            base_path,
+            f"staged/{token}/add",
+            getattr(edit["added"], "_tibame_arrow", None),
+        ):
+            edit["added"].coalesce(1).write.mode("overwrite").parquet(
+                f"{base_path}/staged/{token}/add"
+            )
     if edit["bounds"] is not None:
         from pyspark.sql.types import StructField
         from pyspark.sql.types import StructType as _ST
 
         kt = edit["schema"][key].dataType
         _, lo, hi = edit["bounds"]
-        local_rows_df(
-            spark, [(lo, hi)],
-            _ST([StructField("lo", kt), StructField("hi", kt)]),
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{base_path}/staged/{token}/bounds"
-        )
+        bschema = _ST([StructField("lo", kt), StructField("hi", kt)])
+        # driver-side twin only for types whose Arrow round-trip is
+        # provably the Spark one (the footer-stat kinds); timestamps
+        # and decimals keep the Spark write
+        bkind = kt.simpleString().split("(")[0]
+        if bkind not in _FOOTER_STATS_KINDS or not _write_arrow_parquet(
+            base_path,
+            f"staged/{token}/bounds",
+            _rows_to_arrow([(lo, hi)], bschema),
+        ):
+            local_rows_df(spark, [(lo, hi)], bschema).coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                f"{base_path}/staged/{token}/bounds"
+            )
     stage = {
         "op": op,
         "key": key,
@@ -3028,10 +3271,12 @@ def read_staged_manifest(
     if st["removed"]:
         man = man.where(~F.col("path").isin(st["removed"]))
     if st["has_added"]:
-        man = man.unionByName(
-            spark.read.parquet(f"{base_path}/staged/{token}/add"),
-            allowMissingColumns=True,
+        add = _read_parquet_local(
+            spark, f"{base_path}/staged/{token}/add"
         )
+        if add is None:
+            add = spark.read.parquet(f"{base_path}/staged/{token}/add")
+        man = man.unionByName(add, allowMissingColumns=True)
     if prune is not None:
         man = man.where(F.coalesce(F.expr(prune), F.lit(True)))
     files = man.select("path", "dv_path", "schema_id").collect()
@@ -3061,14 +3306,21 @@ def publish_staged_manifest(
     — loud and safe, never a silent double-apply; verify the head with
     :func:`manifest_history` and abandon the spent stage."""
     st = _read_stage(spark, base_path, token)
-    added = (
-        spark.read.parquet(f"{base_path}/staged/{token}/add")
-        if st["has_added"]
-        else None
-    )
+    added = None
+    if st["has_added"]:
+        added = _read_parquet_local(
+            spark, f"{base_path}/staged/{token}/add"
+        )
+        if added is None:
+            added = spark.read.parquet(f"{base_path}/staged/{token}/add")
     bounds = None
     if st["has_bounds"]:
-        b = spark.read.parquet(f"{base_path}/staged/{token}/bounds").first()
+        bdf = _read_parquet_local(
+            spark, f"{base_path}/staged/{token}/bounds"
+        )
+        if bdf is None:
+            bdf = spark.read.parquet(f"{base_path}/staged/{token}/bounds")
+        b = bdf.first()
         bounds = (st["key"], b["lo"], b["hi"])
     version = _finish(
         spark,
