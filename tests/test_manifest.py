@@ -6549,3 +6549,92 @@ def test_footer_stats_fall_back_to_hadoop_twin_on_arrow_io_error(
             del M._ARROW_FS_RESOLVERS["deny"]
         else:
             M.register_arrow_fs("deny", prev)
+
+
+def test_arrow_twin_materialization_matches_spark_path(spark, tmp_path):
+    """The r14 Arrow-twin commit materialization (the head manifest read
+    driver-side, minus removed paths, plus footer-derived added rows,
+    written with pyarrow — zero Spark jobs) must produce manifest rows
+    IDENTICAL to the Spark materialization it short-circuits, across
+    create / append / MERGE (update + insert + tombstone delete) — on a
+    Bloom-configured table, whose per-file filter maps are now folded
+    driver-side instead of joined distributed. Only the random commit
+    dir tokens and distributed-writer part suffixes may differ."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from tibame_project_spark.sources import manifest as M
+
+    def norm(v):
+        if isinstance(v, str):
+            v = re.sub(r"(data|dv)/[^/]+/", r"\1/D/", v)
+            v = re.sub(r"part-(\d+)[^.]*", r"part-\1", v)
+        if isinstance(v, dict):
+            return tuple(sorted(v.items()))
+        return v
+
+    def build(base):
+        df = spark.range(0, 600).select(
+            F.col("id").cast("int").alias("k"),
+            F.concat(F.lit("u"), (F.col("id") % 89).cast("string")).alias("s"),
+            (F.col("id") * 3).alias("v"),
+        )
+        M.write_manifest_table(
+            spark, df, base, stats_cols=["k", "s"], cluster_by="k",
+            n_files=2, bloom_cols=["s"], null_stats=True, keep=6,
+        )
+        M.append_manifest_table(
+            spark,
+            df.where("k < 50").withColumn("v", F.col("v") + 1000),
+            base, n_files=1, cluster_by="k", keep=6,
+        )
+        batch = spark.createDataFrame(
+            [(10, "u10", 7, False), (9000, "unew", 8, False),
+             (25, "u25", 0, True)],
+            "k int, s string, v bigint, __del boolean",
+        )
+        M.merge_manifest_table(
+            spark, batch, base, "k", delete_col="__del", keep=6
+        )
+        head = M.manifest_history(spark, base).agg(
+            F.max("version")
+        ).first()[0]
+        out = []
+        for ver in range(head + 1):
+            rows = spark.read.parquet(f"{base}/manifest/v={ver}").collect()
+            out.append(
+                sorted(
+                    tuple(norm(v) for v in r)
+                    for r in (tuple(row) for row in rows)
+                )
+            )
+        return out
+
+    counts = {"twin": 0}
+    orig_write = M._write_arrow_parquet
+
+    def counting_write(*a, **kw):
+        ok = orig_write(*a, **kw)
+        counts["twin"] += bool(ok)
+        return ok
+
+    M._write_arrow_parquet = counting_write
+    try:
+        twin_rows = build(str(tmp_path / "twin"))
+    finally:
+        M._write_arrow_parquet = orig_write
+    assert counts["twin"] > 0, "twin path never engaged on a local table"
+
+    orig_rows = M._rows_to_arrow
+    M._write_arrow_parquet = lambda *a, **kw: False
+    M._rows_to_arrow = lambda *a, **kw: None
+    try:
+        spark_rows = build(str(tmp_path / "plain"))
+    finally:
+        M._write_arrow_parquet = orig_write
+        M._rows_to_arrow = orig_rows
+
+    assert len(twin_rows) == len(spark_rows) == 3
+    for ver, (a, b) in enumerate(zip(twin_rows, spark_rows)):
+        assert a == b, f"manifest v={ver} diverged between twin and Spark paths"
