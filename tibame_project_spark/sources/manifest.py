@@ -631,6 +631,35 @@ def _read_parquet_local(spark: SparkSession, path: str):
         return None
 
 
+def _parquet_strings_local(
+    base_path: str, rel_dir: str, col: str, max_bytes: int = 256 << 20
+):
+    """The distinct values of one string column of a small parquet dir,
+    read driver-side through Arrow — or None (size over ``max_bytes``,
+    store Arrow-unreachable, read failed: caller runs the distributed
+    read). Bounds the driver's exposure the way a collect of the same
+    distinct set already would."""
+    resolved = _arrow_fs(base_path)
+    if resolved is None:
+        return None
+    fs, d = resolved
+    try:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+        import pyarrow.fs as pafs
+
+        full = f"{d.rstrip('/')}/{rel_dir}"
+        infos = fs.get_file_info(pafs.FileSelector(full, recursive=True))
+        if sum(i.size or 0 for i in infos if i.is_file) > max_bytes:
+            return None
+        tbl = ds.dataset(full, format="parquet", filesystem=fs).to_table(
+            columns=[col]
+        )
+        return set(pc.unique(tbl.column(col)).to_pylist())
+    except Exception:
+        return None
+
+
 def _materialize_manifest(
     spark: SparkSession,
     manifest: DataFrame,
@@ -3935,12 +3964,30 @@ def _prepare_delete_edit(
             f"delete); got {key!r}"
         )
     kdist = keys.select(F.col(key).alias("__key")).distinct()
-    bounds = kdist.agg(
-        F.min("__key").alias("lo"),
-        F.max("__key").alias("hi"),
+    # one batch scan for bounds AND the NULL-key guard — min/max and the
+    # count-vs-count(key) NULL check are distinct-insensitive, so the
+    # agg runs on the RAW batch (no pre-distinct exchange). Per-file
+    # CANDIDACY rides the same scan when the live file set is small
+    # enough to fold (exactly the merge's candidate fold): the separate
+    # broadcast-build + semi-join jobs disappear from the delete. A
+    # driver-local batch aggregates in ONE partition, so the whole
+    # guard scan is a single job.
+    fold_files = _cand_fold_files(base_path, head, key)
+    aggs = [
+        F.min(key).alias("lo"),
+        F.max(key).alias("hi"),
         F.count(F.lit(1)).alias("n"),
-        F.count("__key").alias("nk"),
-    ).first()
+        F.count(key).alias("nk"),
+    ]
+    if fold_files is not None:
+        aggs += [
+            F.max(
+                F.col(key).between(F.lit(f["__lo"]), F.lit(f["__hi"]))
+            ).alias(f"__cand{i}")
+            for i, f in enumerate(fold_files)
+        ]
+    agg_src = keys.coalesce(1) if _is_local_relation(keys) else keys
+    bounds = agg_src.agg(*aggs).first()
     if bounds["n"] != bounds["nk"]:
         raise ValueError(
             f"delete batch contains NULL {key!r} keys; a NULL never lands "
@@ -3963,18 +4010,22 @@ def _prepare_delete_edit(
     if bounds["lo"] is None:
         return edit
     edit["bounds"] = (key, bounds["lo"], bounds["hi"])
-    man = _load_manifest(spark, base_path, head)
-    coarse = man.where(
-        (F.col(f"max_{key}") >= F.lit(bounds["lo"]))
-        & (F.col(f"min_{key}") <= F.lit(bounds["hi"]))
-    )
-    cand = coarse.join(
-        F.broadcast(kdist),
-        (F.col("__key") >= F.col(f"min_{key}"))
-        & (F.col("__key") <= F.col(f"max_{key}")),
-        "leftsemi",
-    )
-    cand_files = cand.select("path", "dv_path", "schema_id").collect()
+    if fold_files is not None:
+        cand_files = [
+            f for i, f in enumerate(fold_files) if bounds[f"__cand{i}"]
+        ]
+    else:
+        coarse = _load_manifest(spark, base_path, head).where(
+            (F.col(f"max_{key}") >= F.lit(bounds["lo"]))
+            & (F.col(f"min_{key}") <= F.lit(bounds["hi"]))
+        )
+        cand = coarse.join(
+            F.broadcast(kdist),
+            (F.col("__key") >= F.col(f"min_{key}"))
+            & (F.col("__key") <= F.col(f"max_{key}")),
+            "leftsemi",
+        )
+        cand_files = cand.select("path", "dv_path", "schema_id").collect()
     if not cand_files:
         # still a range-reading edit: "no candidates" is a statement
         # about this key range, so a concurrent commit INTO the range
@@ -4030,14 +4081,18 @@ def _prepare_delete_edit(
     # repoint ONLY files with at least one condemned pair in the new
     # sidecar — a min/max-range candidate that turned out to hold none of
     # the batch keys (and carried no prior vector) must NOT take the DV
-    # anti-join read path forever or inflate n_dv_files
-    hit = {
-        r["__path"]
-        for r in spark.read.parquet(f"{base_path}/{dv_dir}")
-        .select("__path")
-        .distinct()
-        .collect()
-    }
+    # anti-join read path forever or inflate n_dv_files. The just-written
+    # sidecar is a single small local file: read its path column
+    # driver-side (zero jobs) when Arrow can; distributed read otherwise
+    hit = _parquet_strings_local(base_path, dv_dir, "__path")
+    if hit is None:
+        hit = {
+            r["__path"]
+            for r in spark.read.parquet(f"{base_path}/{dv_dir}")
+            .select("__path")
+            .distinct()
+            .collect()
+        }
     repoint = [p for p in touched if _trail(p) in hit]
     if not repoint:
         return edit
@@ -4045,9 +4100,33 @@ def _prepare_delete_edit(
     # entries, re-add them with the fresh sidecar — what lets _finish
     # rebase it over concurrent commits that left these files alone
     edit["removed"] = repoint
+    man = _load_manifest(spark, base_path, head)
     edit["added"] = man.where(F.col("path").isin(repoint)).withColumn(
         "dv_path", F.lit(dv_dir)
     )
+    # the added rows' Arrow twin (manifest twin filtered to the
+    # repointed files, dv_path repointed) keeps the staged write and
+    # the commit materialization driver-side — zero Spark jobs
+    twin = getattr(man, "_tibame_arrow", None)
+    if twin is not None:
+        try:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            mask = pc.is_in(
+                twin.column("path"),
+                value_set=pa.array(list(repoint), type=pa.string()),
+            )
+            ftwin = twin.filter(pc.fill_null(mask, False))
+            idx = ftwin.schema.get_field_index("dv_path")
+            ftwin = ftwin.set_column(
+                idx,
+                pa.field("dv_path", pa.string()),
+                pa.array([dv_dir] * ftwin.num_rows, type=pa.string()),
+            )
+            edit["added"]._tibame_arrow = ftwin
+        except Exception:
+            pass
     return edit
 
 
