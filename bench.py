@@ -100,7 +100,7 @@ def _kill_jvm(jvm_pid: int | None) -> None:
         pass
 
 
-def _rebuild_session(sf_dir: str, timeout_s: float):
+def _rebuild_session(sf_dir: str, timeout_s: float, warmup_timeout_s: float):
     """Fresh SparkSession after the deadlocked JVM was SIGKILLed: clear
     the py4j/SparkContext singletons the dead gateway poisons, then build
     anew — the remaining queries record instead of losing the window.
@@ -130,12 +130,16 @@ def _rebuild_session(sf_dir: str, timeout_s: float):
     spark = get_spark("tibame-bench")
     spark.sparkContext.setLogLevel("ERROR")
     try:
+        # boot-class guard: a fresh JVM's first job pays full boot +
+        # codegen, which on a loaded host can exceed a tight per-query
+        # timeout — that is latency, not the deadlock class, so the
+        # warmup gets the (generous) startup timeout, not the query one
         _guarded(
             lambda: spark.read.parquet(
                 os.path.join(sf_dir, "region.parquet")
             ).count(),
             "post-rebuild-warmup",
-            timeout_s,
+            warmup_timeout_s,
         )
     except QueryHang:
         pass  # next guarded call diagnoses it with full context
@@ -185,6 +189,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timeout_s = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "900"))
+    # boot-class guard (r14 verdict item 1): the startup warmup carries a
+    # full JVM boot + the process's first parquet job — on a loaded host
+    # that is seconds of real latency, not the transport-deadlock class
+    # the per-query timeout exists to catch. Guard it with its own,
+    # generous timeout so boot latency can never masquerade as a hang
+    # when callers tighten SPARK_GRAFT_QUERY_TIMEOUT.
+    startup_timeout_s = float(
+        os.environ.get(
+            "SPARK_GRAFT_STARTUP_TIMEOUT", str(max(timeout_s, 300.0))
+        )
+    )
     # hung-query names land in BENCH_LOCAL.json AND the driver line —
     # created before the warmup so even a pre-first-query deadlock is
     # visible in the record, not just in the local diag log
@@ -205,16 +220,16 @@ def main() -> None:
     # otherwise still hang the window); one rebuild attempt, then give up
     def startup_warmup():
         if "startup-warmup" in inject:
-            time.sleep(timeout_s * 100)
+            time.sleep(startup_timeout_s * 100)
         spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     try:
-        _guarded(startup_warmup, "startup-warmup", timeout_s)
+        _guarded(startup_warmup, "startup-warmup", startup_timeout_s)
     except QueryHang:
-        _capture_hang_diag("startup-warmup", jvm_pid, timeout_s)
+        _capture_hang_diag("startup-warmup", jvm_pid, startup_timeout_s)
         hung.append("startup-warmup")
         _kill_jvm(jvm_pid)
-        spark = _rebuild_session(sf_dir, timeout_s)
+        spark = _rebuild_session(sf_dir, timeout_s, startup_timeout_s)
         jvm_pid = _jvm_pid(spark)
 
     runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
@@ -273,7 +288,7 @@ def main() -> None:
             _capture_hang_diag(name, jvm_pid, timeout_s)
             hung.append(name)
             _kill_jvm(jvm_pid)
-            spark = _rebuild_session(sf_dir, timeout_s)
+            spark = _rebuild_session(sf_dir, timeout_s, startup_timeout_s)
             jvm_pid = _jvm_pid(spark)
             continue
         timings[name] = round(statistics.median(times), 3)

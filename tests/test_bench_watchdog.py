@@ -72,12 +72,18 @@ def test_watchdog_diagnoses_hang_and_records_remaining_queries():
             "SPARK_GRAFT_INJECT_HANG": "pricing_summary",
         })
         # the hung query is NAMED, not silently missing; the survivor
-        # recorded through the rebuilt session
-        assert rec["hung"] == ["pricing_summary"]
+        # recorded through the rebuilt session. Assert on the INJECTED
+        # name, not list equality: boot-class phases now have their own
+        # generous timeout (SPARK_GRAFT_STARTUP_TIMEOUT), but on a
+        # pathologically loaded host they may still land in `hung`, and
+        # that is a host fact, not a watchdog defect (r14 verdict item 1)
+        assert "pricing_summary" in rec["hung"]
+        # no OTHER query was falsely recorded as hung
+        assert set(rec["hung"]) <= {"pricing_summary", "startup-warmup"}
         assert "pricing_summary" not in rec["queries"]
         assert rec["queries"]["dim_time"] > 0
         full = json.load(open(BENCH_LOCAL))
-        assert full["hung"] == ["pricing_summary"]
+        assert "pricing_summary" in full["hung"]
         assert "dim_time" in full["queries"]
         # diagnostics were captured BEFORE the kill: python stacks always,
         # and the header names the query and the JVM pid
@@ -95,6 +101,10 @@ def test_watchdog_covers_warmup_and_session_stop():
         rec, tail = run({
             "SPARK_GRAFT_ONLY": "dim_time",
             "SPARK_GRAFT_INJECT_HANG": "startup-warmup,session-stop",
+            # boot-class phases default to a 300s guard; the injected
+            # startup hang only fires AT that guard, so cap it at a value
+            # still generous enough for the post-rebuild REAL boot
+            "SPARK_GRAFT_STARTUP_TIMEOUT": "45",
         })
         # the warmup hang is visible in the driver-facing record, and the
         # stop hang did not prevent the line from printing at all
