@@ -106,6 +106,7 @@ distinct keys.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import math
 import os
@@ -507,14 +508,24 @@ def _is_local_relation(df: DataFrame) -> bool:
     with optimizer-folded projections/filters on top) whose
     re-evaluation costs no cluster work. Gates the skip-the-persist and
     single-partition-agg fast paths in the merge: both only make sense
-    when the batch provably lives on the driver."""
+    when the batch provably lives on the driver.
+
+    Memoized per DataFrame object: ``optimizedPlan()`` forces a full
+    analyze+optimize of the plan via py4j — pure driver cost that grows
+    with plan size — and a frame's LocalRelation-ness never changes, so
+    the second and later probes of the same object are free."""
+    cached = getattr(df, "_tibame_is_local", None)
+    if cached is not None:
+        return cached
     try:
-        return (
+        result = (
             df._jdf.queryExecution().optimizedPlan().getClass().getSimpleName()
             == "LocalRelation"
         )
     except Exception:
         return False
+    df._tibame_is_local = result
+    return result
 
 
 def _rows_to_arrow(rows: list[tuple], schema: StructType):
@@ -552,7 +563,15 @@ def _twin_filter_removed(twin, removed):
             twin.column("path"),
             value_set=pa.array(list(removed), type=pa.string()),
         )
-        return twin.filter(pc.invert(pc.fill_null(mask, False)))
+        # match Spark's NULL-predicate semantics: ~isin(...) is NULL for a
+        # NULL path, so Spark DROPS such rows — require path IS NOT NULL
+        # here too (a NULL path row would otherwise survive only the twin)
+        return twin.filter(
+            pc.and_(
+                pc.invert(pc.fill_null(mask, False)),
+                pc.is_valid(twin.column("path")),
+            )
+        )
     except Exception:
         return None
 
@@ -1384,6 +1403,15 @@ def _finish(
                         twin, getattr(added, "_tibame_arrow", None)
                     )
             version = (head if head is not None else -1) + 1
+            # a prior rebase attempt may have materialized through a
+            # DIFFERENT writer (distributed part-<uuid> files vs the twin's
+            # fixed part-00000.parquet) — clear the dir so no attempt can
+            # publish a mix of stale pre-rebase rows and fresh ones
+            if _attempt and fs.exists(tmp) and not fs.delete(tmp, True):
+                raise IOError(
+                    f"could not clear {tmp_dir} before rebase attempt "
+                    f"{_attempt} under {base_path}"
+                )
             # materialize BEFORE claiming (docstring step 2): the claimed
             # window below is pure filesystem metadata, so _CLAIM_WAIT_S
             # bounds a rename + two small writes + a prune — not a job
@@ -1611,6 +1639,16 @@ def recover_manifest_table(
     return removed
 
 
+def _env_int(name: str, default: int) -> int:
+    """An int env knob, parsed defensively: a malformed value falls back
+    to the default (disabling a fast path must never crash module
+    import)."""
+    try:
+        return int(os.environ.get(name, str(default)))
+    except (TypeError, ValueError):
+        return default
+
+
 #: Spark types whose parquet footer statistics this engine decodes for
 #: the metadata-only stats path. Deliberately excludes float/double (a
 #: NaN anywhere makes parquet min/max undefined — the format's own
@@ -1620,6 +1658,99 @@ def recover_manifest_table(
 _FOOTER_STATS_KINDS = frozenset(
     "boolean tinyint smallint int bigint string date".split()
 )
+
+#: Footer reads are ~ms each (py4j) / ~µs-ms (Arrow); a commit adding
+#: thousands of files would serialize seconds on the driver, so above
+#: _FOOTER_STATS_POOL_MIN files the per-file reads run on a bounded
+#: thread pool (Arrow releases the GIL during I/O; py4j opens one
+#: gateway connection per Python thread and Hadoop FileSystem /
+#: parquet-mr footer readers are thread-safe). Below it the loop stays
+#: sequential — pool spin-up would only add latency to the 1-4-file
+#: commits that dominate. TIBAME_FOOTER_STATS_THREADS<=1 restores the
+#: sequential loop everywhere.
+_FOOTER_STATS_THREADS = _env_int("TIBAME_FOOTER_STATS_THREADS", 16)
+_FOOTER_STATS_POOL_MIN = 8
+
+
+@contextlib.contextmanager
+def _single_partition_ok(spark):
+    """Scoped raise of ``spark.sql.maxSinglePartitionBytes`` around the
+    execution of a FUSED single-partition plan. The fuse gates bound the
+    plan's REAL input bytes (≤ :data:`_MERGE_FUSE_MAX_BYTES`), but
+    Catalyst's join-output size estimate MULTIPLIES child estimates —
+    a KB-scale broadcast join is routinely estimated in the hundreds of
+    MB — and EnsureRequirements then shuffles the SinglePartition away
+    (SPARK-41986's parallelism safety net), re-inserting exactly the
+    exchanges the fusion removed. The engine knows the true bytes; the
+    estimator does not (guide §8). Restored on exit, error or not."""
+    key = "spark.sql.maxSinglePartitionBytes"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    # Long.Max, not merely "big": an Arrow-built local relation (zero
+    # candidates) has NO size estimate and defaults to ~9 EB, which must
+    # still pass — the gate on REAL bytes already ran
+    spark.conf.set(key, str((1 << 63) - 1))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+@contextlib.contextmanager
+def _no_aqe(spark):
+    """Scoped AQE-off around a SCALAR aggregate action. A global agg is
+    partial → one single-partition exchange → final: AQE has nothing to
+    adapt (no partition counts to coalesce, no joins to re-plan) but
+    materializes each stage as its own job — 3-4 scheduler round-trips
+    where a non-adaptive run is ONE. Commit-path bounds/guard aggs are
+    per-commit, so the saved round-trips multiply. Restored on exit."""
+    key = "spark.sql.adaptive.enabled"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+class _FooterFallback(Exception):
+    """A file's footer cannot serve the manifest stats exactly (absent
+    chunk statistics, value-bearing chunk without bounds) — the caller
+    must take the distributed scan path."""
+
+
+def _footer_stats_map(read_one, files: list) -> list | None:
+    """Run ``read_one`` over ``files`` — threaded above the pool floor,
+    sequential below — preserving input order. ``read_one`` returns a
+    manifest row tuple or None (zero-row file); raising
+    :class:`_FooterFallback` makes the whole map return None (scan
+    path). Other exceptions propagate (store I/O: the caller's concern)."""
+    try:
+        if (
+            _FOOTER_STATS_THREADS > 1
+            and len(files) >= _FOOTER_STATS_POOL_MIN
+        ):
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = min(_FOOTER_STATS_THREADS, len(files))
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                results = list(pool.map(read_one, files))
+        else:
+            results = [read_one(f) for f in files]
+    except _FooterFallback:
+        return None
+    return [r for r in results if r is not None]
 
 
 def _truncate_string_stats(mn, mx):
@@ -1654,13 +1785,15 @@ def _footer_file_stats(
     a chunk written without statistics) — the caller then takes the
     distributed scan path, which is always correct.
 
-    Footer reads are driver-side py4j calls, a few ms per file — at this
+    Footer reads are driver-side calls, µs-to-ms per file — at this
     engine's file sizes that replaces a distributed scan of every fresh
     byte with O(files) metadata reads (the same driver-side O(files)
-    model the manifest itself uses, measured flat to 100k files). For
-    commits adding thousands of files the loop is the parallelization
-    seam (a thread pool over files; py4j is thread-safe) — sequential
-    today, matching every other driver-side manifest walk.
+    model the manifest itself uses, measured flat to 100k files).
+    Commits above :data:`_FOOTER_STATS_POOL_MIN` files read their
+    footers on a bounded thread pool (:func:`_footer_stats_map` — Arrow
+    releases the GIL, py4j is thread-safe) so a thousand-file commit no
+    longer serializes seconds on the driver; small commits stay
+    sequential (no pool spin-up on the hot path).
 
     Parity notes vs the scan path, all load-bearing: a ZERO-ROW part
     file yields no manifest row (the scan's groupBy drops empty groups —
@@ -1718,20 +1851,21 @@ def _footer_file_stats_arrow(
     # path ([, ?, *) would silently list a DIFFERENT directory and
     # publish an empty manifest where the scan path failed loudly
     infos = afs.get_file_info(FileSelector(root, allow_not_found=True))
-    out: list[tuple] = []
-    for fi in sorted(infos, key=lambda i: i.path):
+    files = [
+        fi
+        for fi in sorted(infos, key=lambda i: i.path)
+        if fi.type == FileType.File
+        and fi.path.rsplit("/", 1)[-1].endswith(".parquet")
+        and not fi.path.rsplit("/", 1)[-1].startswith(("_", "."))
+    ]
+
+    def read_one(fi):
         name = fi.path.rsplit("/", 1)[-1]
-        if (
-            fi.type != FileType.File
-            or not name.endswith(".parquet")
-            or name.startswith(("_", "."))
-        ):
-            continue
         with afs.open_input_file(fi.path) as f:
             md = _pq.ParquetFile(f).metadata
         nrows = md.num_rows
         if nrows == 0:
-            continue
+            return None
         mins: dict = {c: None for c in stats_cols}
         maxs: dict = {c: None for c in stats_cols}
         nulls: dict = {c: 0 for c in stats_cols}
@@ -1744,17 +1878,17 @@ def _footer_file_stats_arrow(
             for c in stats_cols:
                 ch = chunks.get(c)
                 if ch is None:
-                    return None
+                    raise _FooterFallback(name)
                 s = ch.statistics
                 # absent statistics (or a null-count the writer didn't
                 # set): only the data itself can answer — fall back
                 if s is None or not s.has_null_count:
-                    return None
+                    raise _FooterFallback(name)
                 nulls[c] += s.null_count
                 if not s.has_min_max:
                     if s.null_count == rg.num_rows:
                         continue  # all-NULL chunk: nulls only
-                    return None  # non-null values but no bounds
+                    raise _FooterFallback(name)  # values but no bounds
                 lo, hi = s.min, s.max
                 if mins[c] is None or lo < mins[c]:
                     mins[c] = lo
@@ -1769,8 +1903,9 @@ def _footer_file_stats_arrow(
         if null_stats:
             row += [int(nulls[c]) for c in stats_cols]
         row += [None, int(schema_id)]
-        out.append(tuple(row))
-    return out
+        return tuple(row)
+
+    return _footer_stats_map(read_one, files)
 
 
 def _footer_file_stats_hadoop(
@@ -1817,8 +1952,7 @@ def _footer_file_stats_hadoop(
             return bool(v)
         return int(v)
 
-    out: list[tuple] = []
-    for st in statuses:
+    def read_one(st):
         reader = pfr.open(hif.fromPath(st.getPath(), conf))
         try:
             blocks = reader.getFooter().getBlocks()
@@ -1834,15 +1968,15 @@ def _footer_file_stats_hadoop(
                 for c in stats_cols:
                     ch = chunks.get(c)
                     if ch is None:
-                        return None
+                        raise _FooterFallback(st.getPath().getName())
                     s = ch.getStatistics()
                     # isEmpty() == no statistics were written for the
                     # chunk (or parquet-mr refused corrupt legacy binary
                     # stats) — only the data itself can answer then
                     if s is None or s.isEmpty():
-                        return None
+                        raise _FooterFallback(st.getPath().getName())
                     if not s.isNumNullsSet():
-                        return None
+                        raise _FooterFallback(st.getPath().getName())
                     nulls[c] += s.getNumNulls()
                     if not s.hasNonNullValue():
                         # bound-less chunk: legitimate ONLY when every
@@ -1852,7 +1986,7 @@ def _footer_file_stats_hadoop(
                         # NULL skips it): silent row loss. Same guard as
                         # the Arrow branch's null_count == num_rows.
                         if s.getNumNulls() != ch.getValueCount():
-                            return None
+                            raise _FooterFallback(st.getPath().getName())
                         continue  # all-NULL chunk: nulls only
                     lo = decode(c, s.genericGetMin())
                     hi = decode(c, s.genericGetMax())
@@ -1863,7 +1997,7 @@ def _footer_file_stats_hadoop(
         finally:
             reader.close()
         if nrows == 0:
-            continue
+            return None
         for c in stats_cols:
             if isinstance(schema[c].dataType, StringType):
                 mins[c], maxs[c] = _truncate_string_stats(mins[c], maxs[c])
@@ -1877,8 +2011,9 @@ def _footer_file_stats_hadoop(
         if null_stats:
             row += [int(nulls[c]) for c in stats_cols]
         row += [None, int(schema_id)]
-        out.append(tuple(row))
-    return out
+        return tuple(row)
+
+    return _footer_stats_map(read_one, statuses)
 
 
 def _file_stats(
@@ -1981,9 +2116,27 @@ def _file_stats(
             )
             for c in bloom["cols"]
         ]
+        # r15 single-task fusion (same notion as the merge-rewrite gate):
+        # the written bytes are KNOWN from the footers — when they fit
+        # one task, build each column's filters in ONE partition, so the
+        # explode→bit_or→pack pipeline runs without its two exchanges
+        # (1 job per Bloom column instead of an AQE stage cascade);
+        # bigger commits keep the fully distributed build
+        bloom_fused = (
+            _MERGE_FUSE_MAX_BYTES > 0
+            and sum(int(r[1]) for r in footer_rows) <= _MERGE_FUSE_MAX_BYTES
+        )
+        if bloom_fused:
+            raw = raw.coalesce(1)
         bmaps: dict = {}
         for c in bloom["cols"]:
-            for r in _bloom_words(raw, c, bloom["m"], bloom["k"]).collect():
+            words = _bloom_words(raw, c, bloom["m"], bloom["k"])
+            if bloom_fused:
+                with _single_partition_ok(spark):
+                    rows = words.collect()
+            else:
+                rows = words.collect()
+            for r in rows:
                 bmaps.setdefault(r["path"], {})[c] = r[f"bloom_{c}"]
         brows = [
             row
@@ -2120,17 +2273,31 @@ def _constraint_rules(meta: dict, delete_col: str | None = None) -> list:
 _GATE_SEQ = [0]
 
 
-def _expect_gate(df: DataFrame, expect: list | None, where: str):
+def _expect_gate(
+    df: DataFrame,
+    expect: list | None,
+    where: str,
+    written: tuple | None = None,
+):
     """Commit-time data-quality gate (``operators.expectations`` rules):
     returns ``(df', check)`` — run ``check()`` after the data write and
     BEFORE the commit marker, so a violating batch aborts with its
     partial files invisible (the same crash-safety the marker protocol
     already gives). Row-wise rules ride the data write itself as
-    OBSERVED metrics — zero extra scans; rules needing distinct
-    aggregates (``unique``) fall back to one pre-write validation scan.
-    Reported violation COUNTS can include the range partitioner's
-    sampling re-evaluation of the plan and so may overstate; pass/fail
-    cannot flip (a sampled violation is a real violation).
+    OBSERVED metrics — zero extra scans. Rules needing distinct
+    aggregates (``unique``): when the caller writes the gated frame
+    VERBATIM it passes ``written=(base_path, data_dir, schema)`` and the
+    distinct check runs post-write over the just-written files —
+    driver-side through Arrow (ZERO Spark jobs) when the store is
+    reachable and the dir small, distributed read-back otherwise; count
+    and count-distinct are row-order-insensitive, so the written rows
+    answer exactly what the gated frame would. Callers whose written
+    data is NOT the gated frame (the merge gates its source batch but
+    writes the merged output) omit ``written`` and keep the one
+    pre-write validation scan. Reported violation COUNTS can include
+    the range partitioner's sampling re-evaluation of the plan and so
+    may overstate; pass/fail cannot flip (a sampled violation is a real
+    violation).
     """
     if not expect:
         return df, lambda: None
@@ -2146,25 +2313,115 @@ def _expect_gate(df: DataFrame, expect: list | None, where: str):
             )
         )
 
-    try:
-        _GATE_SEQ[0] += 1
-        observed, report_fn = X.observe_expectations(
-            df, expect, name=f"manifest_gate_{_GATE_SEQ[0]}"
-        )
-    except ValueError:
-        # distinct-aggregate rules: observed metrics can't express them,
-        # so gate with one scan BEFORE anything is written
+    uniq = [r for r in expect if r[2] == "unique"]
+    rows_rules = [r for r in expect if r[2] != "unique"]
+    if uniq and written is None:
+        # distinct-aggregate rules without a written-frame contract:
+        # gate with one scan BEFORE anything is written
         bad = X.validate_expectations(df, expect).filter("NOT passed").collect()
         if bad:
             _fail(bad)
         return df, lambda: None
 
-    def check():
-        bad = report_fn().filter("NOT passed").collect()
-        if bad:
-            _fail(bad)
+    checks = []
+    if rows_rules:
+        _GATE_SEQ[0] += 1
+        observed, report_fn = X.observe_expectations(
+            df, rows_rules, name=f"manifest_gate_{_GATE_SEQ[0]}"
+        )
+        df = observed
+        checks.append(
+            lambda: (
+                lambda bad: _fail(bad) if bad else None
+            )(report_fn().filter("NOT passed").collect())
+        )
+    if uniq:
+        spark = df.sparkSession
+        checks.append(
+            lambda: _validate_unique_written(spark, written, uniq, _fail)
+        )
 
-    return observed, check
+    def check():
+        for c in checks:
+            c()
+
+    return df, check
+
+
+#: Size cap for the driver-side Arrow read-back of a commit's written
+#: files when validating unique() rules post-write — same bounded-driver
+#: contract as the DV sidecar read-back. Above it (or Arrow-unreachable)
+#: the check runs as one distributed read of the written files.
+_UNIQ_READBACK_MAX_BYTES = _env_int(
+    "TIBAME_UNIQ_READBACK_MAX_BYTES", 256 << 20
+)
+
+
+def _validate_unique_written(spark, written: tuple, rules: list, fail) -> None:
+    """Exact ``unique()`` validation over a commit's just-written files
+    (``written = (base_path, data_dir, schema)``): Arrow driver-side —
+    zero Spark jobs — when reachable and under
+    :data:`_UNIQ_READBACK_MAX_BYTES`; else one distributed read-back.
+    Violations = count(col NOT NULL) − count(DISTINCT col), matching
+    ``operators.expectations`` bit-for-bit."""
+    from tibame_project_spark.operators import expectations as X
+
+    base_path, data_dir, schema = written
+    cols = sorted({r[3] for r in rules})
+    report = None
+    resolved = _arrow_fs(base_path)
+    if resolved is not None:
+        try:
+            import pyarrow.compute as pc
+            import pyarrow.dataset as ds
+            import pyarrow.fs as pafs
+
+            afs, d = resolved
+            full = f"{d.rstrip('/')}/{data_dir}"
+            infos = afs.get_file_info(
+                pafs.FileSelector(full, allow_not_found=True)
+            )
+            files = [
+                i.path
+                for i in infos
+                if i.is_file
+                and i.path.rsplit("/", 1)[-1].endswith(".parquet")
+                and not i.path.rsplit("/", 1)[-1].startswith(("_", "."))
+            ]
+            if files and (
+                sum(i.size or 0 for i in infos if i.is_file)
+                <= _UNIQ_READBACK_MAX_BYTES
+            ):
+                tbl = ds.dataset(
+                    files, format="parquet", filesystem=afs
+                ).to_table(columns=cols)
+                report = []
+                for name, col, _, payload in rules:
+                    c = tbl.column(payload)
+                    viol = (
+                        pc.count(c, mode="only_valid").as_py()
+                        - pc.count_distinct(c, mode="only_valid").as_py()
+                    )
+                    report.append(
+                        {
+                            "rule": name,
+                            "column": col,
+                            "n_violations": int(viol),
+                            "n_rows": tbl.num_rows,
+                            "passed": viol == 0,
+                        }
+                    )
+        except Exception:
+            report = None  # distributed read-back below is authoritative
+    if report is None:
+        wdf = spark.read.schema(schema).parquet(f"{base_path}/{data_dir}")
+        report = [
+            r.asDict()
+            for r in X.validate_expectations(wdf, rules).collect()
+        ]
+    bad = [r for r in report if not r["passed"]]
+    if bad:
+        fail(bad)
 
 
 def _validate_stats_cols(df: DataFrame, stats_cols: list[str]) -> None:
@@ -2327,8 +2584,11 @@ def write_manifest_table(
     if head is None and cons:
         rules = _constraint_rules({"constraints": cons})
         expect = (list(expect) if expect else []) + rules
-    df, gate = _expect_gate(df, expect, f"write_manifest_table({base_path})")
     data_dir = f"data/c={_token()}"
+    df, gate = _expect_gate(
+        df, expect, f"write_manifest_table({base_path})",
+        written=(base_path, data_dir, df.schema),
+    )
     _write_data(df, base_path, data_dir, cluster_by, n_files, zorder_bits)
     gate()  # violating data never publishes: no marker yet, files invisible
     if head is None:
@@ -2480,8 +2740,11 @@ def append_manifest_table(
     rules = _constraint_rules(meta)
     if rules:  # persisted CHECK constraints gate every writer, not just
         expect = (list(expect) if expect else []) + rules  # expect= callers
-    df, gate = _expect_gate(df, expect, f"append_manifest_table({base_path})")
     data_dir = f"data/c={_token()}"
+    df, gate = _expect_gate(
+        df, expect, f"append_manifest_table({base_path})",
+        written=(base_path, data_dir, df.schema),
+    )
     _write_data(df, base_path, data_dir, cluster_by, n_files, zorder_bits)
     gate()
     new_rows = _file_stats(
@@ -2689,7 +2952,19 @@ def read_manifest_table(
 #: semi-join path scales arbitrarily; the fold only exists to keep small
 #: tables' commits at one batch scan. Cluster deployments can raise or
 #: zero it (0 disables the fold).
-_CAND_FOLD_MAX_FILES = int(os.environ.get("TIBAME_MERGE_CAND_FOLD_MAX", "96"))
+_CAND_FOLD_MAX_FILES = _env_int("TIBAME_MERGE_CAND_FOLD_MAX", 96)
+
+#: Max total candidate bytes for the single-file merge REWRITE FUSION:
+#: when a merge rewrites at most one file and its bytes fit a single
+#: task, both merge-join inputs coalesce to ONE partition —
+#: SinglePartition satisfies the join's ClusteredDistribution on both
+#: sides, so the full-outer merge join plans with ZERO exchanges and
+#: the whole candidate-read → join → sort → write chain runs as ONE
+#: stage/job instead of a 3-stage AQE chain. Above the bound (or with
+#: >1 candidate file, where range-clustering the output needs its
+#: exchange) the distributed plan is the 100 TB-correct shape and is
+#: kept. 0 disables the fusion.
+_MERGE_FUSE_MAX_BYTES = _env_int("TIBAME_MERGE_FUSE_MAX_BYTES", 128 << 20)
 
 #: stat value types whose F.lit() comparison provably coerces like the
 #: semi-join's column-vs-column comparison (int family, string, bool,
@@ -2717,7 +2992,7 @@ def _cand_fold_files(base_path: str, head: int, key: str):
     if f"min_{key}" not in names or f"max_{key}" not in names:
         return None
     cols = ["path", f"min_{key}", f"max_{key}"]
-    cols += [c for c in ("dv_path", "schema_id") if c in names]
+    cols += [c for c in ("bytes", "dv_path", "schema_id") if c in names]
     out = []
     for r in tbl.select(cols).to_pylist():
         lo, hi = r[f"min_{key}"], r[f"max_{key}"]
@@ -2737,6 +3012,7 @@ def _cand_fold_files(base_path: str, head: int, key: str):
         out.append(
             {
                 "path": r["path"],
+                "bytes": r.get("bytes"),
                 "dv_path": r.get("dv_path"),
                 "schema_id": r.get("schema_id", 0),
                 "__lo": lo,
@@ -2943,7 +3219,8 @@ def _prepare_merge_edit_impl(
     # job instead of one per shuffle stage; distributed batches keep
     # their parallel partial aggregation
     agg_src = source.coalesce(1) if _is_local_relation(source) else source
-    bounds = agg_src.agg(*aggs).first()
+    with _no_aqe(spark):
+        bounds = agg_src.agg(*aggs).first()
     if bounds["n"] != bounds["nk"]:
         raise ValueError(
             f"merge batch contains NULL {key!r} keys; manifest merge requires "
@@ -3042,7 +3319,9 @@ def _prepare_merge_edit_impl(
             & (F.col("__mk") <= F.col(f"max_{key}")),
             "leftsemi",
         )
-        cand_files = cand.select("path", "dv_path", "schema_id").collect()
+        cand_files = cand.select(
+            "path", "bytes", "dv_path", "schema_id"
+        ).collect()
     touched = [r["path"] for r in cand_files]
 
     # candidate rows with their deletion vectors APPLIED — a merge must
@@ -3055,6 +3334,22 @@ def _prepare_merge_edit_impl(
         current = current.withColumn(
             c, F.lit(None).cast(source.schema[c].dataType)
         )
+    # r15 single-file rewrite fusion (§2.4): the rewrite output is ONE
+    # file (n_files = max(1, len(touched)) below) and its input bytes
+    # fit one task — coalesce BOTH merge-join inputs to a single
+    # partition. SinglePartition satisfies the join's required
+    # ClusteredDistribution on each side with matching partition counts,
+    # so the full-outer merge join (and update_condition's target join)
+    # plans with ZERO exchanges: candidate-read → join(s) → sort → write
+    # is one stage/one job instead of a 3-stage AQE chain per merge.
+    # Multi-file rewrites keep the range exchange (clustering IS the
+    # optimization at scale) and big candidates keep task parallelism.
+    fused = (
+        len(cand_files) <= 1
+        and _MERGE_FUSE_MAX_BYTES > 0
+        and sum(int(f["bytes"] or 0) for f in cand_files)
+        <= _MERGE_FUSE_MAX_BYTES
+    )
     if update_condition is not None:
         # WHEN MATCHED AND <condition> (Delta's conditional merge) as a
         # SOURCE PRE-FILTER, so the fixpoint-critical full-row upsert
@@ -3083,32 +3378,52 @@ def _prepare_merge_edit_impl(
                 "row (or the internal __mck key); rename them in the "
                 "batch before the merge"
             )
-        cur_t = current.select(
-            F.col(key).alias("__mck"),
-            *[
-                F.col(c).alias(f"t_{c}")
-                for c in current.columns
-                if c != key
-            ],
-        )
-        src_cols = source.columns
-        cand_j = source.join(
-            cur_t, source[key] == cur_t["__mck"], "left"
-        )
-        source = cand_j.where(
-            F.col("__mck").isNull()
-            | F.coalesce(F.expr(update_condition), F.lit(False))
-        ).select(*[source[c] for c in src_cols])
         # the candidate rows are evaluated twice with a condition (the
-        # t_<name> join above AND the merge rewrite below) — persist them
-        # so the candidate parquet files are read once; marked only now,
-        # AFTER the condition expression parsed (an unparseable condition
-        # raises during plan construction above, which would leak a
-        # persist taken any earlier), and released in the finally. Cache
-        # lookup is plan-based, so cur_t's already-built plan still hits
-        # this cache when it materializes inside the try.
+        # t_<name> join below AND the merge rewrite) — persist them so
+        # the candidate parquet files are read once; marked only now,
+        # AFTER the condition expression parsed (an unparseable
+        # condition must not leak a persist), and released in the
+        # finally. The persist goes UNDER the fusion's coalesce:
+        # InMemoryTableScan reports UnknownPartitioning, so caching the
+        # COALESCED plan would bury the SinglePartition and
+        # EnsureRequirements would re-exchange both merge-join sides —
+        # exactly the shuffles the fusion removes.
+        F.expr(update_condition)
         current = current.persist()
+        cur_persisted = current
+    else:
+        cur_persisted = None
+    if fused:
+        current = current.coalesce(1)
+        source = source.coalesce(1)
     try:
+        if update_condition is not None:
+            # inside the try: a condition referencing a nonexistent
+            # column raises at join analysis, which must not leak the
+            # persist taken above
+            cur_t = current.select(
+                F.col(key).alias("__mck"),
+                *[
+                    F.col(c).alias(f"t_{c}")
+                    for c in current.columns
+                    if c != key
+                ],
+            )
+            src_cols = source.columns
+            # fused: cur_t is ≤ _MERGE_FUSE_MAX_BYTES by the gate, so
+            # broadcast it EXPLICITLY — a zero-candidate current is an
+            # Arrow-built local frame (ExistingRDD, unknown size stats),
+            # which the auto-broadcast threshold treats as huge and
+            # plans as a sort-merge join whose exchanges re-partition
+            # the single-partition chain the fusion just built
+            cur_t_j = F.broadcast(cur_t) if fused else cur_t
+            cand_j = source.join(
+                cur_t_j, source[key] == cur_t["__mck"], "left"
+            )
+            source = cand_j.where(
+                F.col("__mck").isNull()
+                | F.coalesce(F.expr(update_condition), F.lit(False))
+            ).select(*[source[c] for c in src_cols])
         rules = _constraint_rules(meta, delete_col)  # tombstones exempt
         if rules:
             expect = (list(expect) if expect else []) + rules
@@ -3117,11 +3432,19 @@ def _prepare_merge_edit_impl(
             current, source, key, delete_col=delete_col, null_safe_keys=False
         )
         data_dir = f"data/c={_token()}"
-        _write_data(merged, base_path, data_dir, key, max(1, len(touched)))
+        if fused:
+            with _single_partition_ok(spark):
+                _write_data(
+                    merged, base_path, data_dir, key, max(1, len(touched))
+                )
+        else:
+            _write_data(
+                merged, base_path, data_dir, key, max(1, len(touched))
+            )
         gate()  # batch violations abort pre-marker: partial v is invisible
     finally:
-        if update_condition is not None:
-            current.unpersist()
+        if cur_persisted is not None:
+            cur_persisted.unpersist()
     edit["removed"] = touched
     edit["added"] = _file_stats(
         spark, base_path, data_dir, stats_cols, schema, meta.get("bloom"),
@@ -3987,7 +4310,8 @@ def _prepare_delete_edit(
             for i, f in enumerate(fold_files)
         ]
     agg_src = keys.coalesce(1) if _is_local_relation(keys) else keys
-    bounds = agg_src.agg(*aggs).first()
+    with _no_aqe(spark):
+        bounds = agg_src.agg(*aggs).first()
     if bounds["n"] != bounds["nk"]:
         raise ValueError(
             f"delete batch contains NULL {key!r} keys; a NULL never lands "
@@ -4025,7 +4349,9 @@ def _prepare_delete_edit(
             & (F.col("__key") <= F.col(f"max_{key}")),
             "leftsemi",
         )
-        cand_files = cand.select("path", "dv_path", "schema_id").collect()
+        cand_files = cand.select(
+            "path", "bytes", "dv_path", "schema_id"
+        ).collect()
     if not cand_files:
         # still a range-reading edit: "no candidates" is a statement
         # about this key range, so a concurrent commit INTO the range
@@ -4073,9 +4399,25 @@ def _prepare_delete_edit(
         )
         present = present.unionByName(olds)
     dv_dir = f"dv/c={_token()}"
-    present.distinct().coalesce(1).write.mode("overwrite").parquet(
-        f"{base_path}/{dv_dir}"
-    )
+    # r15 single-file fusion (same gate as the merge rewrite): when the
+    # candidate set is one small file, run the condemned-pair distinct
+    # in ONE partition — SinglePartition satisfies the aggregation's
+    # required distribution, so the distinct's exchange (and its AQE
+    # stage boundary) disappears and scan → semi-join → distinct →
+    # sidecar write is a single job. Bigger candidate sets keep the
+    # parallel distinct.
+    if (
+        len(cand_files) <= 1
+        and _MERGE_FUSE_MAX_BYTES > 0
+        and sum(int(f["bytes"] or 0) for f in cand_files)
+        <= _MERGE_FUSE_MAX_BYTES
+    ):
+        sidecar = present.coalesce(1).distinct()
+        with _single_partition_ok(spark):
+            sidecar.write.mode("overwrite").parquet(f"{base_path}/{dv_dir}")
+    else:
+        sidecar = present.distinct().coalesce(1)
+        sidecar.write.mode("overwrite").parquet(f"{base_path}/{dv_dir}")
     # a no-hit delete still FIXES the table's DV key (first use)
     edit["dv_key"] = key
     # repoint ONLY files with at least one condemned pair in the new
@@ -4273,7 +4615,7 @@ def update_manifest_table(
     man = _load_manifest(spark, base_path, head)
     if prune is not None:
         man = man.where(F.coalesce(F.expr(prune), F.lit(True)))
-    files = man.select("path", "dv_path", "schema_id").collect()
+    files = man.select("path", "bytes", "dv_path", "schema_id").collect()
     if not files:
         return head
     # phase 1 — candidate files: any physical row matching `where`,
@@ -4296,6 +4638,16 @@ def update_manifest_table(
     raw = parts[0]
     for p in parts[1:]:
         raw = raw.unionByName(p)
+    # r15 single-file fusion (same gate as the merge rewrite): a
+    # one-small-file candidate scan runs its path-distinct in ONE
+    # partition — no exchange, no AQE stage boundary, one job
+    if (
+        len(files) <= 1
+        and _MERGE_FUSE_MAX_BYTES > 0
+        and sum(int(r["bytes"] or 0) for r in files)
+        <= _MERGE_FUSE_MAX_BYTES
+    ):
+        raw = raw.coalesce(1)
     hit = {
         r["__path"]
         for r in raw.where(F.coalesce(F.expr(where), F.lit(False)))
@@ -4320,10 +4672,11 @@ def update_manifest_table(
     ]
     updated = folded.select(*out_cols)
     rules = _constraint_rules(meta)
-    updated, gate = _expect_gate(
-        updated, rules, f"update_manifest_table({base_path})"
-    )
     data_dir = f"data/c={_token()}"
+    updated, gate = _expect_gate(
+        updated, rules, f"update_manifest_table({base_path})",
+        written=(base_path, data_dir, _schema_from_fields(cur_fields)),
+    )
     _write_data(updated, base_path, data_dir, None, 0)
     gate()
     new_rows = _file_stats(
