@@ -4828,88 +4828,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is ~1986 of the 1995-char budget — the registry is effectively FULL.
     # New operators should be pytest-covered (see README crosswalk rows
     # without a query key) unless a key is retired or the format shrinks.
-    # r14 window: block 1 = clean_chain + fb_dates FIRST (the two
-    # r11-green deferrals, 3 rounds stale — r13's VERDICT ordered them
-    # to lead) plus this round's two CHANGED keys — manifest_merge (now
-    # also prices the CONDITIONAL MERGE out-of-order-CDC epoch,
-    # update_condition + cdc_price_sum fold) and evolution_cycle (now
-    # also prices the compiler's LIKE-prefix string-range prune via the
-    # probed read's where=) — r13 directives 4/5. Block 2 = 46 of the
-    # 48 r12-green entries, due back at their 2-round boundary. TWO
-    # r12-green keys are deferred to r15, each with an r13-green
-    # surface twin: cosine_topk (its exact operator — same k, same
-    # query/item split — executes INSIDE knn_eval, r13-green) and
-    # fuzzy_match (the documented cartesian baseline whose scoring
-    # kernel is the same code as fuzzy_blocked, r13-green, with the
-    # banded-prune-≡-full-DP unit test on top); both, like every key,
-    # stay oracle-checked every pytest run. Below the boundary they
-    # lead (priority at r15), then the r13-green block.
+    # r15 window: block 1 = fuzzy_match + cosine_topk FIRST (the two
+    # r12-green deferrals, 3 rounds stale — r14's VERDICT ordered them
+    # to lead) plus the eight r14-green keys whose ENGINE paths this
+    # optimization round rewrote (single-file commit fusion, footer-stats
+    # pool, scoped AQE-off bounds aggs, pagerank's persist-based rounds):
+    # manifest_merge, evolution_cycle, stream_sink, pagerank,
+    # release_pipeline, snapshot_diff, incremental_mart, scd2_priority —
+    # their driver-green rows must postdate the engine change. Block 2 =
+    # 40 of the 48 r13-green entries, due back at their 2-round boundary.
+    # EIGHT r13-green keys are deferred to r16 to make room, each with an
+    # in-window (or r14-green) surface twin: knn_eval (executes
+    # cosine_topk verbatim — cosine_topk itself leads this window),
+    # fuzzy_blocked (same scoring kernel as the leading fuzzy_match),
+    # bpe_pairs (twin bpe_tokens, in-window), dedup_keep_first (twin
+    # dedup_keep_last, in-window), self_join (twin left_join_chain,
+    # in-window), approx_percentiles (twin percentiles, r14-green),
+    # corpus_shuffle (twin stratified_sample, in-window), alpha_mix
+    # (twin domain_mix, r14-green). All 100 stay oracle-checked every
+    # pytest run. Below the boundary the deferrals lead (priority at
+    # r16), then the r14-green block.
     return {
-        # -- block 1: the two deferrals + this round's changed keys -------
-        "clean_chain": q_clean_chain,  # r11 — r13 VERDICT: lead r14
-        "fb_dates": q_fb_dates,  # r11 — r13 VERDICT: lead r14
-        "manifest_merge": q_manifest_merge,  # changed: +conditional-MERGE CDC leg
-        "evolution_cycle": q_evolution_cycle,  # changed: +LIKE-prefix derived prune
-        # -- block 2: the r12-green entries, due back ----------------------
-        "stream_sink": q_stream_sink,
-        "approx_users": q_approx_users,
-        "pagerank": q_pagerank,
-        "set_ops": q_set_ops,
-        "radius_grid": q_radius_grid,
-        "json_extract": q_json_extract,
-        "ivf_train": q_ivf_train,
-        "release_pipeline": q_release_pipeline,
-        "dedup_groups": q_dedup_groups,
-        "decontaminate": q_decontaminate,
-        "substring_dedup": q_substring_dedup,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
-        "minhash_pairs": q_minhash_pairs,
-        "embedding_dups": q_embedding_dups,
-        "multimodal_features": q_multimodal_features,
-        "sessionize": q_sessionize,
-        "windowed_counts": q_windowed_counts,
-        "sql_entry": q_sql_entry,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "simhash_pairs": q_simhash_pairs,
-        "pack_sequences": q_pack_sequences,
-        "scd2_priority": q_scd2_priority,
-        "domain_mix": q_domain_mix,
-        "grouping_sets": q_grouping_sets,
-        "c4_filter": q_c4_filter,
-        "lm_score": q_lm_score,
-        "rolling_avg": q_rolling_avg,
-        "rank_functions": q_rank_functions,
-        "snapshot_diff": q_snapshot_diff,
-        "profile_table": q_profile_table,
-        "train_split": q_train_split,
-        "incremental_mart": q_incremental_mart,
-        "corpus_report": q_corpus_report,
-        "gap_fill": q_gap_fill,
-        "cohort_retention": q_cohort_retention,
-        "funnel": q_funnel,
-        "pearson_stats": q_pearson_stats,
-        "cube_rollup": q_cube_rollup,
-        "dedup_exact_text": q_dedup_exact_text,
-        "line_dedup": q_line_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "percentiles": q_percentiles,
-        "pivot_event_types": q_pivot_event_types,
-        "month_over_month": q_month_over_month,
-        # ---- 50-key window boundary; below: due back at r15 --------------
-        # fuzzy_match and cosine_topk lead (the two r12-green keys
-        # deferred past their boundary — each with an r13-green surface
-        # twin: fuzzy_blocked shares fuzzy_match's scoring kernel,
-        # knn_eval executes cosine_topk verbatim), then the r13-green
-        # block.
-        "fuzzy_match": q_fuzzy_match,  # r12 — twin fuzzy_blocked r13; priority at r15
-        "cosine_topk": q_cosine_topk,  # r12 — twin knn_eval r13; priority at r15
+        # -- block 1: the two deferrals + this round's engine-touched keys -
+        "fuzzy_match": q_fuzzy_match,  # r12 — r14 VERDICT: lead r15
+        "cosine_topk": q_cosine_topk,  # r12 — r14 VERDICT: lead r15
+        "manifest_merge": q_manifest_merge,  # engine: merge fusion + footer pool
+        "evolution_cycle": q_evolution_cycle,  # engine: merge fusion inherit
+        "stream_sink": q_stream_sink,  # engine: commit-path fusion inherit
+        "pagerank": q_pagerank,  # engine: persist-based iteration rounds
+        "release_pipeline": q_release_pipeline,  # engine: manifest consumer
+        "snapshot_diff": q_snapshot_diff,  # engine: manifest consumer
+        "incremental_mart": q_incremental_mart,  # engine: manifest consumer
+        "scd2_priority": q_scd2_priority,  # engine: manifest consumer
+        # -- block 2: the r13-green entries, due back ----------------------
         "mart_star_trends": q_mart_star_trends,  # also entry()'s every-round smoke
         "curation_pass": q_curation_pass,
         "ivm_mart": q_ivm_mart,
         "merge_upsert": q_merge_upsert,
-        "fuzzy_blocked": q_fuzzy_blocked,
         "corrections": q_corrections,
         "stratified_sample": q_stratified_sample,
         "pricing_summary": q_pricing_summary,
@@ -4930,12 +4885,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "lang_id": q_lang_id,
         "events_rollup": q_events_rollup,
-        "dedup_keep_first": q_dedup_keep_first,
         "insert_missing": q_insert_missing,
         "left_join_chain": q_left_join_chain,
-        "self_join": q_self_join,
         "salted_rollup": q_salted_rollup,
-        "approx_percentiles": q_approx_percentiles,
         "top_ngram": q_top_ngram,
         "attribution": q_attribution,
         "stream_enrich": q_stream_enrich,
@@ -4944,15 +4896,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "hybrid_rerank": q_hybrid_rerank,
         "quantized_ann": q_quantized_ann,
-        "knn_eval": q_knn_eval,
-        "alpha_mix": q_alpha_mix,
         "diverse_topk": q_diverse_topk,
-        "corpus_shuffle": q_corpus_shuffle,
         "quality_sample": q_quality_sample,
-        "bpe_pairs": q_bpe_pairs,
         "hard_negatives": q_hard_negatives,
         "semantic_dedup": q_semantic_dedup,
         "sparse_topk": q_sparse_topk,
+        # ---- 50-key window boundary; below: due back at r16 --------------
+        # the eight deferrals lead (priority at r16 — each twinned above),
+        # then the r14-green block.
+        "knn_eval": q_knn_eval,  # r13 — twin cosine_topk (r15 window); priority at r16
+        "fuzzy_blocked": q_fuzzy_blocked,  # r13 — twin fuzzy_match (r15 window); priority at r16
+        "bpe_pairs": q_bpe_pairs,  # r13 — twin bpe_tokens (r15 window); priority at r16
+        "dedup_keep_first": q_dedup_keep_first,  # r13 — twin dedup_keep_last (r15 window); priority at r16
+        "self_join": q_self_join,  # r13 — twin left_join_chain (r15 window); priority at r16
+        "approx_percentiles": q_approx_percentiles,  # r13 — twin percentiles (r14-green); priority at r16
+        "corpus_shuffle": q_corpus_shuffle,  # r13 — twin stratified_sample (r15 window); priority at r16
+        "alpha_mix": q_alpha_mix,  # r13 — twin domain_mix (r14-green); priority at r16
+        "clean_chain": q_clean_chain,
+        "fb_dates": q_fb_dates,
+        "approx_users": q_approx_users,
+        "set_ops": q_set_ops,
+        "radius_grid": q_radius_grid,
+        "json_extract": q_json_extract,
+        "ivf_train": q_ivf_train,
+        "dedup_groups": q_dedup_groups,
+        "decontaminate": q_decontaminate,
+        "substring_dedup": q_substring_dedup,
+        "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
+        "minhash_pairs": q_minhash_pairs,
+        "embedding_dups": q_embedding_dups,
+        "multimodal_features": q_multimodal_features,
+        "sessionize": q_sessionize,
+        "windowed_counts": q_windowed_counts,
+        "sql_entry": q_sql_entry,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "simhash_pairs": q_simhash_pairs,
+        "pack_sequences": q_pack_sequences,
+        "domain_mix": q_domain_mix,
+        "grouping_sets": q_grouping_sets,
+        "c4_filter": q_c4_filter,
+        "lm_score": q_lm_score,
+        "rolling_avg": q_rolling_avg,
+        "rank_functions": q_rank_functions,
+        "profile_table": q_profile_table,
+        "train_split": q_train_split,
+        "corpus_report": q_corpus_report,
+        "gap_fill": q_gap_fill,
+        "cohort_retention": q_cohort_retention,
+        "funnel": q_funnel,
+        "pearson_stats": q_pearson_stats,
+        "cube_rollup": q_cube_rollup,
+        "dedup_exact_text": q_dedup_exact_text,
+        "line_dedup": q_line_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "percentiles": q_percentiles,
+        "pivot_event_types": q_pivot_event_types,
+        "month_over_month": q_month_over_month,
     }
 
 

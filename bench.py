@@ -232,6 +232,27 @@ def main() -> None:
         spark = _rebuild_session(sf_dir, timeout_s, startup_timeout_s)
         jvm_pid = _jvm_pid(spark)
 
+    # r15 tail de-confound (r14 verdict item 7): this host's multi-minute
+    # steal bursts can land on the tail of the ~12-minute primary window
+    # and inflate dozens of small queries at once (r14 recorded 37 false
+    # "regressions" that way). The PRIMARY pass is recorded exactly as
+    # before (methodology unchanged, driver contract intact); afterwards,
+    # any query ≥10% slower than the PRIOR record at the same sf is
+    # re-timed in a second pass run in REVERSE registry order (a burst
+    # that hit the primary tail hits the retime head, so the two passes
+    # can't be confounded by the same burst) and the re-timings land in
+    # BENCH_LOCAL.json under "retimed" — evidence for round-over-round
+    # triage, never a substitute for the primary numbers.
+    prior_queries: dict = {}
+    local_path = os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json")
+    try:
+        with open(local_path) as f:
+            _prior = json.load(f)
+        if float(_prior.get("sf", -1)) == sf:
+            prior_queries = _prior.get("queries", {}) or {}
+    except Exception:
+        prior_queries = {}
+
     runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
     # this host shows minutes-long CPU-steal bursts (10-60x single-query
     # slowdowns); when the spread between runs exceeds STEAL_RATIO, keep
@@ -260,30 +281,36 @@ def main() -> None:
     # to clear even a 60x steal burst on the heaviest ~10s query; only a
     # true deadlock waits this long. (timeout_s and jvm_pid were set
     # before the startup warmup above.)
+    def time_one(name, fn) -> list[float]:
+        """One query's warmup + timed runs under the watchdog; the same
+        methodology for the primary pass and the retime pass."""
+        for _ in range(warmup):
+            # untimed: compiles the query's codegen classes (kept by
+            # the JVM across runs) without polluting the measurement;
+            # caches are dropped so the timed runs stay self-contained
+            _run_guarded(fn, spark, sf_dir, name, timeout_s, inject)
+            _guarded(spark.catalog.clearCache, name, timeout_s)
+        times: list[float] = []
+        while len(times) < runs or (
+            len(times) < runs + extra
+            and max(times) / min(times) > steal_ratio
+        ):
+            t0 = time.perf_counter()
+            _run_guarded(fn, spark, sf_dir, name, timeout_s, inject)
+            times.append(time.perf_counter() - t0)
+            # operators persist() shared join bases; drop them between
+            # runs (guarded, OUTSIDE the timed span — methodology
+            # unchanged vs prior rounds) so each measurement is
+            # self-contained and cached blocks from earlier queries
+            # can't squeeze later ones
+            _guarded(spark.catalog.clearCache, name, timeout_s)
+        return times
+
     for name, fn in entry_mod.queries().items():
         if only and name not in only:
             continue
         try:
-            for _ in range(warmup):
-                # untimed: compiles the query's codegen classes (kept by
-                # the JVM across runs) without polluting the measurement;
-                # caches are dropped so the timed runs stay self-contained
-                _run_guarded(fn, spark, sf_dir, name, timeout_s, inject)
-                _guarded(spark.catalog.clearCache, name, timeout_s)
-            times: list[float] = []
-            while len(times) < runs or (
-                len(times) < runs + extra
-                and max(times) / min(times) > steal_ratio
-            ):
-                t0 = time.perf_counter()
-                _run_guarded(fn, spark, sf_dir, name, timeout_s, inject)
-                times.append(time.perf_counter() - t0)
-                # operators persist() shared join bases; drop them between
-                # runs (guarded, OUTSIDE the timed span — methodology
-                # unchanged vs prior rounds) so each measurement is
-                # self-contained and cached blocks from earlier queries
-                # can't squeeze later ones
-                _guarded(spark.catalog.clearCache, name, timeout_s)
+            times = time_one(name, fn)
         except QueryHang:
             _capture_hang_diag(name, jvm_pid, timeout_s)
             hung.append(name)
@@ -294,6 +321,39 @@ def main() -> None:
         timings[name] = round(statistics.median(times), 3)
         spreads[name] = round(max(times) / min(times), 2)
         all_runs[name] = [round(t, 3) for t in times]
+
+    # second pass (tail de-confound — see the prior_queries note above):
+    # re-time the ≥10%-regressed-vs-prior queries in REVERSE registry
+    # order; capped so a true whole-host collapse cannot double the
+    # bench. Evidence-only: primary numbers are never replaced.
+    retime_cap = int(os.environ.get("SPARK_GRAFT_RETIME", "24"))
+    suspects = [
+        n
+        for n in timings
+        if n in prior_queries
+        and prior_queries[n] > 0
+        and timings[n] > prior_queries[n] * 1.1
+        and timings[n] - prior_queries[n] > 0.05
+    ]
+    suspects.sort(key=lambda n: prior_queries[n] - timings[n])  # worst first
+    retimed: dict[str, float] = {}
+    retimed_runs: dict[str, list[float]] = {}
+    if retime_cap > 0 and suspects:
+        qmap = entry_mod.queries()
+        keep = set(suspects[:retime_cap])
+        ordered = [n for n in reversed(list(qmap)) if n in keep]
+        for name in ordered:
+            try:
+                times = time_one(name, qmap[name])
+            except QueryHang:
+                _capture_hang_diag(name, jvm_pid, timeout_s)
+                hung.append(f"retime:{name}")
+                _kill_jvm(jvm_pid)
+                spark = _rebuild_session(sf_dir, timeout_s, startup_timeout_s)
+                jvm_pid = _jvm_pid(spark)
+                continue
+            retimed[name] = round(statistics.median(times), 3)
+            retimed_runs[name] = [round(t, 3) for t in times]
 
     total = round(sum(timings.values()), 3)
     # Full-detail record (incl. per-query run spread — max/min run ratio,
@@ -312,6 +372,12 @@ def main() -> None:
         "legs": getattr(entry_mod, "_LAST_LEGS", {}),
         "sf": sf,
     }
+    if retimed:
+        # second-pass evidence for ≥10%-regressed-vs-prior queries (tail
+        # de-confound) — BENCH_LOCAL-only, never in the driver line, and
+        # never a substitute for the primary "queries" numbers
+        full["retimed"] = retimed
+        full["retimed_runs"] = retimed_runs
     if hung:
         full["hung"] = hung  # see BENCH_DIAG.log for the captured dumps
     with open(os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json"), "w") as f:
