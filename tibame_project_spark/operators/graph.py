@@ -124,7 +124,7 @@ def pagerank_integer(
         "node", F.expr(f"{scale} div __n").alias("rank")
     )
     teleport_num = scale * (damping_den - damping_num)
-    for i in range(iterations):
+    for _ in range(iterations):
         contrib = (
             ed.join(ranks, ed["__s"] == ranks["node"])
             .select(F.col("__d").alias("node"), F.expr("rank div __od").alias("__c"))
@@ -143,29 +143,16 @@ def pagerank_integer(
             upd = upd.crossJoin(F.broadcast(dmass))
         else:
             pooled = "coalesce(__csum, 0)"
-        ranks = upd.select(
-            "node",
-            F.expr(
-                f"{teleport_num} div ({damping_den} * __n)"
-                f" + ({damping_num} * {pooled}) div {damping_den}"
-            ).alias("rank"),
+        ranks = (
+            upd.select(
+                "node",
+                F.expr(
+                    f"{teleport_num} div ({damping_den} * __n)"
+                    f" + ({damping_num} * {pooled}) div {damping_den}"
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
         )
-        # r15 (§5): each round's ranks used to localCheckpoint — a full
-        # replicated materialization of every partition per round, which
-        # dominated the query's wall (measured: the same 3-round run is
-        # ~40% faster without it). A LAZY persist serves both reads of a
-        # round's ranks (next round's contribution join + the dangling
-        # probe) from cache with no eager pass, and identical shuffles
-        # are deduplicated by ReusedExchange anyway. Lineage still needs
-        # PERIODIC truncation — the logical plan doubles per round when
-        # the graph has sinks — so every 4th round keeps the (lazy)
-        # localCheckpoint; short fixed-iteration callers (the common
-        # 3-round shape) never pay it. Caching contract unchanged (see
-        # docstring: released at clearCache/session end).
-        if (i + 1) % 4 == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=False)
-        else:
-            ranks = ranks.persist()
     return ranks
 
 
