@@ -6509,6 +6509,62 @@ def test_footer_stats_hadoop_twin_matches_arrow_branch(spark, tmp_path):
     assert a2 == h2 and len(a2) == 1
 
 
+def test_footer_stats_thread_pool_matches_sequential(spark, tmp_path, monkeypatch):
+    """A many-file commit reads its footers on a bounded thread pool
+    (r15 — the driver-side loop was the commit's critical path at high
+    file counts); pooled and sequential reads must produce IDENTICAL
+    manifest rows in identical order, on both the Arrow branch and the
+    parquet-mr twin, and the fallback-to-scan contract (a file without
+    chunk statistics) must survive the pool."""
+    from pyspark.sql import functions as F
+
+    from tibame_project_spark.sources import manifest as M
+
+    base = str(tmp_path / "t")
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("s"),
+    )
+    # 12 files: comfortably above _FOOTER_STATS_POOL_MIN (8)
+    M._write_data(df, base, "data/c=pool", "k", 12)
+    assert 12 >= M._FOOTER_STATS_POOL_MIN
+    monkeypatch.setattr(M, "_FOOTER_STATS_THREADS", 16)
+    pooled = M._footer_file_stats(
+        spark, base, "data/c=pool", ["k", "s"], df.schema, 3, null_stats=True
+    )
+    pooled_h = M._footer_file_stats_hadoop(
+        spark, base, "data/c=pool", ["k", "s"], df.schema, 3, null_stats=True
+    )
+    monkeypatch.setattr(M, "_FOOTER_STATS_THREADS", 1)
+    seq = M._footer_file_stats(
+        spark, base, "data/c=pool", ["k", "s"], df.schema, 3, null_stats=True
+    )
+    seq_h = M._footer_file_stats_hadoop(
+        spark, base, "data/c=pool", ["k", "s"], df.schema, 3, null_stats=True
+    )
+    assert len(pooled) == 12
+    assert pooled == seq
+    assert pooled_h == seq_h
+    assert pooled == pooled_h
+
+    # fallback parity under the pool: a stats column whose chunk
+    # statistics are absent must return None (scan path) from the pooled
+    # map exactly like the sequential one — simulate by asking for a
+    # column that exists in no chunk
+    class NoStats(Exception):
+        pass
+
+    monkeypatch.setattr(M, "_FOOTER_STATS_THREADS", 16)
+    schema_extra = df.withColumn("zz", F.lit(1)).schema
+    assert (
+        M._footer_file_stats_arrow(
+            M._arrow_fs(base), "data/c=pool", ["k", "zz"], schema_extra, 3,
+            null_stats=False,
+        )
+        is None
+    )
+
+
 def test_footer_stats_fall_back_to_hadoop_twin_on_arrow_io_error(
     spark, tmp_path
 ):

@@ -745,3 +745,66 @@ def test_ivm_mart_gated_fold_never_rescans_base(spark, tmp_path):
     assert got == {("lo", 200, sum(range(200))),
                    ("hi", 190, sum(range(200, 390))),
                    ("moved", 10, sum(range(390, 400)))}
+
+
+def test_single_file_merge_rewrite_fuses_to_one_partition(spark, tmp_path, monkeypatch):
+    """r15 merge-rewrite fusion: a merge that rewrites ONE small file
+    plans its candidate-read → full-outer join → sort → write chain with
+    ZERO hash exchanges (both join inputs are single-partition, which
+    satisfies the join's required distribution), while a multi-file
+    rewrite keeps the range exchange that makes per-file min/max
+    disjoint. Locked here because losing the fusion silently re-adds a
+    3-stage AQE cascade to every small merge commit."""
+    from tibame_project_spark.sources import manifest as M
+
+    plans = []
+    orig_wd = M._write_data
+
+    def spy(df, *a, **k):
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+        return orig_wd(df, *a, **k)
+
+    monkeypatch.setattr(M, "_write_data", spy)
+
+    # one-file table → one candidate → fused
+    base1 = str(tmp_path / "one")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    M.write_manifest_table(spark, df, base1, stats_cols=["k"], cluster_by="k", n_files=1)
+    batch = spark.range(0, 50).select(
+        (F.col("id") * 3).alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    plans.clear()
+    M.merge_manifest_table(spark, batch, base1, "k")
+    fused = [p for p in plans if "FullOuter" in p]
+    assert fused, "merge write plan not captured"
+    assert "Exchange hashpartitioning" not in fused[0]
+    assert "Exchange rangepartitioning" not in fused[0]
+
+    # eight-file table, wide batch → many candidates → distributed shape
+    base2 = str(tmp_path / "many")
+    M.write_manifest_table(spark, df, base2, stats_cols=["k"], cluster_by="k", n_files=8)
+    wide = spark.range(0, 1000, 7).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    plans.clear()
+    M.merge_manifest_table(spark, wide, base2, "k")
+    unfused = [p for p in plans if "FullOuter" in p]
+    assert unfused
+    # the captured frame is the merge output BEFORE _write_data's range
+    # partitioning — multi-file rewrites must keep the distributed join
+    # (hash exchanges on both sides), not the single-partition fusion
+    assert "Exchange hashpartitioning" in unfused[0]
+
+    # conditional merge on the one-file table: still fused, condition
+    # join broadcast
+    batch2 = spark.range(0, 50).select(
+        (F.col("id") * 3).alias("k"), F.lit(7).cast("long").alias("v")
+    )
+    plans.clear()
+    M.merge_manifest_table(spark, batch2, base1, "k", update_condition="v > t_v")
+    fused2 = [p for p in plans if "FullOuter" in p]
+    assert fused2
+    assert "Exchange hashpartitioning" not in fused2[0]
+    assert "BroadcastHashJoin" in fused2[0]
