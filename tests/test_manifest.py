@@ -6694,3 +6694,35 @@ def test_arrow_twin_materialization_matches_spark_path(spark, tmp_path):
     assert len(twin_rows) == len(spark_rows) == 3
     for ver, (a, b) in enumerate(zip(twin_rows, spark_rows)):
         assert a == b, f"manifest v={ver} diverged between twin and Spark paths"
+
+
+def test_scoped_conf_concurrent_scopes_restore_original(spark):
+    """The commit path's scoped conf overrides (_no_aqe,
+    _single_partition_ok) must survive CONCURRENT writers in one session:
+    a naive save/set/restore interleaves — writer B snapshots writer A's
+    override as "the original" and restores it after A restored the real
+    value, leaking the override for the session's lifetime (caught as an
+    AQE plan test failing only after the multiwriter suite). The
+    refcounted scope restores the true original at the LAST exit."""
+    import random
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tibame_project_spark.sources import manifest as M
+
+    key = "spark.sql.adaptive.enabled"
+    orig = spark.conf.get(key)
+
+    def worker(_):
+        with M._no_aqe(spark):
+            assert spark.conf.get(key) == "false"
+            time.sleep(random.uniform(0.0, 0.03))
+            with M._single_partition_ok(spark):  # nesting across keys
+                pass
+        return True
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        assert all(ex.map(worker, range(32)))
+    assert spark.conf.get(key) == orig
+    assert spark.conf.get("spark.sql.maxSinglePartitionBytes") == "134217728b"
+    assert not M._CONF_SCOPES  # no dangling refcounts

@@ -110,6 +110,7 @@ import contextlib
 import json
 import math
 import os
+import threading
 import uuid
 
 import pyspark.sql.functions as F
@@ -1672,56 +1673,74 @@ _FOOTER_STATS_THREADS = _env_int("TIBAME_FOOTER_STATS_THREADS", 16)
 _FOOTER_STATS_POOL_MIN = 8
 
 
+#: Reference-counted scoped-conf state: ``(id(session), key) →
+#: [active_scopes, original_value]``. Session confs are GLOBAL to the
+#: session, and this engine supports CONCURRENT writers in one session
+#: (the multiwriter commit tests drive exactly that) — a naive
+#: save/set/restore interleaves: writer B snapshots writer A's override
+#: as "the original" and restores it after A already restored the real
+#: value, leaking the override for the session's lifetime (caught as a
+#: downstream AQE-plan test failing only after the multiwriter suite).
+#: First scope in saves the true original; last scope out restores it.
+_CONF_SCOPES: dict = {}
+_CONF_SCOPES_LOCK = threading.Lock()
+
+
 @contextlib.contextmanager
+def _scoped_conf(spark, key: str, value: str):
+    """Set a session conf for the duration of a block, concurrency-safe
+    via refcounting (every user of one key must want the SAME value —
+    true for both engine scopes below). Restored by the LAST exiter,
+    error or not."""
+    skey = (id(spark), key)
+    with _CONF_SCOPES_LOCK:
+        st = _CONF_SCOPES.get(skey)
+        if st is None:
+            try:
+                old = spark.conf.get(key)
+            except Exception:
+                old = None
+            _CONF_SCOPES[skey] = st = [1, old]
+            spark.conf.set(key, value)
+        else:
+            st[0] += 1
+    try:
+        yield
+    finally:
+        with _CONF_SCOPES_LOCK:
+            st[0] -= 1
+            if st[0] == 0:
+                del _CONF_SCOPES[skey]
+                if st[1] is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, st[1])
+
+
 def _single_partition_ok(spark):
     """Scoped raise of ``spark.sql.maxSinglePartitionBytes`` around the
     execution of a FUSED single-partition plan. The fuse gates bound the
     plan's REAL input bytes (≤ :data:`_MERGE_FUSE_MAX_BYTES`), but
     Catalyst's join-output size estimate MULTIPLIES child estimates —
     a KB-scale broadcast join is routinely estimated in the hundreds of
-    MB — and EnsureRequirements then shuffles the SinglePartition away
-    (SPARK-41986's parallelism safety net), re-inserting exactly the
-    exchanges the fusion removed. The engine knows the true bytes; the
-    estimator does not (guide §8). Restored on exit, error or not."""
-    key = "spark.sql.maxSinglePartitionBytes"
-    try:
-        old = spark.conf.get(key)
-    except Exception:
-        old = None
-    # Long.Max, not merely "big": an Arrow-built local relation (zero
-    # candidates) has NO size estimate and defaults to ~9 EB, which must
-    # still pass — the gate on REAL bytes already ran
-    spark.conf.set(key, str((1 << 63) - 1))
-    try:
-        yield
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+    MB (and an Arrow-built local relation with NO size estimate defaults
+    to ~9 EB) — and EnsureRequirements then shuffles the SinglePartition
+    away (SPARK-41986's parallelism safety net), re-inserting exactly
+    the exchanges the fusion removed. The engine knows the true bytes;
+    the estimator does not (guide §8)."""
+    return _scoped_conf(
+        spark, "spark.sql.maxSinglePartitionBytes", str((1 << 63) - 1)
+    )
 
 
-@contextlib.contextmanager
 def _no_aqe(spark):
     """Scoped AQE-off around a SCALAR aggregate action. A global agg is
     partial → one single-partition exchange → final: AQE has nothing to
     adapt (no partition counts to coalesce, no joins to re-plan) but
     materializes each stage as its own job — 3-4 scheduler round-trips
     where a non-adaptive run is ONE. Commit-path bounds/guard aggs are
-    per-commit, so the saved round-trips multiply. Restored on exit."""
-    key = "spark.sql.adaptive.enabled"
-    try:
-        old = spark.conf.get(key)
-    except Exception:
-        old = None
-    spark.conf.set(key, "false")
-    try:
-        yield
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+    per-commit, so the saved round-trips multiply."""
+    return _scoped_conf(spark, "spark.sql.adaptive.enabled", "false")
 
 
 class _FooterFallback(Exception):
@@ -3344,11 +3363,17 @@ def _prepare_merge_edit_impl(
     # is one stage/one job instead of a 3-stage AQE chain per merge.
     # Multi-file rewrites keep the range exchange (clustering IS the
     # optimization at scale) and big candidates keep task parallelism.
+    cand_bytes = sum(int(f["bytes"] or 0) for f in cand_files)
+    # one output file per touched file: byte-based sizing was tried and
+    # REVERTED — fewer, wider files change which files later merges must
+    # rewrite (wider min/max ranges swallow future candidates), which is
+    # an observable layout change (evolution_cycle's live-era contract
+    # tripped on it); the rewrite preserves the table's file granularity
+    n_out = max(1, len(touched))
     fused = (
-        len(cand_files) <= 1
+        n_out <= 1
         and _MERGE_FUSE_MAX_BYTES > 0
-        and sum(int(f["bytes"] or 0) for f in cand_files)
-        <= _MERGE_FUSE_MAX_BYTES
+        and cand_bytes <= _MERGE_FUSE_MAX_BYTES
     )
     if update_condition is not None:
         # WHEN MATCHED AND <condition> (Delta's conditional merge) as a
@@ -3434,13 +3459,9 @@ def _prepare_merge_edit_impl(
         data_dir = f"data/c={_token()}"
         if fused:
             with _single_partition_ok(spark):
-                _write_data(
-                    merged, base_path, data_dir, key, max(1, len(touched))
-                )
+                _write_data(merged, base_path, data_dir, key, n_out)
         else:
-            _write_data(
-                merged, base_path, data_dir, key, max(1, len(touched))
-            )
+            _write_data(merged, base_path, data_dir, key, n_out)
         gate()  # batch violations abort pre-marker: partial v is invisible
     finally:
         if cur_persisted is not None:
