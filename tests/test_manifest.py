@@ -6525,9 +6525,12 @@ def test_footer_stats_thread_pool_matches_sequential(spark, tmp_path, monkeypatc
         F.col("id").alias("k"),
         F.concat(F.lit("v"), F.col("id").cast("string")).alias("s"),
     )
-    # 12 files: comfortably above _FOOTER_STATS_POOL_MIN (8)
+    # 12 files: comfortably above _FOOTER_STATS_POOL_MIN (8); zero the
+    # latency-probe threshold so the pool branch engages even at local-FS
+    # footer speeds (in production the probe keeps fast stores sequential)
     M._write_data(df, base, "data/c=pool", "k", 12)
     assert 12 >= M._FOOTER_STATS_POOL_MIN
+    monkeypatch.setattr(M, "_FOOTER_POOL_MIN_SEQ_S", 0.0)
     monkeypatch.setattr(M, "_FOOTER_STATS_THREADS", 16)
     pooled = M._footer_file_stats(
         spark, base, "data/c=pool", ["k", "s"], df.schema, 3, null_stats=True

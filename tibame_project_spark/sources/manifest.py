@@ -1660,17 +1660,23 @@ _FOOTER_STATS_KINDS = frozenset(
     "boolean tinyint smallint int bigint string date".split()
 )
 
-#: Footer reads are ~ms each (py4j) / ~µs-ms (Arrow); a commit adding
-#: thousands of files would serialize seconds on the driver, so above
-#: _FOOTER_STATS_POOL_MIN files the per-file reads run on a bounded
-#: thread pool (Arrow releases the GIL during I/O; py4j opens one
-#: gateway connection per Python thread and Hadoop FileSystem /
-#: parquet-mr footer readers are thread-safe). Below it the loop stays
-#: sequential — pool spin-up would only add latency to the 1-4-file
-#: commits that dominate. TIBAME_FOOTER_STATS_THREADS<=1 restores the
-#: sequential loop everywhere.
+#: Footer reads are per-file driver-side calls whose latency spans four
+#: orders of magnitude by store: ~0.1 ms on a local FS through Arrow,
+#: ~50 ms through py4j/parquet-mr or against an object store. A commit
+#: adding thousands of files would serialize seconds-to-minutes on the
+#: driver, so the loop pools — ADAPTIVELY: the first footer is read
+#: sequentially as a latency probe, and the rest go to a bounded thread
+#: pool only when probed-latency × remaining-count exceeds
+#: _FOOTER_POOL_MIN_SEQ_S (pool spin-up + GIL contention otherwise COSTS
+#: more than it saves — measured 0.04 s sequential vs 0.14 s pooled for
+#: 256 local-FS Arrow footers, vs 13.3 s sequential / 8.1 s pooled for
+#: the same files through py4j). Arrow releases the GIL during I/O; py4j
+#: opens one gateway connection per Python thread; Hadoop FileSystem and
+#: parquet-mr footer readers are thread-safe.
+#: TIBAME_FOOTER_STATS_THREADS<=1 restores the sequential loop.
 _FOOTER_STATS_THREADS = _env_int("TIBAME_FOOTER_STATS_THREADS", 16)
 _FOOTER_STATS_POOL_MIN = 8
+_FOOTER_POOL_MIN_SEQ_S = 0.1
 
 
 #: Reference-counted scoped-conf state: ``(id(session), key) →
@@ -1750,23 +1756,34 @@ class _FooterFallback(Exception):
 
 
 def _footer_stats_map(read_one, files: list) -> list | None:
-    """Run ``read_one`` over ``files`` — threaded above the pool floor,
-    sequential below — preserving input order. ``read_one`` returns a
-    manifest row tuple or None (zero-row file); raising
-    :class:`_FooterFallback` makes the whole map return None (scan
-    path). Other exceptions propagate (store I/O: the caller's concern)."""
+    """Run ``read_one`` over ``files`` — pooled when the probed per-file
+    latency predicts a sequential wall above
+    :data:`_FOOTER_POOL_MIN_SEQ_S`, sequential otherwise — preserving
+    input order. ``read_one`` returns a manifest row tuple or None
+    (zero-row file); raising :class:`_FooterFallback` makes the whole
+    map return None (scan path). Other exceptions propagate (store I/O:
+    the caller's concern)."""
+    import time as _time
+
     try:
+        if not files:
+            return []
+        t0 = _time.perf_counter()
+        first = read_one(files[0])
+        probe = _time.perf_counter() - t0
+        rest = files[1:]
         if (
             _FOOTER_STATS_THREADS > 1
             and len(files) >= _FOOTER_STATS_POOL_MIN
+            and probe * len(rest) > _FOOTER_POOL_MIN_SEQ_S
         ):
             from concurrent.futures import ThreadPoolExecutor
 
-            workers = min(_FOOTER_STATS_THREADS, len(files))
+            workers = min(_FOOTER_STATS_THREADS, len(rest))
             with ThreadPoolExecutor(max_workers=workers) as pool:
-                results = list(pool.map(read_one, files))
+                results = [first] + list(pool.map(read_one, rest))
         else:
-            results = [read_one(f) for f in files]
+            results = [first] + [read_one(f) for f in rest]
     except _FooterFallback:
         return None
     return [r for r in results if r is not None]
@@ -1808,11 +1825,13 @@ def _footer_file_stats(
     engine's file sizes that replaces a distributed scan of every fresh
     byte with O(files) metadata reads (the same driver-side O(files)
     model the manifest itself uses, measured flat to 100k files).
-    Commits above :data:`_FOOTER_STATS_POOL_MIN` files read their
-    footers on a bounded thread pool (:func:`_footer_stats_map` — Arrow
-    releases the GIL, py4j is thread-safe) so a thousand-file commit no
-    longer serializes seconds on the driver; small commits stay
-    sequential (no pool spin-up on the hot path).
+    Commits above :data:`_FOOTER_STATS_POOL_MIN` files whose probed
+    per-file latency predicts a slow sequential walk read their footers
+    on a bounded thread pool (:func:`_footer_stats_map` — Arrow releases
+    the GIL, py4j is thread-safe) so a thousand-file commit on a
+    high-latency store no longer serializes seconds-to-minutes on the
+    driver; small commits and fast local stores stay sequential (pool
+    spin-up costs more than it saves there — measured).
 
     Parity notes vs the scan path, all load-bearing: a ZERO-ROW part
     file yields no manifest row (the scan's groupBy drops empty groups —
